@@ -1,0 +1,430 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.query.Search
+
+/** §2-A relational surface: the reference's SQL/paging/search semantics
+  * re-expressed as Spark DataFrame plans, one entry per SURVEY.md §2 row.
+  *
+  * Oracle-hash discipline (SURVEY §4): double aggregations go through
+  * DECIMAL(18,2/4) so Spark and DuckDB produce bit-identical results; all
+  * result sets carry a deterministic total order; timestamps are never
+  * emitted raw (formatted or extracted instead).
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact sum of a double column: per-row cast to decimal, exact decimal
+    * sum, final cast back — deterministic under any partitioning/ordering,
+    * unlike a raw double sum.
+    */
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q2_filter_project" -> ((s, dir) => {
+      // Predicate + projection pushdown: .explain shows PushedFilters +
+      // a 5-column ReadSchema on the parquet scan.
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q3_join_agg" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      // Dim side (filtered customers) broadcasts; orders⋈lineitem shuffles
+      // on the join key, partial aggs push map-side.
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q4_sort_page" -> ((s, dir) => {
+      // The paginator's core plan: total order (unique tiebreaker) +
+      // OFFSET/LIMIT — page 3 @ 50 rows (reference: duckdb-paginator.ts).
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .offset(100).limit(50)
+    }),
+
+    "q5_search" -> ((s, dir) => {
+      // Free-text search semantics of the reference's search box: every
+      // column cast to string, OR of LIKE '%12%' (worker.ts:294-310).
+      val c = t(s, dir, "customer")
+      Search.search(c, "12").orderBy("c_custkey")
+    }),
+
+    "q6_distinct" -> ((s, dir) =>
+      t(s, dir, "orders").select("o_orderstatus", "o_orderpriority")
+        .distinct().orderBy("o_orderstatus", "o_orderpriority")),
+
+    "q7_window" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          // long-typed to match DuckDB's BIGINT window functions
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rnk"),
+          lag("o_orderkey", 1).over(w).as("prev_orderkey"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "q8_having" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .filter(col("cnt") >= 10)
+        .orderBy("o_custkey")),
+
+    "q9_cte" -> ((s, dir) => {
+      val co = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(dsum(col("o_totalprice")).as("total"))
+      // Scalar subquery as a broadcast cross-join: no driver-side collect,
+      // the single-row aggregate ships to executors with the plan.
+      val avgTotal = co.agg(avg("total").as("avg_total"))
+      t(s, dir, "customer")
+        .join(co, col("c_custkey") === col("o_custkey"))
+        .crossJoin(broadcast(avgTotal))
+        .filter(col("total") > col("avg_total"))
+        .select("c_custkey", "c_name", "total")
+        .orderBy("c_custkey")
+    }),
+
+    "q10_union" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"), lit("customer").as("kind"))
+      val su = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("id"), col("s_name").as("name"), lit("supplier").as("kind"))
+      c.unionAll(su).orderBy("kind", "id")
+    }),
+
+    "q11_expr" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 200000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("bucket"),
+        upper(substring(col("o_orderpriority"), 1, 1)).as("pri_code"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_pri"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+        .orderBy("o_orderkey")),
+
+    "q12_struct" -> ((s, dir) =>
+      // Complex-value inspection: build a struct, render it as the JSON
+      // string a reference user sees in the cell popup (backend.ts
+      // convertObjectsToJSONStrings).
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        to_json(struct(col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("priority"),
+          col("o_custkey").as("cust"))).as("payload"))
+        .orderBy("o_orderkey")),
+
+    "q13_broadcast_join" -> ((s, dir) => {
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      su.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_suppliers"), dsum(col("s_acctbal")).as("total_bal"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "q14_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_orders").as("tag"))
+      val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_orders").as("tag"))
+      semi.unionAll(anti).orderBy("tag", "c_custkey")
+    }),
+
+    "q15_topk_group" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    "q16_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map(
+          "1-URGENT" -> "urgent", "2-HIGH" -> "high", "3-MEDIUM" -> "medium",
+          "4-NOT SPECIFIED" -> "unspecified", "5-LOW" -> "low"))
+        .orderBy("o_orderstatus")),
+
+    "q17_stats" -> ((s, dir) => {
+      // Column-statistics panel: one row per numeric column.
+      val l = t(s, dir, "lineitem")
+      def statsOf(cname: String): DataFrame =
+        l.agg(count(lit(1)).as("cnt"),
+          min(col(cname)).cast("double").as("min_val"),
+          max(col(cname)).cast("double").as("max_val"),
+          dsum(col(cname)).as("sum_val"))
+          .select(lit(cname).as("col_name"), col("cnt"), col("min_val"), col("max_val"), col("sum_val"))
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(statsOf).reduce(_ unionAll _).orderBy("col_name")
+    }),
+
+    "q18_approx" -> ((s, dir) =>
+      // HLL + approximate quantiles — sketch values are engine-specific,
+      // so this is a rows-only gate (spec asserts bounds vs exact).
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct("l_orderkey").as("approx_orders"),
+        approx_count_distinct("l_partkey").as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("median_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price"))),
+
+    "q19_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("cnt"))
+        .orderBy("status", "priority")),
+
+    "q20_csv_source" -> ((s, dir) => {
+      // CSV source round-trip: parquet truth → distributed CSV write →
+      // header+inferSchema read (the reference's read_csv path).
+      val out = s"${Scratch.dir}/q20_csv_region"
+      t(s, dir, "region").write.mode("overwrite").option("header", "true").csv(out)
+      Tables.open(s, s"$out/*.csv")
+        .select(col("r_regionkey").cast("int"), col("r_name"))
+        .orderBy("r_regionkey")
+    }),
+
+    "q21_json_source" -> ((s, dir) => {
+      // ndJSON source round-trip (the reference's ndjson export / JSON read).
+      val out = s"${Scratch.dir}/q21_json_orders"
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").json(out)
+      Tables.open(s, s"$out/*.json")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
+    "meta_rowcount" -> ((s, dir) =>
+      // Metadata tab num_rows (reference: backend.ts getMetaData).
+      t(s, dir, "lineitem").agg(count(lit(1)).as("num_rows"))),
+
+    "schema_inspect" -> ((s, dir) =>
+      // Schema tab: DESCRIBE-shaped table (rows-only: type-name strings
+      // are engine-specific).
+      graft.query.SchemaInspector.describe(t(s, dir, "lineitem"))),
+
+    "meta_footer" -> ((s, dir) =>
+      // Parquet footer metadata (rows-only: DuckDB sees the same footer
+      // but key set is engine-specific).
+      graft.query.MetadataInspector.fileMetadata(s, s"$dir/lineitem.parquet")
+        .filter(col("key") =!= "file_name") // path differs by environment
+        .orderBy("key")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q3_join_agg" ->
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "q4_sort_page" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 50 OFFSET 100""".stripMargin,
+
+    "q5_search" ->
+      """SELECT * FROM customer
+        |WHERE CAST(c_custkey AS TEXT) LIKE '%12%'
+        |   OR c_name LIKE '%12%'
+        |   OR CAST(c_nationkey AS TEXT) LIKE '%12%'
+        |   OR CAST(c_acctbal AS TEXT) LIKE '%12%'
+        |   OR c_mktsegment LIKE '%12%'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q6_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q7_window" ->
+      """SELECT o_orderkey, o_custkey,
+        |  row_number() OVER w AS rn,
+        |  rank() OVER w AS rnk,
+        |  lag(o_orderkey, 1) OVER w AS prev_orderkey
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q8_having" ->
+      """SELECT o_custkey, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 10
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q9_cte" ->
+      """WITH co AS (
+        |  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, total
+        |FROM customer JOIN co ON c_custkey = o_custkey
+        |WHERE total > (SELECT avg(total) FROM co)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q10_union" ->
+      """SELECT c_custkey AS id, c_name AS name, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_suppkey AS id, s_name AS name, 'supplier' AS kind FROM supplier
+        |ORDER BY kind, id""".stripMargin,
+
+    "q11_expr" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 200000 THEN 'big'
+        |       WHEN o_totalprice > 100000 THEN 'mid'
+        |       ELSE 'small' END AS bucket,
+        |  upper(substr(o_orderpriority, 1, 1)) AS pri_code,
+        |  concat(o_orderstatus, '-', o_orderpriority) AS status_pri,
+        |  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  strftime(o_orderdate, '%Y-%m') AS order_month
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q12_struct" ->
+      """SELECT o_orderkey,
+        |  CAST(to_json(struct_pack(status := o_orderstatus,
+        |                           priority := o_orderpriority,
+        |                           cust := o_custkey)) AS VARCHAR) AS payload
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q13_broadcast_join" ->
+      """SELECT r_name, n_name, count(*) AS n_suppliers,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q14_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY tag, c_custkey""".stripMargin,
+
+    "q15_topk_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q16_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+        |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+        |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+        |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS unspecified,
+        |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q17_stats" ->
+      """SELECT col_name, cnt, min_val, max_val, sum_val FROM (
+        |  SELECT 'l_quantity' AS col_name, count(*) AS cnt,
+        |    CAST(min(l_quantity) AS DOUBLE) AS min_val, CAST(max(l_quantity) AS DOUBLE) AS max_val,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_val FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(*),
+        |    CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE),
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', count(*),
+        |    CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE),
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', count(*),
+        |    CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE),
+        |    CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) FROM lineitem
+        |) ORDER BY col_name""".stripMargin,
+
+    "q19_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q20_csv_source" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "q21_json_source" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "meta_rowcount" ->
+      "SELECT count(*) AS num_rows FROM lineitem",
+  )
+}
+
+/** Scratch space for round-trip sources/exports — kept inside the repo
+  * target dir (nothing outside /root/repo is written).
+  */
+object Scratch {
+  val dir: String = {
+    val d = "/root/repo/target/scratch"
+    new java.io.File(d).mkdirs()
+    d
+  }
+}

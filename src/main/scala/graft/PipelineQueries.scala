@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, SimilaritySearch, TextAnalysis}
+import graft.sources.Tables
+
+/** §2-C training-data pipeline operators as `queries` entries over the
+  * documents/embeddings tables. Engine-sensitive outputs (hash families,
+  * float similarity) are rows-only gates here and exact-oracle-tested in
+  * ScalaTest specs instead (SURVEY §2/§4).
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val EmbeddingDim = 64
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("content_hash")),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, bands = 4)),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)),
+
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        EmbeddingDim, nPlanes = 12, threshold = 0.95)),
+
+    "ann_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilaritySearch.bruteForceTopK(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+    }),
+
+    "ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilaritySearch.lshTopK(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        EmbeddingDim, k = 10, nPlanes = 8, probes = 8)
+    }),
+
+    "text_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.functions.TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.analyze(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "text_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        // long-typed to match DuckDB's BIGINT len()/length()
+        graft.functions.TextFunctions.wordCount(col("text")).cast("long").as("n_words"),
+        length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), size(col("fingerprint")).as("n_hashes"),
+          // order-insensitive checksum of the hash set, stable across runs
+          abs(aggregate(col("fingerprint"), lit(0L), (a, x) => a.bitwiseXOR(x))).as("fp_xor"))
+        .orderBy("doc_id")),
+
+    "mm_manifest" -> ((s, dir) => {
+      val manifest = Multimodal.manifestFromDocuments(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(s, manifest).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("byte_mean"), col("byte_entropy"))
+        .orderBy("media_id")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT sha256("text") AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY sha256("text")
+        |ORDER BY content_hash""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(lower("text"), '[^\p{L}\p{N}]+'),
+        |      x -> len(x) > 0)) AS n_words,
+        |  length("text") AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** Text-analysis surface over a documents table — language ID, quality
+  * scoring, token counting, fingerprinting. Every column is a codegen'd
+  * builtin expression (TextFunctions), so this is a single narrow
+  * projection stage: no shuffle, scales with scan throughput.
+  */
+object TextAnalysis {
+
+  def analyze(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      T.langId(col(textCol)).as("lang_pred"),
+      T.wordCount(col(textCol)).as("n_words"),
+      T.bpeishTokenCount(col(textCol)).as("n_tokens"),
+      length(col(textCol)).as("n_chars"),
+      round(T.punctRatio(col(textCol)), 4).as("punct_ratio"),
+      round(T.stopwordRatio(col(textCol)), 4).as("stopword_ratio"),
+      round(T.avgWordLength(col(textCol)), 4).as("avg_word_len"),
+      T.qualityScore(col(textCol)).as("quality"))
+
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame =
+    docs.select(col(idCol),
+      T.winnowingFingerprint(col(textCol), k, w).as("fingerprint"))
+
+  /** Docs sharing >= `minShared` winnowing fingerprint hashes — cheap
+    * content-overlap detection via inverted index on fingerprint hashes.
+    */
+  def fingerprintOverlaps(docs: DataFrame, idCol: String, textCol: String,
+      minShared: Int = 3, maxDocFreq: Long = 1000L): DataFrame = {
+    val fp = fingerprints(docs, idCol, textCol)
+      .select(col(idCol).as("id"), explode(col("fingerprint")).as("h"))
+    val keep = fp.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDocFreq)).select("h")
+    val filtered = fp.join(keep, "h")
+    val a = filtered.select(col("h"), col("id").as("a"))
+    val b = filtered.select(col("h"), col("id").as("b"))
+    a.join(b, Seq("h")).filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .orderBy("a", "b")
+  }
+}

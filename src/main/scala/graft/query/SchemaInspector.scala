@@ -1,0 +1,66 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Schema-as-table inspection, mirroring the reference's Schema tab
+  * (reference: src/duckdb-backend.ts initializeSchema runs
+  * `DESCRIBE SELECT * FROM query_result`; src/duckdb-schema-converter.ts
+  * renders nested types). Emits DuckDB-style type strings so the surface
+  * matches what reference users see.
+  */
+object SchemaInspector {
+
+  /** DuckDB-style rendering of a Spark DataType
+    * (cf. reference src/duckdb-schema-converter.ts parseTypeString, which
+    * parses exactly these strings back into arrow types).
+    */
+  def duckTypeName(dt: DataType): String = dt match {
+    case ByteType => "TINYINT"
+    case ShortType => "SMALLINT"
+    case IntegerType => "INTEGER"
+    case LongType => "BIGINT"
+    case FloatType => "FLOAT"
+    case DoubleType => "DOUBLE"
+    case StringType => "VARCHAR"
+    case BooleanType => "BOOLEAN"
+    case BinaryType => "BLOB"
+    case DateType => "DATE"
+    case TimestampType => "TIMESTAMP WITH TIME ZONE"
+    case TimestampNTZType => "TIMESTAMP"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case ArrayType(e, _) => s"${duckTypeName(e)}[]"
+    case MapType(k, v, _) => s"MAP(${duckTypeName(k)}, ${duckTypeName(v)})"
+    case StructType(fields) =>
+      fields.map(f => s"""\"${f.name}\" ${duckTypeName(f.dataType)}""").mkString("STRUCT(", ", ", ")")
+    case other => other.sql
+  }
+
+  /** One row per column: (column_name, column_type, null) — the DESCRIBE
+    * shape the reference's schema tab paginates over.
+    */
+  def describe(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.schema.fields.toSeq.map { f =>
+      Row(f.name, duckTypeName(f.dataType), if (f.nullable) "YES" else "NO")
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("column_name", StringType, nullable = false),
+        StructField("column_type", StringType, nullable = false),
+        StructField("null", StringType, nullable = false))))
+  }
+
+  /** Flattened leaf paths (a.b.c) with types — the "struct tree" view the
+    * reference shows when clicking a nested schema cell.
+    */
+  def leafPaths(schema: StructType, prefix: String = ""): Seq[(String, String)] =
+    schema.fields.toSeq.flatMap { f =>
+      val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+      f.dataType match {
+        case s: StructType => leafPaths(s, path)
+        case dt => Seq(path -> duckTypeName(dt))
+      }
+    }
+}

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog over the driver-generated star schema (TESTDATA.md) plus
+  * generic file loading by extension, mirroring the reference's
+  * read-function dispatch (reference: src/duckdb-backend.ts:152-164).
+  *
+  * At 100 TB each "table" would be a directory of many parquet files /
+  * partitions; `spark.read.parquet(dir)` handles both transparently, so
+  * nothing here assumes single-file inputs.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects; read nanos as long and convert (floor) to micros.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table of a scale-factor dir as a temp view. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Open a file by extension, like the reference dispatches read_parquet /
+    * read_csv / read_avro on file type. CSV/JSON get schema inference with
+    * headers, matching DuckDB read_csv's auto-detection defaults.
+    */
+  def open(spark: SparkSession, path: String): DataFrame = {
+    val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
+    ext match {
+      case "csv" | "tsv" =>
+        spark.read
+          .option("header", "true")
+          .option("inferSchema", "true")
+          .option("delimiter", if (ext == "tsv") "\t" else ",")
+          .csv(path)
+      case "json" | "ndjson" | "jsonl" => spark.read.json(path)
+      case "avro" => spark.read.format("avro").load(path)
+      case _ => spark.read.parquet(path) // parquet/pq/parq default, like reference
+    }
+  }
+}
