@@ -51,7 +51,7 @@ object PipelineQueries {
       SimilaritySearch.lshTopK(
         e, "vec_id", "embedding",
         e.filter(col("vec_id") < 5), "vec_id", "embedding",
-        EmbeddingDim, k = 10, nPlanes = 8, probes = 8)
+        EmbeddingDim, k = 10, nTables = 16, bitsPerTable = 4)
     }),
 
     "text_langid" -> ((s, dir) =>

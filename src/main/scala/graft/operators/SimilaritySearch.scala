@@ -33,27 +33,37 @@ object SimilaritySearch {
       .orderBy("qid", "rk")
   }
 
-  /** LSH-bucketed ANN: corpus and queries hashed to hyperplane-sign
-    * buckets; each query searches only its bucket (plus `probes`
-    * single-bit-flip neighbor buckets — multiprobe — to recover recall).
-    * At 100 TB the corpus side is pre-bucketed once (write partitioned by
-    * bucket) and each query touches a handful of partitions.
+  /** Multi-table LSH ANN (classic (L, k) random-hyperplane scheme: L
+    * independent tables of k sign-bits each; a corpus vector is a
+    * candidate if it collides with the query in ANY table). Collision
+    * probability for angle θ is 1-(1-(1-θ/π)^k)^L, so recall is tuned by
+    * (L, k) — k bounds bucket size, L recovers recall.
+    *
+    * Scale shape: the corpus is exploded ×L into (table, key) buckets and
+    * joined by bucket hash — at 100 TB the bucketed corpus is materialized
+    * once (partitioned by (table, key)) and each query batch is a
+    * broadcast hash-join touching only its buckets; candidate pairs are
+    * deduped before the one cosine evaluation per pair.
     */
   def lshTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      dim: Int, k: Int = 10, nPlanes: Int = 8, probes: Int = 8,
+      dim: Int, k: Int = 10, nTables: Int = 16, bitsPerTable: Int = 4,
       seed: Long = 42L): DataFrame = {
+    def buckets(v: org.apache.spark.sql.Column) = array((0 until nTables).map { t =>
+      struct(lit(t).as("table"),
+        V.hyperplaneSignature(v, dim, bitsPerTable, seed + t).as("key"))
+    }: _*)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", V.hyperplaneSignature(col("v"), dim, nPlanes, seed))
-    // query buckets: own bucket + single-bit flips (multiprobe)
-    val qSig = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
-      .withColumn("sig", V.hyperplaneSignature(col("qv"), dim, nPlanes, seed))
-    val probeBits = Seq(lit(0L)) ++ (0 until math.min(probes, nPlanes)).map(i => lit(1L << i))
-    val q = qSig.withColumn("bucket", explode(array(probeBits.map(b => col("sig").bitwiseXOR(b)): _*)))
-      .dropDuplicates("qid", "bucket")
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .withColumn("cosine", V.cosine(col("v"), col("qv")))
+      .withColumn("b", explode(buckets(col("v"))))
+      .select(col("id"), col("v"), col("b.table"), col("b.key"))
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
+      .withColumn("b", explode(buckets(col("qv"))))
+      .select(col("qid"), col("qv"), col("b.table"), col("b.key"))
+    val candidates = c.join(broadcast(q), Seq("table", "key"))
+      .select("qid", "id", "v", "qv")
+      .dropDuplicates("qid", "id")
+    val scored = candidates.withColumn("cosine", V.cosine(col("v"), col("qv")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

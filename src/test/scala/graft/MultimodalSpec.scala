@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+import graft.sources.Tables
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val docs = Tables.load(spark, TestSpark.sf, "documents")
+
+  test("manifest schema: binary payload + typed metadata") {
+    val m = Multimodal.manifestFromDocuments(docs, "doc_id", "text")
+    assert(m.schema("bytes").dataType.typeName == "binary")
+    assert(m.schema("media_id").dataType.typeName == "long")
+    val kinds = m.select("kind").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds == Set("image", "audio", "video"))
+    assert(m.count() == docs.count())
+  }
+
+  test("feature extraction is deterministic and partition-independent") {
+    val m = Multimodal.manifestFromDocuments(docs, "doc_id", "text")
+    val f1 = Multimodal.extractFeatures(spark, m).collect()
+      .map(f => f.media_id -> (f.n_bytes, f.byte_mean, f.byte_entropy)).toMap
+    val f2 = Multimodal.extractFeatures(spark, m.repartition(7)).collect()
+      .map(f => f.media_id -> (f.n_bytes, f.byte_mean, f.byte_entropy)).toMap
+    assert(f1 == f2)
+    assert(f1.values.forall { case (n, mean, ent) => n > 0 && mean > 0 && ent > 0 })
+    // 8-dim stub embedding present
+    val feats = Multimodal.extractFeatures(spark, m).head(3)
+    assert(feats.forall(_.feature.length == 8))
+  }
+
+  test("frame sampling emits one row per interval for video rows") {
+    val m = Multimodal.manifestFromDocuments(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(m, everyMs = 60000L)
+    val perVideo = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
+      .join(m.filter(col("kind") === "video").select("media_id", "duration_ms"), "media_id")
+    val bad = perVideo.filter(col("n") =!= (col("duration_ms") / 60000L + 1).cast("long")).count()
+    assert(bad == 0)
+  }
+}

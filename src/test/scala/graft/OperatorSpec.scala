@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
+import graft.operators.{Dedup, SimilaritySearch, TextAnalysis}
+import graft.sources.Tables
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private lazy val docs = Tables.load(spark, TestSpark.sf, "documents")
+
+  test("exact dedup keeps min id per identical text") {
+    val df = Seq((1L, "aa bb cc"), (2L, "aa bb cc"), (3L, "xx yy zz"))
+      .toDF("doc_id", "text")
+    val res = Dedup.exact(df, "doc_id", "text").orderBy("keep_id").collect()
+    assert(res.length == 2)
+    assert(res.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L), (3L, 1L)))
+    assert(Dedup.exactSurvivors(df, "doc_id", "text").count() == 2)
+  }
+
+  test("minhash LSH finds exactly the pairs exact Jaccard >= threshold finds") {
+    // brute-force oracle: all pairs with shingle-Jaccard >= 0.8
+    val sh = docs.select(col("doc_id").as("id"), H.shingles(col("text"), 3).as("sh"))
+    val a = sh.select(col("id").as("a"), col("sh").as("a_sh"))
+    val b = sh.select(col("id").as("b"), col("sh").as("b_sh"))
+    val oracle = a.crossJoin(b).filter(col("a") < col("b"))
+      .withColumn("j", Dedup.jaccard(col("a_sh"), col("b_sh")))
+      .filter(col("j") >= 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH verifies candidates with exact Jaccard, so no false positives;
+    // banding (16 bands x 4 rows) misses a >=0.8 pair with p < 3e-4.
+    assert(lsh == oracle, s"lsh=$lsh oracle=$oracle")
+  }
+
+  test("simhash: identical texts collide at hamming 0; hamming matches direct computation") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content about spark engines and parquet files"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhash(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("ngram jaccard agrees with the brute-force oracle at threshold 0.5") {
+    val sample = docs.filter(col("doc_id") < 100)
+    val sh = sample.select(col("doc_id").as("id"), H.shingles(col("text"), 3).as("sh"))
+    val a = sh.select(col("id").as("a"), col("sh").as("a_sh"))
+    val b = sh.select(col("id").as("b"), col("sh").as("b_sh"))
+    val oracle = a.crossJoin(b).filter(col("a") < col("b"))
+      .withColumn("j", Dedup.jaccard(col("a_sh"), col("b_sh")))
+      .filter(col("j") >= 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.ngramJaccard(sample, "doc_id", "text", threshold = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == oracle)
+  }
+
+  test("embedding near-dup pairs are cosine-verified") {
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val res = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 64,
+      nPlanes = 8, threshold = 0.9)
+    val rows = res.collect()
+    assert(rows.forall(_.getDouble(2) >= 0.9))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+}
+
+class SimilaritySearchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+
+  test("brute force: each query's top hit is itself at cosine 1") {
+    val q = emb.filter(col("vec_id") < 3)
+    val res = SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding", k = 5)
+    val top1 = res.filter(col("rk") === 1).collect()
+    assert(top1.length == 3)
+    top1.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "top-1 must be the query vector itself")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-6)
+    }
+    // scores are non-increasing within each query
+    val per = res.collect().groupBy(_.getLong(0))
+    per.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getDouble(2)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1) - 1e-9))
+    }
+  }
+
+  test("LSH ANN achieves useful recall vs brute force") {
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimilaritySearch.lshTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding",
+      dim = 64, k = 10, nTables = 16, bitsPerTable = 4)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall") // deterministic given fixed seed
+    // self-match always survives (query's own bucket is probed)
+    assert((0L until 10L).forall(i => approx.contains((i, i))))
+  }
+}
+
+class TextFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
+    Seq(1).toDF("x").select(c).first()
+
+  test("tokens, counts and ratios on fixed strings") {
+    assert(one(T.wordCount(lit("Hello, world! 42"))).getInt(0) == 3)
+    assert(one(T.wordCount(lit(""))).getInt(0) == 0)
+    assert(one(T.punctRatio(lit("ab,.")) ).getDouble(0) == 0.5)
+    assert(one(T.avgWordLength(lit("ab abcd"))).getDouble(0) == 3.0)
+    assert(one(T.bpeishTokenCount(lit("don't stop"))).getInt(0) == 4) // don ' t stop
+  }
+
+  test("language id picks the stopword-dominant language") {
+    assert(one(T.langId(lit("the cat and the dog are in the house"))).getString(0) == "en")
+    assert(one(T.langId(lit("der Hund und die Katze sind nicht hier"))).getString(0) == "de")
+    assert(one(T.langId(lit("le chat et le chien sont dans la maison"))).getString(0) == "fr")
+    assert(one(T.langId(lit("xyzzy qwerty plugh"))).getString(0) == "und")
+  }
+
+  test("winnowing fingerprint: deterministic, shared content -> shared hashes") {
+    val fp1 = one(T.winnowingFingerprint(lit("spark parquet engine for analytics"))).getSeq[Long](0).toSet
+    val fp2 = one(T.winnowingFingerprint(lit("spark parquet engine for analytics"))).getSeq[Long](0).toSet
+    assert(fp1 == fp2 && fp1.nonEmpty)
+    val fp3 = one(T.winnowingFingerprint(lit("spark parquet engine for analytics and more text here"))).getSeq[Long](0).toSet
+    assert(fp1.intersect(fp3).nonEmpty, "shared prefix must share fingerprint hashes")
+    val fp4 = one(T.winnowingFingerprint(lit("totally unrelated words entirely"))).getSeq[Long](0).toSet
+    assert(fp1.intersect(fp4).isEmpty)
+  }
+
+  test("quality score lands in [0,1] and separates dense prose from junk") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val scores = TextAnalysis.analyze(docs, "doc_id", "text")
+      .select("quality").collect().map(_.getDouble(0))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    val junk = one(T.qualityScore(lit("!!! ??? ,,, ..."))).getDouble(0)
+    val prose = one(T.qualityScore(lit(
+      "the engine reads the table and it is fast for all of the queries that we run on it " * 3))).getDouble(0)
+    assert(prose > junk)
+  }
+
+  test("vector functions: cosine of identical/orthogonal vectors") {
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      V.cosine(col("a"), col("b")).as("same"),
+      V.cosine(col("a"), col("c")).as("orth"),
+      V.dot(col("a"), col("c")).as("d"),
+      V.l2Distance(col("a"), col("c")).as("l2")).first()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(1)) < 1e-9)
+    assert(r.getDouble(2) == 0.0)
+    assert(math.abs(r.getDouble(3) - math.sqrt(2)) < 1e-9)
+  }
+
+  test("hamming64 via bit_count xor") {
+    val df = Seq((0L, -1L)).toDF("a", "b")
+    assert(df.select(H.hamming64(col("a"), col("b"))).first().getInt(0) == 64)
+    assert(df.select(H.hamming64(col("a"), col("a"))).first().getInt(0) == 0)
+  }
+}

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.query._
+import graft.sources.Tables
+
+class PaginatorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val orders = Tables.load(spark, TestSpark.sf, "orders")
+
+  test("pages are stable, disjoint, and cover the table") {
+    val p = new Paginator(orders)
+    val req = PageRequest(pageSize = Some(100), sort = Some(SortSpec("o_totalprice", ascending = false)))
+    val total = p.totalItems
+    assert(total == 1500)
+    assert(p.totalPages(Some(100)) == 15)
+    val page1 = p.page(req.copy(pageNumber = 1)).select("o_orderkey").collect().map(_.getLong(0))
+    val page2 = p.page(req.copy(pageNumber = 2)).select("o_orderkey").collect().map(_.getLong(0))
+    assert(page1.length == 100 && page2.length == 100)
+    assert(page1.toSet.intersect(page2.toSet).isEmpty)
+    // re-running the same page returns identical rows (stable total order)
+    val page1Again = p.page(req.copy(pageNumber = 1)).select("o_orderkey").collect().map(_.getLong(0))
+    assert(page1.sameElements(page1Again))
+    // sort actually applied
+    val prices = p.page(req.copy(pageNumber = 1)).select("o_totalprice").collect().map(_.getDouble(0))
+    assert(prices.sameElements(prices.sorted(Ordering[Double].reverse)))
+  }
+
+  test("pageSize=None returns everything (reference 'all')") {
+    val p = new Paginator(orders)
+    assert(p.page(PageRequest(pageSize = None)).count() == 1500)
+    assert(p.totalPages(None) == 1)
+  }
+
+  test("invalid page numbers are rejected like the reference") {
+    val p = new Paginator(orders)
+    assertThrows[IllegalArgumentException](p.page(PageRequest(pageNumber = 0)))
+    assertThrows[IllegalArgumentException](p.gotoPage(PageRequest(pageNumber = 9999, pageSize = Some(100))))
+  }
+
+  test("search composes with paging") {
+    val p = new Paginator(orders)
+    val res = p.page(PageRequest(pageSize = Some(10), search = Some("1-URGENT"),
+      sort = Some(SortSpec("o_orderkey"))))
+    assert(res.count() == 10)
+    assert(res.select("o_orderpriority").collect().forall(_.getString(0) == "1-URGENT"))
+  }
+}
+
+class SearchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val customer = Tables.load(spark, TestSpark.sf, "customer")
+
+  test("matches any column, string or cast") {
+    val hits = Search.search(customer, "BUILDING")
+    assert(hits.count() ==
+      customer.filter(col("c_mktsegment") === "BUILDING").count())
+    // numeric column match via cast
+    val keyHit = Search.search(customer, "149")
+    assert(keyHit.count() >= 1)
+  }
+
+  test("empty search returns the input unchanged") {
+    assert(Search.search(customer, "").count() == customer.count())
+    assert(Search.search(customer, null).count() == customer.count())
+  }
+
+  test("LIKE metacharacters are escaped (literal search)") {
+    assert(Search.search(customer, "%").count() == 0)
+    assert(Search.search(customer, "_").count() == 0)
+  }
+}
+
+class QueryEngineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("FROM data + query_result caching + autocomplete") {
+    val qe = new QueryEngine(spark, s"${TestSpark.sf}/orders.parquet")
+    val res = qe.query("SELECT o_orderkey, o_totalprice FROM data WHERE o_totalprice > 100000")
+    assert(res.count() > 0)
+    // query_result visible to follow-up SQL, like the reference's temp table
+    val n = spark.sql("SELECT count(*) AS n FROM query_result").first().getLong(0)
+    assert(n == res.count())
+    assert(qe.suggestColumns("o_order") == Seq("o_orderkey", "o_orderstatus", "o_orderdate", "o_orderpriority")
+      || qe.suggestColumns("o_order").toSet == Set("o_orderkey", "o_orderstatus", "o_orderdate", "o_orderpriority"))
+    assert(qe.suggestColumns("").length == 6)
+    qe.close()
+  }
+
+  test("csv files are opened with the csv reader via QueryEngine") {
+    val out = TestSpark.scratch("qe_csv")
+    Tables.load(spark, TestSpark.sf, "region")
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val qe = new QueryEngine(spark, s"$out/*.csv")
+    assert(qe.data.count() == 5)
+    assert(qe.data.columns.toSeq == Seq("r_regionkey", "r_name"))
+    assert(qe.query("SELECT r_name FROM data ORDER BY r_regionkey").count() == 5)
+    qe.close()
+  }
+}
+
+class SchemaInspectorSpec extends AnyFunSuite {
+  import org.apache.spark.sql.types._
+  private lazy val spark = TestSpark.spark
+
+  test("DuckDB-style type names") {
+    assert(SchemaInspector.duckTypeName(LongType) == "BIGINT")
+    assert(SchemaInspector.duckTypeName(StringType) == "VARCHAR")
+    assert(SchemaInspector.duckTypeName(ArrayType(FloatType)) == "FLOAT[]")
+    assert(SchemaInspector.duckTypeName(DecimalType(18, 2)) == "DECIMAL(18,2)")
+    assert(SchemaInspector.duckTypeName(
+      StructType(Seq(StructField("a", IntegerType), StructField("b", StringType))))
+      == "STRUCT(\"a\" INTEGER, \"b\" VARCHAR)")
+  }
+
+  test("describe emits one row per column") {
+    val df = Tables.load(spark, TestSpark.sf, "lineitem")
+    val desc = SchemaInspector.describe(df).collect()
+    assert(desc.length == df.columns.length)
+    assert(desc.map(_.getString(0)).toSeq == df.columns.toSeq)
+    assert(desc.forall(_.getString(2) == "YES"))
+  }
+
+  test("nested leaf paths") {
+    val sch = StructType(Seq(
+      StructField("id", LongType),
+      StructField("nest", StructType(Seq(StructField("x", IntegerType), StructField("y", StringType))))))
+    assert(SchemaInspector.leafPaths(sch) ==
+      Seq("id" -> "BIGINT", "nest.x" -> "INTEGER", "nest.y" -> "VARCHAR"))
+  }
+}
+
+class MetadataInspectorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("footer metadata matches the table") {
+    val path = s"${TestSpark.sf}/lineitem.parquet"
+    val md = MetadataInspector.fileMetadata(spark, path).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(md("num_rows") == "6000")
+    assert(md("num_row_groups").toInt >= 1)
+    assert(md("created_by") != null)
+  }
+
+  test("row-group detail has stats per column chunk") {
+    val path = s"${TestSpark.sf}/orders.parquet"
+    val rg = MetadataInspector.rowGroupMetadata(spark, path)
+    assert(rg.count() >= 6) // 6 columns x >=1 row group
+    val cols = rg.select("column").distinct().collect().map(_.getString(0)).toSet
+    assert(cols.contains("o_orderkey"))
+  }
+}
