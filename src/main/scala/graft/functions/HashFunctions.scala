@@ -10,15 +10,14 @@ import org.apache.spark.sql.functions._
   */
 object HashFunctions {
 
-  /** Word n-gram shingles (space-joined), lower-cased, distinct. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextFunctions.tokens(text)
-    val cnt = size(toks) - (n - 1)
-    when(cnt <= 0, when(size(toks) > 0, array(concat_ws(" ", toks)))
-        .otherwise(array().cast("array<string>")))
-      .otherwise(array_distinct(
-        transform(sequence(lit(0), cnt - 1), i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  /** Word n-gram shingles (space-joined), lower-cased, distinct, sorted.
+    * Native one-pass kernel (graft.functions.expr.WordShingles): the
+    * builtin-composition equivalent (tokens→transform→slice→concat_ws→
+    * array_distinct) measured ~1 ms/doc — 25× the kernel cost — and
+    * dominated every similarity operator.
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.expr.GraftFunctions.wordShingles(text, n)
 
   /** One minhash value: min over shingles of hash_seed(s). */
   private def minhashOne(sh: Column, seed: Int): Column =

@@ -1,0 +1,175 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot-path vector/text kernels.
+  *
+  * Each `doGenCode` emits a single static call into [[VectorOps]], so the
+  * whole operator stays inside WholeStageCodegen with one JVM loop per row
+  * — versus the builtin-composition equivalents (`aggregate`/`zip_with`/
+  * `transform` chains) that allocate intermediate arrays per element.
+  * Benchmarks (sf0.1): simhash 11.2s → one-pass kernel, minhash 10.4s →
+  * one base hash + k multiply-adds per shingle.
+  */
+private object ExprUtil {
+  def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  def col(e: Expression): Column = ColumnBridge.column(e)
+}
+
+/** cosine(array<float|double>, array<float|double>) -> double */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+  private lazy val isFloat = ExprUtil.isFloatArray(left)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expr.VectorOps.cosine($a, $b, $isFloat);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** dot(array<float|double>, array<float|double>) -> double */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+  private lazy val isFloat = ExprUtil.isFloatArray(left)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expr.VectorOps.dot($a, $b, $isFloat);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Packed hyperplane sign signature; the plane matrix rides along as a
+  * plan-level reference object (not serialized into the expression tree
+  * as literals).
+  */
+case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_sig"
+  private lazy val isFloat = ExprUtil.isFloatArray(child)
+
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.hyperplaneSig(v.asInstanceOf[ArrayData], planes, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.expr.VectorOps.hyperplaneSig($v, $ref, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** simhash64(array<string>) -> long */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(toks: Any): Any =
+    VectorOps.simhash64(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.expr.VectorOps.simhash64($t);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** minhash_signature(array<string>, k) -> array<long> */
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_signature"
+
+  override def nullSafeEval(sh: Any): Any =
+    VectorOps.minhashSignature(sh.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.expr.VectorOps.minhashSignature($s, $k);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** word_shingles(string, n) -> sorted distinct array<string> of word
+  * n-grams; tokenize + shingle + dedupe + sort in one kernel.
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles"
+
+  override def nullSafeEval(text: Any): Any =
+    VectorOps.wordShingles(text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.expr.VectorOps.wordShingles($t, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** sorted_intersect_size(array<string>, array<string>) -> int; both inputs
+  * must be ascending-sorted (array_sort). Linear merge, zero allocation.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.sortedIntersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expr.VectorOps.sortedIntersectSize($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column-API entry points for the native expressions. */
+object GraftFunctions {
+  import ExprUtil.col
+
+  def cosine(a: Column, b: Column): Column =
+    col(CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def dot(a: Column, b: Column): Column =
+    col(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def hyperplaneSignature(v: Column, planes: Array[Array[Double]]): Column =
+    col(HyperplaneSignature(ColumnBridge.expression(v), planes))
+
+  def simhash64(tokens: Column): Column =
+    col(SimHash64(ColumnBridge.expression(tokens)))
+
+  def minhashSignature(shingles: Column, k: Int): Column =
+    col(MinHashSignature(ColumnBridge.expression(shingles), k))
+
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    col(SortedIntersectSize(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def wordShingles(text: Column, n: Int): Column =
+    col(WordShingles(ColumnBridge.expression(text), n))
+}

@@ -1,0 +1,241 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels invoked from both `eval` and generated code of the graft
+  * Catalyst expressions. One tight JVM loop per row — no per-element
+  * Column-expression trees, no intermediate arrays.
+  */
+object VectorOps {
+
+  /** Cosine similarity of two numeric arrays (computed in double). */
+  def cosine(a: ArrayData, b: ArrayData, isFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (isFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val nn = math.sqrt(na) * math.sqrt(nb)
+    if (nn == 0.0) 0.0 else dot / nn
+  }
+
+  def dot(a: ArrayData, b: ArrayData, isFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (isFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
+  /** Packed sign-bit signature of dot products against `planes`. */
+  def hyperplaneSig(v: ArrayData, planes: Array[Array[Double]], isFloat: Boolean): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = math.min(v.numElements(), plane.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        s += x * plane(i)
+        i += 1
+      }
+      if (s >= 0.0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  // ---- xxHash64 (public-domain algorithm, Cyan4973/xxHash) ----
+
+  private final val P1 = -7046029288634856825L // 0x9E3779B185EBCA87
+  private final val P2 = -4417276706812531889L // 0xC2B2AE3D27D4EB4F
+  private final val P3 = 1609587929392839161L
+  private final val P4 = -8796714831421723037L
+  private final val P5 = 2870177450012600261L
+
+  def xxh64(bytes: Array[Byte], seed: Long): Long = {
+    val len = bytes.length
+    var h: Long = 0L
+    var i = 0
+    if (len >= 32) {
+      var v1 = seed + P1 + P2; var v2 = seed + P2; var v3 = seed; var v4 = seed - P1
+      while (i + 32 <= len) {
+        v1 = java.lang.Long.rotateLeft(v1 + getLong(bytes, i) * P2, 31) * P1
+        v2 = java.lang.Long.rotateLeft(v2 + getLong(bytes, i + 8) * P2, 31) * P1
+        v3 = java.lang.Long.rotateLeft(v3 + getLong(bytes, i + 16) * P2, 31) * P1
+        v4 = java.lang.Long.rotateLeft(v4 + getLong(bytes, i + 24) * P2, 31) * P1
+        i += 32
+      }
+      h = java.lang.Long.rotateLeft(v1, 1) + java.lang.Long.rotateLeft(v2, 7) +
+        java.lang.Long.rotateLeft(v3, 12) + java.lang.Long.rotateLeft(v4, 18)
+      h = (h ^ java.lang.Long.rotateLeft(v1 * P2, 31) * P1) * P1 + P4
+      h = (h ^ java.lang.Long.rotateLeft(v2 * P2, 31) * P1) * P1 + P4
+      h = (h ^ java.lang.Long.rotateLeft(v3 * P2, 31) * P1) * P1 + P4
+      h = (h ^ java.lang.Long.rotateLeft(v4 * P2, 31) * P1) * P1 + P4
+    } else h = seed + P5
+    h += len
+    while (i + 8 <= len) {
+      h = java.lang.Long.rotateLeft(h ^ (java.lang.Long.rotateLeft(getLong(bytes, i) * P2, 31) * P1), 27) * P1 + P4
+      i += 8
+    }
+    if (i + 4 <= len) {
+      h = java.lang.Long.rotateLeft(h ^ ((getInt(bytes, i) & 0xffffffffL) * P1), 23) * P2 + P3
+      i += 4
+    }
+    while (i < len) {
+      h = java.lang.Long.rotateLeft(h ^ ((bytes(i) & 0xffL) * P5), 11) * P1
+      i += 1
+    }
+    h ^= h >>> 33; h *= P2; h ^= h >>> 29; h *= P3; h ^= h >>> 32
+    h
+  }
+
+  private def getLong(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 3) & 0xffL) << 24) | ((b(i + 4) & 0xffL) << 32) | ((b(i + 5) & 0xffL) << 40) |
+      ((b(i + 6) & 0xffL) << 48) | ((b(i + 7) & 0xffL) << 56)
+
+  private def getInt(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  /** Tokenize (unicode letter/digit runs, lower-cased) + word n-gram
+    * shingling + dedupe + binary sort, in one kernel. Produces the sorted
+    * distinct shingle array the similarity-join verify kernels expect.
+    * Semantics: n tokens or fewer -> one shingle of all tokens; empty ->
+    * empty array.
+    */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val tokens = new java.util.ArrayList[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (Character.isLetterOrDigit(cp)) sb.appendCodePoint(Character.toLowerCase(cp))
+      else if (sb.length > 0) { tokens.add(sb.toString); sb.setLength(0) }
+      i += Character.charCount(cp)
+    }
+    if (sb.length > 0) tokens.add(sb.toString)
+    val m = tokens.size()
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val set = new java.util.TreeSet[UTF8String]()
+    if (m <= n) {
+      set.add(UTF8String.fromString(String.join(" ", tokens)))
+    } else {
+      val joiner = new java.lang.StringBuilder
+      var j = 0
+      while (j + n <= m) {
+        joiner.setLength(0)
+        var t = 0
+        while (t < n) {
+          if (t > 0) joiner.append(' ')
+          joiner.append(tokens.get(j + t))
+          t += 1
+        }
+        set.add(UTF8String.fromString(joiner.toString))
+        j += 1
+      }
+    }
+    val out = new Array[Any](set.size())
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash over a token array: one pass, one hash per token. */
+  def simhash64(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      if (t != null) {
+        val h = xxh64(t.getBytes, 0L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** MinHash signature: one base hash per shingle, k derived hashes via a
+    * universal family h_i(x) = a_i*x + b_i (odd multipliers from
+    * splitmix64), min-reduced in one pass.
+    */
+  def minhashSignature(shingles: ArrayData, k: Int): ArrayData = {
+    val sig = new Array[Long](k)
+    val as = mulA(k); val bs = mulB(k)
+    val n = shingles.numElements()
+    if (n == 0) {
+      var i = 0
+      while (i < k) { sig(i) = xxh64(s"<empty>$i".getBytes("UTF-8"), i.toLong); i += 1 }
+      return new GenericArrayData(sig)
+    }
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val s = shingles.getUTF8String(j)
+      if (s != null) {
+        val base = xxh64(s.getBytes, 0L)
+        var i = 0
+        while (i < k) {
+          val h = as(i) * base + bs(i)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Intersection size of two ascending-sorted string arrays via linear
+    * merge — no hash-set allocation per row (vs builtin array_intersect).
+    */
+  def sortedIntersectSize(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getUTF8String(i); val y = b.getUTF8String(j)
+      val cmp = x.compareTo(y)
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  private val mulCache = new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def muls(k: Int): (Array[Long], Array[Long]) =
+    mulCache.computeIfAbsent(k, _ => {
+      def sm(x0: Long): Long = {
+        var x = x0 + 0x9e3779b97f4a7c15L
+        x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+        x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+        x ^ (x >>> 31)
+      }
+      (Array.tabulate(k)(i => sm(i * 2654435761L) | 1L), Array.tabulate(k)(i => sm(i * 40503L + 7)))
+    })
+  private def mulA(k: Int): Array[Long] = muls(k)._1
+  private def mulB(k: Int): Array[Long] = muls(k)._2
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
+import graft.functions.expr.GraftFunctions
 
 /** Deduplication operators for training-data pipelines.
   *
@@ -39,19 +40,20 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     val rows = numHashes / bands
+    // sorted shingles: verification uses the linear-merge intersect kernel
     val docs = df.select(
       col(idCol).as("id"),
       H.shingles(col(textCol), shingleSize).as("sh"))
-      .withColumn("sig", H.minhashSignature(col("sh"), numHashes))
-    val banded = docs.select(col("id"), col("sh"),
+      .withColumn("sz", size(col("sh")))
+      // native codegen kernel: one base hash + k multiply-adds per shingle
+      .withColumn("sig", GraftFunctions.minhashSignature(col("sh"), numHashes))
+    // band rows carry ONLY (id, band, key): the wide shingle arrays never
+    // enter the candidate-generation shuffle
+    val banded = docs.select(col("id"),
       explode(H.lshBandKeys(col("sig"), bands, rows)).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band"), col("bk.key"))
-    pairsFromBuckets(banded, maxBucket)
-      .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
-      .distinct()
-      .orderBy("a", "b")
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    val pairs = pairsFromBuckets(banded, maxBucket)
+    verifyJaccard(pairs, docs, threshold)
   }
 
   /** SimHash near-dup: 64-bit signatures, banded into `bands` bit-slices
@@ -62,7 +64,8 @@ object Dedup {
   def simhash(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), H.simhash64(col(textCol)).as("sig"))
+    val docs = df.select(col(idCol).as("id"),
+      GraftFunctions.simhash64(T.tokens(col(textCol))).as("sig"))
     val banded = docs.select(col("id"), col("sig"),
       explode(H.simhashBands(col("sig"), bands)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
@@ -76,35 +79,55 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  /** n-gram Jaccard similarity join without LSH approximation: explode
-    * distinct shingles, join on shingle (inverted index), count
-    * co-occurrences, Jaccard = |∩| / (|A|+|B|-|∩|). `maxDocFreq` drops
-    * stop-shingles (present in > that many docs) — the standard prefix
-    * filter that keeps the inverted index join linear on skewed corpora.
+  /** Exact n-gram Jaccard similarity join via prefix filtering (AllPairs /
+    * PPJoin, Bayardo et al. WWW'07; Xiao et al. WWW'08): under a global
+    * shingle order (ascending document frequency), two sets with
+    * Jaccard >= t must share a shingle within their length-
+    * (|d| - ceil(t*|d|) + 1) prefixes — so only prefix shingles are
+    * indexed, which collapses the inverted-index join on corpora whose
+    * frequent shingles would otherwise produce quadratic buckets.
+    * Candidates are then verified with one exact set-Jaccard per pair.
     */
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, threshold: Double = 0.5,
-      maxDocFreq: Long = 10000L): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), H.shingles(col(textCol), shingleSize).as("sh"))
+      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      H.shingles(col(textCol), shingleSize).as("sh"))
       .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
     val inv = docs.select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
-    val keepShingle = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq && col("df") >= 2)
-      .select("shingle")
-    val filtered = inv.join(keepShingle, "shingle")
-    val a = filtered.select(col("shingle"), col("id").as("a"), col("sz").as("a_sz"))
-    val b = filtered.select(col("shingle"), col("id").as("b"), col("sz").as("b_sz"))
-    a.join(b, Seq("shingle")).filter(col("a") < col("b"))
-      .groupBy("a", "b", "a_sz", "b_sz")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("a_sz") + col("b_sz") - col("inter")).cast("double"))
+    val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("docfreq"))
+      .filter(col("docfreq") >= 2) // singleton shingles can't produce a pair
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("docfreq").asc, col("shingle").asc)
+    val prefix = inv.join(dfreq, "shingle")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select("shingle", "id", "sz")
+    val a = prefix.select(col("shingle"), col("id").as("a"), col("sz").as("a_sz"))
+    val b = prefix.select(col("shingle"), col("id").as("b"), col("sz").as("b_sz"))
+    val candidates = a.join(b, Seq("shingle"))
+      .filter(col("a") < col("b"))
+      // PPJoin length filter: J >= t forces t*|larger| <= |smaller|
+      .filter(col("b_sz") >= col("a_sz") * threshold &&
+        col("a_sz") >= col("b_sz") * threshold)
+      .select("a", "b").distinct()
+    verifyJaccard(candidates, docs, threshold)
+  }
+
+  /** Shared verification: join candidate (a,b) id pairs back to their
+    * sorted shingle arrays once, compute exact Jaccard with the
+    * linear-merge intersect kernel.
+    */
+  private def verifyJaccard(pairs: DataFrame, docs: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .join(docs.select(col("id").as("a"), col("sh").as("a_sh"), col("sz").as("a_sz")), "a")
+      .join(docs.select(col("id").as("b"), col("sh").as("b_sh"), col("sz").as("b_sz")), "b")
+      .withColumn("inter", GraftFunctions.sortedIntersectSize(col("a_sh"), col("b_sh")).cast("double"))
+      .withColumn("jaccard", col("inter") / (col("a_sz") + col("b_sz") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("a", "b")
-  }
 
   /** Embedding near-dup: random-hyperplane LSH buckets (vectors agreeing
     * on all `nPlanes` signs land together), cosine-verified pairs.
@@ -113,12 +136,13 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
       nPlanes: Int = 12, threshold: Double = 0.95, seed: Long = 42L,
       maxBucket: Int = 1000): DataFrame = {
+    val planes = graft.functions.RandomPlanes.planes(dim, nPlanes, seed)
     val docs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", V.hyperplaneSignature(col("v"), dim, nPlanes, seed))
+      .withColumn("bucket", GraftFunctions.hyperplaneSignature(col("v"), planes))
     val a = docs.select(col("bucket"), col("id").as("a"), col("v").as("a_v"))
     val b = docs.select(col("bucket"), col("id").as("b"), col("v").as("b_v"))
     a.join(b, Seq("bucket")).filter(col("a") < col("b"))
-      .withColumn("cosine", V.cosine(col("a_v"), col("b_v")))
+      .withColumn("cosine", GraftFunctions.cosine(col("a_v"), col("b_v")))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
       .distinct()
@@ -132,16 +156,20 @@ object Dedup {
     when(uni === 0.0, 0.0).otherwise(inter / uni)
   }
 
-  /** Shared candidate-pair generation from (id, payload, band, key) rows
-    * with a bucket-size cap: buckets larger than `maxBucket` are dropped
-    * (degenerate keys) before the within-bucket self-join.
+  /** Candidate (a, b) id pairs from (id, band, key) rows with a
+    * bucket-size cap: buckets larger than `maxBucket` (degenerate keys)
+    * are dropped via a semi-join against the small bucket-size aggregate
+    * before the within-bucket self-join.
     */
   private def pairsFromBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
-    val sized = banded.withColumn("bsz",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
-      .filter(col("bsz") <= maxBucket)
-    val a = sized.select(col("band"), col("key"), col("id").as("a"), col("sh").as("a_sh"))
-    val b = sized.select(col("band"), col("key"), col("id").as("b"), col("sh").as("b_sh"))
+    val smallBuckets = banded.groupBy("band", "key")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucket))
+      .select("band", "key")
+    val sized = banded.join(smallBuckets, Seq("band", "key"), "left_semi")
+    val a = sized.select(col("band"), col("key"), col("id").as("a"))
+    val b = sized.select(col("band"), col("key"), col("id").as("b"))
     a.join(b, Seq("band", "key")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
   }
 }

@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.functions.{VectorFunctions => V}
+import graft.functions.RandomPlanes
+import graft.functions.expr.GraftFunctions
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -25,7 +26,7 @@ object SimilaritySearch {
       k: Int = 10): DataFrame = {
     val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .crossJoin(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))))
-      .withColumn("cosine", V.cosine(col("v"), col("qv")))
+      .withColumn("cosine", GraftFunctions.cosine(col("v"), col("qv")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -52,7 +53,8 @@ object SimilaritySearch {
       seed: Long = 42L): DataFrame = {
     def buckets(v: org.apache.spark.sql.Column) = array((0 until nTables).map { t =>
       struct(lit(t).as("table"),
-        V.hyperplaneSignature(v, dim, bitsPerTable, seed + t).as("key"))
+        GraftFunctions.hyperplaneSignature(v,
+          RandomPlanes.planes(dim, bitsPerTable, seed + t)).as("key"))
     }: _*)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("b", explode(buckets(col("v"))))
@@ -63,7 +65,7 @@ object SimilaritySearch {
     val candidates = c.join(broadcast(q), Seq("table", "key"))
       .select("qid", "id", "v", "qv")
       .dropDuplicates("qid", "id")
-    val scored = candidates.withColumn("cosine", V.cosine(col("v"), col("qv")))
+    val scored = candidates.withColumn("cosine", GraftFunctions.cosine(col("v"), col("qv")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
