@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.expr._
+
+/** SparkSessionExtensions entry point: registers the graft native
+  * expressions as SQL functions, so `spark.sql("SELECT graft_cosine(a,b)
+  * ...")` works anywhere the library's Column API does.
+  *
+  * Usage: `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((name, info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got $other")
+  }
+
+  private def entry(name: String, usage: String)(builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name), new ExpressionInfo("graft", name, usage), builder)
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    entry("graft_cosine", "cosine similarity of two numeric arrays") {
+      case Seq(a, b) => CosineSimilarity(a, b)
+    },
+    entry("graft_dot", "dot product of two numeric arrays") {
+      case Seq(a, b) => DotProduct(a, b)
+    },
+    entry("graft_simhash64", "64-bit simhash of a token array") {
+      case Seq(t) => SimHash64(t)
+    },
+    entry("graft_word_shingles", "sorted distinct word n-gram shingles of a string") {
+      case Seq(t, n) => WordShingles(t, intArg(n, "graft_word_shingles"))
+    },
+    entry("graft_minhash_signature", "k-minhash signature of a shingle array") {
+      case Seq(s, k) => MinHashSignature(s, intArg(k, "graft_minhash_signature"))
+    },
+    entry("graft_sorted_intersect_size", "intersection size of two sorted string arrays") {
+      case Seq(a, b) => SortedIntersectSize(a, b)
+    },
+  )
+
+  /** Register the graft SQL functions into an already-built session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (name, info, builder) =>
+      org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, name, info, builder)
+    }
+}

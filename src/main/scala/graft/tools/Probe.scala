@@ -19,6 +19,19 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // If launched with -Dspark.sql.extensions=graft.GraftExtensions, the
+    // graft SQL functions resolve; demonstrate the deploy-style SQL path.
+    try {
+      Tables.load(spark, sfDir, "documents").createOrReplaceTempView("documents")
+      val r = spark.sql(
+        """SELECT doc_id, graft_simhash64(graft_word_shingles(text, 1)) AS sig,
+          |       size(graft_word_shingles(text, 3)) AS n_shingles
+          |FROM documents ORDER BY doc_id LIMIT 3""".stripMargin).collect()
+      println("[probe] extensions SQL: " + r.mkString("; "))
+    } catch {
+      case e: Exception => println("[probe] extensions SQL unavailable: " + e.getMessage.linesIterator.next())
+    }
+
     def timed[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r

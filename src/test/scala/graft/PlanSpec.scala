@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.query.Search
+import graft.sources.Tables
+
+/** Plan-shape assertions: the properties that matter at 100 TB — filters
+  * and projections reaching the parquet scan, dims broadcasting, narrow
+  * ops not shuffling — are asserted on the optimized plans, not hoped for.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String = {
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  /** Build + execute the plan with AQE off so the physical operator tree
+    * is directly inspectable (AQE hides subtrees behind query stages).
+    */
+  private def executedNoAqe(mk: => org.apache.spark.sql.DataFrame): SparkPlan = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = mk
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q2: predicate and projection are pushed to the parquet scan") {
+    val plan = formatted(CoreQueries.queries("q2_filter_project")(spark, TestSpark.sf))
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("GreaterThan(l_quantity"), "quantity predicate must reach the scan")
+    assert(plan.contains("EqualTo(l_returnflag,R)"), "flag predicate must reach the scan")
+    // projection pruning: untouched wide columns never leave the scan
+    assert(!plan.contains("l_shipdate"), "unused columns must be pruned from ReadSchema")
+  }
+
+  test("q13: dimension joins execute as broadcast hash joins") {
+    val plan = executedNoAqe(CoreQueries.queries("q13_broadcast_join")(spark, TestSpark.sf))
+    val broadcasts = plan.collect { case b: BroadcastHashJoinExec => b }
+    assert(broadcasts.size == 2, s"expected 2 broadcast joins, got:\n$plan")
+  }
+
+  test("free-text search is a single scan stage - no shuffle") {
+    val customer = Tables.load(spark, TestSpark.sf, "customer")
+    val plan = executedNoAqe(Search.search(customer, "12"))
+    val exchanges = plan.collect { case e: Exchange => e }
+    assert(exchanges.isEmpty, s"search must not shuffle:\n$plan")
+  }
+
+  test("q1: aggregation runs partial (map-side) then final, codegen'd") {
+    val plan = executedNoAqe(CoreQueries.queries("q1_agg")(spark, TestSpark.sf))
+    val s = plan.toString
+    assert(s.contains("HashAggregate"), s)
+    assert(s.contains("*("), "agg pipeline must be inside WholeStageCodegen")
+  }
+
+  test("native expressions stay inside WholeStageCodegen") {
+    import org.apache.spark.sql.functions._
+    val plan = executedNoAqe(
+      Tables.load(spark, TestSpark.sf, "embeddings")
+        .select(graft.functions.expr.GraftFunctions
+          .cosine(col("embedding"), col("embedding")).as("c"))
+        .filter(col("c") > 0.99))
+    val s = plan.toString
+    assert(s.contains("graft_cosine"), s)
+    assert(s.contains("*("), s"native expression must not break codegen:\n$s")
+  }
+
+  test("SQL function registration (extensions + existing-session register)") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |       graft_simhash64(array('spark', 'engine')) AS h,
+        |       size(graft_word_shingles('a b c d', 2)) AS nsh,
+        |       graft_sorted_intersect_size(array('a','b'), array('b','c')) AS i
+        |""".stripMargin).first()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+    assert(r.getLong(1) != 0L)
+    assert(r.getInt(2) == 3)
+    assert(r.getInt(3) == 1)
+  }
+}
+
+class DateTimeFormatSpec extends AnyFunSuite {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types._
+  import graft.query.DateTimeFormat
+
+  private lazy val spark = TestSpark.spark
+
+  test("ISO8601, RFC2822 and custom patterns") {
+    import spark.implicits._
+    val df = Seq("2024-03-05 10:20:30.123").toDF("s")
+      .select(to_timestamp(col("s")).as("ts"))
+    val r = df.select(
+      DateTimeFormat.format(col("ts"), TimestampType).as("iso"),
+      DateTimeFormat.format(col("ts"), TimestampType, DateTimeFormat.RFC2822).as("rfc"),
+      DateTimeFormat.format(col("ts"), TimestampType, "YYYY/MM/DD HH:mm").as("custom"),
+      DateTimeFormat.format(col("ts"), DateType).as("dateonly")).first()
+    assert(r.getString(0) == "2024-03-05T10:20:30.123Z")
+    assert(r.getString(1).startsWith("Tue, 05 Mar 2024 10:20:30"))
+    assert(r.getString(2) == "2024/03/05 10:20")
+    assert(r.getString(3) == "2024-03-05")
+  }
+}
