@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.sources.Tables
+
+/** Additional §2 operators: as-of join (custom operator Spark lacks),
+  * cube aggregates, histogram binning, deterministic hash sampling.
+  */
+object ExtraQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val clicks = ev.filter(col("event_type") === "click")
+      AsOfJoin.leftAsOf(purchases, clicks,
+        keyCols = Seq("user_id"), timeCol = "ts",
+        rightOrder = "event_id", payload = Seq("event_id", "ts"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("asof_event_id").as("click_id"),
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"))
+        .orderBy("event_id")
+    }),
+
+    "q22_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("cnt"))
+        .orderBy("status", "priority")),
+
+    "q23_histogram" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("bucket")),
+
+    "q24_sample_hash" -> ((s, dir) =>
+      // Deterministic, engine-portable sampling: sha2 of the key is
+      // identical everywhere, so the ~8% sample is reproducible across
+      // engines, runs and cluster sizes — the property a training-data
+      // pipeline needs for holdout splits.
+      t(s, dir, "orders")
+        .filter(substring(sha2(col("o_orderkey").cast("string"), 256), 1, 2) <= "14")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "asof_join" ->
+      """SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  c.event_id AS click_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q22_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q23_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |  count(*) AS cnt, min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q24_sample_hash" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE substring(sha256(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '14'
+        |ORDER BY o_orderkey""".stripMargin,
+  )
+}

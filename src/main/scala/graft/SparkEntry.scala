@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ PipelineQueries.queries ++ StreamQueries.queries
+    CoreQueries.queries ++ PipelineQueries.queries ++ StreamQueries.queries ++
+      ExtraQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Keys omitted here (engine-specific hashes,
@@ -22,5 +23,6 @@ object SparkEntry {
     * and are exact-oracle-tested in ScalaTest specs instead.
     */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql ++ PipelineQueries.oracleSql ++ StreamQueries.oracleSql
+    CoreQueries.oracleSql ++ PipelineQueries.oracleSql ++ StreamQueries.oracleSql ++
+      ExtraQueries.oracleSql
 }
