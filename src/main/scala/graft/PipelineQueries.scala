@@ -54,6 +54,15 @@ object PipelineQueries {
         EmbeddingDim, k = 10, nTables = 16, bitsPerTable = 4)
     }),
 
+    "ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val centroids = graft.operators.IvfIndex.train(e, "vec_id", "embedding", nCells = 16)
+      val indexed = graft.operators.IvfIndex.index(e, "vec_id", "embedding", centroids)
+      graft.operators.IvfIndex.search(indexed,
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        centroids, k = 10, nProbe = 4)
+    }),
+
     "text_langid" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), graft.functions.TextFunctions.langId(col("text")).as("lang_pred"))

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.expr.GraftFunctions
+
+/** IVF (inverted-file) approximate nearest neighbor: the corpus is
+  * partitioned into `nCells` Voronoi cells around trained centroids;
+  * queries score only the `nProbe` nearest cells.
+  *
+  * Training is distributed Lloyd's k-means (a few fixed iterations,
+  * deterministic hash-seeded init). At 100 TB the train step runs on a
+  * sample, the assignment is one narrow scan writing
+  * `partitionBy(cell)` parquet, and each query batch is a broadcast join
+  * touching nProbe/nCells of the data — the classic IVF cost model
+  * (FAISS-style coarse quantizer, re-expressed as DataFrame plans).
+  */
+object IvfIndex {
+
+  /** Train centroids with `iters` Lloyd iterations. Deterministic:
+    * initial centroids are the vectors with the `nCells` smallest
+    * xxhash64(id) values (a seeded pseudo-random but stable choice).
+    * Returns (cellId, centroid array<double>) — small, driver-collectable.
+    */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int = 3, seed: Long = 42L): Array[(Int, Array[Double])] = {
+    val v = corpus.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    var centroids: Array[(Int, Array[Double])] =
+      v.withColumn("h", xxhash64(lit(seed), col("id")))
+        .orderBy("h").limit(nCells)
+        .collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+    var it = 0
+    while (it < iters) {
+      val assigned = assign(v, centroids)
+      // new centroid = element-wise mean of member vectors, computed as a
+      // distributed aggregate over posexploded elements
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg("x").as("m"))
+        .groupBy("cell").agg(map_from_arrays(
+          collect_list("dim"), collect_list("m")).as("dims"))
+        .collect()
+      val updated = means.map { r =>
+        val dims = r.getMap[Int, Double](1)
+        (r.getInt(0), Array.tabulate(dims.size)(i => dims(i)))
+      }
+      // cells that lost all members keep their previous centroid
+      val byId = updated.toMap
+      centroids = centroids.map { case (c, old) => (c, byId.getOrElse(c, old)) }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Assign each vector to its nearest centroid (max cosine). The
+    * centroid set rides into codegen as plan literals — no shuffle.
+    */
+  def assign(vectors: DataFrame, centroids: Array[(Int, Array[Double])]): DataFrame = {
+    val scored = centroids.map { case (cellId, c) =>
+      struct(GraftFunctions.cosine(col("v"), lit(c)).as("score"), lit(cellId).as("cell"))
+    }
+    vectors.withColumn("cell", greatest(scored: _*).getField("cell"))
+  }
+
+  /** Build the index: corpus annotated with its cell. At scale this is
+    * written out `partitionBy("cell")` once and reused by all queries.
+    */
+  def index(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Int, Array[Double])]): DataFrame =
+    assign(corpus.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v")), centroids)
+
+  /** Top-k per query, probing the `nProbe` best cells per query. */
+  def search(indexed: DataFrame, queries: DataFrame, qidCol: String, qvecCol: String,
+      centroids: Array[(Int, Array[Double])], k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val q = queries.select(col(qidCol).as("qid"),
+      transform(col(qvecCol), x => x.cast("double")).as("qv"))
+    // rank cells per query, keep nProbe best
+    val cellScores = centroids.map { case (cellId, c) =>
+      struct(GraftFunctions.cosine(col("qv"), lit(c)).as("score"), lit(cellId).as("cell"))
+    }
+    val probed = q.withColumn("cells",
+      slice(reverse(array_sort(array(cellScores: _*))), 1, nProbe))
+      .withColumn("cell", explode(transform(col("cells"), _.getField("cell"))))
+      .drop("cells")
+    val scored = indexed.join(broadcast(probed), Seq("cell"))
+      .withColumn("cosine", GraftFunctions.cosine(col("v"), col("qv")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+}

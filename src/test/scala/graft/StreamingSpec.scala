@@ -54,6 +54,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(expectedCounts.values.sum == events.count())
   }
 
+  test("writeStream parquet sink: file-to-file streaming pipeline round-trips") {
+    val schema = spark.read.parquet(eventsDir).schema
+    val outDir = TestSpark.scratch("stream_sink_out")
+    val ckDir = TestSpark.scratch("stream_sink_ck")
+    val sdf = spark.readStream.schema(schema).parquet(eventsDir)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val q = sdf.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val sunk = spark.read.parquet(outDir)
+    val expected = spark.read.parquet(eventsDir).filter(col("event_type") === "purchase")
+    assert(sunk.count() == expected.count())
+    assert(sunk.columns.toSeq == Seq("event_id", "user_id", "ts", "value"))
+  }
+
   test("watermarked append-mode stream emits closed hourly windows") {
     val schema = spark.read.parquet(eventsDir).schema
     val sdf = EventStreams.windowAggStream(spark, eventsDir, schema)
