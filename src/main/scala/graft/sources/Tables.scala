@@ -29,6 +29,33 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 
+  /** Write a table bucketed+sorted by join key into the session catalog.
+    * Two tables bucketed the same way join with ZERO shuffle (asserted in
+    * PlanSpec) — at 100 TB this turns every recurring fact-fact join on
+    * the bucket key into a local sort-merge.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", s"${scratchWarehouse}/$table")
+      .saveAsTable(table)
+
+  /** Write partitioned by a derived date column — readers filtering on
+    * `dt` scan only matching directories (partition pruning, asserted in
+    * PlanSpec).
+    */
+  def writeDatePartitioned(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("dt", org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col(tsCol)))
+      .write.mode("overwrite").partitionBy("dt").parquet(path)
+
+  private def scratchWarehouse: String = {
+    val d = "/root/repo/target/scratch/warehouse"
+    new java.io.File(d).mkdirs()
+    d
+  }
+
   /** Open a file by extension, like the reference dispatches read_parquet /
     * read_csv / read_avro on file type. CSV/JSON get schema inference with
     * headers, matching DuckDB read_csv's auto-detection defaults.

@@ -78,6 +78,37 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("*("), s"native expression must not break codegen:\n$s")
   }
 
+  test("bucketed tables join without any shuffle") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.writeBucketed(Tables.load(spark, TestSpark.sf, "orders"), "orders_b", "o_orderkey", 4)
+      Tables.writeBucketed(Tables.load(spark, TestSpark.sf, "lineitem"), "lineitem_b", "l_orderkey", 4)
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+      val plan = executedNoAqe(joined)
+      val exchanges = plan.collect { case e: Exchange => e }
+      // the only exchange allowed is the final groupBy on o_orderstatus;
+      // the join itself must be shuffle-free
+      assert(exchanges.size <= 1, s"bucketed join must not shuffle:\n$plan")
+      assert(plan.toString.contains("SortMergeJoin"), plan.toString)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("date-partitioned layout prunes partitions on read") {
+    import org.apache.spark.sql.functions._
+    val path = TestSpark.scratch("events_partitioned")
+    Tables.writeDatePartitioned(Tables.load(spark, TestSpark.sf, "events"), "ts", path)
+    val read = spark.read.parquet(path).filter(col("dt") === "2024-01-05")
+    val plan = formatted(read)
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(read.count() > 0)
+    val scan = read.queryExecution.executedPlan.collectLeaves().head
+    val s = scan.toString
+    assert(s.contains("dt"), s)
+  }
+
   test("SQL function registration (extensions + existing-session register)") {
     GraftExtensions.register(spark)
     val r = spark.sql(
