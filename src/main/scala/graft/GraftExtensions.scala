@@ -45,6 +45,9 @@ object GraftExtensions {
     entry("graft_word_shingles", "sorted distinct word n-gram shingles of a string") {
       case Seq(t, n) => WordShingles(t, intArg(n, "graft_word_shingles"))
     },
+    entry("graft_word_tokens", "lower-cased word tokens of a string") {
+      case Seq(t) => WordTokens(t)
+    },
     entry("graft_minhash_signature", "k-minhash signature of a shingle array") {
       case Seq(s, k) => MinHashSignature(s, intArg(k, "graft_minhash_signature"))
     },

@@ -10,9 +10,15 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lower-cased word tokens (unicode letters+digits runs). */
+  /** Lower-cased word tokens (unicode letter/digit runs). Native kernel
+    * (graft.functions.expr.WordTokens) — the regex-split builtin version
+    * measured ~0.5 ms/doc and fed every text operator.
+    * (Token class nuance: the kernel uses Character.isLetterOrDigit, i.e.
+    * \p{L} + \p{Nd}; the regex version also kept \p{Nl}\p{No} — identical
+    * on ASCII/Latin corpora.)
+    */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+    graft.functions.expr.GraftFunctions.wordTokens(text)
 
   /** Whitespace token count — the cheap "how many words" measure. */
   def wordCount(text: Column): Column = size(tokens(text))

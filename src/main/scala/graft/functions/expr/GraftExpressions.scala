@@ -112,6 +112,23 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** word_tokens(string) -> array<string>: lower-cased letter/digit-run
+  * tokens, order preserved, duplicates kept.
+  */
+case class WordTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_tokens"
+
+  override def nullSafeEval(text: Any): Any =
+    VectorOps.wordTokens(text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.expr.VectorOps.wordTokens($t);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** word_shingles(string, n) -> sorted distinct array<string> of word
   * n-grams; tokenize + shingle + dedupe + sort in one kernel.
   */
@@ -172,4 +189,7 @@ object GraftFunctions {
 
   def wordShingles(text: Column, n: Int): Column =
     col(WordShingles(ColumnBridge.expression(text), n))
+
+  def wordTokens(text: Column): Column =
+    col(WordTokens(ColumnBridge.expression(text)))
 }

@@ -116,7 +116,7 @@ object VectorOps {
     * Semantics: n tokens or fewer -> one shingle of all tokens; empty ->
     * empty array.
     */
-  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+  private def tokenize(text: UTF8String): java.util.ArrayList[String] = {
     val s = text.toString
     val tokens = new java.util.ArrayList[String]()
     val sb = new java.lang.StringBuilder
@@ -128,6 +128,23 @@ object VectorOps {
       i += Character.charCount(cp)
     }
     if (sb.length > 0) tokens.add(sb.toString)
+    tokens
+  }
+
+  /** Lower-cased letter/digit-run tokens, order preserved, duplicates
+    * kept — the tokenizer of TextFunctions.tokens as one kernel (the
+    * regex-split builtin equivalent measured ~0.5 ms/doc).
+    */
+  def wordTokens(text: UTF8String): ArrayData = {
+    val tokens = tokenize(text)
+    val out = new Array[Any](tokens.size())
+    var i = 0
+    while (i < tokens.size()) { out(i) = UTF8String.fromString(tokens.get(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val tokens = tokenize(text)
     val m = tokens.size()
     if (m == 0) return new GenericArrayData(Array.empty[Any])
     val set = new java.util.TreeSet[UTF8String]()

@@ -48,14 +48,14 @@ object Probe {
     timed("shingles sorted")(println("  n=" + docsRaw.select(
       array_sort(H.shingles(col("text"), 3)).as("sh")).agg(sum(size(col("sh")))).first()))
     timed("sig only")(println("  n=" + docsRaw.select(
-      GraftFunctions.minhashSignature(array_sort(H.shingles(col("text"), 3)), 64).as("sig"))
-      .agg(sum(element_at(col("sig"), 1))).first()))
+      GraftFunctions.minhashSignature(H.shingles(col("text"), 3), 64).as("sig"))
+      .filter(element_at(col("sig"), 1) =!= 0L).count()))
     timed("bandkeys full")(println("  n=" + docsRaw.select(
-      H.lshBandKeys(GraftFunctions.minhashSignature(array_sort(H.shingles(col("text"), 3)), 64), 16, 4).as("bk"))
-      .select(explode(col("bk")).as("b")).agg(sum(col("b.key"))).first()))
+      H.lshBandKeys(GraftFunctions.minhashSignature(H.shingles(col("text"), 3), 64), 16, 4).as("bk"))
+      .select(explode(col("bk")).as("b")).filter(col("b.key") =!= 0L).count()))
 
     val docs = docsRaw.select(col("doc_id").as("id"),
-      array_sort(H.shingles(col("text"), 3)).as("sh"))
+      H.shingles(col("text"), 3).as("sh"))
       .withColumn("sz", size(col("sh")))
       .withColumn("sig", GraftFunctions.minhashSignature(col("sh"), 64))
     timed("shingle+sig")(println("  n=" + docs.count()))

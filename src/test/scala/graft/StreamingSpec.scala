@@ -56,8 +56,18 @@ class StreamingSpec extends AnyFunSuite {
 
   test("writeStream parquet sink: file-to-file streaming pipeline round-trips") {
     val schema = spark.read.parquet(eventsDir).schema
-    val outDir = TestSpark.scratch("stream_sink_out")
-    val ckDir = TestSpark.scratch("stream_sink_ck")
+    // source files are rewritten (new names) per run, so sink+checkpoint
+    // must start clean or the file source re-ingests into old output
+    def clean(name: String): String = {
+      val d = new java.io.File(TestSpark.scratch(name))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(d); d.mkdirs(); d.getAbsolutePath
+    }
+    val outDir = clean("stream_sink_out")
+    val ckDir = clean("stream_sink_ck")
     val sdf = spark.readStream.schema(schema).parquet(eventsDir)
       .filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts", "value")
