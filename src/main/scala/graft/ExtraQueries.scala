@@ -46,6 +46,24 @@ object ExtraQueries {
           max(col("o_totalprice")).as("max_price"))
         .orderBy("bucket")),
 
+    "q25_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))),
+
+    "q26_corr" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(corr(col("l_discount"), col("l_extendedprice")), 6).as("corr_disc_price"))),
+
+    "q27_salted_agg" -> ((s, dir) =>
+      // Skew-safe two-phase aggregation; result identical to q8-style
+      // direct groupBy, so the plain-SQL oracle applies.
+      graft.operators.Salting.saltedSumCount(
+        t(s, dir, "orders"), "o_orderstatus", "o_totalprice", "o_orderkey", salts = 8)
+        .orderBy("o_orderstatus")),
+
     "q24_sample_hash" -> ((s, dir) =>
       // Deterministic, engine-portable sampling: sha2 of the key is
       // identical everywhere, so the ~8% sample is reproducible across
@@ -85,5 +103,22 @@ object ExtraQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE substring(sha256(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '14'
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q25_percentile" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        |FROM lineitem""".stripMargin,
+
+    "q26_corr" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(corr(l_discount, l_extendedprice), 6) AS corr_disc_price
+        |FROM lineitem""".stripMargin,
+
+    "q27_salted_agg" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }
