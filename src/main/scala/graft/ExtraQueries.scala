@@ -64,6 +64,37 @@ object ExtraQueries {
         t(s, dir, "orders"), "o_orderstatus", "o_totalprice", "o_orderkey", salts = 8)
         .orderBy("o_orderstatus")),
 
+    "q28_stringagg" -> ((s, dir) =>
+      // group-concat over sorted elements: deterministic list aggregation
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(array_join(
+          transform(array_sort(collect_list(col("l_linenumber"))), x => x.cast("string")),
+          ",").as("line_numbers"),
+          count(lit(1)).cast("long").as("n_lines"))
+        .orderBy("l_orderkey")),
+
+    "q29_array_ops" -> ((s, dir) =>
+      // build list -> filter -> transform -> aggregate, all on nested data
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(collect_list(col("l_quantity").cast("decimal(18,2)")).as("qs"))
+        .select(col("l_orderkey"),
+          size(col("qs")).cast("long").as("n"),
+          sort_array(col("qs")).getItem(0).cast("double").as("min_qty"),
+          expr("CAST(aggregate(qs, CAST(0 AS DECIMAL(28,2)), (acc, x) -> CAST(acc + x AS DECIMAL(28,2))) AS DOUBLE)")
+            .as("sum_qty"))
+        .orderBy("l_orderkey")),
+
+    "q30_nulls" -> ((s, dir) =>
+      // null semantics: nullif/coalesce/null-safe equality
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_filled"),
+        col("o_orderstatus") <=> lit("O").as("is_open"))
+        .orderBy("o_orderkey")),
+
     "q24_sample_hash" -> ((s, dir) =>
       // Deterministic, engine-portable sampling: sha2 of the key is
       // identical everywhere, so the ~8% sample is reproducible across
@@ -120,5 +151,25 @@ object ExtraQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  count(*) AS cnt
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q28_stringagg" ->
+      """SELECT l_orderkey,
+        |  string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS line_numbers,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q29_array_ops" ->
+      """SELECT l_orderkey,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q30_nulls" ->
+      """SELECT o_orderkey,
+        |  nullif(o_orderstatus, 'O') AS status_or_null,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+        |  o_orderstatus IS NOT DISTINCT FROM 'O' AS is_open
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -33,6 +33,41 @@ object MetadataInspector {
     try reader.getFooter finally reader.close()
   }
 
+  /** Aggregated metadata over a multi-file table directory: one row per
+    * file plus totals — the 100 TB shape where a "table" is thousands of
+    * files. Footer reads parallelize across the cluster via a paths RDD
+    * (each footer is KB-sized; no data pages are touched).
+    */
+  def directoryMetadata(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val fs = new Path(dir).getFileSystem(conf.value)
+    val files = fs.listStatus(new Path(dir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted
+    val rows = spark.sparkContext.parallelize(files.toSeq, math.max(1, math.min(files.length, 64)))
+      .map { p =>
+        val in = HadoopInputFile.fromPath(new Path(p), conf.value)
+        val reader = ParquetFileReader.open(in)
+        try {
+          val f = reader.getFooter
+          val blocks = f.getBlocks.asScala
+          Row(p.substring(p.lastIndexOf('/') + 1),
+            f.getFileMetaData.getCreatedBy,
+            blocks.map(_.getRowCount).sum,
+            blocks.size.toLong,
+            blocks.map(_.getCompressedSize).sum)
+        } finally reader.close()
+      }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("file_name", StringType, nullable = false),
+      StructField("created_by", StringType, nullable = true),
+      StructField("num_rows", LongType, nullable = false),
+      StructField("num_row_groups", LongType, nullable = false),
+      StructField("compressed_bytes", LongType, nullable = false))))
+  }
+
   /** Key/value metadata rows exactly as the reference's metadata tab shows
     * them (reference: src/backend.ts:52-82).
     */

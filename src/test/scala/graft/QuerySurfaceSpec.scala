@@ -144,6 +144,16 @@ class MetadataInspectorSpec extends AnyFunSuite {
     assert(md("created_by") != null)
   }
 
+  test("directory metadata aggregates per-file footers distributively") {
+    val dir = TestSpark.scratch("meta_dir")
+    Tables.load(spark, TestSpark.sf, "orders").repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    val md = MetadataInspector.directoryMetadata(spark, dir)
+    val rows = md.collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(2)).sum == 1500)
+  }
+
   test("row-group detail has stats per column chunk") {
     val path = s"${TestSpark.sf}/orders.parquet"
     val rg = MetadataInspector.rowGroupMetadata(spark, path)
