@@ -95,6 +95,23 @@ object ExtraQueries {
         col("o_orderstatus") <=> lit("O").as("is_open"))
         .orderBy("o_orderkey")),
 
+    "q31_json_extract" -> ((s, dir) =>
+      // semi-structured column: JSON field extraction + typed filter/agg
+      // (the reference renders struct/JSON cells; this is the query path)
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k") >= 50)
+        .orderBy("event_id")),
+
+    "q32_regex" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_space_parts"),
+        regexp_replace(col("text"), "[aeiou]", "").substr(1, 20).as("devoweled_prefix"))
+        .orderBy("doc_id")),
+
     "q24_sample_hash" -> ((s, dir) =>
       // Deterministic, engine-portable sampling: sha2 of the key is
       // identical everywhere, so the ~8% sample is reproducible across
@@ -164,6 +181,18 @@ object ExtraQueries {
         |  CAST(min(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q31_json_extract" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+        |FROM events WHERE CAST(props->>'$.k' AS BIGINT) >= 50
+        |ORDER BY event_id""".stripMargin,
+
+    "q32_regex" ->
+      """SELECT doc_id,
+        |  regexp_extract("text", '([a-z]+)', 1) AS first_word,
+        |  CAST(len(string_split("text", ' ')) AS BIGINT) AS n_space_parts,
+        |  substring(regexp_replace("text", '[aeiou]', '', 'g'), 1, 20) AS devoweled_prefix
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q30_nulls" ->
       """SELECT o_orderkey,

@@ -84,6 +84,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(sunk.columns.toSeq == Seq("event_id", "user_id", "ts", "value"))
   }
 
+  test("incremental micro-batches advance the watermark and emit closed windows") {
+    // time-ordered chunk files + maxFilesPerTrigger=1 => one micro-batch
+    // per chunk, so the watermark advances between batches and append
+    // mode emits every window that closed before the final watermark
+    val chunkDir = TestSpark.scratch("stream_chunks")
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+    val chunks = 4
+    val ranked = ev.orderBy("ts").withColumn("chunk",
+      ntile(chunks).over(org.apache.spark.sql.expressions.Window.orderBy("ts")))
+    (1 to chunks).foreach { c =>
+      ranked.filter(col("chunk") === c).drop("chunk")
+        .coalesce(1).write.mode(if (c == 1) "overwrite" else "append").parquet(chunkDir)
+    }
+    val schema = spark.read.parquet(chunkDir).schema
+    val sdf = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(chunkDir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"))
+    val q = sdf.writeStream.format("memory").queryName("win_inc")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val emitted = spark.sql("SELECT * FROM win_inc").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(emitted.nonEmpty, "append mode must emit windows closed by the advancing watermark")
+    // every emitted window must exactly match the batch computation
+    val batch = EventStreams.windowAggBatch(Tables.load(spark, TestSpark.sf, "events"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    emitted.foreach { case (h, t, n) =>
+      assert(batch.get((h, t)).contains(n), s"window ($h,$t) streamed $n != batch ${batch.get((h, t))}")
+    }
+  }
+
   test("watermarked append-mode stream emits closed hourly windows") {
     val schema = spark.read.parquet(eventsDir).schema
     val sdf = EventStreams.windowAggStream(spark, eventsDir, schema)
