@@ -112,6 +112,26 @@ object ExtraQueries {
         regexp_replace(col("text"), "[aeiou]", "").substr(1, 20).as("devoweled_prefix"))
         .orderBy("doc_id")),
 
+    "q33_range_join" -> ((s, dir) => {
+      // banded interval join: clicks within 30 min before each purchase
+      val ev = t(s, dir, "events")
+      graft.operators.RangeJoin.countPreceding(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        "user_id", "ts", 1800L, "event_id")
+        .select("event_id", "user_id", "n_matches")
+        .orderBy("event_id")
+    }),
+
+    "q34_stratified_sample" -> ((s, dir) =>
+      // per-stratum reproducible sampling: language-dependent hash cut —
+      // the data-mixing primitive (different keep-rates per source/lang)
+      t(s, dir, "documents")
+        .filter(substring(sha2(concat(lit("strat"), col("doc_id").cast("string")), 256), 1, 2) <=
+          when(col("lang") === "en", "40").when(col("lang") === "de", "20").otherwise("0a"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     "q24_sample_hash" -> ((s, dir) =>
       // Deterministic, engine-portable sampling: sha2 of the key is
       // identical everywhere, so the ~8% sample is reproducible across
@@ -181,6 +201,20 @@ object ExtraQueries {
         |  CAST(min(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q33_range_join" ->
+      """SELECT p.event_id, p.user_id,
+        |  (SELECT count(*) FROM events c
+        |   WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |     AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts) AS n_matches
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q34_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(sha256('strat' || CAST(doc_id AS VARCHAR)), 1, 2) <=
+        |  CASE WHEN lang = 'en' THEN '40' WHEN lang = 'de' THEN '20' ELSE '0a' END
+        |ORDER BY doc_id""".stripMargin,
 
     "q31_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
