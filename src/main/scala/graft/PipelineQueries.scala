@@ -23,6 +23,11 @@ object PipelineQueries {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("content_hash")),
 
+    "dedup_survivors" -> ((s, dir) =>
+      Dedup.exactSurvivors(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)),
@@ -102,6 +107,11 @@ object PipelineQueries {
         |  count(*) AS n_copies
         |FROM documents GROUP BY sha256("text")
         |ORDER BY content_hash""".stripMargin,
+
+    "dedup_survivors" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256("text"))
+        |ORDER BY doc_id""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,
