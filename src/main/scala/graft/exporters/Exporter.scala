@@ -31,7 +31,7 @@ object Exporter {
     * format — a single JSON array has one root).
     */
   def json(df: DataFrame, path: String): Unit = {
-    val rendered = df.select(to_json(struct(df.columns.map(col): _*)).as("j"))
+    val rendered = df.select(to_json(struct(df.columns.toSeq.map(col): _*)).as("j"))
     val it = rendered.toLocalIterator()
     val out = new java.io.PrintWriter(new java.io.BufferedWriter(
       new java.io.FileWriter(path), 1 << 20))
@@ -60,7 +60,7 @@ object Exporter {
     })
     require(supported.nonEmpty,
       "No supported columns found for Excel export. All columns contain unsupported data types (LIST, ARRAY, DECIMAL).")
-    val slim = df.select(supported.map(f => col(f.name)): _*).limit(maxRows)
+    val slim = df.select(supported.toSeq.map(f => col(f.name)): _*).limit(maxRows)
     XlsxWriter.write(slim, path)
   }
 
@@ -79,7 +79,7 @@ object Exporter {
     * src/backend.ts convertObjectsToJSONStrings).
     */
   def stringifyComplex(df: DataFrame): DataFrame =
-    df.select(df.schema.fields.map { f =>
+    df.select(df.schema.fields.toSeq.map { f =>
       f.dataType match {
         case _: StructType | _: ArrayType | _: MapType => to_json(col(f.name)).as(f.name)
         case _ => col(f.name)

@@ -43,7 +43,7 @@ object VectorFunctions {
     require(nPlanes <= 63, "signature packed into one long")
     val planes = RandomPlanes.planes(dim, nPlanes, seed)
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val pCol = array(p.map(lit(_)): _*)
+      val pCol = array(p.toSeq.map(lit(_)): _*)
       when(dot(v, pCol) >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

@@ -43,7 +43,7 @@ object AsOfJoin {
     // align schemas: right rows carry nulls for left-only columns
     val rAligned = l.columns.foldLeft(r) { (df, c) =>
       if (r.columns.contains(c)) df else df.withColumn(c, lit(null).cast(dataTypeOf(l, c)))
-    }.select(l.columns.map(col): _*)
+    }.select(l.columns.toSeq.map(col): _*)
     val unioned = l.unionByName(rAligned)
     // right rows sort before left rows at equal time (side 0 < 1), so a
     // right row at exactly left.time is visible to that left row

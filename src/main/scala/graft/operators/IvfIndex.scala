@@ -63,7 +63,7 @@ object IvfIndex {
     val scored = centroids.map { case (cellId, c) =>
       struct(GraftFunctions.cosine(col("v"), lit(c)).as("score"), lit(cellId).as("cell"))
     }
-    vectors.withColumn("cell", greatest(scored: _*).getField("cell"))
+    vectors.withColumn("cell", greatest(scored.toSeq: _*).getField("cell"))
   }
 
   /** Build the index: corpus annotated with its cell. At scale this is
@@ -84,7 +84,7 @@ object IvfIndex {
       struct(GraftFunctions.cosine(col("qv"), lit(c)).as("score"), lit(cellId).as("cell"))
     }
     val probed = q.withColumn("cells",
-      slice(reverse(array_sort(array(cellScores: _*))), 1, nProbe))
+      slice(reverse(array_sort(array(cellScores.toSeq: _*))), 1, nProbe))
       .withColumn("cell", explode(transform(col("cells"), _.getField("cell"))))
       .drop("cells")
     val scored = indexed.join(broadcast(probed), Seq("cell"))
