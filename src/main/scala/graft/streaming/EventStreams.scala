@@ -58,6 +58,15 @@ object EventStreams {
       .orderBy("user_id", "session_id")
   }
 
+  /** Streaming exact dedup: first event per key wins; the watermark
+    * bounds state retention (keys older than the horizon are dropped).
+    * The streaming face of Dedup.exact for at-least-once sources.
+    */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+      watermarkCol: String = "ts", horizon: String = "2 hours"): DataFrame =
+    events.withWatermark(watermarkCol, horizon)
+      .dropDuplicates(keyCols :+ watermarkCol)
+
   // ---- stateful streaming sessionization ----
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -37,6 +37,30 @@ object Probe {
       println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
+    // drive the streaming-dedup pipeline end-to-end (replayed source ->
+    // watermarked dropDuplicates -> parquet sink)
+    if (sys.env.contains("PROBE_STREAMING")) {
+      val src = "/root/repo/target/scratch/probe_dup_events"
+      val out = "/root/repo/target/scratch/probe_dedup_out"
+      val ck = "/root/repo/target/scratch/probe_dedup_ck"
+      Seq(out, ck).foreach { d =>
+        def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+        rm(new java.io.File(d))
+      }
+      val ev = Tables.load(spark, sfDir, "events")
+      ev.union(ev).write.mode("overwrite").parquet(src)
+      val q = graft.streaming.EventStreams.streamingDedup(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src), Seq("event_id"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      println(s"[probe] streaming dedup: in=${ev.count() * 2} out=${spark.read.parquet(out).count()}")
+      spark.stop()
+      return
+    }
+
     val docsRaw = Tables.load(spark, sfDir, "documents")
     timed("docs count")(println("  n=" + docsRaw.count()))
 

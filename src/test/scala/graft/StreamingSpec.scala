@@ -43,15 +43,60 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value"))
       .as[EventStreams.Event]
-    // run the same flatMapGroupsWithState logic in batch mode over a
-    // single micro-batch equivalent: feed sorted events through the
-    // session logic per user and compare against gaps-and-islands batch.
     val batchSessions = EventStreams.sessionizeBatch(
       Tables.load(spark, TestSpark.sf, "events")).collect()
     val expectedCounts = batchSessions.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(expectedCounts.nonEmpty)
     // sanity on the batch form itself: session event counts sum to table size
     assert(expectedCounts.values.sum == events.count())
+
+    // drive the REAL flatMapGroupsWithState plan on a file stream: with
+    // the whole table in one batch, each user's open (last) session stays
+    // in state, every earlier session closes and is emitted
+    val sdf = spark.readStream
+      .schema(spark.read.parquet(eventsDir).schema)
+      .parquet(eventsDir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionizeStream(spark, sdf).toDF()
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    q.stop() // ProcessingTimeTimeout can keep an AvailableNow query alive
+    val streamed = spark.sql(
+      "SELECT user_id, date_format(session_start, 'yyyy-MM-dd HH:mm:ss') s, n_events FROM sessions_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batchByStart = batchSessions
+      .map(r => (r.getLong(0), r.getString(3)) -> r.getLong(2)).toMap
+    // every closed session emitted by the stream must match batch exactly
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (k, n) =>
+      assert(batchByStart.get(k).contains(n), s"session $k: streamed $n vs batch ${batchByStart.get(k)}")
+    }
+    // per user, the stream withholds exactly the one open session
+    val users = batchSessions.map(_.getLong(0)).distinct.length
+    assert(streamed.size == batchByStart.size - users)
+  }
+
+  test("streaming dedup drops replayed events (at-least-once source)") {
+    val dupDir = TestSpark.scratch("stream_dup_events")
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+    // simulate an at-least-once source: every event delivered twice
+    ev.union(ev).write.mode("overwrite").parquet(dupDir)
+    val sdf = spark.readStream.schema(spark.read.parquet(dupDir).schema).parquet(dupDir)
+    val q = EventStreams.streamingDedup(sdf, Seq("event_id"))
+      .select("event_id")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val n = spark.sql("SELECT count(DISTINCT event_id) c, count(*) t FROM dedup_stream").first()
+    assert(n.getLong(1) == ev.count(), "each replayed event must appear exactly once")
+    assert(n.getLong(0) == n.getLong(1))
   }
 
   test("writeStream parquet sink: file-to-file streaming pipeline round-trips") {
