@@ -50,6 +50,27 @@ object Tables {
         org.apache.spark.sql.functions.col(tsCol)))
       .write.mode("overwrite").partitionBy("dt").parquet(path)
 
+  /** Schema-evolution read: union the schemas of all files in a table
+    * dir (columns added over time come back null-filled for old files).
+    */
+  def openMerged(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+
+  /** Compact a small-file table directory to `numFiles` files (the
+    * perpetual lakehouse maintenance job: file listing + open overhead
+    * dominates scans once file count ≫ executor count). Rewrites to a
+    * temp dir then swaps, so readers never see a half-written table.
+    */
+  def compact(spark: SparkSession, dir: String, numFiles: Int): Unit = {
+    val tmp = dir + "__compact_tmp"
+    spark.read.parquet(dir).repartition(numFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))
+  }
+
   private def scratchWarehouse: String = {
     val d = "/root/repo/target/scratch/warehouse"
     new java.io.File(d).mkdirs()

@@ -101,6 +101,37 @@ class QueryEngineSpec extends AnyFunSuite {
   }
 }
 
+class TableMaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("mergeSchema read unions evolving file schemas") {
+    val dir = TestSpark.scratch("evolving_table")
+    val r = Tables.load(spark, TestSpark.sf, "region")
+    r.write.mode("overwrite").parquet(dir)
+    r.withColumn("r_comment", org.apache.spark.sql.functions.lit("added later"))
+      .write.mode("append").parquet(dir)
+    val merged = Tables.openMerged(spark, dir)
+    assert(merged.columns.toSet == Set("r_regionkey", "r_name", "r_comment"))
+    assert(merged.count() == 10)
+    assert(merged.filter(org.apache.spark.sql.functions.col("r_comment").isNull).count() == 5)
+  }
+
+  test("compact rewrites a many-file table to few files, row-identical") {
+    val dir = TestSpark.scratch("compact_table")
+    val o = Tables.load(spark, TestSpark.sf, "orders")
+    o.repartition(20).write.mode("overwrite").parquet(dir)
+    def fileCount = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(fileCount == 20)
+    Tables.compact(spark, dir, 2)
+    assert(fileCount == 2)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1500)
+    assert(back.agg(org.apache.spark.sql.functions.sum("o_orderkey")).first().getLong(0) ==
+      o.agg(org.apache.spark.sql.functions.sum("o_orderkey")).first().getLong(0))
+  }
+}
+
 class SchemaInspectorSpec extends AnyFunSuite {
   import org.apache.spark.sql.types._
   private lazy val spark = TestSpark.spark
