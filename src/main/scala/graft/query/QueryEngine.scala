@@ -68,6 +68,28 @@ final class QueryEngine(val spark: SparkSession, val path: String) {
     }
   }
 
+  /** Export the current query result, dispatching on the reference's
+    * export-type names (reference: src/worker.ts:268-330 — csv / json /
+    * ndjson / parquet / excel).
+    */
+  def export(exportType: String, path: String): Unit = {
+    import graft.exporters.Exporter
+    exportType.toLowerCase match {
+      case "csv" => Exporter.csv(queryResult, path)
+      case "json" => Exporter.json(queryResult, path)
+      case "ndjson" => Exporter.ndjson(queryResult, path)
+      case "parquet" => Exporter.parquet(queryResult, path)
+      case "excel" | "xlsx" => Exporter.excel(queryResult, path)
+      case other => throw new IllegalArgumentException(s"Unsupported export type: $other")
+    }
+  }
+
+  /** Copy-to-clipboard rendering of one result page (reference copy
+    * button): TSV text of the requested page.
+    */
+  def copyPage(req: PageRequest): String =
+    graft.exporters.Exporter.toTsvString(paginator.page(req))
+
   def close(): Unit = {
     cached.foreach(_.unpersist(blocking = false))
     cached = None

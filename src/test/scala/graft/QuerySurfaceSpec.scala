@@ -89,6 +89,21 @@ class QueryEngineSpec extends AnyFunSuite {
     qe.close()
   }
 
+  test("export + copyPage operate on the current query result") {
+    val qe = new QueryEngine(spark, s"${TestSpark.sf}/nation.parquet")
+    qe.query("SELECT n_nationkey, n_name FROM data WHERE n_nationkey < 5")
+    val out = TestSpark.scratch("qe_export")
+    qe.export("csv", s"$out/csv")
+    assert(spark.read.option("header", "true").csv(s"$out/csv").count() == 5)
+    qe.export("excel", s"$out/n.xlsx")
+    assert(new java.io.File(s"$out/n.xlsx").length() > 0)
+    assertThrows[IllegalArgumentException](qe.export("pdf", s"$out/x"))
+    val tsv = qe.copyPage(PageRequest(pageSize = Some(3), sort = Some(SortSpec("n_nationkey"))))
+    assert(tsv.linesIterator.size == 4) // header + 3 rows
+    assert(tsv.startsWith("n_nationkey\tn_name"))
+    qe.close()
+  }
+
   test("csv files are opened with the csv reader via QueryEngine") {
     val out = TestSpark.scratch("qe_csv")
     Tables.load(spark, TestSpark.sf, "region")
