@@ -40,9 +40,14 @@ object PipelineQueries {
       Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, threshold = 0.5)),
 
+    // threshold 0.4 sits where the synthetic embeddings actually have
+    // near-dup pairs (max pairwise cosine ~0.5-0.6); (L=32, k=3) makes the
+    // per-pair miss probability at cosine 0.4 about 1e-4, so the LSH result
+    // equals the exact all-pairs result on this data — verified against the
+    // brute-force oracle below and in DedupSpec's recall test.
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
-        EmbeddingDim, nPlanes = 12, threshold = 0.95)),
+        EmbeddingDim, threshold = 0.4, nTables = 32, bitsPerTable = 3)),
 
     "ann_bruteforce" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -112,6 +117,15 @@ object PipelineQueries {
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256("text"))
         |ORDER BY doc_id""".stripMargin,
+
+    // exact: both engines accumulate the dot/norms sequentially in double
+    // over the float vectors, and round(4) absorbs any last-ulp drift
+    "dedup_embedding" ->
+      """SELECT x.vec_id AS a, y.vec_id AS b,
+        |  round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) AS cosine
+        |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+        |WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.4
+        |ORDER BY a, b""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

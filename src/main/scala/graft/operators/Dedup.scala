@@ -59,23 +59,25 @@ object Dedup {
   /** SimHash near-dup: 64-bit signatures, banded into `bands` bit-slices
     * (two docs within hamming < bands MUST share a band — pigeonhole), then
     * exact hamming <= maxHamming verification via one codegen'd
-    * bit_count(xor).
+    * bit_count(xor). Candidate pairs are bucket-capped: a degenerate band
+    * key (e.g. the shared signature slice of near-empty docs) is dropped
+    * before the self-join instead of going quadratic.
     */
   def simhash(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
     val docs = df.select(col(idCol).as("id"),
       GraftFunctions.simhash64(T.tokens(col(textCol))).as("sig"))
-    val banded = docs.select(col("id"), col("sig"),
+    val banded = docs.select(col("id"),
       explode(H.simhashBands(col("sig"), bands)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
-    val a = banded.select(col("band"), col("key"), col("id").as("a"), col("sig").as("a_sig"))
-    val b = banded.select(col("band"), col("key"), col("id").as("b"), col("sig").as("b_sig"))
-    a.join(b, Seq("band", "key")).filter(col("a") < col("b"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    val pairs = pairsFromBuckets(banded, maxBucket)
+    pairs
+      .join(docs.select(col("id").as("a"), col("sig").as("a_sig")), "a")
+      .join(docs.select(col("id").as("b"), col("sig").as("b_sig")), "b")
       .withColumn("hamming", H.hamming64(col("a_sig"), col("b_sig")))
       .filter(col("hamming") <= maxHamming)
       .select("a", "b", "hamming")
-      .distinct()
       .orderBy("a", "b")
   }
 
@@ -129,23 +131,35 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("a", "b")
 
-  /** Embedding near-dup: random-hyperplane LSH buckets (vectors agreeing
-    * on all `nPlanes` signs land together), cosine-verified pairs.
+  /** Embedding near-dup via multi-table random-hyperplane LSH — the same
+    * OR-amplified (L, k) scheme as `SimilaritySearch.lshTopK`: L = `nTables`
+    * independent tables of k = `bitsPerTable` sign-bits each; a pair is a
+    * candidate if it collides in ANY table. Per-pair recall at angle θ is
+    * 1-(1-(1-θ/π)^k)^L — k bounds bucket size, L recovers recall (a single
+    * AND-only signature would miss most true near-dups). Buckets above
+    * `maxBucket` (degenerate keys, e.g. the all-zero region) are dropped
+    * before the self-join, and candidates are cosine-verified exactly.
+    * Returns (a, b, cosine) with a < b, deterministic.
     */
   def embeddingNearDup(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      nPlanes: Int = 12, threshold: Double = 0.95, seed: Long = 42L,
-      maxBucket: Int = 1000): DataFrame = {
-    val planes = graft.functions.RandomPlanes.planes(dim, nPlanes, seed)
+      threshold: Double = 0.8, nTables: Int = 32, bitsPerTable: Int = 3,
+      seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
     val docs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", GraftFunctions.hyperplaneSignature(col("v"), planes))
-    val a = docs.select(col("bucket"), col("id").as("a"), col("v").as("a_v"))
-    val b = docs.select(col("bucket"), col("id").as("b"), col("v").as("b_v"))
-    a.join(b, Seq("bucket")).filter(col("a") < col("b"))
+    val tables = array((0 until nTables).map { t =>
+      struct(lit(t).as("band"),
+        GraftFunctions.hyperplaneSignature(col("v"),
+          graft.functions.RandomPlanes.planes(dim, bitsPerTable, seed + t)).as("key"))
+    }: _*)
+    val banded = docs.select(col("id"), explode(tables).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    val pairs = pairsFromBuckets(banded, maxBucket)
+    pairs
+      .join(docs.select(col("id").as("a"), col("v").as("a_v")), "a")
+      .join(docs.select(col("id").as("b"), col("v").as("b_v")), "b")
       .withColumn("cosine", GraftFunctions.cosine(col("a_v"), col("b_v")))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
-      .distinct()
       .orderBy("a", "b")
   }
 

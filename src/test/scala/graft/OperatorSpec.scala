@@ -61,13 +61,38 @@ class DedupSpec extends AnyFunSuite {
     assert(got == oracle)
   }
 
-  test("embedding near-dup pairs are cosine-verified") {
+  test("embedding near-dup equals the brute-force all-pairs oracle (full recall + precision)") {
     val emb = Tables.load(spark, TestSpark.sf, "embeddings")
-    val res = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 64,
-      nPlanes = 8, threshold = 0.9)
-    val rows = res.collect()
-    assert(rows.forall(_.getDouble(2) >= 0.9))
+    val v = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val oracle = v.select(col("id").as("a"), col("v").as("a_v"))
+      .crossJoin(v.select(col("id").as("b"), col("v").as("b_v")))
+      .filter(col("a") < col("b"))
+      .withColumn("c", graft.functions.expr.GraftFunctions.cosine(col("a_v"), col("b_v")))
+      .filter(col("c") >= 0.4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oracle.nonEmpty, "test data must contain near-dup pairs at 0.4")
+    val got = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 64,
+      threshold = 0.4, nTables = 32, bitsPerTable = 3)
+    val rows = got.collect()
+    assert(rows.forall(_.getDouble(2) >= 0.4)) // precision: every pair verified
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (L=32, k=3) ⇒ per-pair miss < 1e-4 at cosine 0.4; with fixed seed the
+    // result is deterministic and complete on this dataset
+    assert(pairs == oracle, s"missed=${oracle -- pairs} extra=${pairs -- oracle}")
+  }
+
+  test("simhash and embedding near-dup cap degenerate buckets") {
+    // 1.2k identical empty-ish docs share every band key: uncapped this is
+    // ~700k candidate pairs; the cap must drop the degenerate bucket whole
+    val n = 1200
+    val df = spark.range(n).select(col("id").as("doc_id"), lit("").as("text"))
+    val pairs = Dedup.simhash(df, "doc_id", "text", maxHamming = 3, bands = 4,
+      maxBucket = 1000)
+    assert(pairs.count() == 0, "bucket of 1200 identical docs must be capped out")
+    // with a cap above the bucket size the pairs come back
+    val small = spark.range(3).select(col("id").as("doc_id"), lit("same text here").as("text"))
+    assert(Dedup.simhash(small, "doc_id", "text", maxBucket = 1000).count() == 3)
   }
 }
 
