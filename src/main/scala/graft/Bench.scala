@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line as the LAST stdout line (also written to
+  * target/bench_last.json so a noisy harness can't lose it).
+  *
+  * Each query gets a per-query warmup run before the timed run, so one-shot
+  * JIT/codegen/scan-init noise (a ~10s phantom on an 0.5s query in round 1)
+  * can't skew a round's delta. Failures are surfaced in an "errors" field
+  * instead of silently benching as time-to-throw.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,24 +17,52 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup: JVM/codegen/scan init paid once, outside the timed section.
+    // Session warmup: scan init paid once, outside any timed section.
     try {
       graft.sources.Tables.all.foreach(n =>
         graft.sources.Tables.load(spark, sfDir, n).count())
-      SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Per-query warmup: one untimed run; a failure here marks the query
+    // errored and skips the timed run (value -1).
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try { fn(spark, sfDir).count(); () }
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      if (errors.contains(name)) name -> -1.0
+      else {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); () }
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        name -> (if (errors.contains(name)) -1.0 else (System.nanoTime() - t0) / 1e9)
+      }
+    }
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", " ").replace("\r", " ").replace("\t", " ")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     spark.stop()
+    try {
+      val out = java.nio.file.Paths.get("target/bench_last.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    // last stdout line, after spark.stop() so no late log can follow it
+    println(line)
   }
 }

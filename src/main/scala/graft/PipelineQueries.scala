@@ -66,7 +66,10 @@ object PipelineQueries {
 
     "ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val centroids = graft.operators.IvfIndex.train(e, "vec_id", "embedding", nCells = 16)
+      // sampled training: the 100 TB path — Lloyd iterations scan half
+      // the corpus (seeded, deterministic); assignment covers all of it
+      val centroids = graft.operators.IvfIndex.train(e, "vec_id", "embedding",
+        nCells = 16, sampleFraction = 0.5)
       val indexed = graft.operators.IvfIndex.index(e, "vec_id", "embedding", centroids)
       graft.operators.IvfIndex.search(indexed,
         e.filter(col("vec_id") < 5), "vec_id", "embedding",

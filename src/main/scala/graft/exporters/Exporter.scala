@@ -33,8 +33,11 @@ object Exporter {
   def json(df: DataFrame, path: String): Unit = {
     val rendered = df.select(to_json(struct(df.columns.toSeq.map(col): _*)).as("j"))
     val it = rendered.toLocalIterator()
+    // explicit UTF-8: FileWriter would use the platform charset and corrupt
+    // non-ASCII values on non-UTF-8 locales
     val out = new java.io.PrintWriter(new java.io.BufferedWriter(
-      new java.io.FileWriter(path), 1 << 20))
+      java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get(path),
+        java.nio.charset.StandardCharsets.UTF_8), 1 << 20))
     try {
       out.print("[")
       var first = true
@@ -50,25 +53,35 @@ object Exporter {
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
-  /** Excel .xlsx. Column types the reference's Excel path excludes are
-    * dropped here too; row cap guards the xlsx hard limit.
+  /** Excel .xlsx. Mirrors the reference's Excel column policy
+    * (reference: src/worker.ts:346-396): LIST/ARRAY/DECIMAL columns are
+    * dropped, STRUCT columns are kept as their JSON rendering (worker.ts
+    * `TO_JSON("col")`); maps — which Spark renders like structs — get the
+    * same JSON treatment. Row cap guards the xlsx hard limit.
     */
   def excel(df: DataFrame, path: String, maxRows: Int = 1048575): Unit = {
-    val supported = df.schema.fields.filterNot(f => f.dataType match {
-      case _: ArrayType | _: MapType | _: StructType | _: DecimalType => true
-      case _ => false
-    })
-    require(supported.nonEmpty,
+    val kept = df.schema.fields.flatMap { f =>
+      f.dataType match {
+        case _: ArrayType | _: DecimalType => None // reference drops these
+        case _: StructType | _: MapType => Some(to_json(col(f.name)).as(f.name))
+        case _ => Some(col(f.name))
+      }
+    }
+    require(kept.nonEmpty,
       "No supported columns found for Excel export. All columns contain unsupported data types (LIST, ARRAY, DECIMAL).")
-    val slim = df.select(supported.toSeq.map(f => col(f.name)): _*).limit(maxRows)
+    val slim = df.select(kept.toSeq: _*).limit(maxRows)
     XlsxWriter.write(slim, path)
   }
 
-  /** Page-to-clipboard rendering (reference copy button): TSV text. */
-  def toTsvString(df: DataFrame): String = {
+  /** Page-to-clipboard rendering (reference copy button): TSV text.
+    * Driver-side by nature (it builds one String); `maxRows` guards
+    * against an unbounded frame being collected — a clipboard page is
+    * small, so the default cap is generous.
+    */
+  def toTsvString(df: DataFrame, maxRows: Int = 100000): String = {
     val sb = new StringBuilder
     sb.append(df.columns.mkString("\t")).append('\n')
-    val str = stringifyComplex(df)
+    val str = stringifyComplex(df.limit(maxRows))
     str.collect().foreach { r =>
       sb.append((0 until r.length).map(i => if (r.isNullAt(i)) "" else String.valueOf(r.get(i))).mkString("\t")).append('\n')
     }

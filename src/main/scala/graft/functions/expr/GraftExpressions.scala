@@ -17,11 +17,28 @@ import org.apache.spark.sql.types._
   * one base hash + k multiply-adds per shingle.
   */
 private object ExprUtil {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
   def isFloatArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
   def col(e: Expression): Column = ColumnBridge.column(e)
+
+  /** Both sides must be arrays of the SAME float/double element type:
+    * the kernels pick float-vs-double accessors from the left child, so a
+    * float/double mix would read garbage instead of failing analysis.
+    */
+  def checkVectorPair(name: String, left: Expression, right: Expression): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(a, _), ArrayType(b, _))
+          if (a == FloatType || a == DoubleType) && a == b =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$name requires two arrays with the same float/double element " +
+            s"type, got ${l.catalogString} and ${r.catalogString}")
+    }
 }
 
 /** cosine(array<float|double>, array<float|double>) -> double */
@@ -29,6 +46,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.checkVectorPair(prettyName, left, right)
   private lazy val isFloat = ExprUtil.isFloatArray(left)
 
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -47,6 +66,8 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.checkVectorPair(prettyName, left, right)
   private lazy val isFloat = ExprUtil.isFloatArray(left)
 
   override def nullSafeEval(a: Any, b: Any): Any =

@@ -9,9 +9,20 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object VectorOps {
 
+  /** Mismatched dimensions are a data bug — silently scoring the common
+    * prefix would return a plausible-but-wrong similarity, so fail loudly.
+    */
+  private def checkedLen(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"vector length mismatch: $n vs ${b.numElements()}")
+    n
+  }
+
   /** Cosine similarity of two numeric arrays (computed in double). */
   def cosine(a: ArrayData, b: ArrayData, isFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedLen(a, b)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -25,7 +36,7 @@ object VectorOps {
   }
 
   def dot(a: ArrayData, b: ArrayData, isFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedLen(a, b)
     var s = 0.0
     var i = 0
     while (i < n) {

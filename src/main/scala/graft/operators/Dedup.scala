@@ -100,12 +100,16 @@ object Dedup {
     val inv = docs.select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
     val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("docfreq"))
       .filter(col("docfreq") >= 2) // singleton shingles can't produce a pair
-    val byRarity = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("docfreq").asc, col("shingle").asc)
+    // per-doc prefix selected WITHIN the row (array_sort + slice) instead of
+    // a row_number window: the re-group by id still shuffles, but there is
+    // no per-partition sort of the whole inverted index, and the rarity
+    // order is computed on each doc's own shingles only
     val prefix = inv.join(dfreq, "shingle")
-      .withColumn("rn", row_number().over(byRarity))
-      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select("shingle", "id", "sz")
+      .groupBy("id").agg(any_value(col("sz")).as("sz"),
+        collect_list(struct(col("docfreq"), col("shingle"))).as("byRarity"))
+      .withColumn("pref", slice(array_sort(col("byRarity")), lit(1),
+        (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")))
+      .select(col("id"), col("sz"), explode(col("pref.shingle")).as("shingle"))
     val a = prefix.select(col("shingle"), col("id").as("a"), col("sz").as("a_sz"))
     val b = prefix.select(col("shingle"), col("id").as("b"), col("sz").as("b_sz"))
     val candidates = a.join(b, Seq("shingle"))

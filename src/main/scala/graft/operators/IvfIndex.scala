@@ -23,10 +23,19 @@ object IvfIndex {
     * initial centroids are the vectors with the `nCells` smallest
     * xxhash64(id) values (a seeded pseudo-random but stable choice).
     * Returns (cellId, centroid array<double>) — small, driver-collectable.
+    *
+    * `sampleFraction` < 1 trains on a seeded Bernoulli sample of the
+    * corpus — the 100 TB shape: centroid quality needs only a
+    * representative sample (FAISS trains coarse quantizers the same way),
+    * so every Lloyd iteration scans `sampleFraction` of the data instead
+    * of all of it. Assignment (`index`) still covers the full corpus.
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, iters: Int = 3, seed: Long = 42L): Array[(Int, Array[Double])] = {
-    val v = corpus.select(col(idCol).as("id"),
+      nCells: Int, iters: Int = 3, seed: Long = 42L,
+      sampleFraction: Double = 1.0): Array[(Int, Array[Double])] = {
+    require(sampleFraction > 0 && sampleFraction <= 1.0, "sampleFraction in (0,1]")
+    val base = if (sampleFraction < 1.0) corpus.sample(sampleFraction, seed) else corpus
+    val v = base.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
     var centroids: Array[(Int, Array[Double])] =
       v.withColumn("h", xxhash64(lit(seed), col("id")))

@@ -33,6 +33,30 @@ object MetadataInspector {
     try reader.getFooter finally reader.close()
   }
 
+  /** The raw thrift footer. parquet-hadoop's converted metadata drops the
+    * fields the reference's metadata tab shows verbatim (format version,
+    * encryption algorithm, footer signing key), so read the footer struct
+    * itself: tail 8 bytes = little-endian footer length + "PAR1" magic,
+    * then the thrift-compact FileMetaData just before them.
+    */
+  def rawFooter(spark: SparkSession, path: String): org.apache.parquet.format.FileMetaData = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    try {
+      val tail = new Array[Byte](8)
+      in.readFully(len - 8, tail, 0, 8)
+      require(tail(4) == 'P' && tail(5) == 'A' && tail(6) == 'R' && tail(7) == '1',
+        s"not a parquet file (bad magic): $path")
+      val footerLen = (tail(0) & 0xff) | ((tail(1) & 0xff) << 8) |
+        ((tail(2) & 0xff) << 16) | ((tail(3) & 0xff) << 24)
+      in.seek(len - 8 - footerLen)
+      org.apache.parquet.format.Util.readFileMetaData(in)
+    } finally in.close()
+  }
+
   /** Aggregated metadata over a multi-file table directory: one row per
     * file plus totals — the 100 TB shape where a "table" is thousands of
     * files. Footer reads parallelize across the cluster via a paths RDD
@@ -69,20 +93,28 @@ object MetadataInspector {
   }
 
   /** Key/value metadata rows exactly as the reference's metadata tab shows
-    * them (reference: src/backend.ts:52-82).
+    * them (reference: src/backend.ts:52-82, fed by DuckDB's
+    * parquet_file_metadata — duckdb-backend.ts:128-140). format_version /
+    * encryption fields come from the raw thrift footer, matching
+    * parquet_file_metadata's output: version as written (1 or 2), NULL
+    * encryption fields for unencrypted files.
     */
   def fileMetadata(spark: SparkSession, path: String): DataFrame = {
-    val f = footer(spark, path)
-    val fm = f.getFileMetaData
-    val blocks = f.getBlocks.asScala
+    val raw = rawFooter(spark, path)
     val rows = Seq(
       Row("file_name", path),
-      Row("created_by", fm.getCreatedBy),
-      Row("num_rows", blocks.map(_.getRowCount).sum.toString),
-      Row("num_row_groups", blocks.size.toString),
-      Row("format_version", "1"),
-      Row("encryption_algorithm", "0"),
-      Row("footer_signing_key_metadata", "0"))
+      Row("created_by", raw.getCreated_by),
+      Row("num_rows", raw.getNum_rows.toString),
+      Row("num_row_groups", raw.getRow_groupsSize.toString),
+      Row("format_version", raw.getVersion.toString),
+      Row("encryption_algorithm",
+        if (raw.isSetEncryption_algorithm)
+          raw.getEncryption_algorithm.getSetField.getFieldName
+        else null),
+      Row("footer_signing_key_metadata",
+        if (raw.isSetFooter_signing_key_metadata)
+          java.util.Base64.getEncoder.encodeToString(raw.getFooter_signing_key_metadata)
+        else null))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 

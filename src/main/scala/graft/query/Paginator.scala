@@ -20,17 +20,24 @@ final case class PageRequest(
 /** Scalable pagination over any DataFrame, mirroring the reference's
   * paginator semantics (reference: src/duckdb-paginator.ts:29-60 builds
   * `SELECT * FROM src [ORDER BY f dir] LIMIT n OFFSET m`) as a Spark plan:
-  * filter → global sort → offset → limit. No driver-side collect; Spark's
-  * `CollectLimit`/`GlobalLimit` with AQE prunes the sort to the pages
-  * needed, and the source DataFrame can be cached by the caller for
-  * repeated paging (QueryEngine does this for query results).
+  * filter → global sort → offset → limit. No driver-side collect; a
+  * sorted page compiles to `TakeOrderedAndProject` (per-partition top-K,
+  * not a full shuffle sort), and the source DataFrame can be cached by
+  * the caller for repeated paging (QueryEngine does this for query
+  * results).
   *
-  * Pages are made stable by appending the remaining columns as
-  * tiebreakers: the reference inherits DuckDB's stable single-file scan
-  * order, which a distributed engine must instead guarantee by total
-  * ordering.
+  * Pages are made stable by ONE synthetic tiebreaker — a row id
+  * materialized once per paginator — instead of sorting by every
+  * remaining column: the reference inherits DuckDB's stable single-file
+  * scan order, which a distributed engine must instead guarantee by a
+  * total order, and on a wide table a single long comparison per tie is
+  * the scale-safe way to get one. The id is deterministic for a fixed
+  * partitioning (cached query results pin it).
   */
 final class Paginator(df: DataFrame) {
+
+  private val withRid =
+    df.withColumn(Paginator.RID, monotonically_increasing_id())
 
   def totalItems: Long = df.count()
 
@@ -41,18 +48,23 @@ final class Paginator(df: DataFrame) {
 
   def page(req: PageRequest): DataFrame = {
     require(req.pageNumber >= 1, "Page number cannot be 0")
-    val searched = req.search.fold(df)(s => Search.search(df, s))
+    // search predicate is built from the ORIGINAL columns so the synthetic
+    // row id can't produce phantom matches
+    val searched = req.search.filter(s => s != null && s.nonEmpty)
+      .fold(withRid)(s => withRid.filter(Search.predicate(df, s)))
     val sorted = req.sort match {
       case Some(SortSpec(f, asc)) =>
         val primary = if (asc) col(f).asc else col(f).desc
-        val ties = searched.columns.filter(_ != f).map(col(_).asc)
-        searched.orderBy(primary +: ties.toSeq: _*)
-      case None => searched
+        searched.orderBy(primary, col(Paginator.RID).asc)
+      case None =>
+        // no user sort: row-id order = stable scan order
+        searched.orderBy(col(Paginator.RID).asc)
     }
-    req.pageSize match {
+    val paged = req.pageSize match {
       case Some(s) => sorted.offset((req.pageNumber - 1) * s).limit(s)
       case None => sorted
     }
+    paged.drop(Paginator.RID)
   }
 
   def firstPage(req: PageRequest): DataFrame = page(req.copy(pageNumber = 1))
@@ -68,4 +80,9 @@ final class Paginator(df: DataFrame) {
     require(req.pageNumber >= 1 && req.pageNumber <= tp, "Invalid page number.")
     page(req)
   }
+}
+
+object Paginator {
+  /** Synthetic tiebreaker column name (dropped from every page). */
+  val RID = "__graft_rid"
 }

@@ -68,18 +68,35 @@ final class QueryEngine(val spark: SparkSession, val path: String) {
     }
   }
 
-  /** Export the current query result, dispatching on the reference's
-    * export-type names (reference: src/worker.ts:268-330 — csv / json /
-    * ndjson / parquet / excel).
+  /** Export, dispatching on the reference's export-type names
+    * (reference: src/worker.ts:268-330 — csv / json / ndjson / parquet /
+    * excel). Mirrors the reference's export semantics:
+    *
+    *  - the active free-text search and sort are applied to the exported
+    *    rows (reference: worker.ts:294-317 builds
+    *    `SELECT * FROM query_result [WHERE <search>] [ORDER BY ...]`),
+    *  - `tab = "schema"` exports the Schema tab itself — the DESCRIBE
+    *    result of the opened file (reference: worker.ts:274-284 creates
+    *    `schema_result` from `DESCRIBE SELECT * FROM read_xx(path)`).
     */
-  def export(exportType: String, path: String): Unit = {
+  def export(exportType: String, path: String,
+             search: Option[String] = None,
+             sort: Option[SortSpec] = None,
+             tab: String = "query"): Unit = {
     import graft.exporters.Exporter
+    import org.apache.spark.sql.functions.col
+    val base =
+      if (tab == "schema") SchemaInspector.describe(data) else queryResult
+    val searched = search.filter(_.nonEmpty).fold(base)(Search.search(base, _))
+    val frame = sort.fold(searched) { s =>
+      searched.orderBy(if (s.ascending) col(s.field).asc else col(s.field).desc)
+    }
     exportType.toLowerCase match {
-      case "csv" => Exporter.csv(queryResult, path)
-      case "json" => Exporter.json(queryResult, path)
-      case "ndjson" => Exporter.ndjson(queryResult, path)
-      case "parquet" => Exporter.parquet(queryResult, path)
-      case "excel" | "xlsx" => Exporter.excel(queryResult, path)
+      case "csv" => Exporter.csv(frame, path)
+      case "json" => Exporter.json(frame, path)
+      case "ndjson" => Exporter.ndjson(frame, path)
+      case "parquet" => Exporter.parquet(frame, path)
+      case "excel" | "xlsx" => Exporter.excel(frame, path)
       case other => throw new IllegalArgumentException(s"Unsupported export type: $other")
     }
   }

@@ -19,7 +19,11 @@ object Tables {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects; read nanos as long and convert (floor) to micros.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Prefer setting this once at session build (Bench/Verify do); the
+      // guarded set here is a fallback for ad-hoc sessions and avoids
+      // re-mutating session conf on every load under concurrent use.
+      if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
@@ -59,16 +63,28 @@ object Tables {
   /** Compact a small-file table directory to `numFiles` files (the
     * perpetual lakehouse maintenance job: file listing + open overhead
     * dominates scans once file count ≫ executor count). Rewrites to a
-    * temp dir then swaps, so readers never see a half-written table.
+    * temp dir, then swaps live → __old → delete, so the canonical path is
+    * never absent and a crash mid-swap leaves a recoverable copy (either
+    * the original at `dir`/`dir__old` or the compacted at `dir`).
+    *
+    * Note: HDFS rename is atomic; object stores (S3) emulate rename with
+    * copy+delete — there, use a manifest/commit-marker layout instead.
     */
   def compact(spark: SparkSession, dir: String, numFiles: Int): Unit = {
-    val tmp = dir + "__compact_tmp"
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + "__old")
+    val live = new org.apache.hadoop.fs.Path(dir)
     spark.read.parquet(dir).repartition(numFiles)
-      .write.mode("overwrite").parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(old, true) // stale leftover from a previous crashed swap
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"compact: cannot move $live aside")
+    if (!fs.rename(tmp, live)) { // roll back: restore the original
+      fs.rename(old, live)
+      throw new java.io.IOException(s"compact: cannot promote $tmp")
+    }
+    fs.delete(old, true)
   }
 
   private def scratchWarehouse: String = {
@@ -83,16 +99,56 @@ object Tables {
     */
   def open(spark: SparkSession, path: String): DataFrame = {
     val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
-    ext match {
-      case "csv" | "tsv" =>
+    val fmt = ext match {
+      case "csv" | "tsv" => ext
+      case "json" | "ndjson" | "jsonl" => "json"
+      case "avro" => "avro"
+      case _ => "parquet" // parquet/pq/parq default, like reference
+    }
+    openAs(spark, path, fmt)
+  }
+
+  /** Open a path with an explicit format (for extension-less directories,
+    * e.g. a distributed CSV write). `s3://` URIs are mapped to `s3a://`
+    * (Spark's hadoop-aws connector scheme); actually reading S3 requires
+    * hadoop-aws + credentials on the cluster classpath (reference maps s3
+    * URIs the same way, duckdb-backend.ts:166-176).
+    */
+  def openAs(spark: SparkSession, rawPath: String, format: String): DataFrame = {
+    val path =
+      if (rawPath.startsWith("s3://")) "s3a://" + rawPath.stripPrefix("s3://")
+      else rawPath
+    format.toLowerCase match {
+      case ext @ ("csv" | "tsv") =>
         spark.read
           .option("header", "true")
           .option("inferSchema", "true")
           .option("delimiter", if (ext == "tsv") "\t" else ",")
           .csv(path)
       case "json" | "ndjson" | "jsonl" => spark.read.json(path)
-      case "avro" => spark.read.format("avro").load(path)
-      case _ => spark.read.parquet(path) // parquet/pq/parq default, like reference
+      case "avro" =>
+        spark.read.format(avroProvider).load(path)
+      case "parquet" | "pq" | "parq" => spark.read.parquet(path)
+      case other =>
+        throw new UnsupportedOperationException(s"unsupported format: $other")
+    }
+  }
+
+  /** The avro DataSource provider, by full class name. The classes ship
+    * inside spark-sql in this distribution, but the short name "avro" is
+    * not service-registered, so `format("avro")` fails with Spark's
+    * "external data source module" error; the full class name bypasses the
+    * short-name lookup. Probed eagerly so a distribution without the
+    * classes fails with a clear message instead of a mid-scan lookup error.
+    */
+  lazy val avroProvider: String = {
+    val provider = "org.apache.spark.sql.avro.AvroFileFormat"
+    try { Class.forName(provider); provider }
+    catch {
+      case _: ClassNotFoundException =>
+        throw new UnsupportedOperationException(
+          "avro requires the org.apache.spark:spark-avro_2.13 module on the " +
+            "classpath; add it via --packages or spark.jars")
     }
   }
 }

@@ -61,11 +61,15 @@ object EventStreams {
   /** Streaming exact dedup: first event per key wins; the watermark
     * bounds state retention (keys older than the horizon are dropped).
     * The streaming face of Dedup.exact for at-least-once sources.
+    *
+    * Keys on `keyCols` ONLY — a redelivered event with the same key but a
+    * different timestamp (e.g. ingestion-time stamping on retry) is still
+    * deduplicated, which `dropDuplicates(key :+ ts)` would miss.
     */
   def streamingDedup(events: DataFrame, keyCols: Seq[String],
       watermarkCol: String = "ts", horizon: String = "2 hours"): DataFrame =
     events.withWatermark(watermarkCol, horizon)
-      .dropDuplicates(keyCols :+ watermarkCol)
+      .dropDuplicatesWithinWatermark(keyCols)
 
   // ---- stateful streaming sessionization ----
 

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** Bounds for q18_approx: sketch outputs are engine-specific, so the
+  * driver gate only checks rows — the correctness claim lives here.
+  * HLL++ (relativeSD default 0.05) must land within 5% of exact distinct;
+  * percentile_approx(accuracy=10000) must pick a value whose true rank is
+  * within 1% of the requested quantile.
+  */
+class ApproxSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val li = Tables.load(spark, TestSpark.sf, "lineitem")
+  private lazy val row = CoreQueries.queries("q18_approx")(spark, TestSpark.sf).first()
+
+  test("HLL distinct counts are within 5% of exact") {
+    val exactOrders = li.select("l_orderkey").distinct().count()
+    val exactParts = li.select("l_partkey").distinct().count()
+    val approxOrders = row.getAs[Long]("approx_orders")
+    val approxParts = row.getAs[Long]("approx_parts")
+    assert(math.abs(approxOrders - exactOrders).toDouble / exactOrders < 0.05,
+      s"approx_orders=$approxOrders exact=$exactOrders")
+    assert(math.abs(approxParts - exactParts).toDouble / exactParts < 0.05,
+      s"approx_parts=$approxParts exact=$exactParts")
+  }
+
+  test("approx percentiles are within rank tolerance of exact") {
+    val n = li.count().toDouble
+    def rankOf(v: Double): Double =
+      li.filter(col("l_extendedprice") <= v).count() / n
+    val median = row.getAs[Double]("median_price")
+    val p95 = row.getAs[Double]("p95_price")
+    assert(math.abs(rankOf(median) - 0.5) <= 0.01,
+      s"median=$median trueRank=${rankOf(median)}")
+    assert(math.abs(rankOf(p95) - 0.95) <= 0.01,
+      s"p95=$p95 trueRank=${rankOf(p95)}")
+    // the returned values are actual data values, not interpolations
+    assert(li.filter(col("l_extendedprice") === median).count() > 0)
+    assert(li.filter(col("l_extendedprice") === p95).count() > 0)
+  }
+}

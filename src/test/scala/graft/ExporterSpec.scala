@@ -57,6 +57,33 @@ class ExporterSpec extends AnyFunSuite {
     } finally zip.close()
   }
 
+  test("xlsx keeps struct columns as their JSON rendering, like the reference") {
+    // reference worker.ts:381-383 renders STRUCT via TO_JSON instead of
+    // dropping it (only LIST/ARRAY/DECIMAL are excluded)
+    val out = TestSpark.scratch("exp_xlsx_struct") + "/nation.xlsx"
+    val withStruct = nation.limit(3)
+      .withColumn("st", struct(col("n_nationkey").as("k"), col("n_name").as("n")))
+    Exporter.excel(withStruct, out)
+    val zip = new ZipFile(out)
+    try {
+      val sheet = zip.getInputStream(zip.getEntry("xl/worksheets/sheet1.xml"))
+      val xml = scala.io.Source.fromInputStream(sheet).mkString
+        .replace("&quot;", "\"")
+      assert(xml.contains("<t>st</t>"), "struct column must be kept")
+      assert(xml.contains("\"k\":"), "struct cells must be JSON-rendered")
+    } finally zip.close()
+  }
+
+  test("json array export is UTF-8 regardless of platform charset") {
+    val out = TestSpark.scratch("exp_json_utf8") + "/unicode.json"
+    val df = spark.range(1).select(lit("naïve — 日本語").as("s"))
+    Exporter.json(df, out)
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(txt.contains("naïve — 日本語"))
+  }
+
   test("excel with only unsupported columns fails like the reference") {
     val onlyArr = nation.select(array(col("n_nationkey")).as("arr"))
     val out = TestSpark.scratch("exp_xlsx_bad") + "/bad.xlsx"

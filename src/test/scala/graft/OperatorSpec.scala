@@ -188,6 +188,22 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3) - math.sqrt(2)) < 1e-9)
   }
 
+  test("mixed float/double vectors fail analysis; length mismatch fails loudly") {
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0, 0.0), Array(1.0, 0.0, 5.0)))
+      .toDF("f", "d", "d3")
+    // float-vs-double mix: rejected at analysis (the kernel picks its
+    // accessor from the left side — a mix would read garbage)
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      df.select(graft.functions.expr.GraftFunctions.cosine(col("f"), col("d"))).collect())
+    assert(e.getMessage.contains("graft_cosine"))
+    // dimension mismatch: loud runtime failure, not a truncated score
+    val e2 = intercept[Throwable](
+      df.select(graft.functions.expr.GraftFunctions.cosine(col("d"), col("d3"))).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e2).exists(_.contains("length mismatch")), messages(e2).toString)
+  }
+
   test("hamming64 via bit_count xor") {
     val df = Seq((0L, -1L)).toDF("a", "b")
     assert(df.select(H.hamming64(col("a"), col("b"))).first().getInt(0) == 64)

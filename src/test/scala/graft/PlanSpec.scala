@@ -109,6 +109,21 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("dt"), s)
   }
 
+  test("a sorted page compiles to TakeOrderedAndProject with one tiebreaker") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import graft.query.{PageRequest, Paginator, SortSpec}
+    val lineitem = Tables.load(spark, TestSpark.sf, "lineitem")
+    val pg = new Paginator(lineitem)
+    val plan = executedNoAqe(
+      pg.page(PageRequest(pageNumber = 3, pageSize = Some(20),
+        sort = Some(SortSpec("l_extendedprice", ascending = false)))))
+    val topk = plan.collect { case t: TakeOrderedAndProjectExec => t }
+    assert(topk.nonEmpty, s"sorted page must be per-partition top-K, not a full sort:\n$plan")
+    // single synthetic tiebreaker, not all remaining columns: on a wide
+    // table the old all-columns sort paid a full-row multi-key compare
+    assert(topk.head.sortOrder.size == 2, topk.head.sortOrder.toString)
+  }
+
   test("SQL function registration (extensions + existing-session register)") {
     GraftExtensions.register(spark)
     val r = spark.sql(

@@ -104,6 +104,38 @@ class QueryEngineSpec extends AnyFunSuite {
     qe.close()
   }
 
+  test("export applies the active search and sort, like the reference") {
+    // reference worker.ts:294-317: every export runs
+    // SELECT * FROM query_result [WHERE <search LIKE>] [ORDER BY f dir]
+    val qe = new QueryEngine(spark, s"${TestSpark.sf}/nation.parquet")
+    qe.query("SELECT n_nationkey, n_name FROM data")
+    val out = TestSpark.scratch("qe_export_searched")
+    qe.export("csv", s"$out/csv", search = Some("TION_2"),
+      sort = Some(SortSpec("n_nationkey", ascending = false)))
+    val back = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$out/csv")
+    val names = back.select("n_name").collect().map(_.getString(0)).toSet
+    // NATION_2, NATION_20..24
+    assert(names.nonEmpty && names.forall(_.contains("TION_2")))
+    assert(back.count() == qe.queryResult.filter(
+      org.apache.spark.sql.functions.col("n_name").contains("TION_2")).count())
+    qe.close()
+  }
+
+  test("schema tab exports as a table, like the reference") {
+    // reference worker.ts:274-284: exporting from the schema tab dumps
+    // DESCRIBE SELECT * FROM read_parquet(path)
+    val qe = new QueryEngine(spark, s"${TestSpark.sf}/nation.parquet")
+    val out = TestSpark.scratch("qe_export_schema")
+    qe.export("csv", s"$out/csv", tab = "schema")
+    val back = spark.read.option("header", "true").csv(s"$out/csv")
+    assert(back.columns.toSeq == Seq("column_name", "column_type", "null"))
+    assert(back.count() == 3) // nation has 3 columns
+    val types = back.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(types("n_name") == "VARCHAR")
+    qe.close()
+  }
+
   test("csv files are opened with the csv reader via QueryEngine") {
     val out = TestSpark.scratch("qe_csv")
     Tables.load(spark, TestSpark.sf, "region")
@@ -144,6 +176,33 @@ class TableMaintenanceSpec extends AnyFunSuite {
     assert(back.count() == 1500)
     assert(back.agg(org.apache.spark.sql.functions.sum("o_orderkey")).first().getLong(0) ==
       o.agg(org.apache.spark.sql.functions.sum("o_orderkey")).first().getLong(0))
+    // swap leaves no residue: neither the tmp dir nor the __old copy remain
+    assert(!new java.io.File(dir + "__compact_tmp").exists())
+    assert(!new java.io.File(dir + "__old").exists())
+  }
+
+  test("avro round-trips through open (Spark 4 bundles the avro source)") {
+    val dir = TestSpark.scratch("avro_table")
+    val r = Tables.load(spark, TestSpark.sf, "region")
+    r.write.mode("overwrite").format(Tables.avroProvider).save(dir)
+    val back = Tables.openAs(spark, dir, "avro")
+    assert(back.count() == 5)
+    assert(back.columns.toSeq == Seq("r_regionkey", "r_name"))
+    // extension dispatch: a concrete .avro file path routes to the reader
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro")).head.getPath
+    assert(Tables.open(spark, file).columns.contains("r_name"))
+  }
+
+  test("unknown explicit format is rejected, s3 scheme is mapped to s3a") {
+    val e = intercept[UnsupportedOperationException](
+      Tables.openAs(spark, "/tmp/x.bin", "protobuf"))
+    assert(e.getMessage.contains("unsupported format"))
+    // s3:// must be rewritten to s3a:// before the reader sees it; with no
+    // s3a connector configured the failure names the s3a path (not s3)
+    val e2 = intercept[Exception](
+      Tables.openAs(spark, "s3://bucket/key.parquet", "parquet").count())
+    assert(!e2.getMessage.contains("s3://") || e2.getMessage.contains("s3a://"))
   }
 }
 
@@ -188,6 +247,25 @@ class MetadataInspectorSpec extends AnyFunSuite {
     assert(md("num_rows") == "6000")
     assert(md("num_row_groups").toInt >= 1)
     assert(md("created_by") != null)
+    // real footer values, matching DuckDB parquet_file_metadata on the
+    // arrow-written testdata: format v2, no encryption (NULL fields)
+    assert(md("format_version") == "2")
+    assert(md("encryption_algorithm") == null)
+    assert(md("footer_signing_key_metadata") == null)
+  }
+
+  test("format_version is read from the footer, not assumed") {
+    // Spark/parquet-mr writes format v1 while the arrow-written testdata
+    // is v2 — reading both proves the field comes from the file
+    val dir = TestSpark.scratch("meta_v1")
+    Tables.load(spark, TestSpark.sf, "region").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getPath
+    val md = MetadataInspector.fileMetadata(spark, file).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(md("format_version") == "1")
+    assert(md("num_rows") == "5")
   }
 
   test("directory metadata aggregates per-file footers distributively") {

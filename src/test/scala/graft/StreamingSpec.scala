@@ -84,8 +84,12 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming dedup drops replayed events (at-least-once source)") {
     val dupDir = TestSpark.scratch("stream_dup_events")
     val ev = Tables.load(spark, TestSpark.sf, "events")
-    // simulate an at-least-once source: every event delivered twice
-    ev.union(ev).write.mode("overwrite").parquet(dupDir)
+    // simulate an at-least-once source: every event delivered twice, the
+    // replay stamped 5s later (ingestion-time restamp on retry) — key-only
+    // dedup must still drop it
+    val replay = ev.withColumn("ts",
+      org.apache.spark.sql.functions.expr("ts + INTERVAL 5 SECONDS"))
+    ev.union(replay).write.mode("overwrite").parquet(dupDir)
     val sdf = spark.readStream.schema(spark.read.parquet(dupDir).schema).parquet(dupDir)
     val q = EventStreams.streamingDedup(sdf, Seq("event_id"))
       .select("event_id")
