@@ -29,6 +29,24 @@ object ExtraQueries {
         .orderBy("event_id")
     }),
 
+    "asof_join_native" -> ((s, dir) => {
+      // Same as-of semantics through the custom Catalyst path: a
+      // first-class LogicalPlan + planner Strategy + streaming merge exec
+      // (plans.AsOfJoinPlan) instead of the union+window plan — one
+      // shuffle per side, no null-padded union rows.
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.plans.AsOfJoinNative.leftAsOf(purchases, clicks,
+        keyCols = Seq("user_id"), timeCol = "ts",
+        rightOrder = "event_id", payload = Seq("event_id", "ts"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("asof_event_id").as("click_id"),
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"))
+        .orderBy("event_id")
+    }),
+
     "q22_cube" -> ((s, dir) =>
       t(s, dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
@@ -145,6 +163,16 @@ object ExtraQueries {
 
   val oracleSql: Map[String, String] = Map(
     "asof_join" ->
+      """SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  c.event_id AS click_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "asof_join_native" ->
       """SELECT p.event_id, p.user_id,
         |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
         |  c.event_id AS click_id,

@@ -14,10 +14,12 @@ import graft.functions.expr._
   * `spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((name, info, builder))
     }
+    ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {

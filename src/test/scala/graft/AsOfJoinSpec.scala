@@ -45,4 +45,63 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(res.count() == 1)
     assert(res.first().isNullAt(res.columns.indexOf("asof_event_id")))
   }
+
+  test("native Catalyst exec matches the union+window plan on real data") {
+    // the custom LogicalPlan/Strategy/merge-exec path (plans.AsOfJoinNative)
+    // must produce exactly the union+window result, including the self-
+    // as-of case where both sides are carved from the same scan
+    val ev = graft.sources.Tables.load(spark, TestSpark.sf, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("asof_event_id"))
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .sortBy(_._1).toSeq
+    val viaWindow = canon(AsOfJoin.leftAsOf(purchases, clicks,
+      Seq("user_id"), "ts", "event_id", Seq("event_id", "ts")))
+    val viaNative = canon(graft.plans.AsOfJoinNative.leftAsOf(purchases, clicks,
+      Seq("user_id"), "ts", "event_id", Seq("event_id", "ts")))
+    assert(viaNative.nonEmpty)
+    assert(viaNative == viaWindow)
+  }
+
+  test("native exec: ties at equal time are visible, largest order wins") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:05")),
+      (2L, 100L, ts("2024-01-01 10:00:10")),
+      (3L, 200L, ts("2024-01-01 10:00:03"))).toDF("event_id", "user_id", "ts")
+    val quotes = Seq(
+      (11L, 100L, ts("2024-01-01 10:00:05")), // tie with trade 1 time
+      (12L, 100L, ts("2024-01-01 10:00:05")), // same time, larger id wins
+      (14L, 200L, ts("2024-01-01 10:00:04"))).toDF("event_id", "user_id", "ts")
+    val res = graft.plans.AsOfJoinNative.leftAsOf(trades, quotes,
+      Seq("user_id"), "ts", "event_id", Seq("event_id"))
+      .select("event_id", "asof_event_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(res == Map(1L -> 12L, 2L -> 12L, 3L -> -1L))
+  }
+
+  test("native exec plans one exchange per side, no union blow-up") {
+    val ev = graft.sources.Tables.load(spark, TestSpark.sf, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+    val df = graft.plans.AsOfJoinNative.leftAsOf(purchases, clicks,
+      Seq("user_id"), "ts", "event_id", Seq("event_id"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      assert(plan.collect { case e: graft.plans.AsOfJoinExec => e }.nonEmpty, plan.toString)
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchanges.size == 2, s"one shuffle per side expected:\n$plan")
+      assert(!plan.toString.contains("Union"), "native path must not union the sides")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
