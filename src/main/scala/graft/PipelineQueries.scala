@@ -18,6 +18,10 @@ object PipelineQueries {
 
   val EmbeddingDim = 64
 
+  /** Target token shares for pipeline_mix (mirrored in its oracle SQL). */
+  val MixTargets: Map[String, Double] =
+    Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.05)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
@@ -125,6 +129,28 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    "pipeline_mix" -> ((s, dir) =>
+      // data mixing: downsample so output token mass follows the target
+      // language shares; rates are DERIVED from corpus token totals
+      graft.operators.Curation.mixToTarget(t(s, dir, "documents"),
+        "doc_id", "text", "lang", MixTargets)),
+
+    "pipeline_pack" -> ((s, dir) =>
+      // token-budget shard packing per language, 512 tokens per shard
+      graft.operators.Curation.packShards(t(s, dir, "documents"),
+        "doc_id", "text", "lang", budget = 512)),
+
+    "pipeline_decontaminate" -> ((s, dir) => {
+      // n-gram decontamination: docs 0..24 stand in for the eval set;
+      // surviving training docs share no word 5-gram with any of them
+      val docs = t(s, dir, "documents")
+      graft.operators.Curation.decontaminate(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+        "doc_id", "text", n = 5)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     "mm_manifest" -> ((s, dir) => {
       val manifest = Multimodal.manifestFromDocuments(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.extractFeatures(s, manifest).toDF()
@@ -181,5 +207,41 @@ object PipelineQueries {
         |      x -> len(x) > 0)) AS n_words,
         |  length("text") AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same derived-rate arithmetic (double ops in the same order) and the
+    // same multiplicative-hash uniform as Curation.mixToTarget
+    "pipeline_mix" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(regexp_split_to_array(lower("text"), '[^\p{L}\p{N}]+'),
+        |         x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), tgt AS (
+        |  SELECT * FROM (VALUES ('en', 0.5), ('de', 0.2), ('fr', 0.15),
+        |                        ('es', 0.1), ('zh', 0.05)) AS t(lang, target)
+        |), tot AS (
+        |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tokens_g
+        |  FROM tok GROUP BY lang
+        |), capd AS (
+        |  SELECT tot.lang, tokens_g, target, tokens_g / target AS cap
+        |  FROM tot JOIN tgt USING (lang)
+        |), c AS (SELECT min(cap) AS c FROM capd),
+        |rates AS (SELECT lang, c.c * target / tokens_g AS rate FROM capd, c)
+        |SELECT doc_id, lang, n_tokens
+        |FROM tok JOIN rates USING (lang)
+        |WHERE ((doc_id * 2654435761) % 1048576) / 1048576.0 < rate
+        |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_pack" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(regexp_split_to_array(lower("text"), '[^\p{L}\p{N}]+'),
+        |         x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(floor((CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) / 512) AS BIGINT) AS shard
+        |FROM tok ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+import graft.sources.Tables
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val docs = Tables.load(spark, TestSpark.sf, "documents")
+
+  /** Pure-Scala replica of the kernel tokenizer (lower-cased letter/digit
+    * runs) — an independent oracle for the n-gram operators.
+    */
+  private def toks(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (Character.isLetterOrDigit(cp))
+        sb.appendAll(Character.toChars(Character.toLowerCase(cp)))
+      else if (sb.nonEmpty) { out += sb.toString; sb.clear() }
+      i += Character.charCount(cp)
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.toSeq
+  }
+
+  private def grams(s: String, n: Int): Set[String] = {
+    val t = toks(s)
+    if (t.isEmpty) Set.empty
+    else if (t.size <= n) Set(t.mkString(" "))
+    else t.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  test("decontaminate matches a brute-force n-gram overlap oracle") {
+    val n = 5
+    val all = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val evalGrams = all.filter(_._1 < 25).values.flatMap(grams(_, n)).toSet
+    val expected = all.filter { case (id, text) =>
+      id >= 25 && grams(text, n).intersect(evalGrams).isEmpty
+    }.keySet
+    val got = Curation.decontaminate(
+      docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+      "doc_id", "text", n)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(got.size < all.count(_._1 >= 25),
+      "some training doc must actually be contaminated for the test to bite")
+  }
+
+  test("mix keeps the binding group whole and is deterministic") {
+    val targets = PipelineQueries.MixTargets
+    val mixed = Curation.mixToTarget(docs, "doc_id", "text", "lang", targets)
+    val kept = mixed.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // subset of the corpus, deterministic across runs
+    val again = Curation.mixToTarget(docs, "doc_id", "text", "lang", targets)
+      .collect().map(r => r.getLong(0)).toSeq
+    assert(kept.map(_._1).toSeq == again)
+    // the binding language (largest tokens/target deficit) keeps rate 1:
+    // every one of its documents survives
+    val totals = docs
+      .select(col("lang"), graft.functions.TextFunctions.wordCount(col("text")).cast("long").as("n"))
+      .groupBy("lang").agg(sum("n").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val binding = totals.minBy { case (l, t) => t / targets(l) }._1
+    assert(kept.count(_._2 == binding) == docs.filter(col("lang") === binding).count())
+    // kept token mass is scaled toward the targets: for every pair of
+    // languages the kept-token ratio is closer to the target ratio than
+    // the raw corpus ratio was (up to per-document sampling noise)
+    val keptTok = kept.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    for (l <- totals.keys if l != binding) {
+      val targetRatio = targets(l) / targets(binding)
+      val rawRatio = totals(l).toDouble / totals(binding)
+      val keptRatio = keptTok.getOrElse(l, 0L).toDouble / keptTok(binding)
+      assert(math.abs(keptRatio - targetRatio) < math.abs(rawRatio - targetRatio) + 0.15,
+        s"$l: kept=$keptRatio target=$targetRatio raw=$rawRatio")
+    }
+  }
+
+  test("pack assigns greedy sequential shards under the token budget") {
+    val budget = 512
+    val packed = Curation.packShards(docs, "doc_id", "text", "lang", budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // exact replay of the greedy rule per language
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (id, _, n, shard) =>
+        assert(shard == cum / budget, s"doc $id")
+        cum += n
+      }
+    }
+    // every shard except possibly the last starts below the budget line
+    val shardTokens = packed.groupBy(r => (r._2, r._4)).view.mapValues(_.map(_._3).sum)
+    shardTokens.foreach { case ((lang, shard), tok) =>
+      val maxDoc = packed.filter(r => r._2 == lang && r._4 == shard).map(_._3).max
+      assert(tok <= budget + maxDoc, s"$lang shard $shard overflows: $tok")
+    }
+  }
+}
