@@ -254,6 +254,16 @@ object CoreQueries {
         .orderBy("n_nationkey")
     }),
 
+    "q36_orc_source" -> ((s, dir) => {
+      // ORC source round-trip (columnar alternative a lakehouse ingests
+      // alongside parquet; Spark's reader is built in).
+      val out = s"${Scratch.dir}/q36_orc_supplier"
+      t(s, dir, "supplier").write.mode("overwrite").orc(out)
+      Tables.openAs(s, out, "orc")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .orderBy("s_suppkey")
+    }),
+
     "meta_rowcount" -> ((s, dir) =>
       // Metadata tab num_rows (reference: backend.ts getMetaData).
       t(s, dir, "lineitem").agg(count(lit(1)).as("num_rows"))),
@@ -430,6 +440,9 @@ object CoreQueries {
 
     "q35_avro_source" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "q36_orc_source" ->
+      "SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_suppkey",
 
     "meta_rowcount" ->
       "SELECT count(*) AS num_rows FROM lineitem",

@@ -40,6 +40,34 @@ object Multimodal {
       (pmod(col(idCol) * 131L, lit(600000))).cast("long").as("duration_ms"),
       encode(col(textCol), "UTF-8").as("bytes"))
 
+  /** Ingest raw media FILES into the manifest schema via Spark's
+    * `binaryFile` source — the real on-ramp for a media corpus (the
+    * synthetic `manifestFromDocuments` stands in when no files exist).
+    * Kind is derived from the file extension; width/height/duration stay
+    * 0 until the (stubbed) decoder fills them. `binaryFile` reads are
+    * distributed file-splits like any other source, so this scales to a
+    * bucket of millions of media files.
+    */
+  def ingestBinaryFiles(spark: SparkSession, dir: String,
+      glob: String = "*"): DataFrame = {
+    val kinds = Map(
+      "jpg" -> "image", "jpeg" -> "image", "png" -> "image", "gif" -> "image",
+      "wav" -> "audio", "mp3" -> "audio", "flac" -> "audio",
+      "mp4" -> "video", "mkv" -> "video", "webm" -> "video")
+    val kindExpr = kinds.foldLeft(lit("binary")) { case (acc, (ext, kind)) =>
+      when(lower(col("path")).endsWith("." + ext), kind).otherwise(acc)
+    }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        kindExpr.as("kind"),
+        col("path").as("uri"),
+        lit(0).as("width"), lit(0).as("height"), lit(0L).as("duration_ms"),
+        col("content").as("bytes"))
+  }
+
   /** STUB decode: deterministic per-record pseudo-features from raw bytes
     * (mean, entropy, an 8-dim "embedding" from rolling byte stats). Runs
     * per-partition over iterator batches — the exact shape a real decoder

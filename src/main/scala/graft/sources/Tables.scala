@@ -103,6 +103,7 @@ object Tables {
       case "csv" | "tsv" => ext
       case "json" | "ndjson" | "jsonl" => "json"
       case "avro" => "avro"
+      case "orc" => "orc"
       case _ => "parquet" // parquet/pq/parq default, like reference
     }
     openAs(spark, path, fmt)
@@ -128,6 +129,7 @@ object Tables {
       case "json" | "ndjson" | "jsonl" => spark.read.json(path)
       case "avro" =>
         spark.read.format(avroProvider).load(path)
+      case "orc" => spark.read.orc(path)
       case "parquet" | "pq" | "parq" => spark.read.parquet(path)
       case other =>
         throw new UnsupportedOperationException(s"unsupported format: $other")

@@ -19,6 +19,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.count() == docs.count())
   }
 
+  test("binaryFile ingestion fills the manifest schema from real files") {
+    val dir = TestSpark.scratch("mm_binary_files")
+    new java.io.File(dir).mkdirs()
+    def write(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name), bytes)
+    write("a.jpg", Array[Byte](1, 2, 3, 4))
+    write("b.wav", Array[Byte](9, 8, 7))
+    write("c.mp4", Array.fill[Byte](64)(42))
+    write("d.bin", Array[Byte](0))
+    val m = Multimodal.ingestBinaryFiles(spark, dir)
+    assert(m.count() == 4)
+    val byKind = m.collect().map(r => r.getAs[String]("uri").split('.').last ->
+      r.getAs[String]("kind")).toMap
+    assert(byKind == Map("jpg" -> "image", "wav" -> "audio",
+      "mp4" -> "video", "bin" -> "binary"))
+    // payload bytes survive the ingestion; ids are deterministic
+    val jpg = m.filter(org.apache.spark.sql.functions.col("uri").endsWith("a.jpg")).first()
+    assert(jpg.getAs[Array[Byte]]("bytes").toSeq == Seq[Byte](1, 2, 3, 4))
+    val ids1 = m.select("media_id").collect().map(_.getLong(0)).sorted
+    val ids2 = Multimodal.ingestBinaryFiles(spark, dir)
+      .select("media_id").collect().map(_.getLong(0)).sorted
+    assert(ids1.sameElements(ids2))
+    // and the ingested manifest feeds straight into the feature extractor
+    assert(Multimodal.extractFeatures(spark, m).count() == 4)
+  }
+
   test("feature extraction is deterministic and partition-independent") {
     val m = Multimodal.manifestFromDocuments(docs, "doc_id", "text")
     val f1 = Multimodal.extractFeatures(spark, m).collect()

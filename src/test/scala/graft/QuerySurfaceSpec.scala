@@ -194,6 +194,18 @@ class TableMaintenanceSpec extends AnyFunSuite {
     assert(Tables.open(spark, file).columns.contains("r_name"))
   }
 
+  test("orc round-trips through open") {
+    val dir = TestSpark.scratch("orc_table")
+    val r = Tables.load(spark, TestSpark.sf, "region")
+    r.write.mode("overwrite").orc(dir)
+    val back = Tables.openAs(spark, dir, "orc")
+    assert(back.count() == 5)
+    assert(back.columns.toSeq == Seq("r_regionkey", "r_name"))
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".orc")).head.getPath
+    assert(Tables.open(spark, file).columns.contains("r_name"))
+  }
+
   test("unknown explicit format is rejected, s3 scheme is mapped to s3a") {
     val e = intercept[UnsupportedOperationException](
       Tables.openAs(spark, "/tmp/x.bin", "protobuf"))
