@@ -38,6 +38,12 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       if (errors.contains(name)) name -> -1.0
       else {
+        // operators that persist() internally (the dedup family) would
+        // otherwise hand the timed run a warm cache from the warmup run
+        // via CacheManager plan-matching — the timed number must include
+        // building those frames, and caches must not accumulate across
+        // the 50+ queries sharing this session
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); () }
         catch { case e: Throwable =>

@@ -36,6 +36,11 @@ object AsOfJoin {
       .withColumn("_asof_ord", lit(Long.MaxValue))
       .withColumn("_asof_payload", lit(null).cast(structType(right, payload)))
     val r = right
+      // SQL equality semantics: a NULL key matches nothing, but the window
+      // partitioning below would group NULLs together — drop unmatchable
+      // right rows up front (null-key left rows then see only left rows in
+      // their partition and correctly get a null payload)
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
       .select((keyCols :+ timeCol :+ rightOrder).distinct.map(col) :+
         struct(payload.map(col): _*).as("_asof_payload"): _*)
       .withColumn("_asof_side", lit(0))

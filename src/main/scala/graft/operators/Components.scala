@@ -27,6 +27,18 @@ object Components {
     * singletons as their own component.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // a silent cast of string ids would turn every edge into (NULL, NULL)
+    // and "converge" to an empty labeling — reject non-integral ids loudly
+    // (hash string ids to longs with xxhash64 at the call site)
+    Seq("a", "b").foreach { c =>
+      import org.apache.spark.sql.types._
+      val ok = pairs.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok, s"connectedComponents needs integral node ids; " +
+        s"column '$c' is ${pairs.schema(c).dataType}")
+    }
     val edges = pairs.select(
       col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
     // localCheckpoint (not persist): the symmetrized edge list is joined

@@ -25,6 +25,20 @@ object Curation {
   private def unitHash(id: org.apache.spark.sql.Column) =
     pmod(id * lit(2654435761L), lit(1048576L)) / lit(1048576.0)
 
+  /** String ids would silently become NULL under the hash arithmetic and
+    * filter every row out — reject them loudly instead.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    val ok = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(ok, s"Curation needs an integral id column; '$idCol' is $dt " +
+      "(hash string ids to longs with xxhash64 first)")
+  }
+
   /** Downsample so the output's token mass over `byCol` follows
     * `targets` (shares summing to 1). The most-constrained group is kept
     * whole: C = min_g(tokens_g / target_g) is the largest achievable
@@ -33,6 +47,7 @@ object Curation {
     */
   def mixToTarget(docs: DataFrame, idCol: String, textCol: String,
       byCol: String, targets: Map[String, Double]): DataFrame = {
+    requireIntegralId(docs, idCol)
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = docs.select(col(idCol), col(byCol),

@@ -14,6 +14,14 @@ import graft.functions.expr.GraftFunctions
   * degenerate key (e.g. the empty document) cannot produce a quadratic
   * bucket on a 100 TB corpus; at that scale the capped buckets are exactly
   * the boilerplate/spam you'd drop anyway.
+  *
+  * Cache note: the near-dup variants persist(MEMORY_AND_DISK) their
+  * multi-consumer intermediates (shingles, prefixes, band rows) so the
+  * expensive kernels run once per invocation, not once per join side.
+  * The frames stay registered until evicted — a long-lived session
+  * calling these in a loop should `spark.catalog.clearCache()` between
+  * rounds (Bench does), or write the shingle table out once, which is
+  * the real 100 TB shape.
   */
 object Dedup {
 

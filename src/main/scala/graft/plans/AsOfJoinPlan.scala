@@ -99,26 +99,36 @@ case class AsOfJoinExec(
       var bestKey: UnsafeRow = null
       lIt.map { lrow =>
         val lk = lKeyProj(lrow)
-        var continue = true
-        while (continue && rIt.hasNext) {
-          val rh = rIt.head
-          val c = keyOrd.compare(rKeyProj(rh), lk)
-          if (c < 0) {
-            // right key below every remaining left key (both sorted): drop
-            rIt.next()
-          } else if (c == 0 && timeOrd.compare(rTimeProj(rh), lTimeProj(lrow)) <= 0) {
-            // visible: later pops (same key, later time/order) overwrite
-            val r = rIt.next()
-            best = payloadProj(r).copy()
-            bestKey = lk.copy()
-          } else {
-            continue = false // right ahead of this left row; maybe next one
+        // SQL equality-join semantics: a NULL key equals nothing — a
+        // null-key left row gets a null payload, null-key right rows
+        // never match (natural ordering would compare null==null)
+        if (lk.anyNull) outProj(joined(lrow, nullPayload))
+        else {
+          var continue = true
+          while (continue && rIt.hasNext) {
+            val rh = rIt.head
+            val rk = rKeyProj(rh)
+            if (rk.anyNull) { rIt.next() } // unmatchable; nulls sort first
+            else {
+              val c = keyOrd.compare(rk, lk)
+              if (c < 0) {
+                // right key below every remaining left key (both sorted)
+                rIt.next()
+              } else if (c == 0 && timeOrd.compare(rTimeProj(rh), lTimeProj(lrow)) <= 0) {
+                // visible: later pops (same key, later time/order) overwrite
+                val r = rIt.next()
+                best = payloadProj(r).copy()
+                bestKey = lk.copy()
+              } else {
+                continue = false // right ahead of this left row; maybe next one
+              }
+            }
           }
+          val p: InternalRow =
+            if (bestKey != null && keyOrd.compare(bestKey, lk) == 0) best
+            else nullPayload
+          outProj(joined(lrow, p))
         }
-        val p: InternalRow =
-          if (bestKey != null && keyOrd.compare(bestKey, lk) == 0) best
-          else nullPayload
-        outProj(joined(lrow, p))
       }
     }
   }

@@ -44,6 +44,8 @@ object MetadataInspector {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val len = fs.getFileStatus(p).getLen
+    // magic(4) + footer + footerLen(4) + magic(4) is the minimum layout
+    require(len >= 12, s"not a parquet file (too short, $len bytes): $path")
     val in = fs.open(p)
     try {
       val tail = new Array[Byte](8)
@@ -52,6 +54,8 @@ object MetadataInspector {
         s"not a parquet file (bad magic): $path")
       val footerLen = (tail(0) & 0xff) | ((tail(1) & 0xff) << 8) |
         ((tail(2) & 0xff) << 16) | ((tail(3) & 0xff) << 24)
+      require(footerLen > 0 && footerLen <= len - 12,
+        s"corrupt parquet footer length $footerLen (file is $len bytes): $path")
       in.seek(len - 8 - footerLen)
       org.apache.parquet.format.Util.readFileMetaData(in)
     } finally in.close()

@@ -26,18 +26,32 @@ final case class PageRequest(
   * the caller for repeated paging (QueryEngine does this for query
   * results).
   *
-  * Pages are made stable by ONE synthetic tiebreaker — a row id
-  * materialized once per paginator — instead of sorting by every
-  * remaining column: the reference inherits DuckDB's stable single-file
-  * scan order, which a distributed engine must instead guarantee by a
-  * total order, and on a wide table a single long comparison per tie is
-  * the scale-safe way to get one. The id is deterministic for a fixed
-  * partitioning (cached query results pin it).
+  * Pages are made stable by ONE synthetic tiebreaker — xxhash64 over all
+  * columns — instead of sorting by every remaining column: the reference
+  * inherits DuckDB's stable single-file scan order, which a distributed
+  * engine must instead guarantee by a total order, and on a wide table a
+  * single long comparison per tie is the scale-safe way to get one. A
+  * value-derived hash is deterministic across jobs and partitionings
+  * (unlike monotonically_increasing_id, which shifts with shuffle fetch
+  * order on uncached inputs); rows identical in every column share a
+  * hash, and any order among full duplicates is content-identical.
   */
 final class Paginator(df: DataFrame) {
 
-  private val withRid =
-    df.withColumn(Paginator.RID, monotonically_increasing_id())
+  private val withRid = {
+    // maps aren't hashable (or orderable) in Spark — leave them out of
+    // the tiebreaker; ties then only collapse rows equal in all other
+    // columns, which a map-keyed UI page can live with
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val cols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    df.withColumn(Paginator.RID,
+      if (cols.isEmpty) lit(0L) else xxhash64(cols.toSeq: _*))
+  }
 
   def totalItems: Long = df.count()
 

@@ -63,9 +63,11 @@ object Tables {
   /** Compact a small-file table directory to `numFiles` files (the
     * perpetual lakehouse maintenance job: file listing + open overhead
     * dominates scans once file count ≫ executor count). Rewrites to a
-    * temp dir, then swaps live → __old → delete, so the canonical path is
-    * never absent and a crash mid-swap leaves a recoverable copy (either
-    * the original at `dir`/`dir__old` or the compacted at `dir`).
+    * temp dir, then swaps live → __old, tmp → live, delete __old. A crash
+    * mid-swap always leaves a complete copy on disk (the original at
+    * `dir` or `dir__old`, or the compacted data at `dir`), though a
+    * reader listing the path between the two renames can still see it
+    * absent for that instant — single-maintainer jobs only.
     *
     * Note: HDFS rename is atomic; object stores (S3) emulate rename with
     * copy+delete — there, use a manifest/commit-marker layout instead.
@@ -81,8 +83,11 @@ object Tables {
     if (!fs.rename(live, old))
       throw new java.io.IOException(s"compact: cannot move $live aside")
     if (!fs.rename(tmp, live)) { // roll back: restore the original
-      fs.rename(old, live)
-      throw new java.io.IOException(s"compact: cannot promote $tmp")
+      if (!fs.rename(old, live))
+        throw new java.io.IOException(
+          s"compact: cannot promote $tmp AND rollback failed — " +
+            s"the original data is intact at $old, restore it manually")
+      throw new java.io.IOException(s"compact: cannot promote $tmp (rolled back)")
     }
     fs.delete(old, true)
   }

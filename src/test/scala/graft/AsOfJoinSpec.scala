@@ -83,6 +83,26 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(res == Map(1L -> 12L, 2L -> 12L, 3L -> -1L))
   }
 
+  test("NULL keys match nothing, like a SQL equality join (both impls)") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, Some(100L), ts("2024-01-01 10:00:05")),
+      (2L, None, ts("2024-01-01 10:00:10"))) // null-key left row
+      .toDF("event_id", "user_id", "ts")
+    val quotes = Seq(
+      (11L, Some(100L), ts("2024-01-01 10:00:01")),
+      (12L, None, ts("2024-01-01 10:00:02"))) // null-key right row
+      .toDF("event_id", "user_id", "ts")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.select("event_id", "asof_event_id").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val expected = Map(1L -> 11L, 2L -> -1L) // null never matches null
+    assert(run(AsOfJoin.leftAsOf(trades, quotes,
+      Seq("user_id"), "ts", "event_id", Seq("event_id"))) == expected)
+    assert(run(graft.plans.AsOfJoinNative.leftAsOf(trades, quotes,
+      Seq("user_id"), "ts", "event_id", Seq("event_id"))) == expected)
+  }
+
   test("native exec plans one exchange per side, no union blow-up") {
     val ev = graft.sources.Tables.load(spark, TestSpark.sf, "events")
     val purchases = ev.filter(col("event_type") === "purchase")

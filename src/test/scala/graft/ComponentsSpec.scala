@@ -55,6 +55,13 @@ class ComponentsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L, 5L, 6L, 7L, 9L, 10L))
   }
 
+  test("string ids are rejected instead of silently casting to NULL") {
+    val e = intercept[IllegalArgumentException](
+      Components.connectedComponents(
+        Seq(("doc_a", "doc_b")).toDF("a", "b")))
+    assert(e.getMessage.contains("integral node ids"))
+  }
+
   test("empty edge list yields an empty labeling") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Components.connectedComponents(empty).count() == 0)

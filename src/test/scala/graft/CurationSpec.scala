@@ -81,6 +81,14 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("string ids are rejected instead of hashing to NULL (empty output)") {
+    import spark.implicits._
+    val stringDocs = Seq(("doc_a", "some text", "en")).toDF("id", "text", "lang")
+    val e = intercept[IllegalArgumentException](
+      Curation.mixToTarget(stringDocs, "id", "text", "lang", Map("en" -> 1.0)))
+    assert(e.getMessage.contains("integral id"))
+  }
+
   test("pack assigns greedy sequential shards under the token budget") {
     val budget = 512
     val packed = Curation.packShards(docs, "doc_id", "text", "lang", budget)
