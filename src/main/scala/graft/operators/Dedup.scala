@@ -183,21 +183,21 @@ object Dedup {
     }: _*)
     val banded = docs.select(col("id"), explode(tables).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
-    // candidates are NOT deduped before verification: a pair colliding in
-    // m of the L tables appears m times, but verifying a duplicate is one
-    // codegen'd cosine against broadcast vectors (map-side, no shuffle),
-    // which is cheaper than shuffling the multi-million-row candidate set
-    // through an early distinct — the distinct runs on the tiny verified
-    // output instead. (The shingle-based variants keep the early distinct:
-    // their verify join carries wide shingle arrays through a shuffle.)
-    val pairs = pairsFromBucketsRaw(banded, maxBucket)
+    // candidate pairs ARE deduped before verification: a pair colliding in
+    // m of the L tables would otherwise be verified m times. The distinct
+    // runs on narrow (a, b) long pairs — a cheap shuffle — and the verify
+    // join back to the vectors is an ordinary shuffle hash join on id, so
+    // nothing corpus-sized is ever broadcast: the vector table can exceed
+    // driver memory / the 8 GB broadcast hard limit and the plan is
+    // unchanged. (Catalyst still auto-broadcasts a side that fits under
+    // autoBroadcastJoinThreshold, so small corpora keep the map-side join.)
+    val pairs = pairsFromBuckets(banded, maxBucket)
     pairs
-      .join(broadcast(docs.select(col("id").as("a"), col("v").as("a_v"))), "a")
-      .join(broadcast(docs.select(col("id").as("b"), col("v").as("b_v"))), "b")
+      .join(docs.select(col("id").as("a"), col("v").as("a_v")), "a")
+      .join(docs.select(col("id").as("b"), col("v").as("b_v")), "b")
       .withColumn("cosine", GraftFunctions.cosine(col("a_v"), col("b_v")))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
-      .distinct()
       .orderBy("a", "b")
   }
 
@@ -211,17 +211,11 @@ object Dedup {
   /** Candidate (a, b) id pairs from (id, band, key) rows with a
     * bucket-size cap: buckets larger than `maxBucket` (degenerate keys)
     * are dropped via a semi-join against the small bucket-size aggregate
-    * before the within-bucket self-join.
+    * before the within-bucket self-join. Pairs colliding in multiple
+    * bands are deduped here — the distinct shuffles only narrow long
+    * pairs, so every caller verifies each candidate exactly once.
     */
-  private def pairsFromBuckets(bandedRaw: DataFrame, maxBucket: Int): DataFrame =
-    pairsFromBucketsRaw(bandedRaw, maxBucket).distinct()
-
-  /** Like pairsFromBuckets but WITHOUT the final distinct: a pair
-    * colliding in m bands appears m times. Callers whose verification is
-    * map-side (broadcast joins + codegen'd scoring) dedupe the verified
-    * output instead and skip a candidate-set-sized shuffle.
-    */
-  private def pairsFromBucketsRaw(bandedRaw: DataFrame, maxBucket: Int): DataFrame = {
+  private def pairsFromBuckets(bandedRaw: DataFrame, maxBucket: Int): DataFrame = {
     // consumed by the bucket-size aggregate, the semi-join and both sides
     // of the self-join — materialize the narrow (id, band, key) rows once
     // so the signature kernels upstream don't run 4x
@@ -234,6 +228,6 @@ object Dedup {
     val a = sized.select(col("band"), col("key"), col("id").as("a"))
     val b = sized.select(col("band"), col("key"), col("id").as("b"))
     a.join(b, Seq("band", "key")).filter(col("a") < col("b"))
-      .select("a", "b")
+      .select("a", "b").distinct()
   }
 }

@@ -47,6 +47,28 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 0)))
   }
 
+  test("simhash banding finds every hamming<=k pair on real documents (uncapped)") {
+    // brute-force oracle over the sf0.01 documents table: ALL pairs whose
+    // 64-bit simhash signatures are within hamming 3. With 4 band slices,
+    // hamming <= 3 pairs MUST share at least one identical slice
+    // (pigeonhole), so uncapped banding is complete — not just on the
+    // three fixed strings above but on the full real corpus.
+    val real = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val sigs = real.select(col("doc_id").as("id"),
+      graft.functions.expr.GraftFunctions.simhash64(T.tokens(col("text"))).as("sig"))
+    val a = sigs.select(col("id").as("a"), col("sig").as("a_sig"))
+    val b = sigs.select(col("id").as("b"), col("sig").as("b_sig"))
+    val oracle = a.crossJoin(b).filter(col("a") < col("b"))
+      .withColumn("h", H.hamming64(col("a_sig"), col("b_sig")))
+      .filter(col("h") <= 3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oracle.nonEmpty, "sf0.01 documents must contain hamming<=3 pairs")
+    val got = Dedup.simhash(real, "doc_id", "text", maxHamming = 3, bands = 4,
+      maxBucket = Int.MaxValue)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == oracle, s"missed=${oracle -- got} extra=${got -- oracle}")
+  }
+
   test("ngram jaccard agrees with the brute-force oracle at threshold 0.5") {
     val sample = docs.filter(col("doc_id") < 100)
     val sh = sample.select(col("doc_id").as("id"), H.shingles(col("text"), 3).as("sh"))
