@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{ColumnBridge => Ckpt}
 
 /** Distributed connected components over an edge list — the transitive
   * step a real dedup pipeline needs between PAIRS and ACTIONS: near-dup
@@ -16,8 +17,17 @@ import org.apache.spark.sql.functions._
   * shuffles only narrow (id, label) pairs — the MapReduce-CC shape of
   * Kiveris et al., "Connected Components in MapReduce and Beyond"
   * (SoCC'14) — and `localCheckpoint` truncates the plan so lineage does
-  * not grow with iterations. The driver sees one converged-count per
-  * round (control flow only; data never leaves the cluster).
+  * not grow with iterations; each round frees the previous round's
+  * checkpoint blocks once its own count materializes, so block-manager
+  * storage stays O(1) in the number of rounds. The driver sees one
+  * converged-count per round (control flow only; data never leaves the
+  * cluster).
+  *
+  * Durability note: `localCheckpoint` stores blocks on executors, not
+  * reliable storage — an executor loss mid-run fails the job (Spark
+  * cannot recompute a truncated lineage). For long cluster runs, set a
+  * checkpoint dir and swap in reliable `checkpoint()`: same plan shape,
+  * same O(log L) rounds, blocks on the cluster FS.
   */
 object Components {
 
@@ -73,12 +83,18 @@ object Components {
         .select(col("x.id").as("id"),
           coalesce(col("y.ccomp"), col("x.comp")).as("comp"))
         .localCheckpoint()
+      // jumped is materialized (localCheckpoint is eager) — pulled's
+      // blocks are dead from here
+      Ckpt.unpersistLocalCheckpoint(pulled)
       changed = jumped.as("n")
         .join(lab.select(col("id"), col("comp").as("old")).as("o"), "id")
         .filter(col("comp") =!= col("old")).count()
+      // the convergence count was the old labeling's last consumer
+      Ckpt.unpersistLocalCheckpoint(lab)
       lab = jumped
       it += 1
     }
+    Ckpt.unpersistLocalCheckpoint(sym)
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds")
     lab

