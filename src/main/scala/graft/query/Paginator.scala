@@ -38,6 +38,11 @@ final case class PageRequest(
   */
 final class Paginator(df: DataFrame) {
 
+  // the synthetic tiebreaker would silently replace (and then drop) a
+  // user column of the same name, and the hash would cover the wrong data
+  require(!df.columns.contains(Paginator.RID),
+    s"input already has a '${Paginator.RID}' column — rename it before paging")
+
   private val withRid = {
     // maps aren't hashable (or orderable) in Spark — leave them out of
     // the tiebreaker; ties then only collapse rows equal in all other
@@ -53,25 +58,39 @@ final class Paginator(df: DataFrame) {
       if (cols.isEmpty) lit(0L) else xxhash64(cols.toSeq: _*))
   }
 
-  def totalItems: Long = df.count()
+  private def normalized(search: Option[String]): Option[String] =
+    search.filter(s => s != null && s.nonEmpty)
 
-  def totalPages(pageSize: Option[Int]): Long = pageSize match {
+  /** Item count with the free-text search applied — the bound every page
+    * navigation validates against, mirroring the reference's
+    * `query_result_filtered` flow (reference: src/worker.ts:134-180
+    * materializes the searched result and pages/counts THAT).
+    */
+  def totalItems(search: Option[String]): Long =
+    normalized(search).fold(df)(s => df.filter(Search.predicate(df, s))).count()
+
+  def totalItems: Long = totalItems(None)
+
+  def totalPages(pageSize: Option[Int], search: Option[String]): Long = pageSize match {
     case None => 1L
-    case Some(s) => math.ceil(totalItems.toDouble / s).toLong
+    case Some(s) => math.ceil(totalItems(search).toDouble / s).toLong
   }
+
+  def totalPages(pageSize: Option[Int]): Long = totalPages(pageSize, None)
 
   def page(req: PageRequest): DataFrame = {
     require(req.pageNumber >= 1, "Page number cannot be 0")
     // search predicate is built from the ORIGINAL columns so the synthetic
     // row id can't produce phantom matches
-    val searched = req.search.filter(s => s != null && s.nonEmpty)
+    val searched = normalized(req.search)
       .fold(withRid)(s => withRid.filter(Search.predicate(df, s)))
     val sorted = req.sort match {
       case Some(SortSpec(f, asc)) =>
         val primary = if (asc) col(f).asc else col(f).desc
         searched.orderBy(primary, col(Paginator.RID).asc)
       case None =>
-        // no user sort: row-id order = stable scan order
+        // no user sort: a deterministic hash total order (NOT the file's
+        // scan order — a distributed engine has no stable natural order)
         searched.orderBy(col(Paginator.RID).asc)
     }
     val paged = req.pageSize match {
@@ -83,14 +102,14 @@ final class Paginator(df: DataFrame) {
 
   def firstPage(req: PageRequest): DataFrame = page(req.copy(pageNumber = 1))
   def lastPage(req: PageRequest): DataFrame =
-    page(req.copy(pageNumber = totalPages(req.pageSize).toInt.max(1)))
+    page(req.copy(pageNumber = totalPages(req.pageSize, req.search).toInt.max(1)))
   def nextPage(req: PageRequest): DataFrame = {
-    val tp = totalPages(req.pageSize)
+    val tp = totalPages(req.pageSize, req.search)
     require(req.pageNumber <= tp, "No more pages available.")
     page(req)
   }
   def gotoPage(req: PageRequest): DataFrame = {
-    val tp = totalPages(req.pageSize)
+    val tp = totalPages(req.pageSize, req.search)
     require(req.pageNumber >= 1 && req.pageNumber <= tp, "Invalid page number.")
     page(req)
   }

@@ -28,17 +28,53 @@ final class QueryEngine(val spark: SparkSession, val path: String) {
   data.createOrReplaceTempView("data")
 
   private var cached: Option[DataFrame] = None
+  private var searchCached: Option[(String, DataFrame)] = None
 
   def defaultQuery: String = "SELECT *\nFROM data\nLIMIT 1000"
 
-  /** Run user SQL; result becomes the new `query_result`. */
+  /** Run user SQL; result becomes the new `query_result`. Queries written
+    * in the reference's placeholder style — `read_parquet('path')` /
+    * `read_csv('path')` / `read_avro('path')` (reference:
+    * src/worker.ts:236-241 rewrites the placeholder to the real reader
+    * call) — are rewritten to the opened file's `data` view, which is the
+    * same table the real reader call would produce.
+    */
   def query(sql: String): DataFrame = {
     cached.foreach(_.unpersist(blocking = false))
-    val out = spark.sql(sql).persist(StorageLevel.MEMORY_AND_DISK)
+    dropSearchCache()
+    val rewritten = QueryEngine.PathPlaceholder.replaceAllIn(sql, "data")
+    val out = spark.sql(rewritten).persist(StorageLevel.MEMORY_AND_DISK)
     out.createOrReplaceTempView("query_result")
     cached = Some(out)
     out
   }
+
+  private def dropSearchCache(): Unit = {
+    searchCached.foreach(_._2.unpersist(blocking = false))
+    searchCached = None
+  }
+
+  /** The current query result with the free-text search applied,
+    * materialized ONCE and re-used — the reference materializes the
+    * filtered result as a `query_result_filtered` table and pages/counts
+    * that (reference: src/worker.ts:134-180); re-filtering the corpus on
+    * every page request would re-scan it each time at 100 TB.
+    */
+  def searchResult(term: String): DataFrame = searchCached match {
+    case Some((t, f)) if t == term => f
+    case _ =>
+      dropSearchCache()
+      val f = Search.search(queryResult, term).persist(StorageLevel.MEMORY_AND_DISK)
+      f.createOrReplaceTempView("query_result_filtered")
+      searchCached = Some((term, f))
+      f
+  }
+
+  /** Paginator over the materialized searched result: page bounds and
+    * page fetches both read the persisted filtered frame, so requests
+    * need not re-carry the search term.
+    */
+  def searchPaginator(term: String): Paginator = new Paginator(searchResult(term))
 
   def queryResult: DataFrame = cached.getOrElse(query(defaultQuery))
 
@@ -110,5 +146,14 @@ final class QueryEngine(val spark: SparkSession, val path: String) {
   def close(): Unit = {
     cached.foreach(_.unpersist(blocking = false))
     cached = None
+    dropSearchCache()
   }
+}
+
+object QueryEngine {
+  /** The reference's reader-call placeholder (src/worker.ts:238):
+    * `read_parquet('path')` etc., case-insensitive.
+    */
+  private val PathPlaceholder =
+    "(?i)(?:read_parquet|read_csv|read_avro)\\('path'\\)".r
 }

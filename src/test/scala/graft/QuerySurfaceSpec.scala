@@ -47,6 +47,39 @@ class PaginatorSpec extends AnyFunSuite {
     assert(res.count() == 10)
     assert(res.select("o_orderpriority").collect().forall(_.getString(0) == "1-URGENT"))
   }
+
+  test("page bounds reflect the active search, like the reference's filtered table") {
+    // reference worker.ts:134-180 materializes query_result_filtered and
+    // counts/pages THAT — bounds must shrink with the search
+    val p = new Paginator(orders)
+    val term = "1-URGENT"
+    val n = orders.filter(col("o_orderpriority") === term).count()
+    assert(n > 0 && n < p.totalItems)
+    assert(p.totalItems(Some(term)) == n)
+    val pageSize = 100
+    val searchedPages = math.ceil(n.toDouble / pageSize).toLong
+    assert(p.totalPages(Some(pageSize), Some(term)) == searchedPages)
+    val req = PageRequest(pageSize = Some(pageSize), search = Some(term),
+      sort = Some(SortSpec("o_orderkey")))
+    // lastPage lands on the final NON-EMPTY page of the filtered set
+    val last = p.lastPage(req).collect()
+    assert(last.nonEmpty)
+    assert(last.length == (n - (searchedPages - 1) * pageSize))
+    // a page valid against the unfiltered count but past the filtered end
+    // is rejected (it used to return silent empties)
+    val pastFiltered = (searchedPages + 1).toInt
+    assert(pastFiltered <= p.totalPages(Some(pageSize)))
+    assertThrows[IllegalArgumentException](
+      p.gotoPage(req.copy(pageNumber = pastFiltered)))
+    assertThrows[IllegalArgumentException](
+      p.nextPage(req.copy(pageNumber = pastFiltered)))
+  }
+
+  test("a pre-existing tiebreaker-named column is rejected, not clobbered") {
+    val bad = orders.withColumn(Paginator.RID, lit(7L))
+    val e = intercept[IllegalArgumentException](new Paginator(bad))
+    assert(e.getMessage.contains(Paginator.RID))
+  }
 }
 
 class SearchSpec extends AnyFunSuite {
@@ -133,6 +166,37 @@ class QueryEngineSpec extends AnyFunSuite {
     assert(back.count() == 3) // nation has 3 columns
     val types = back.collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(types("n_name") == "VARCHAR")
+    qe.close()
+  }
+
+  test("read_parquet('path') placeholder queries are rewritten, like the reference") {
+    // reference worker.ts:236-241: (read_parquet|read_csv|read_avro)('path')
+    // is replaced with the real reader call on the opened file
+    val qe = new QueryEngine(spark, s"${TestSpark.sf}/nation.parquet")
+    val res = qe.query("SELECT n_nationkey FROM read_parquet('path') WHERE n_nationkey < 5")
+    assert(res.count() == 5)
+    // case-insensitive, and the other reader names map to the same file
+    assert(qe.query("SELECT count(*) AS n FROM READ_CSV('path')").first().getLong(0) == 25)
+    qe.close()
+  }
+
+  test("searchResult materializes the filtered frame once and pages it") {
+    val qe = new QueryEngine(spark, s"${TestSpark.sf}/orders.parquet")
+    qe.query("SELECT * FROM data")
+    val n = qe.queryResult.filter(col("o_orderpriority") === "1-URGENT").count()
+    val filtered = qe.searchResult("1-URGENT")
+    assert(filtered.count() == n)
+    // registered for follow-up SQL like the reference's table
+    assert(spark.sql("SELECT count(*) AS n FROM query_result_filtered")
+      .first().getLong(0) == n)
+    // same term returns the SAME cached frame; a new term replaces it
+    assert(qe.searchResult("1-URGENT") eq filtered)
+    assert(qe.searchResult("2-HIGH") ne filtered)
+    // paging over the filtered frame needs no per-request search
+    val p = qe.searchPaginator("1-URGENT")
+    assert(p.totalItems == n)
+    val page = p.page(PageRequest(pageSize = Some(10), sort = Some(SortSpec("o_orderkey"))))
+    assert(page.count() == 10)
     qe.close()
   }
 
