@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify print a machine-parsed JSON line that must be the LAST
+// stdout line even under `sbt runMain`: route forked output straight to
+// stdout (instead of sbt's [info]-prefixed logger) and drop the trailing
+// [success] banner.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

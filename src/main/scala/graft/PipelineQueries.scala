@@ -129,6 +129,27 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    "dedup_cluster_survivors" -> ((s, dir) => {
+      // the full dedup pipeline, end-to-end: PAIRS (exact-dup edges) →
+      // connected components → one survivor per cluster. Edges are a
+      // CHAIN per duplicate group (consecutive doc_ids), not a clique:
+      // a group of n copies contributes n-1 edges whose transitive
+      // closure the pointer jumping must actually compute, while DuckDB
+      // can still reproduce the survivor set (component min == group
+      // min, since every group is one chain).
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val w = Window.partitionBy("h").orderBy("doc_id")
+      val pairs = docs
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        .withColumn("prev", lag("doc_id", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("a"), col("doc_id").as("b"))
+      graft.operators.Components.clusterSurvivors(docs, "doc_id", pairs)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     "pipeline_mix" -> ((s, dir) =>
       // data mixing: downsample so output token mass follows the target
       // language shares; rates are DERIVED from corpus token totals
@@ -152,7 +173,18 @@ object PipelineQueries {
     }),
 
     "mm_manifest" -> ((s, dir) => {
-      val manifest = Multimodal.manifestFromDocuments(t(s, dir, "documents"), "doc_id", "text")
+      // the REAL on-ramp at the gate: materialize media files from the
+      // documents table, then ingest them through Spark's binaryFile
+      // source (distributed file-split scan) — the synthetic
+      // manifestFromDocuments path stays library-only for file-less
+      // corpora. media_id is re-derived from the file NAME so the output
+      // is deterministic across scratch locations.
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val mediaDir = Multimodal.writeMediaFixture(
+        docs, "doc_id", "text", s"${Scratch.dir}/mm_media")
+      val manifest = Multimodal.ingestBinaryFiles(s, mediaDir)
+        .withColumn("media_id",
+          regexp_extract(col("uri"), "media_(\\d+)\\.", 1).cast("long"))
       Multimodal.extractFeatures(s, manifest).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("byte_mean"), col("byte_entropy"))
@@ -201,6 +233,12 @@ object PipelineQueries {
         |  CAST(MIN(event_id) OVER (PARTITION BY user_id, sess) AS BIGINT) AS component
         |FROM y ORDER BY event_id""".stripMargin,
 
+    // survivors of chain-edge components == one doc per sha256 group
+    "dedup_cluster_survivors" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256("text"))
+        |ORDER BY doc_id""".stripMargin,
+
     "text_tokens" ->
       """SELECT doc_id,
         |  len(list_filter(regexp_split_to_array(lower("text"), '[^\p{L}\p{N}]+'),
@@ -229,7 +267,7 @@ object PipelineQueries {
         |rates AS (SELECT lang, c.c * target / tokens_g AS rate FROM capd, c)
         |SELECT doc_id, lang, n_tokens
         |FROM tok JOIN rates USING (lang)
-        |WHERE ((doc_id * 2654435761) % 1048576) / 1048576.0 < rate
+        |WHERE (((doc_id % 1048576) * 2654435761) % 1048576) / 1048576.0 < rate
         |ORDER BY doc_id""".stripMargin,
 
     "pipeline_pack" ->

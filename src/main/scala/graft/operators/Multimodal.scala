@@ -68,6 +68,35 @@ object Multimodal {
         col("content").as("bytes"))
   }
 
+  /** Write a deterministic media-file fixture from a documents frame: one
+    * file per row named `media_<id>.<ext>` (extension cycles image/audio/
+    * video), content = the text bytes standing in for an encoded payload.
+    * The target dir is cleared first so re-runs at a different scale
+    * factor can't leak stale files. Files are written from the executors
+    * (`foreachPartition`) — on a cluster the same code writes to shared
+    * storage; this exists so `ingestBinaryFiles` can be exercised against
+    * real files wherever the corpus has none.
+    */
+  def writeMediaFixture(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): String = {
+    val d = new java.io.File(dir)
+    if (d.exists()) d.listFiles().foreach(f => { f.delete(); () })
+    d.mkdirs()
+    val exts = Array("png", "wav", "mp4")
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          val id = r.getLong(0)
+          val ext = exts(((id % 3 + 3) % 3).toInt)
+          java.nio.file.Files.write(
+            new java.io.File(d, s"media_$id.$ext").toPath,
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          ()
+        }
+      }
+    dir
+  }
+
   /** STUB decode: deterministic per-record pseudo-features from raw bytes
     * (mean, entropy, an 8-dim "embedding" from rolling byte stats). Runs
     * per-partition over iterator batches — the exact shape a real decoder

@@ -45,6 +45,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.extractFeatures(spark, m).count() == 4)
   }
 
+  test("media fixture writes one deterministic file per doc and clears stale files") {
+    val dir = TestSpark.scratch("mm_fixture")
+    // a stale file from a previous (larger) run must not survive
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "media_999999.png"),
+      Array[Byte](1))
+    val sample = docs.filter(col("doc_id") < 10)
+    Multimodal.writeMediaFixture(sample, "doc_id", "text", dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.length == sample.count())
+    assert(!files.contains("media_999999.png"))
+    assert(files.forall(_.matches("media_\\d+\\.(png|wav|mp4)")))
+    // the gate pipeline over the fixture: binaryFile ingest + name-derived
+    // ids + stub features, fully deterministic across runs
+    def run() = {
+      val man = Multimodal.ingestBinaryFiles(spark, dir)
+        .withColumn("media_id",
+          regexp_extract(col("uri"), "media_(\\d+)\\.", 1).cast("long"))
+      Multimodal.extractFeatures(spark, man).collect()
+        .map(f => f.media_id -> (f.kind, f.n_bytes, f.byte_mean, f.byte_entropy))
+        .toSeq.sortBy(_._1)
+    }
+    val r1 = run()
+    Multimodal.writeMediaFixture(sample, "doc_id", "text", dir)
+    val r2 = run()
+    assert(r1 == r2 && r1.length == sample.count().toInt)
+    assert(r1.map(_._1) == (0L until sample.count()).toSeq)
+  }
+
   test("feature extraction is deterministic and partition-independent") {
     val m = Multimodal.manifestFromDocuments(docs, "doc_id", "text")
     val f1 = Multimodal.extractFeatures(spark, m).collect()
