@@ -56,6 +56,9 @@ object GraftExtensions {
     entry("graft_sorted_intersect_size", "intersection size of two sorted string arrays") {
       case Seq(a, b) => SortedIntersectSize(a, b)
     },
+    entry("graft_top_token_count", "max multiplicity of any token in a token array") {
+      case Seq(t) => TopTokenCount(t)
+    },
   )
 
   /** Register the graft SQL functions into an already-built session. */

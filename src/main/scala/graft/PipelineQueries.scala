@@ -80,6 +80,27 @@ object PipelineQueries {
         centroids, k = 10, nProbe = 4)
     }),
 
+    "ann_ivfpq" -> ((s, dir) => {
+      // IVF-PQ: sampled train (the 100 TB path), residual-coded index,
+      // ADC scan over probed cells, exact re-rank of the shortlist
+      val e = t(s, dir, "embeddings")
+      val model = graft.operators.PqIndex.train(e, "vec_id", "embedding",
+        nCells = 16, m = 8, kCodes = 16, sampleFraction = 0.5)
+      val enc = graft.operators.PqIndex.encode(e, "vec_id", "embedding", model)
+      graft.operators.PqIndex.search(enc, e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", model,
+        k = 10, nProbe = 4, refine = 4)
+    }),
+
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "pipeline_quality_filter" -> ((s, dir) =>
+      graft.operators.Curation.qualityFilter(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
     "text_langid" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), graft.functions.TextFunctions.langId(col("text")).as("lang_pred"))
@@ -192,7 +213,177 @@ object PipelineQueries {
     }),
   )
 
+  // ---- DuckDB mirrors of the text kernels (oracle SQL building blocks).
+  // Tokenization: graft.functions.expr.WordTokens keeps letter/digit runs,
+  // lower-cased — on this corpus identical to the regex split below (the
+  // text_tokens oracle proves the count parity at both SFs).
+  private val ToksSql =
+    """list_filter(regexp_split_to_array(lower("text"), '[^\p{L}\p{N}]+'), x -> len(x) > 0)"""
+
+  private def swListSql(lang: String): String =
+    graft.functions.TextFunctions.stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
+
+  private def hitsSql(lang: String): String =
+    s"len(list_filter(ts, x -> list_contains(${swListSql(lang)}, x)))"
+
+  private val LangsSorted = graft.functions.TextFunctions.stopwords.keys.toSeq.sorted
+
+  // same argmax + tie-break order as TextFunctions.langId (sorted keys,
+  // first language reaching the max wins; 'und' when every score is 0)
+  private val BestSql = LangsSorted.map(l => s"h_$l").mkString("greatest(", ",", ")")
+  private val LangCaseSql =
+    s"CASE WHEN $BestSql <= 0 THEN 'und' " +
+      LangsSorted.map(l => s"WHEN h_$l = $BestSql THEN '$l'").mkString(" ") +
+      " ELSE 'und' END"
+  private val HitsCols = LangsSorted.map(l => s"${hitsSql(l)} AS h_$l").mkString(", ")
+
+  /** DuckDB mirror of HashFunctions.shingles: distinct sorted space-joined
+    * lower-cased word n-grams.
+    */
+  private def ngramsSql(n: Int): String =
+    s"""list_sort(list_distinct(list_transform(
+       |    generate_series(1, greatest(len(ts) - ${n - 1}, 0)),
+       |    i -> array_to_string(ts[i:i+${n - 1}], ' '))))""".stripMargin
+
+  /** DuckDB mirror of the repetition metrics: count of DISTINCT word
+    * n-grams (only referenced where len(ts) > n, so generate_series is
+    * non-empty) and mode token multiplicity (TopTokenCount kernel).
+    */
+  private def distinctNgramsSql(n: Int): String =
+    s"""len(list_distinct(list_transform(generate_series(1, len(ts) - ${n - 1}),
+       |      i -> array_to_string(ts[i:i+${n - 1}], ' '))))""".stripMargin
+
+  private val TopTokenSql =
+    "list_max(list_transform(list_distinct(ts), w -> len(list_filter(ts, x -> x = w))))"
+
+  /** Brute-force all-pairs n-gram Jaccard >= threshold — exact truth for
+    * the LSH-pruned similarity joins (quadratic, fine at oracle scale).
+    * Jaccard is computed with the same double arithmetic as verifyJaccard:
+    * inter / (|a| + |b| - inter), rounded to 4.
+    */
+  private def bruteJaccardSql(n: Int, threshold: Double): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${ngramsSql(n)} AS sh
+       |  FROM (SELECT doc_id, $ToksSql AS ts FROM documents)
+       |), nz AS (SELECT doc_id, sh, len(sh) AS sz FROM sh WHERE len(sh) > 0),
+       |p AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b,
+       |    len(list_intersect(x.sh, y.sh))::DOUBLE AS inter,
+       |    x.sz::DOUBLE AS asz, y.sz::DOUBLE AS bsz
+       |  FROM nz x JOIN nz y ON x.doc_id < y.doc_id
+       |)
+       |SELECT a, b, round(inter / (asz + bsz - inter), 4) AS jaccard
+       |FROM p WHERE inter / (asz + bsz - inter) >= $threshold ORDER BY a, b""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // exact truth via DuckDB's own cosine — rank ties broken by id on both
+    // sides; round(4) absorbs last-ulp accumulation drift
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        |  SELECT q.qid, e.vec_id AS id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS c
+        |  FROM embeddings e, q
+        |),
+        |r AS (SELECT qid, id, c,
+        |        row_number() OVER (PARTITION BY qid ORDER BY c DESC, id) AS rk
+        |      FROM s)
+        |SELECT qid, id, round(c, 4) AS cosine, rk FROM r WHERE rk <= 10
+        |ORDER BY qid, rk""".stripMargin,
+
+    // exact: PPJoin prefix filtering is lossless, so the LSH-free
+    // brute-force all-pairs Jaccard is the complete truth
+    "dedup_ngram_jaccard" -> bruteJaccardSql(3, 0.5),
+
+    // the MinHash gate entry equals the exact all-pairs result because
+    // banding recall at (16 bands x 4 rows) is 1-(1-j^4)^16 ≈ 0.9998 at
+    // j=0.8 and ≈1 at the j≈1.0 duplicates this corpus actually contains;
+    // banding completeness is additionally spec-proven (OperatorSpec)
+    "dedup_minhash" -> bruteJaccardSql(3, 0.8),
+
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+         |h AS (SELECT doc_id, $HitsCols FROM t)
+         |SELECT doc_id, $LangCaseSql AS lang_pred FROM h ORDER BY doc_id""".stripMargin,
+
+    // full quality-surface mirror: bpeish token count re-expressed without
+    // lookarounds (RE2) as letter-runs + digit-runs + non-alnum-non-space
+    // chars; composite score recomputed with the same double arithmetic
+    // and associativity as TextFunctions.qualityScore
+    "text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, "text", $ToksSql AS ts FROM documents
+         |), m AS (
+         |  SELECT doc_id, "text", ts, $HitsCols,
+         |    CAST(len(ts) AS BIGINT) AS n_words,
+         |    CAST(len(regexp_extract_all("text", '\\p{L}+'))
+         |       + len(regexp_extract_all("text", '\\p{N}+'))
+         |       + len(regexp_extract_all("text", '[^\\p{L}\\p{N}\\s]')) AS BIGINT) AS n_tokens,
+         |    CAST(length("text") AS BIGINT) AS n_chars,
+         |    CASE WHEN length("text") = 0 THEN 0.0
+         |         ELSE len(regexp_extract_all("text", '[[:punct:]]'))::DOUBLE / length("text")::DOUBLE END AS pr,
+         |    CASE WHEN len(ts) = 0 THEN 0.0
+         |         ELSE ${hitsSql("en")}::DOUBLE / len(ts)::DOUBLE END AS sw,
+         |    CASE WHEN len(ts) = 0 THEN 0.0
+         |         ELSE list_sum(list_transform(ts, x -> len(x)))::DOUBLE / len(ts)::DOUBLE END AS awl
+         |  FROM t
+         |)
+         |SELECT doc_id, $LangCaseSql AS lang_pred, n_words, n_tokens, n_chars,
+         |  round(pr, 4) AS punct_ratio, round(sw, 4) AS stopword_ratio, round(awl, 4) AS avg_word_len,
+         |  round(least(n_words::DOUBLE / 100.0, 1.0) * 0.3
+         |      + greatest(0.0, 1.0 - pr * 4.0) * 0.3
+         |      + least(sw * 3.0, 1.0) * 0.2
+         |      + (CASE WHEN awl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 4) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // duplicate-n-gram fractions + top-word share; short docs (<= n words)
+    // are 0 by definition on both sides
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(ts) AS BIGINT) AS n_words,
+         |  CASE WHEN len(ts) <= 2 THEN 0.0
+         |       ELSE round(1.0 - ${distinctNgramsSql(2)}::DOUBLE / (len(ts) - 1)::DOUBLE, 4)
+         |  END AS dup_2gram_frac,
+         |  CASE WHEN len(ts) <= 3 THEN 0.0
+         |       ELSE round(1.0 - ${distinctNgramsSql(3)}::DOUBLE / (len(ts) - 2)::DOUBLE, 4)
+         |  END AS dup_3gram_frac,
+         |  CASE WHEN len(ts) = 0 THEN 0.0
+         |       ELSE round($TopTokenSql::DOUBLE / len(ts)::DOUBLE, 4)
+         |  END AS top_word_frac
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // same rule thresholds and unrounded double comparisons as
+    // Curation.qualityFilter's defaults
+    "pipeline_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, $ToksSql AS ts FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(len(ts) AS BIGINT) AS nw,
+         |    CASE WHEN len(ts) = 0 THEN 0.0
+         |         ELSE list_sum(list_transform(ts, x -> len(x)))::DOUBLE / len(ts)::DOUBLE END AS awl,
+         |    CASE WHEN len(ts) <= 2 THEN 0.0
+         |         ELSE 1.0 - ${distinctNgramsSql(2)}::DOUBLE / (len(ts) - 1)::DOUBLE END AS dup2,
+         |    CASE WHEN len(ts) = 0 THEN 0.0
+         |         ELSE $TopTokenSql::DOUBLE / len(ts)::DOUBLE END AS topw
+         |  FROM t
+         |)
+         |SELECT doc_id, lang, source FROM m
+         |WHERE nw BETWEEN 30 AND 100000 AND awl BETWEEN 3.0 AND 10.0
+         |  AND dup2 <= 0.1 AND topw <= 0.2
+         |ORDER BY doc_id""".stripMargin,
+
+    // survivors = training docs sharing no word 5-gram with the eval set
+    "pipeline_decontaminate" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(${ngramsSql(5)}) AS g
+         |  FROM (SELECT doc_id, $ToksSql AS ts FROM documents)
+         |), ev AS (SELECT DISTINCT g FROM g WHERE doc_id < 25),
+         |bad AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (g) WHERE g.doc_id >= 25)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id >= 25 AND doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT sha256("text") AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies

@@ -186,6 +186,81 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** top_token_count(array<string>) -> int: max multiplicity of any token. */
+case class TopTokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_top_token_count"
+
+  override def nullSafeEval(toks: Any): Any =
+    VectorOps.topTokenCount(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.expr.VectorOps.topTokenCount($t);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** pq_encode(vector, coarse_centroid) -> array<int> of m codebook indices
+  * (PQ residual encoding). Codebooks ride along as a plan reference object.
+  */
+case class PqEncode(left: Expression, right: Expression,
+    codebooks: Array[Array[Double]], m: Int, k: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+  private lazy val isFloat = ExprUtil.isFloatArray(left)
+
+  override def nullSafeEval(v: Any, c: Any): Any =
+    VectorOps.pqEncode(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+      codebooks, m, k, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][]")
+    nullSafeCodeGen(ctx, ev, (v, c) =>
+      s"${ev.value} = graft.functions.expr.VectorOps.pqEncode($v, $c, $ref, $m, $k, $isFloat);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** pq_lut(query_vector) -> array<double> of m*k ADC partial dot products. */
+case class PqLut(child: Expression, codebooks: Array[Array[Double]], m: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_lut"
+  private lazy val isFloat = ExprUtil.isFloatArray(child)
+
+  override def nullSafeEval(q: Any): Any =
+    VectorOps.pqLut(q.asInstanceOf[ArrayData], codebooks, m, k, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][]")
+    nullSafeCodeGen(ctx, ev, q =>
+      s"${ev.value} = graft.functions.expr.VectorOps.pqLut($q, $ref, $m, $k, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** pq_adc(codes, lut) -> double: O(m) approximate dot product. */
+case class PqAdc(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc"
+
+  override def nullSafeEval(codes: Any, lut: Any): Any =
+    VectorOps.pqAdc(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) =>
+      s"${ev.value} = graft.functions.expr.VectorOps.pqAdc($c, $l, $k);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-API entry points for the native expressions. */
 object GraftFunctions {
   import ExprUtil.col
@@ -213,4 +288,18 @@ object GraftFunctions {
 
   def wordTokens(text: Column): Column =
     col(WordTokens(ColumnBridge.expression(text)))
+
+  def topTokenCount(tokens: Column): Column =
+    col(TopTokenCount(ColumnBridge.expression(tokens)))
+
+  def pqEncode(v: Column, centroid: Column, codebooks: Array[Array[Double]],
+      m: Int, k: Int): Column =
+    col(PqEncode(ColumnBridge.expression(v), ColumnBridge.expression(centroid),
+      codebooks, m, k))
+
+  def pqLut(q: Column, codebooks: Array[Array[Double]], m: Int, k: Int): Column =
+    col(PqLut(ColumnBridge.expression(q), codebooks, m, k))
+
+  def pqAdc(codes: Column, lut: Column, k: Int): Column =
+    col(PqAdc(ColumnBridge.expression(codes), ColumnBridge.expression(lut), k))
 }

@@ -253,6 +253,105 @@ object VectorOps {
     c
   }
 
+  /** Max multiplicity of any token (mode frequency) — one hash-map pass.
+    * Feeds top-word-fraction repetition scoring; the builtin-composition
+    * equivalent (distinct × filter) is O(unique·n) per row.
+    */
+  def topTokenCount(tokens: ArrayData): Int = {
+    val n = tokens.numElements()
+    if (n == 0) return 0
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    var best = 0
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      if (t != null) {
+        val c: Int = counts.merge(t, 1, (a, b) => a + b)
+        if (c > best) best = c
+      }
+      i += 1
+    }
+    best
+  }
+
+  // ---- Product quantization (PQ) kernels (Jégou et al., TPAMI 2011) ----
+  // `codebooks` is flat: codebooks(sub*k + c) is centroid c of subspace sub,
+  // each of length d = dim/m. All three kernels are one tight loop per row.
+
+  /** Encode the residual (v - coarseCentroid) as m nearest-codebook-entry
+    * indices (L2 per subspace) — the compressed representation stored in
+    * the index (m bytes-worth instead of dim floats).
+    */
+  def pqEncode(v: ArrayData, centroid: ArrayData, codebooks: Array[Array[Double]],
+      m: Int, k: Int, isFloat: Boolean): ArrayData = {
+    val dim = checkedLen(v, centroid)
+    val d = dim / m
+    val codes = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      var best = 0; var bestDist = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val cb = codebooks(sub * k + c)
+        var dist = 0.0
+        var i = 0
+        while (i < d) {
+          val x = (if (isFloat) v.getFloat(sub * d + i).toDouble else v.getDouble(sub * d + i)) -
+            centroid.getDouble(sub * d + i) - cb(i)
+          dist += x * x
+          i += 1
+        }
+        if (dist < bestDist) { bestDist = dist; best = c }
+        c += 1
+      }
+      codes(sub) = best
+      sub += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** ADC lookup table for a query: lut(sub*k + c) = dot(q_sub, codebook_c).
+    * Computed ONCE per query; every corpus row then scores in O(m) via
+    * [[pqAdc]] instead of O(dim).
+    */
+  def pqLut(q: ArrayData, codebooks: Array[Array[Double]], m: Int, k: Int,
+      isFloat: Boolean): ArrayData = {
+    val dim = q.numElements()
+    val d = dim / m
+    val lut = new Array[Double](m * k)
+    var sub = 0
+    while (sub < m) {
+      var c = 0
+      while (c < k) {
+        val cb = codebooks(sub * k + c)
+        var s = 0.0
+        var i = 0
+        while (i < d) {
+          s += (if (isFloat) q.getFloat(sub * d + i).toDouble else q.getDouble(sub * d + i)) * cb(i)
+          i += 1
+        }
+        lut(sub * k + c) = s
+        c += 1
+      }
+      sub += 1
+    }
+    new GenericArrayData(lut)
+  }
+
+  /** Asymmetric-distance score: sum over subspaces of the query's LUT entry
+    * for this row's code — the O(m) inner loop of a PQ scan.
+    */
+  def pqAdc(codes: ArrayData, lut: ArrayData, k: Int): Double = {
+    val m = codes.numElements()
+    var s = 0.0
+    var sub = 0
+    while (sub < m) {
+      s += lut.getDouble(sub * k + codes.getInt(sub))
+      sub += 1
+    }
+    s
+  }
+
   private val mulCache = new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
   private def muls(k: Int): (Array[Long], Array[Long]) =
     mulCache.computeIfAbsent(k, _ => {

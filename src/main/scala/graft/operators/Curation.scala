@@ -115,6 +115,29 @@ object Curation {
       .orderBy(idCol)
   }
 
+  /** Gopher-style structural quality filter (Rae et al. 2021, §A1.1):
+    * keep documents passing cheap rule checks — word-count bounds,
+    * mean-word-length bounds, low duplicate-2-gram fraction, no single
+    * dominating token. The standard pre-filter before model-based
+    * scoring; one narrow codegen'd scan, no shuffle, all comparisons on
+    * unrounded doubles derived from integer counts (engine-exact).
+    */
+  def qualityFilter(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 30, maxWords: Long = 100000,
+      minAvgWordLen: Double = 3.0, maxAvgWordLen: Double = 10.0,
+      maxDup2gramFrac: Double = 0.1, maxTopWordFrac: Double = 0.2): DataFrame = {
+    val ts = T.tokens(col(textCol))
+    val nw = size(ts).cast("long")
+    val awl = T.avgWordLength(col(textCol))
+    val dup2 = when(size(ts) <= 2, 0.0).otherwise(
+      lit(1.0) - size(H.shingles(col(textCol), 2)).cast("double") / (size(ts) - 1).cast("double"))
+    val topw = when(size(ts) === 0, 0.0).otherwise(
+      graft.functions.expr.GraftFunctions.topTokenCount(ts).cast("double") / size(ts).cast("double"))
+    docs.filter(nw.between(minWords, maxWords) &&
+      awl.between(minAvgWordLen, maxAvgWordLen) &&
+      dup2 <= maxDup2gramFrac && topw <= maxTopWordFrac)
+  }
+
   /** Drop training documents sharing ANY word n-gram with the eval set —
     * n-gram decontamination. The eval n-gram set
     * is broadcast (eval sets are tiny next to a training corpus), so the

@@ -101,7 +101,8 @@ object IvfIndex {
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"), col("rk"))
+      .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"),
+        col("rk").cast("long").as("rk"))
       .orderBy("qid", "rk")
   }
 }

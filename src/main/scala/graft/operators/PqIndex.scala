@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.expr.GraftFunctions
+
+/** IVF-PQ approximate nearest neighbor (Jégou et al., "Product
+  * quantization for nearest neighbor search", TPAMI 2011; the FAISS
+  * IVFPQ design re-expressed as DataFrame plans).
+  *
+  * The corpus is coarse-quantized into IVF cells (reusing
+  * [[IvfIndex]]), and each vector's RESIDUAL (v - cell centroid) is
+  * product-quantized: split into `m` subspaces, each encoded as the index
+  * of its nearest entry in a per-subspace codebook of `kCodes` entries.
+  * The stored index row is (id, cell, m codes, norm) — m bytes-worth of
+  * codes instead of dim floats, a ~32× compression at (dim=64, m=8).
+  *
+  * Search is asymmetric-distance (ADC): per query, one O(dim·kCodes) LUT
+  * of subspace dot products, then every candidate row scores in O(m)
+  * lookups — `approx_dot(q,v) ≈ dot(q, centroid_cell) + Σ_sub
+  * lut(sub, code_sub)` (dot distributes over the residual decomposition).
+  * The top `k·refine` by approximate cosine are re-ranked exactly by
+  * joining the candidate ids (narrow) back to the raw vector table.
+  *
+  * Scale shape: training samples the corpus; encoding is one narrow scan
+  * (at 100 TB the encoded index is written `partitionBy(cell)` once);
+  * a query batch broadcasts (qid, lut, cell) rows and touches
+  * nProbe/nCells of the CODES, never the vectors — only the re-rank
+  * reads ~k·refine full vectors per query via an id shuffle join.
+  */
+object PqIndex {
+
+  /** Trained model: IVF centroids (dense, cell == array index) plus flat
+    * residual codebooks — codebooks(sub*kCodes + c) is entry c of
+    * subspace sub. Small (nCells·dim + m·kCodes·dim doubles): rides into
+    * codegen as reference objects.
+    */
+  case class Model(centroids: Array[(Int, Array[Double])],
+      codebooks: Array[Array[Double]], m: Int, kCodes: Int) {
+    require(centroids.nonEmpty && codebooks.length == m * kCodes,
+      s"codebooks must hold m*kCodes entries, got ${codebooks.length}")
+    val dim: Int = centroids(0)._2.length
+    val d: Int = dim / m
+  }
+
+  private def centroidLit(centroids: Array[(Int, Array[Double])]) =
+    typedLit(centroids.sortBy(_._1).map(_._2.toSeq).toSeq)
+
+  private def asDouble(df: DataFrame, idCol: String, vecCol: String,
+      id: String, v: String): DataFrame =
+    df.select(col(idCol).as(id), transform(col(vecCol), x => x.cast("double")).as(v))
+
+  /** Train coarse centroids + residual codebooks with `iters` Lloyd
+    * iterations each, on a seeded `sampleFraction` of the corpus (the
+    * 100 TB path — FAISS trains IVFPQ on a sample the same way).
+    * Deterministic: hash-seeded init, fixed iteration count.
+    */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, m: Int = 8, kCodes: Int = 16, iters: Int = 3,
+      seed: Long = 42L, sampleFraction: Double = 1.0): Model = {
+    val centroids = IvfIndex.train(corpus, idCol, vecCol, nCells, iters, seed, sampleFraction)
+    val dim = centroids(0)._2.length
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
+    val d = dim / m
+
+    val base = if (sampleFraction < 1.0) corpus.sample(sampleFraction, seed) else corpus
+    val v = asDouble(base, idCol, vecCol, "id", "v")
+    val resid = IvfIndex.assign(v, centroids)
+      .withColumn("r", zip_with(col("v"),
+        element_at(centroidLit(centroids), col("cell") + 1), (x, c) => x - c))
+    // one row per (vector, subspace): all m codebooks train in the same
+    // distributed jobs instead of m separate passes
+    val subs = resid.select(col("id"), explode(array((0 until m).map { s =>
+      struct(lit(s).as("sub"), slice(col("r"), s * d + 1, d).as("sv"))
+    }: _*)).as("e"))
+      .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // init: per subspace, the kCodes residual subvectors with the smallest
+    // seeded hash — stable pseudo-random seeds, same scheme as IvfIndex
+    val wInit = Window.partitionBy("sub").orderBy(col("h").asc, col("id").asc)
+    val init = subs.withColumn("h", xxhash64(lit(seed), col("id")))
+      .withColumn("rn", row_number().over(wInit)).filter(col("rn") <= kCodes)
+      .select(col("sub"), (col("rn") - 1).cast("int").as("code"), col("sv"))
+      .collect()
+    val codebooks = Array.fill(m * kCodes)(Array.fill(d)(0.0))
+    init.foreach { r =>
+      codebooks(r.getInt(0) * kCodes + r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+
+    var it = 0
+    while (it < iters) {
+      val cbLit = typedLit(codebooks.map(_.toSeq).toSeq)
+      def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, e) => acc + e)
+      val scored = array((0 until kCodes).map { c =>
+        struct(l2(col("sv"), element_at(cbLit, col("sub") * kCodes + c + 1)).as("dist"),
+          lit(c).as("code"))
+      }: _*)
+      // new entry = element-wise mean of its members (small collect:
+      // m * kCodes * d rows)
+      val means = subs.withColumn("code", array_min(scored).getField("code"))
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy("sub", "code", "dim").agg(avg("x").as("mu"))
+        .collect()
+      val fresh = codebooks.map(_.clone())
+      means.foreach { r =>
+        fresh(r.getInt(0) * kCodes + r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      // entries that lost all members keep their previous value (clone
+      // starts from the old codebooks, so nothing to do)
+      System.arraycopy(fresh, 0, codebooks, 0, fresh.length)
+      it += 1
+    }
+    subs.unpersist()
+    Model(centroids, codebooks, m, kCodes)
+  }
+
+  /** Encode the FULL corpus: (id, cell, codes, norm). At scale this is the
+    * one narrow pass whose output is written `partitionBy(cell)` and
+    * reused by every query batch.
+    */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
+    val v = asDouble(corpus, idCol, vecCol, "id", "v")
+    IvfIndex.assign(v, model.centroids)
+      .select(col("id"), col("cell"),
+        GraftFunctions.pqEncode(col("v"),
+          element_at(centroidLit(model.centroids), col("cell") + 1),
+          model.codebooks, model.m, model.kCodes).as("codes"),
+        sqrt(GraftFunctions.dot(col("v"), col("v"))).as("norm"))
+  }
+
+  /** Top-k per query: ADC scan over the `nProbe` best cells' codes, then
+    * exact cosine re-rank of the top `k * refine` shortlist against the
+    * raw vectors (`corpus` — joined by candidate id only).
+    */
+  def search(encoded: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, model: Model,
+      k: Int = 10, nProbe: Int = 4, refine: Int = 4): DataFrame = {
+    val centLit = centroidLit(model.centroids)
+    val q = asDouble(queries, qidCol, qvecCol, "qid", "qv")
+      .withColumn("qnorm", sqrt(GraftFunctions.dot(col("qv"), col("qv"))))
+      .withColumn("lut", GraftFunctions.pqLut(col("qv"), model.codebooks, model.m, model.kCodes))
+    val cellScores = model.centroids.map { case (cellId, c) =>
+      struct(GraftFunctions.cosine(col("qv"), lit(c)).as("score"), lit(cellId).as("cell"))
+    }
+    // per probed cell the query carries only (lut, qnorm, qdotc) — the
+    // broadcast side never ships query vectors into the ADC scan
+    val probed = q.withColumn("cells",
+      slice(reverse(array_sort(array(cellScores.toSeq: _*))), 1, nProbe))
+      .withColumn("cell", explode(transform(col("cells"), _.getField("cell"))))
+      .withColumn("qdotc", GraftFunctions.dot(col("qv"), element_at(centLit, col("cell") + 1)))
+      .select("qid", "qnorm", "lut", "cell", "qdotc")
+    val denom = col("qnorm") * col("norm")
+    val cand = encoded.join(broadcast(probed), Seq("cell"))
+      .withColumn("approx", when(denom === 0.0, -1.0).otherwise(
+        (col("qdotc") + GraftFunctions.pqAdc(col("codes"), col("lut"), model.kCodes)) / denom))
+    val wA = Window.partitionBy("qid").orderBy(col("approx").desc, col("id").asc)
+    val shortlist = cand.withColumn("rka", row_number().over(wA))
+      .filter(col("rka") <= k * refine)
+      .select("qid", "id")
+    val cv = asDouble(corpus, idCol, vecCol, "id", "v")
+    val qv = asDouble(queries, qidCol, qvecCol, "qid", "qv")
+    val exact = shortlist.join(cv, "id").join(broadcast(qv), "qid")
+      .withColumn("cosine", GraftFunctions.cosine(col("v"), col("qv")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
+    exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("qid", "rk")
+  }
+}

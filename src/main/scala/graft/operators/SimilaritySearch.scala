@@ -30,7 +30,9 @@ object SimilaritySearch {
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"), col("rk"))
+      // long-typed rank: row_number is int32 in Spark, BIGINT in DuckDB
+      .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"),
+        col("rk").cast("long").as("rk"))
       .orderBy("qid", "rk")
   }
 
@@ -69,7 +71,8 @@ object SimilaritySearch {
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"), col("rk"))
+      .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"),
+        col("rk").cast("long").as("rk"))
       .orderBy("qid", "rk")
   }
 }

@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextFunctions => T}
+import graft.functions.{HashFunctions => H, TextFunctions => T}
+import graft.functions.expr.GraftFunctions
 
 /** Text-analysis surface over a documents table — language ID, quality
   * scoring, token counting, fingerprinting. Every column is a codegen'd
@@ -16,13 +17,36 @@ object TextAnalysis {
     docs.select(
       col(idCol),
       T.langId(col(textCol)).as("lang_pred"),
-      T.wordCount(col(textCol)).as("n_words"),
-      T.bpeishTokenCount(col(textCol)).as("n_tokens"),
-      length(col(textCol)).as("n_chars"),
+      // long-typed counts: size()/length() are int32 in Spark, BIGINT in DuckDB
+      T.wordCount(col(textCol)).cast("long").as("n_words"),
+      T.bpeishTokenCount(col(textCol)).cast("long").as("n_tokens"),
+      length(col(textCol)).cast("long").as("n_chars"),
       round(T.punctRatio(col(textCol)), 4).as("punct_ratio"),
       round(T.stopwordRatio(col(textCol)), 4).as("stopword_ratio"),
       round(T.avgWordLength(col(textCol)), 4).as("avg_word_len"),
       T.qualityScore(col(textCol)).as("quality"))
+
+  /** Within-document repetition signals (the Gopher/MassiveText rule
+    * inputs, Rae et al. 2021): duplicate word-n-gram fractions and the
+    * top word's frequency share. `dup_ngram_frac` = 1 - distinct/total
+    * n-grams (0 for docs shorter than n+1 words); `top_word_frac` = mode
+    * token multiplicity / token count. One codegen'd projection stage.
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ts = T.tokens(col(textCol))
+    def dupFrac(n: Int) = {
+      val total = (size(ts) - (n - 1)).cast("double")
+      val distinct = size(H.shingles(col(textCol), n)).cast("double")
+      when(size(ts) <= n, 0.0).otherwise(round(lit(1.0) - distinct / total, 4))
+    }
+    docs.select(col(idCol),
+      size(ts).cast("long").as("n_words"),
+      dupFrac(2).as("dup_2gram_frac"),
+      dupFrac(3).as("dup_3gram_frac"),
+      when(size(ts) === 0, 0.0).otherwise(
+        round(GraftFunctions.topTokenCount(ts).cast("double") / size(ts).cast("double"), 4))
+        .as("top_word_frac"))
+  }
 
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4): DataFrame =

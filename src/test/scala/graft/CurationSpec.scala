@@ -117,6 +117,57 @@ class CurationSpec extends AnyFunSuite {
     assert(r.count() > 0) // no overflow exception under ANSI
   }
 
+  test("repetition metrics match a brute-force replica on real documents") {
+    import graft.operators.TextAnalysis
+    def dupFrac(t: Seq[String], n: Int): Double =
+      if (t.size <= n) 0.0
+      else {
+        val total = (t.size - n + 1).toDouble
+        val distinct = t.sliding(n).map(_.mkString(" ")).toSet.size.toDouble
+        BigDecimal(1.0 - distinct / total).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    def topFrac(t: Seq[String]): Double =
+      if (t.isEmpty) 0.0
+      else BigDecimal(t.groupBy(identity).values.map(_.size).max.toDouble / t.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = docs.select("doc_id", "text").collect()
+      .map { r =>
+        val t = toks(r.getString(1))
+        (r.getLong(0), (t.size.toLong, dupFrac(t, 2), dupFrac(t, 3), topFrac(t)))
+      }.toMap
+    val got = TextAnalysis.repetition(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got == expected)
+    // a doc that is one phrase repeated must score near-1 dup fractions
+    import spark.implicits._
+    val spam = Seq((1L, ("spam ham " * 50).trim)).toDF("doc_id", "text")
+    val row = TextAnalysis.repetition(spam, "doc_id", "text").first()
+    assert(row.getDouble(2) > 0.9 && row.getDouble(4) === 0.5)
+  }
+
+  test("quality filter applies every rule and keeps a real survivor set") {
+    val kept = Curation.qualityFilter(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // brute-force replica of the default thresholds
+    val expected = docs.select("doc_id", "text").collect().filter { r =>
+      val t = toks(r.getString(1))
+      val nw = t.size
+      val awl = if (t.isEmpty) 0.0 else t.map(_.length).sum.toDouble / nw
+      val dup2 = if (nw <= 2) 0.0
+        else 1.0 - t.sliding(2).map(_.mkString(" ")).toSet.size.toDouble / (nw - 1)
+      val topw = if (t.isEmpty) 0.0
+        else t.groupBy(identity).values.map(_.size).max.toDouble / nw
+      nw >= 30 && nw <= 100000 && awl >= 3.0 && awl <= 10.0 && dup2 <= 0.1 && topw <= 0.2
+    }.map(_.getLong(0)).toSet
+    assert(kept == expected)
+    assert(kept.nonEmpty && kept.size < docs.count(), "filter must actually discriminate")
+    // rule isolation: a word-salad spam doc fails dup2/topw even when long
+    import spark.implicits._
+    val spam = Seq((1L, ("lorem ipsum " * 40).trim)).toDF("doc_id", "text")
+    assert(Curation.qualityFilter(spam, "doc_id", "text").count() == 0)
+  }
+
   test("pack assigns greedy sequential shards under the token budget") {
     val budget = 512
     val packed = Curation.packShards(docs, "doc_id", "text", "lang", budget)

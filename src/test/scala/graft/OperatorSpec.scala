@@ -134,7 +134,7 @@ class SimilaritySearchSpec extends AnyFunSuite {
     // scores are non-increasing within each query
     val per = res.collect().groupBy(_.getLong(0))
     per.values.foreach { rows =>
-      val sorted = rows.sortBy(_.getInt(3))
+      val sorted = rows.sortBy(_.getLong(3))
       assert(sorted.map(_.getDouble(2)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1) - 1e-9))
     }
   }

@@ -66,6 +66,41 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("*("), "agg pipeline must be inside WholeStageCodegen")
   }
 
+  test("quality filter and repetition scoring are single scan stages - no shuffle") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val filterPlan = executedNoAqe(
+      graft.operators.Curation.qualityFilter(docs, "doc_id", "text"))
+    assert(filterPlan.collect { case e: Exchange => e }.isEmpty,
+      s"quality filter must not shuffle:\n$filterPlan")
+    val repPlan = executedNoAqe(
+      graft.operators.TextAnalysis.repetition(docs, "doc_id", "text"))
+    assert(repPlan.collect { case e: Exchange => e }.isEmpty,
+      s"repetition scoring must not shuffle:\n$repPlan")
+    assert(repPlan.toString.contains("graft_top_token_count"),
+      "mode-frequency must run as the native kernel")
+  }
+
+  test("IVF-PQ ADC scan broadcasts the query LUTs, never the corpus") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val model = graft.operators.PqIndex.train(emb, "vec_id", "embedding",
+      nCells = 8, m = 8, kCodes = 16, iters = 1)
+    val enc = graft.operators.PqIndex.encode(emb, "vec_id", "embedding", model)
+    val plan = executedNoAqe(
+      graft.operators.PqIndex.search(enc, emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", model, k = 5))
+    val broadcasts = plan.collect { case b: BroadcastHashJoinExec => b }
+    assert(broadcasts.nonEmpty, s"probed queries must broadcast into the ADC scan:\n$plan")
+    // the broadcast sides are the query rows (LUT + qdotc), never `codes`
+    // (the corpus-sized encoded index) — spot the build side key columns
+    broadcasts.foreach { b =>
+      val buildSide = b.buildSide.toString
+      val buildPlan = if (buildSide.contains("Left")) b.left else b.right
+      assert(!buildPlan.output.exists(_.name == "codes"),
+        s"encoded corpus must never be the broadcast side:\n$plan")
+    }
+  }
+
   test("native expressions stay inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     val plan = executedNoAqe(

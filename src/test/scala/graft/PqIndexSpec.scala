@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{PqIndex, SimilaritySearch}
+import graft.sources.Tables
+
+class PqIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+
+  test("train is deterministic; encode compresses to m codes per vector") {
+    val m1 = PqIndex.train(emb, "vec_id", "embedding", nCells = 8, m = 8, kCodes = 16, iters = 2)
+    val m2 = PqIndex.train(emb, "vec_id", "embedding", nCells = 8, m = 8, kCodes = 16, iters = 2)
+    assert(m1.codebooks.zip(m2.codebooks).forall { case (a, b) => a.sameElements(b) })
+    assert(m1.dim == 64 && m1.d == 8)
+
+    val enc = PqIndex.encode(emb, "vec_id", "embedding", m1)
+    assert(enc.count() == emb.count(), "encoding covers the full corpus")
+    val row = enc.first()
+    assert(row.getSeq[Int](2).length == 8, "m codes per vector")
+    assert(row.getSeq[Int](2).forall(c => c >= 0 && c < 16), "codes within codebook range")
+    // schema carries NO vector column: codes + norm only (the compression)
+    assert(!enc.columns.contains("v") && !enc.columns.contains("embedding"))
+  }
+
+  test("ADC + exact re-rank recall vs brute force; self-match survives") {
+    val model = PqIndex.train(emb, "vec_id", "embedding", nCells = 16, m = 8, kCodes = 16)
+    val enc = PqIndex.encode(emb, "vec_id", "embedding", model)
+    val q = emb.filter(col("vec_id") < 10)
+    val approx = PqIndex.search(enc, emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", model, k = 10, nProbe = 4, refine = 4)
+    val got = approx.select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall=$recall")
+    assert((0L until 10L).forall(i => got.contains((i, i))),
+      "query's own vector survives ADC + re-rank")
+    // re-ranked scores are exact cosines: the self-match is 1.0
+    val self = approx.filter(col("qid") === col("id")).select("cosine").collect()
+    self.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-3))
+  }
+
+  test("sampled training preserves recall (the 100 TB train path)") {
+    val model = PqIndex.train(emb, "vec_id", "embedding", nCells = 16, m = 8,
+      kCodes = 16, sampleFraction = 0.5)
+    val enc = PqIndex.encode(emb, "vec_id", "embedding", model)
+    assert(enc.count() == emb.count(), "encode covers the FULL corpus")
+    val q = emb.filter(col("vec_id") < 10)
+    val got = PqIndex.search(enc, emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", model, k = 10, nProbe = 4, refine = 4)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.4, s"sampled-train recall=$recall")
+  }
+}
