@@ -67,54 +67,55 @@ object PqIndex {
 
     val base = if (sampleFraction < 1.0) corpus.sample(sampleFraction, seed) else corpus
     val v = asDouble(base, idCol, vecCol, "id", "v")
+    // residuals feed the init collect plus every Lloyd iteration —
+    // materialize once
     val resid = IvfIndex.assign(v, centroids)
       .withColumn("r", zip_with(col("v"),
         element_at(centroidLit(centroids), col("cell") + 1), (x, c) => x - c))
-    // one row per (vector, subspace): all m codebooks train in the same
-    // distributed jobs instead of m separate passes
-    val subs = resid.select(col("id"), explode(array((0 until m).map { s =>
-      struct(lit(s).as("sub"), slice(col("r"), s * d + 1, d).as("sv"))
-    }: _*)).as("e"))
-      .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+      .select(col("id"), col("r"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // init: per subspace, the kCodes residual subvectors with the smallest
-    // seeded hash — stable pseudo-random seeds, same scheme as IvfIndex
-    val wInit = Window.partitionBy("sub").orderBy(col("h").asc, col("id").asc)
-    val init = subs.withColumn("h", xxhash64(lit(seed), col("id")))
-      .withColumn("rn", row_number().over(wInit)).filter(col("rn") <= kCodes)
-      .select(col("sub"), (col("rn") - 1).cast("int").as("code"), col("sv"))
-      .collect()
-    val codebooks = Array.fill(m * kCodes)(Array.fill(d)(0.0))
-    init.foreach { r =>
-      codebooks(r.getInt(0) * kCodes + r.getInt(1)) = r.getSeq[Double](2).toArray
+    // init: the kCodes residual vectors with the smallest seeded hash
+    // (stable pseudo-random, same scheme as IvfIndex) seed entry c of
+    // EVERY subspace — any spread-out pick works for Lloyd init, and one
+    // driver-side slice beats a per-subspace row_number window
+    val seeds = resid.withColumn("h", xxhash64(lit(seed), col("id")))
+      .orderBy(col("h").asc, col("id").asc).limit(kCodes)
+      .select("r").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val codebooks = Array.tabulate(m * kCodes) { i =>
+      val sub = i / kCodes; val c = i % kCodes
+      if (c < seeds.length) seeds(c).slice(sub * d, sub * d + d)
+      else Array.fill(d)(0.0)
     }
 
+    // Lloyd: assignment is ONE pqEncode kernel call per row (against a
+    // zero coarse centroid — `r` is already the residual), so all m
+    // subspaces train in the same pass with no per-candidate expression
+    // trees; new entry = element-wise member mean (small collect:
+    // m * kCodes * d rows)
+    val zeroCentroid = lit(Array.fill(dim)(0.0))
     var it = 0
     while (it < iters) {
-      val cbLit = typedLit(codebooks.map(_.toSeq).toSeq)
-      def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, e) => acc + e)
-      val scored = array((0 until kCodes).map { c =>
-        struct(l2(col("sv"), element_at(cbLit, col("sub") * kCodes + c + 1)).as("dist"),
-          lit(c).as("code"))
-      }: _*)
-      // new entry = element-wise mean of its members (small collect:
-      // m * kCodes * d rows)
-      val means = subs.withColumn("code", array_min(scored).getField("code"))
-        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
+      val snapshot = codebooks.map(_.clone()) // plan-captured; never mutated
+      val means = resid
+        .withColumn("codes",
+          graft.functions.expr.GraftFunctions.pqEncode(col("r"), zeroCentroid, snapshot, m, kCodes))
+        .select(explode(array((0 until m).map { s =>
+          struct(lit(s).as("sub"), col("codes")(s).as("code"),
+            slice(col("r"), s * d + 1, d).as("sv"))
+        }: _*)).as("e"))
+        .select(col("e.sub").as("sub"), col("e.code").as("code"),
+          posexplode(col("e.sv")).as(Seq("dim", "x")))
         .groupBy("sub", "code", "dim").agg(avg("x").as("mu"))
         .collect()
-      val fresh = codebooks.map(_.clone())
       means.foreach { r =>
-        fresh(r.getInt(0) * kCodes + r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+        codebooks(r.getInt(0) * kCodes + r.getInt(1))(r.getInt(2)) = r.getDouble(3)
       }
-      // entries that lost all members keep their previous value (clone
-      // starts from the old codebooks, so nothing to do)
-      System.arraycopy(fresh, 0, codebooks, 0, fresh.length)
+      // entries that lost all members keep their previous value
       it += 1
     }
-    subs.unpersist()
+    resid.unpersist()
     Model(centroids, codebooks, m, kCodes)
   }
 
