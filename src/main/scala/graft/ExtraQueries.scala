@@ -150,6 +150,42 @@ object ExtraQueries {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    "q37_range_window" -> ((s, dir) => {
+      // value-based (RANGE) sliding window: per customer, the trailing
+      // 7-day order total — microsecond frame bounds so the inclusive
+      // interval arithmetic is bit-identical to the oracle's INTERVAL
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(unix_micros(col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-7L * 86400L * 1000000L, 0L)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("order_ts"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("trailing_7d_total"),
+        count(lit(1)).over(w).cast("long").as("trailing_7d_orders"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q38_upsert" -> ((s, dir) => {
+      // CDC merge: a deterministic change stream derived from the base —
+      // every 7th key a status update (v2), every 13th a delete
+      // tombstone (v3, so update+delete keys resolve delete-wins)
+      val orders = t(s, dir, "orders")
+      val base = orders.withColumn("version", lit(1L))
+      val updates = orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("version", lit(2L))
+      val deletes = orders.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("version", lit(3L))
+        .withColumn("_deleted", lit(true))
+      graft.operators.Upsert.latestWins(base,
+        updates.withColumn("_deleted", lit(false)).unionByName(deletes),
+        keyCols = Seq("o_orderkey"), versionCol = "version", tieCol = "o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     "q24_sample_hash" -> ((s, dir) =>
       // Deterministic, engine-portable sampling: sha2 of the key is
       // identical everywhere, so the ~8% sample is reproducible across
@@ -194,6 +230,23 @@ object ExtraQueries {
         |  count(*) AS cnt, min(o_totalprice) AS min_price,
         |  max(o_totalprice) AS max_price
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q37_range_window" ->
+      """SELECT o_orderkey, o_custkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_7d_total,
+        |  COUNT(*) OVER w AS trailing_7d_orders
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q38_upsert" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice
+        |FROM orders WHERE o_orderkey % 13 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q24_sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

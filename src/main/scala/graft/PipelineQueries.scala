@@ -101,6 +101,34 @@ object PipelineQueries {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    // SemDeDup-style semantic dedup (cluster-bounded cosine dedup).
+    // Rows-only at the gate: clustering intentionally skips cross-cluster
+    // pairs (that approximation IS the algorithm), so no SQL oracle is
+    // exact; OperatorSpec proves the nClusters=1 result equals the
+    // brute-force global survivor set and the clustered result contains it.
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nClusters = 8, threshold = 0.4, sampleFraction = 0.5)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+        .orderBy("vec_id")),
+
+    "pipeline_pii" -> ((s, dir) => {
+      // the synthetic corpus carries no PII, so the gate plants a
+      // deterministic contact line per document and scrubs it back out —
+      // the regex kernels, not the data, are what is under test
+      val docs = t(s, dir, "documents")
+      val planted = docs.select(col("doc_id"),
+        concat(
+          substring(col("text"), 1, 40),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com tel +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" host 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".0.1")).as("text"))
+      graft.operators.Curation.redactPii(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "text_langid" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), graft.functions.TextFunctions.langId(col("text")).as("lang_pred"))
@@ -276,6 +304,27 @@ object PipelineQueries {
        |FROM p WHERE inter / (asz + bsz - inter) >= $threshold ORDER BY a, b""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // identical pattern strings (interpolated from Curation) under Java
+    // regex and RE2; 'g' mirrors Spark's replace-all default
+    "pipeline_pii" -> {
+      import graft.operators.Curation.{EmailRe, PhoneRe, Ipv4Re}
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    substring("text", 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com tel +1-555-'
+         |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      || ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '$Ipv4Re')) AS BIGINT) AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$EmailRe', '[EMAIL]', 'g'), '$PhoneRe', '[PHONE]', 'g'), '$Ipv4Re', '[IP]', 'g')
+         |    AS text_redacted
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+
     // exact truth via DuckDB's own cosine — rank ties broken by id on both
     // sides; round(4) absorbs last-ulp accumulation drift
     "ann_bruteforce" ->

@@ -16,9 +16,38 @@ object StreamQueries {
       EventStreams.windowAggBatch(Tables.load(s, dir, "events"))),
     "stream_session" -> ((s, dir) =>
       EventStreams.sessionizeBatch(Tables.load(s, dir, "events"))),
+    "stream_dedup" -> ((s, dir) =>
+      EventStreams.dedupBatch(Tables.load(s, dir, "events"))),
+    "stream_static_join" -> ((s, dir) =>
+      EventStreams.enrichBatch(Tables.load(s, dir, "events"))),
   )
 
+  /** VALUES list for the enrichment oracle, generated from the same
+    * TypeWeights the Spark plan broadcasts — one source of truth.
+    */
+  private val WeightValuesSql = EventStreams.TypeWeights
+    .map { case (t, w) => s"('$t', CAST($w AS DECIMAL(4,2)))" }
+    .mkString(", ")
+
   val oracleSql: Map[String, String] = Map(
+    "stream_dedup" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, event_id AS first_event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "stream_static_join" ->
+      s"""WITH w AS (SELECT * FROM (VALUES $WeightValuesSql) AS t(event_type, weight))
+         |SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+         |  count(*) AS n_events,
+         |  CAST(sum(CAST("value" AS DECIMAL(18,4)) * weight) AS DOUBLE) AS weighted_value
+         |FROM events JOIN w USING (event_type)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "stream_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |  event_type, count(*) AS n_events,

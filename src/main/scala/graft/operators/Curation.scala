@@ -138,6 +138,32 @@ object Curation {
       dup2 <= maxDup2gramFrac && topw <= maxTopWordFrac)
   }
 
+  /** PII scrub patterns — deliberately lookaround-free and syntax-portable
+    * so the exact same pattern strings run under Java regex (Spark) and
+    * RE2 (DuckDB oracle) with identical leftmost-first matches.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9][0-9\\-]{6,}[0-9]"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Redact PII spans (emails, +international phone numbers, IPv4
+    * addresses) with typed placeholders and count each kind — the scrub
+    * pass a training corpus runs before release. Counts are of pattern
+    * occurrences in the ORIGINAL text; redaction applies email → phone →
+    * ip in that order. One narrow codegen'd projection, no shuffle — the
+    * 100 TB shape is a plain map over the corpus scan.
+    */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(col(textCol), lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]"),
+        Ipv4Re, "[IP]").as("text_redacted"))
+
   /** Drop training documents sharing ANY word n-gram with the eval set —
     * n-gram decontamination. The eval n-gram set
     * is broadcast (eval sets are tiny next to a training corpus), so the

@@ -201,6 +201,39 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al.,
+    * arXiv:2303.09540): cluster embeddings with k-means (the clustering
+    * bounds the pairwise comparisons, exactly like the paper), then
+    * WITHIN each cluster drop every vector that has a lower-id neighbor
+    * with cosine >= `threshold`; survivors are everything not dropped.
+    *
+    * Scale design: training runs on a seeded sample (IvfIndex.train, the
+    * 100 TB path), assignment is one centroid-literal codegen scan, and
+    * the only join is the within-cluster self-join — O(sum of cluster²),
+    * the cost model SemDeDup chooses k to control (k ≈ n/target-cluster-
+    * size). Clusters above `maxCluster` are dropped from pairing (the
+    * degenerate-center guard, same rationale as the LSH bucket caps).
+    */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, threshold: Double, seed: Long = 42L,
+      sampleFraction: Double = 1.0, maxCluster: Int = 100000): DataFrame = {
+    val centroids = IvfIndex.train(df, idCol, vecCol, nClusters,
+      seed = seed, sampleFraction = sampleFraction)
+    val assigned = IvfIndex.index(df, idCol, vecCol, centroids)
+      .select(col("id"), col("cell"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val smallCells = assigned.groupBy("cell").agg(count(lit(1)).as("csz"))
+      .filter(col("csz").between(2, maxCluster)).select("cell")
+    val paired = assigned.join(smallCells, Seq("cell"), "left_semi")
+    val dropped = paired.select(col("cell"), col("id").as("a"), col("v").as("a_v"))
+      .join(paired.select(col("cell"), col("id").as("b"), col("v").as("b_v")), Seq("cell"))
+      .filter(col("a") < col("b"))
+      .filter(GraftFunctions.cosine(col("a_v"), col("b_v")) >= threshold)
+      .select(col("b").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Exact Jaccard of two string-array columns via codegen'd set builtins. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

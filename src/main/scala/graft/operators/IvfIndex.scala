@@ -72,7 +72,9 @@ object IvfIndex {
     val scored = centroids.map { case (cellId, c) =>
       struct(GraftFunctions.cosine(col("v"), lit(c)).as("score"), lit(cellId).as("cell"))
     }
-    vectors.withColumn("cell", greatest(scored.toSeq: _*).getField("cell"))
+    // greatest() needs >= 2 args; a single cell is a constant assignment
+    val best = if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
+    vectors.withColumn("cell", best.getField("cell"))
   }
 
   /** Build the index: corpus annotated with its cell. At scale this is

@@ -58,6 +58,66 @@ object EventStreams {
       .orderBy("user_id", "session_id")
   }
 
+  /** Batch face of `streamingDedup`, made deterministic: the EARLIEST
+    * event per key (by event time, then id) is the survivor, which is
+    * what first-wins streaming dedup converges to once the source drains.
+    * One hash shuffle on the key; the per-key window is a streaming
+    * top-1, so no partition ever holds more than one key's events.
+    */
+  def dedupBatch(events: DataFrame, keyCols: Seq[String] = Seq("user_id", "event_type")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select((keyCols.map(col) :+ col("event_id").as("first_event_id") :+
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts")): _*)
+      .orderBy(keyCols.map(col): _*)
+  }
+
+  /** Per-type value weights for the stream-static enrichment join — a
+    * stand-in reference table (decimal strings so both engines do exact
+    * decimal arithmetic). Mirrored as VALUES in the DuckDB oracle.
+    */
+  val TypeWeights: Seq[(String, String)] = Seq(
+    "click" -> "0.10", "error" -> "0.00", "purchase" -> "1.00",
+    "signup" -> "0.50", "view" -> "0.05")
+
+  private def weightsDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    TypeWeights.toDF("event_type", "w")
+      .select(col("event_type"), col("w").cast("decimal(4,2)").as("weight"))
+  }
+
+  /** Stream-static enrichment: events joined to a broadcast reference
+    * dim, then aggregated per day+type. `window()` works identically on
+    * batch and streaming frames, so the one plan serves both faces; at
+    * scale the static side stays broadcast (it is a reference table) and
+    * the only shuffle is the final aggregation.
+    */
+  private def enrichPlan(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    events.join(broadcast(weightsDim(spark)), Seq("event_type"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)") * col("weight"))
+          .cast("double").as("weighted_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n_events"), col("weighted_value"))
+  }
+
+  def enrichBatch(events: DataFrame): DataFrame =
+    enrichPlan(events).orderBy("day", "event_type")
+
+  /** Streaming face: file stream → watermark → stream-static join →
+    * windowed agg. Complete/append both valid; spec runs complete.
+    */
+  def enrichStream(spark: SparkSession, eventsDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    enrichPlan(
+      spark.readStream.schema(schema).parquet(eventsDir)
+        .withWatermark("ts", "2 hours"))
+
   /** Streaming exact dedup: first event per key wins; the watermark
     * bounds state retention (keys older than the horizon are dropped).
     * The streaming face of Dedup.exact for at-least-once sources.

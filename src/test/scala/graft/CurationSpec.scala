@@ -35,6 +35,39 @@ class CurationSpec extends AnyFunSuite {
     else t.sliding(n).map(_.mkString(" ")).toSet
   }
 
+  test("redactPii matches a java.util.regex replica and leaves no residual matches") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "no pii here at all"),
+      (2L, "mail a.b+c%d@ex-ample.co.uk and x@y.io twice"),
+      (3L, "call +1-555-0100 or +49-30-1234567 now"),
+      (4L, "host 10.0.0.1 and 192.168.255.254 up"),
+      (5L, "mix u@v.com +1-555-2222 8.8.8.8 end"),
+      (6L, ""))
+    val df = rows.toDF("doc_id", "text")
+    val got = Curation.redactPii(df, "doc_id", "text").orderBy("doc_id").collect()
+    // independent replica on the same pattern strings
+    def count(re: String, s: String): Long =
+      re.r.findAllMatchIn(s).size.toLong
+    rows.zip(got).foreach { case ((id, text), r) =>
+      assert(r.getLong(0) == id)
+      assert(r.getLong(1) == count(Curation.EmailRe, text), s"emails in '$text'")
+      assert(r.getLong(2) == count(Curation.PhoneRe, text), s"phones in '$text'")
+      assert(r.getLong(3) == count(Curation.Ipv4Re, text), s"ips in '$text'")
+      val expected = text
+        .replaceAll(Curation.EmailRe, "[EMAIL]")
+        .replaceAll(Curation.PhoneRe, "[PHONE]")
+        .replaceAll(Curation.Ipv4Re, "[IP]")
+      assert(r.getString(4) == expected)
+      // scrub completeness: no pattern survives redaction
+      Seq(Curation.EmailRe, Curation.PhoneRe, Curation.Ipv4Re).foreach { re =>
+        assert(count(re, r.getString(4)) == 0L, s"residual $re in '${r.getString(4)}'")
+      }
+    }
+    val planted = got.filter(_.getLong(0) != 1L).filter(_.getLong(0) != 6L)
+    assert(planted.forall(r => r.getLong(1) + r.getLong(2) + r.getLong(3) > 0))
+  }
+
   test("decontaminate matches a brute-force n-gram overlap oracle") {
     val n = 5
     val all = docs.select("doc_id", "text").collect()

@@ -104,6 +104,36 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == oracle, s"missed=${oracle -- pairs} extra=${pairs -- oracle}")
   }
 
+  test("semantic dedup equals global survivors at nClusters=1; clustered contains them") {
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val v = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+    // brute-force global truth: b is dropped iff some a < b has cosine >= t
+    val dropped = v.select(col("id").as("a"), col("v").as("a_v"))
+      .crossJoin(v.select(col("id").as("b"), col("v").as("b_v")))
+      .filter(col("a") < col("b"))
+      .filter(graft.functions.expr.GraftFunctions.cosine(col("a_v"), col("b_v")) >= 0.4)
+      .select("b").distinct().collect().map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty, "test data must contain droppable pairs at 0.4")
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val globalSurvivors = all -- dropped
+    val one = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      nClusters = 1, threshold = 0.4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(one == globalSurvivors, "single-cluster semantic dedup must be exact")
+    // clustering only SKIPS cross-cluster comparisons: survivors can only
+    // grow, and within-cluster drops must be a subset of the true drops
+    val clustered = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      nClusters = 8, threshold = 0.4, sampleFraction = 0.5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(globalSurvivors.subsetOf(clustered))
+    assert(clustered.size < all.size, "clustered dedup must still drop in-cluster dups")
+    // deterministic: hash-seeded k-means + id-ordered drops
+    val again = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      nClusters = 8, threshold = 0.4, sampleFraction = 0.5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(again == clustered)
+  }
+
   test("simhash and embedding near-dup cap degenerate buckets") {
     // 1.2k identical empty-ish docs share every band key: uncapped this is
     // ~700k candidate pairs; the cap must drop the degenerate bucket whole

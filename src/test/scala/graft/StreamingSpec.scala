@@ -81,6 +81,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size == batchByStart.size - users)
   }
 
+  test("stream-static enrichment join (complete mode) equals the batch plan") {
+    val schema = spark.read.parquet(eventsDir).schema
+    val sdf = EventStreams.enrichStream(spark, eventsDir, schema)
+    assert(sdf.isStreaming)
+    val q = sdf.writeStream
+      .format("memory").queryName("enrich_agg")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT * FROM enrich_agg").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = EventStreams.enrichBatch(Tables.load(spark, TestSpark.sf, "events")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("batch dedup keeps exactly the earliest event per key") {
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+    val got = EventStreams.dedupBatch(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // independent oracle: driver-side min by (ts, event_id) per key
+    val truth = ev.select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tsu")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, vs) => k -> vs.minBy(t => (t._4, t._3))._3 }
+    assert(got == truth)
+  }
+
   test("streaming dedup drops replayed events (at-least-once source)") {
     val dupDir = TestSpark.scratch("stream_dup_events")
     val ev = Tables.load(spark, TestSpark.sf, "events")

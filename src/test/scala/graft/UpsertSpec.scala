@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Upsert
+
+class UpsertSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("latestWins: updates win, deletes remove, change side wins version ties") {
+    val base = Seq(
+      (1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L), (3L, "c", 30.0, 1L), (4L, "d", 40.0, 1L))
+      .toDF("k", "payload", "amount", "version")
+    val changes = Seq(
+      (2L, "b2", 21.0, 2L, false), // plain update
+      (3L, "c", 30.0, 2L, true),   // delete tombstone
+      (1L, "a9", 11.0, 1L, false), // SAME version as base: change side wins
+      (5L, "e", 50.0, 1L, false))  // brand-new key (insert)
+      .toDF("k", "payload", "amount", "version", "_deleted")
+    val out = Upsert.latestWins(base, changes, Seq("k"), "version", "k")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      (1L, "a9", 11.0), (2L, "b2", 21.0), (4L, "d", 40.0), (5L, "e", 50.0)))
+  }
+
+  test("latestWins without a delete column is pure upsert") {
+    val base = Seq((1L, "a", 1L)).toDF("k", "v", "version")
+    val changes = Seq((1L, "a2", 2L), (2L, "b", 1L)).toDF("k", "v", "version")
+    val out = Upsert.latestWins(base, changes, Seq("k"), "version", "k")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "a2"), (2L, "b")))
+  }
+
+  test("latestWins resolves multiple changes per key to the highest version") {
+    val base = Seq((1L, "a", 1L)).toDF("k", "v", "version")
+    val changes = Seq((1L, "a2", 2L), (1L, "a3", 3L), (1L, "a2b", 2L))
+      .toDF("k", "v", "version")
+    val out = Upsert.latestWins(base, changes, Seq("k"), "version", "k").collect()
+    assert(out.length == 1 && out.head.getString(1) == "a3")
+  }
+}
