@@ -186,6 +186,56 @@ object ExtraQueries {
         .orderBy("o_orderkey")
     }),
 
+    "q39_bloom_join" -> ((s, dir) => {
+      // runtime-filter join: bloom of the selective dim side prunes the
+      // fact scan BEFORE the shuffle; exact join removes false positives,
+      // so the plain-join oracle applies
+      val dim = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      graft.operators.BloomJoin.prunedJoin(
+        t(s, dir, "orders"), "o_custkey", dim, "c_custkey",
+        expectedItems = 100000L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "q40_window_funcs" -> ((s, dir) => {
+      // ranking/distribution/navigation window breadth beyond q7:
+      // ntile, percent_rank, cume_dist, first/nth value, lead
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first(col("o_orderkey")).over(w).as("first_key"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q41_grouped_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
+    "q42_minmax_by" -> ((s, dir) =>
+      // argmin/argmax aggregates over a UNIQUE ordering key (o_orderkey),
+      // so both engines pick the same row deterministically
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(max_by(col("o_totalprice"), col("o_orderkey")).as("latest_price"),
+          min_by(col("o_totalprice"), col("o_orderkey")).as("first_price"),
+          max(col("o_totalprice")).as("max_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")),
+
     "q24_sample_hash" -> ((s, dir) =>
       // Deterministic, engine-portable sampling: sha2 of the key is
       // identical everywhere, so the ~8% sample is reproducible across
@@ -230,6 +280,40 @@ object ExtraQueries {
         |  count(*) AS cnt, min(o_totalprice) AS min_price,
         |  max(o_totalprice) AS max_price
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q39_bloom_join" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q40_window_funcs" ->
+      """SELECT o_orderkey, o_custkey,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key,
+        |  lead(o_orderkey, 1) OVER w AS next_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q41_grouped_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q42_minmax_by" ->
+      """SELECT o_orderstatus,
+        |  arg_max(o_totalprice, o_orderkey) AS latest_price,
+        |  arg_min(o_totalprice, o_orderkey) AS first_price,
+        |  max(o_totalprice) AS max_price,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q37_range_window" ->
       """SELECT o_orderkey, o_custkey,
