@@ -18,6 +18,10 @@ object PipelineQueries {
 
   val EmbeddingDim = 64
 
+  /** Blocklist for pipeline_url_filter (mirrored in its oracle SQL). */
+  val BlockedDomains: Seq[String] =
+    (0 until 5).map(i => s"site$i.example.org")
+
   /** Target token shares for pipeline_mix (mirrored in its oracle SQL). */
   val MixTargets: Map[String, Double] =
     Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.05)
@@ -126,6 +130,22 @@ object PipelineQueries {
           lit(" host 10."), pmod(col("doc_id"), lit(256)).cast("string"),
           lit(".0.1")).as("text"))
       graft.operators.Curation.redactPii(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "pipeline_url_filter" -> ((s, dir) => {
+      // like pipeline_pii, URLs are planted deterministically (the corpus
+      // has none): each doc cites one of 20 rotating domains plus one
+      // always-good domain; the 5 blocked domains remove ~25% of docs
+      val docs = t(s, dir, "documents")
+      val planted = docs.select(col("doc_id"), col("lang"),
+        concat(substring(col("text"), 1, 30),
+          lit(" see https://site"), pmod(col("doc_id"), lit(20)).cast("string"),
+          lit(".example.org/p/"), col("doc_id").cast("string"),
+          lit(" and http://ok.example.com/"), col("doc_id").cast("string"))
+          .as("text"))
+      graft.operators.Curation.urlFilter(planted, "doc_id", "text", BlockedDomains)
+        .select("doc_id", "lang", "n_urls")
         .orderBy("doc_id")
     }),
 
@@ -304,6 +324,24 @@ object PipelineQueries {
        |FROM p WHERE inter / (asz + bsz - inter) >= $threshold ORDER BY a, b""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_url_filter" -> {
+      val blockedSql = BlockedDomains.map(d => s"'$d'").mkString("[", ", ", "]")
+      s"""WITH p AS (
+         |  SELECT doc_id, lang,
+         |    substring("text", 1, 30) || ' see https://site'
+         |      || CAST(doc_id % 20 AS VARCHAR) || '.example.org/p/'
+         |      || CAST(doc_id AS VARCHAR) || ' and http://ok.example.com/'
+         |      || CAST(doc_id AS VARCHAR) AS t
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, lang,
+         |    regexp_extract_all(t, '${graft.operators.Curation.UrlDomainRe}', 1) AS domains
+         |  FROM p)
+         |SELECT doc_id, lang, CAST(len(domains) AS BIGINT) AS n_urls
+         |FROM d WHERE NOT list_has_any(domains, $blockedSql)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // identical pattern strings (interpolated from Curation) under Java
     // regex and RE2; 'g' mirrors Spark's replace-all default
     "pipeline_pii" -> {

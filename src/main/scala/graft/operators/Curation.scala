@@ -164,6 +164,27 @@ object Curation {
           PhoneRe, "[PHONE]"),
         Ipv4Re, "[IP]").as("text_redacted"))
 
+  /** URL domain pattern (group 1 = host), Java-regex/RE2-portable like
+    * the PII patterns above.
+    */
+  val UrlDomainRe = "https?://([A-Za-z0-9.-]+)"
+
+  /** Domain-blocklist filtering (the C4/RefinedWeb-style curation step):
+    * keep documents whose text references NO blocked domain; n_urls
+    * counts every URL seen. One codegen'd scan with the blocklist as a
+    * plan literal — no shuffle, no side table; at 100 TB the blocklist
+    * (thousands of domains) still rides inside the task binary.
+    */
+  def urlFilter(docs: DataFrame, idCol: String, textCol: String,
+      blockedDomains: Seq[String]): DataFrame = {
+    val domains = regexp_extract_all(col(textCol), lit(UrlDomainRe), lit(1))
+    docs.withColumn("__domains", domains)
+      .filter(not(arrays_overlap(col("__domains"),
+        array(blockedDomains.map(lit): _*))))
+      .withColumn("n_urls", size(col("__domains")).cast("long"))
+      .drop("__domains")
+  }
+
   /** Drop training documents sharing ANY word n-gram with the eval set —
     * n-gram decontamination. The eval n-gram set
     * is broadcast (eval sets are tiny next to a training corpus), so the

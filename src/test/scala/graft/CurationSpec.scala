@@ -68,6 +68,21 @@ class CurationSpec extends AnyFunSuite {
     assert(planted.forall(r => r.getLong(1) + r.getLong(2) + r.getLong(3) > 0))
   }
 
+  test("urlFilter drops any doc citing a blocked domain, keeps url-free docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "plain text no links"),
+      (2L, "see https://good.example.com/a and http://also-fine.org/b"),
+      (3L, "mixed https://good.example.com/x then https://bad.example.net/y"),
+      (4L, "only https://bad.example.net/z here"),
+      (5L, "scheme-less bad.example.net is not a URL reference"))
+      .toDF("doc_id", "text")
+    val out = Curation.urlFilter(df, "doc_id", "text", Seq("bad.example.net"))
+      .select("doc_id", "n_urls").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 0L, 2L -> 2L, 5L -> 0L))
+  }
+
   test("decontaminate matches a brute-force n-gram overlap oracle") {
     val n = 5
     val all = docs.select("doc_id", "text").collect()
