@@ -101,6 +101,37 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("PII scrub and URL filter are single scan stages - no shuffle") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val pii = executedNoAqe(
+      graft.operators.Curation.redactPii(docs, "doc_id", "text"))
+    assert(pii.collect { case e: Exchange => e }.isEmpty,
+      s"redactPii must not shuffle:\n$pii")
+    val urls = executedNoAqe(
+      graft.operators.Curation.urlFilter(docs, "doc_id", "text", Seq("x.org")))
+    assert(urls.collect { case e: Exchange => e }.isEmpty,
+      s"urlFilter must not shuffle:\n$urls")
+  }
+
+  test("upsert merge is one key shuffle, not one per input") {
+    val orders = Tables.load(spark, TestSpark.sf, "orders")
+    val base = orders.withColumn("version", org.apache.spark.sql.functions.lit(1L))
+    val changes = orders
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") % 100 === 0)
+      .withColumn("version", org.apache.spark.sql.functions.lit(2L))
+    val plan = executedNoAqe(graft.operators.Upsert.latestWins(
+      base, changes, Seq("o_orderkey"), "version", "o_orderkey"))
+    val exchanges = plan.collect { case e: Exchange => e }
+    assert(exchanges.size == 1, s"latestWins must shuffle exactly once:\n$plan")
+  }
+
+  test("stream-static enrichment broadcasts the reference dim") {
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+    val plan = executedNoAqe(graft.streaming.EventStreams.enrichBatch(ev))
+    val broadcasts = plan.collect { case b: BroadcastHashJoinExec => b }
+    assert(broadcasts.size == 1, s"weights dim must broadcast:\n$plan")
+  }
+
   test("native expressions stay inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     val plan = executedNoAqe(
