@@ -25,6 +25,17 @@ import graft.functions.expr.GraftFunctions
   */
 object Dedup {
 
+  /** Ensure the expensive per-document kernels (shingling, signatures)
+    * run with full parallelism: a small/single-file scan arrives as one
+    * partition, which would funnel the whole corpus through one task. A
+    * well-partitioned input (the 100 TB case) passes through untouched —
+    * no extra exchange.
+    */
+  private def spread(df: DataFrame, idCol: String): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(col(idCol)) else df
+  }
+
   /** Exact dedup: keep the lowest id per sha2(content) group. Hash-based
     * groupBy shuffles only (hash, id) pairs, not the documents.
     */
@@ -49,7 +60,7 @@ object Dedup {
       threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     val rows = numHashes / bands
     // sorted shingles: verification uses the linear-merge intersect kernel
-    val docs = df.select(
+    val docs = spread(df, idCol).select(
       col(idCol).as("id"),
       H.shingles(col(textCol), shingleSize).as("sh"))
       .withColumn("sz", size(col("sh")))
@@ -78,7 +89,7 @@ object Dedup {
   def simhash(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
-    val docs = df.select(col(idCol).as("id"),
+    val docs = spread(df, idCol).select(col(idCol).as("id"),
       GraftFunctions.simhash64(T.tokens(col(textCol))).as("sig"))
     val banded = docs.select(col("id"),
       explode(H.simhashBands(col("sig"), bands)).as("bk"))
@@ -105,7 +116,7 @@ object Dedup {
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val docs = df.select(col(idCol).as("id"),
+    val docs = spread(df, idCol).select(col(idCol).as("id"),
       H.shingles(col(textCol), shingleSize).as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
@@ -175,7 +186,7 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double = 0.8, nTables: Int = 32, bitsPerTable: Int = 3,
       seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val docs = spread(df, idCol).select(col(idCol).as("id"), col(vecCol).as("v"))
     val tables = array((0 until nTables).map { t =>
       struct(lit(t).as("band"),
         GraftFunctions.hyperplaneSignature(col("v"),
@@ -251,8 +262,16 @@ object Dedup {
   private def pairsFromBuckets(bandedRaw: DataFrame, maxBucket: Int): DataFrame = {
     // consumed by the bucket-size aggregate, the semi-join and both sides
     // of the self-join — materialize the narrow (id, band, key) rows once
-    // so the signature kernels upstream don't run 4x
-    val banded = bandedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // so the signature kernels upstream don't run 4x.
+    // The explicit repartition does two jobs: (1) parallelism — the band
+    // rows inherit the source scan's partitioning (often ONE partition for
+    // a single parquet file), and without it the within-bucket self-join
+    // generates every candidate pair in one task; (2) co-partitioning —
+    // the bucket aggregate, the semi-join and both self-join sides then
+    // reuse this one hash exchange, so the whole candidate stage runs
+    // shuffle-free after a single 12-byte-row exchange.
+    val banded = bandedRaw.repartition(col("band"), col("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val smallBuckets = banded.groupBy("band", "key")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz").between(2, maxBucket))
