@@ -134,6 +134,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(n.getLong(0) == n.getLong(1))
   }
 
+  test("streaming CDC apply: foreachBatch merges change micro-batches latest-wins") {
+    import spark.implicits._
+    val chunkDir = TestSpark.scratch("stream_cdc_changes")
+    val base = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+      .toDF("k", "payload", "version")
+    // two time-ordered change files -> two micro-batches with
+    // maxFilesPerTrigger=1: an update+insert wave, then a delete wave
+    Seq((2L, "b2", 2L, false), (4L, "d", 2L, false))
+      .toDF("k", "payload", "version", "_deleted")
+      .coalesce(1).write.mode("overwrite").parquet(chunkDir)
+    Seq((1L, "a", 3L, true))
+      .toDF("k", "payload", "version", "_deleted")
+      .coalesce(1).write.mode("append").parquet(chunkDir)
+    val schema = spark.read.parquet(chunkDir).schema
+    // state table maintained across batches (collected between batches to
+    // cut lineage, as a real sink would persist to a table)
+    var state = base.collect().toSeq
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(chunkDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val cur = spark.createDataFrame(
+          spark.sparkContext.parallelize(state), base.schema)
+        state = graft.operators.Upsert
+          .latestWins(cur, batch, Seq("k"), "version", "k")
+          .withColumn("version", lit(0L)) // versions already resolved
+          .select("k", "payload", "version").collect().toSeq
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val incremental = state.map(r => (r.getLong(0), r.getString(1))).toSet
+    // one-shot merge over ALL changes must agree with the incremental
+    // application (latest version wins independent of batch order)
+    val allChanges = spark.read.parquet(chunkDir)
+    val oneShot = graft.operators.Upsert
+      .latestWins(base, allChanges, Seq("k"), "version", "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(incremental == oneShot)
+    assert(incremental == Set(2L -> "b2", 3L -> "c", 4L -> "d"))
+  }
+
   test("writeStream parquet sink: file-to-file streaming pipeline round-trips") {
     val schema = spark.read.parquet(eventsDir).schema
     // source files are rewritten (new names) per run, so sink+checkpoint
