@@ -241,6 +241,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "pipeline_e2e" -> ((s, dir) => {
+      // the curation flagship, end-to-end: structural quality filter →
+      // exact dedup survivors (among the filtered set) → token-budget
+      // shard packing per language. Each stage is individually oracled
+      // above; this entry proves they COMPOSE (one oracle over the chain)
+      val docs = t(s, dir, "documents")
+      val filtered = graft.operators.Curation.qualityFilter(docs, "doc_id", "text")
+      val survivors = Dedup.exactSurvivors(filtered, "doc_id", "text")
+      graft.operators.Curation.packShards(survivors, "doc_id", "text", "lang", budget = 512)
+    }),
+
     "mm_manifest" -> ((s, dir) => {
       // the REAL on-ramp at the gate: materialize media files from the
       // documents table, then ingest them through Spark's binaryFile
@@ -341,6 +352,31 @@ object PipelineQueries {
          |FROM d WHERE NOT list_has_any(domains, $blockedSql)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // quality rules -> exact-dedup survivors -> greedy shard packing,
+    // with the same thresholds/arithmetic as the single-stage oracles
+    "pipeline_e2e" ->
+      s"""WITH t AS (SELECT doc_id, lang, "text", $ToksSql AS ts FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang, "text", ts,
+         |    CAST(len(ts) AS BIGINT) AS nw,
+         |    CASE WHEN len(ts) = 0 THEN 0.0
+         |         ELSE list_sum(list_transform(ts, x -> len(x)))::DOUBLE / len(ts)::DOUBLE END AS awl,
+         |    CASE WHEN len(ts) <= 2 THEN 0.0
+         |         ELSE 1.0 - ${distinctNgramsSql(2)}::DOUBLE / (len(ts) - 1)::DOUBLE END AS dup2,
+         |    CASE WHEN len(ts) = 0 THEN 0.0
+         |         ELSE $TopTokenSql::DOUBLE / len(ts)::DOUBLE END AS topw
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, lang, "text", CAST(len(ts) AS BIGINT) AS n_tokens FROM m
+         |  WHERE nw BETWEEN 30 AND 100000 AND awl BETWEEN 3.0 AND 10.0
+         |    AND dup2 <= 0.1 AND topw <= 0.2),
+         |k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY sha256("text")),
+         |s AS (SELECT q.doc_id, q.lang, q.n_tokens FROM q JOIN k USING (doc_id))
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST(floor((CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |         ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) / 512) AS BIGINT) AS shard
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     // identical pattern strings (interpolated from Curation) under Java
     // regex and RE2; 'g' mirrors Spark's replace-all default
