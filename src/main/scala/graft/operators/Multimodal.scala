@@ -134,6 +134,37 @@ object Multimodal {
       }
   }
 
+  final case class ResizedMedia(
+      media_id: Long, width: Int, height: Int, bytes: Array[Byte])
+
+  /** Resize stub for image rows: scales the metadata to fit the target
+    * box (aspect preserved) and downsamples the payload bytes by the area
+    * ratio — a deterministic stand-in for a real scaler. The plumbing is
+    * the production shape: typed per-partition batches, partition-
+    * preserving, output schema carries the new dimensions + payload.
+    */
+  def resizeImages(spark: SparkSession, manifest: DataFrame,
+      maxW: Int = 256, maxH: Int = 256): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    manifest.filter(col("kind") === "image")
+      .select("media_id", "width", "height", "bytes")
+      .as[(Long, Int, Int, Array[Byte])]
+      .mapPartitions { it =>
+        // a real scaler initializes its native context here, per partition
+        it.map { case (id, w, h, bytes) =>
+          val scale = math.min(1.0,
+            math.min(maxW.toDouble / math.max(1, w), maxH.toDouble / math.max(1, h)))
+          val nw = math.max(1, math.rint(w * scale).toInt)
+          val nh = math.max(1, math.rint(h * scale).toInt)
+          val keepEvery = math.max(1, math.rint(1.0 / (scale * scale)).toInt)
+          val out = new Array[Byte]((bytes.length + keepEvery - 1) / keepEvery)
+          var i = 0
+          while (i < out.length) { out(i) = bytes(i * keepEvery); i += 1 }
+          ResizedMedia(id, nw, nh, out)
+        }
+      }
+  }
+
   /** Frame-sampling stub for video rows: emits one row per sampled offset
     * (schema/explode plumbing real, frame decode fake).
     */

@@ -86,6 +86,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.forall(_.feature.length == 8))
   }
 
+  test("resize stub scales dims into the box, preserves aspect, shrinks payload") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents").limit(60)
+    val manifest = Multimodal.manifestFromDocuments(docs, "doc_id", "text")
+    val resized = Multimodal.resizeImages(spark, manifest, maxW = 256, maxH = 256)
+      .collect().map(r => r.media_id -> r).toMap
+    val originals = manifest.filter(org.apache.spark.sql.functions.col("kind") === "image")
+      .select("media_id", "width", "height", "bytes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3)))
+    assert(originals.nonEmpty)
+    originals.foreach { case (id, w, h, bytes) =>
+      val r = resized(id)
+      assert(r.width <= 256 && r.height <= 256)
+      assert(r.width >= 1 && r.height >= 1)
+      // aspect preserved within integer rounding
+      if (w > 256 || h > 256)
+        assert(math.abs(r.width.toDouble / r.height - w.toDouble / h) / (w.toDouble / h) < 0.05)
+      else assert(r.width == w && r.height == h)
+      assert(r.bytes.length <= bytes.length)
+    }
+    // deterministic across runs
+    val again = Multimodal.resizeImages(spark, manifest, maxW = 256, maxH = 256)
+      .collect().map(r => r.media_id -> r.bytes.toSeq).toMap
+    assert(again == resized.map { case (k, v) => k -> v.bytes.toSeq })
+  }
+
   test("frame sampling emits one row per interval for video rows") {
     val m = Multimodal.manifestFromDocuments(docs, "doc_id", "text")
     val frames = Multimodal.sampleFrames(m, everyMs = 60000L)
