@@ -76,13 +76,18 @@ object Components {
         .select(col("id"), least(col("comp"), col("ncomp")).as("comp"))
         .localCheckpoint()
       // (b) pointer jump: comp := comp's comp (labels are node ids, so
-      // every label has a row; left+coalesce guards the root's self-row)
-      val jumped = pulled.as("x")
-        .join(pulled.select(col("id").as("cid"), col("comp").as("ccomp")).as("y"),
+      // every label has a row; left+coalesce guards the root's self-row).
+      // Applied TWICE per round: the extra self-join is one more shuffle
+      // inside the same job, but it quarters (not halves) label depth, so
+      // the number of ROUNDS — each a driver sync barrier, a checkpoint
+      // materialization and a convergence-count job — drops by ~2x on
+      // chain-heavy graphs.
+      def jump(l: DataFrame): DataFrame = l.as("x")
+        .join(l.select(col("id").as("cid"), col("comp").as("ccomp")).as("y"),
           col("x.comp") === col("y.cid"), "left")
         .select(col("x.id").as("id"),
           coalesce(col("y.ccomp"), col("x.comp")).as("comp"))
-        .localCheckpoint()
+      val jumped = jump(jump(pulled)).localCheckpoint()
       // jumped is materialized (localCheckpoint is eager) — pulled's
       // blocks are dead from here
       Ckpt.unpersistLocalCheckpoint(pulled)
