@@ -46,6 +46,13 @@ object BloomJoin {
     */
   def prunedJoin(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
+    // XxHash64 hashes the PHYSICAL type: 5 (int) and 5L (long) hash
+    // differently even though the join coerces them equal, so a type
+    // mismatch would make the probe silently prune every true match
+    require(fact.schema(factKey).dataType == dim.schema(dimKey).dataType,
+      s"bloom join keys must have identical types; got " +
+        s"${fact.schema(factKey).dataType} vs ${dim.schema(dimKey).dataType} " +
+        "(cast one side first)")
     // standard bloom sizing: m = -n ln(p) / (ln 2)^2
     val numBits = math.max(64L,
       math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)

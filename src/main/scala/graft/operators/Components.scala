@@ -87,7 +87,12 @@ object Components {
           col("x.comp") === col("y.cid"), "left")
         .select(col("x.id").as("id"),
           coalesce(col("y.ccomp"), col("x.comp")).as("comp"))
-      val jumped = jump(jump(pulled)).localCheckpoint()
+      // the inner jump is checkpointed too: un-materialized it would sit
+      // on BOTH sides of the outer self-join and its join work would run
+      // twice per round
+      val half = jump(pulled).localCheckpoint()
+      val jumped = jump(half).localCheckpoint()
+      Ckpt.unpersistLocalCheckpoint(half)
       // jumped is materialized (localCheckpoint is eager) — pulled's
       // blocks are dead from here
       Ckpt.unpersistLocalCheckpoint(pulled)

@@ -177,7 +177,11 @@ object Curation {
     */
   def urlFilter(docs: DataFrame, idCol: String, textCol: String,
       blockedDomains: Seq[String]): DataFrame = {
-    val domains = regexp_extract_all(col(textCol), lit(UrlDomainRe), lit(1))
+    // NULL text carries no URLs: coalesce keeps the row (a bare filter on
+    // not(arrays_overlap(NULL, ...)) would silently drop it)
+    val domains = coalesce(
+      regexp_extract_all(col(textCol), lit(UrlDomainRe), lit(1)),
+      array().cast("array<string>"))
     docs.withColumn("__domains", domains)
       .filter(not(arrays_overlap(col("__domains"),
         array(blockedDomains.map(lit): _*))))

@@ -32,8 +32,21 @@ object Dedup {
     * no extra exchange.
     */
   private def spread(df: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // a plan with an exchange upstream is already distributed at
+    // shuffle-partition width — and touching .rdd on it under AQE would
+    // EXECUTE those exchanges just to count partitions; only probe the
+    // partition count for shuffle-free (scan-shaped) plans, where .rdd is
+    // a file-listing no-op
+    val shuffled = df.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: Distinct | _: Window | _: Sort |
+           _: RepartitionOperation => true
+      case _ => false
+    }
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < target) df.repartition(col(idCol)) else df
+    if (shuffled) df
+    else if (df.rdd.getNumPartitions < target) df.repartition(col(idCol))
+    else df
   }
 
   /** Exact dedup: keep the lowest id per sha2(content) group. Hash-based

@@ -69,6 +69,9 @@ object IvfIndex {
     * centroid set rides into codegen as plan literals — no shuffle.
     */
   def assign(vectors: DataFrame, centroids: Array[(Int, Array[Double])]): DataFrame = {
+    require(centroids.nonEmpty,
+      "no centroids: corpus (or its training sample) is empty — " +
+        "check the input frame / raise sampleFraction")
     val scored = centroids.map { case (cellId, c) =>
       struct(GraftFunctions.cosine(col("v"), lit(c)).as("score"), lit(cellId).as("cell"))
     }

@@ -37,8 +37,14 @@ object Upsert {
       .unionByName(withDel.withColumn("_src", lit(1))
         .select((keyCols ++ outCols.filterNot(keyCols.contains) ++
           Seq(versionCol, deleteCol, "_src")).map(col): _*))
+    // last resort: a content hash over the full row, so even two change
+    // rows tying on (version, side, tieCol) resolve the same way on every
+    // run / task retry — deterministic for ANY input, as documented
+    val allCols = struct((keyCols ++ outCols.filterNot(keyCols.contains) ++
+      Seq(versionCol)).map(col): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc, col("_src").desc, col(tieCol).desc)
+      .orderBy(col(versionCol).desc, col("_src").desc, col(tieCol).desc,
+        xxhash64(allCols).desc)
     all.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && !col(deleteCol))
       .select(outCols.map(col): _*)

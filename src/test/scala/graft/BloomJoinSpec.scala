@@ -38,6 +38,15 @@ class BloomJoinSpec extends AnyFunSuite {
     assert(kept >= 100)
   }
 
+  test("mismatched key types are rejected loudly (hash is type-sensitive)") {
+    val fact = Seq(1, 2, 3).toDF("k") // int
+    val dim = Seq(1L, 2L).toDF("dk")  // long: 1 and 1L hash differently
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.prunedJoin(fact, "k", dim, "dk")
+    }
+    assert(e.getMessage.contains("identical types"))
+  }
+
   test("empty dim side yields the empty join, not a crash") {
     val fact = Seq((1L, "a")).toDF("k", "v")
     val dim = Seq((1L, "x")).toDF("dk", "w").filter(col("dk") < 0)

@@ -75,12 +75,13 @@ class CurationSpec extends AnyFunSuite {
       (2L, "see https://good.example.com/a and http://also-fine.org/b"),
       (3L, "mixed https://good.example.com/x then https://bad.example.net/y"),
       (4L, "only https://bad.example.net/z here"),
-      (5L, "scheme-less bad.example.net is not a URL reference"))
+      (5L, "scheme-less bad.example.net is not a URL reference"),
+      (6L, null.asInstanceOf[String])) // NULL text = no URLs, must be KEPT
       .toDF("doc_id", "text")
     val out = Curation.urlFilter(df, "doc_id", "text", Seq("bad.example.net"))
       .select("doc_id", "n_urls").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(out == Map(1L -> 0L, 2L -> 2L, 5L -> 0L))
+    assert(out == Map(1L -> 0L, 2L -> 2L, 5L -> 0L, 6L -> 0L))
   }
 
   test("decontaminate matches a brute-force n-gram overlap oracle") {

@@ -34,6 +34,19 @@ class UpsertSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, "a2"), (2L, "b")))
   }
 
+  test("latestWins picks a stable winner even on full (version, tie) ties") {
+    val base = Seq((1L, "a", 1L)).toDF("k", "v", "version")
+    // two changes tying on key, version AND tieCol (tieCol == key): the
+    // content-hash tiebreak must make the winner run-independent
+    val changes = Seq((1L, "x", 2L), (1L, "y", 2L)).toDF("k", "v", "version")
+    val winners = (1 to 3).map { _ =>
+      Upsert.latestWins(base, changes.repartition(3), Seq("k"), "version", "k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    }
+    assert(winners.distinct.size == 1, s"winner must be stable, got $winners")
+    assert(winners.head.length == 1)
+  }
+
   test("latestWins resolves multiple changes per key to the highest version") {
     val base = Seq((1L, "a", 1L)).toDF("k", "v", "version")
     val changes = Seq((1L, "a2", 2L), (1L, "a3", 3L), (1L, "a2b", 2L))
