@@ -236,6 +236,55 @@ object ExtraQueries {
           count(lit(1)).as("cnt"))
         .orderBy("o_orderstatus")),
 
+    "q43_partitioned_source" -> ((s, dir) => {
+      // date-partitioned layout round-trip: write events partitioned by
+      // day (Tables.writeDatePartitioned), read the directory tree back,
+      // aggregate per partition value. Partition PRUNING on this layout
+      // is plan-asserted in PlanSpec; this gates the layout's round-trip
+      // correctness against DuckDB on the original table.
+      val out = s"${graft.Scratch.dir}/q43_part_events"
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+      graft.sources.Tables.writeDatePartitioned(ev, "ts", out)
+      s.read.parquet(out)
+        .groupBy(date_format(col("dt"), "yyyy-MM-dd").as("dt"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+        .orderBy("dt")
+    }),
+
+    "q44_bucketed_join" -> ((s, dir) => {
+      // bucketed-layout join: both sides pre-bucketed on the join key
+      // (Tables.writeBucketed), so the join needs no exchange — the
+      // co-located fact-fact join shape at 100 TB (shuffle-freeness is
+      // plan-asserted in PlanSpec; the result gates against a plain join)
+      graft.sources.Tables.writeBucketed(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "q44_orders_b", "o_custkey", 8)
+      graft.sources.Tables.writeBucketed(
+        t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+        "q44_customer_b", "c_custkey", 8)
+      val o = s.table("q44_orders_b")
+      val c = s.table("q44_customer_b")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q45_salted_join" -> ((s, dir) =>
+      // skew-safe replicated join: the big side salts, the small side
+      // replicates per salt — result identical to the plain join, so the
+      // plain-SQL oracle applies (equivalence also spec'd in SaltingSpec)
+      graft.operators.Salting.saltedJoin(
+        t(s, dir, "orders"), t(s, dir, "customer"),
+        "o_custkey", "c_custkey", saltSrc = "o_orderkey", salts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("c_mktsegment")),
+
     "q24_sample_hash" -> ((s, dir) =>
       // Deterministic, engine-portable sampling: sha2 of the key is
       // identical everywhere, so the ~8% sample is reproducible across
@@ -280,6 +329,24 @@ object ExtraQueries {
         |  count(*) AS cnt, min(o_totalprice) AS min_price,
         |  max(o_totalprice) AS max_price
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q43_partitioned_source" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q44_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q45_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q39_bloom_join" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
