@@ -96,6 +96,10 @@ object PipelineQueries {
         k = 10, nProbe = 4, refine = 4)
     }),
 
+    "text_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -459,6 +463,26 @@ object PipelineQueries {
          |      + least(sw * 3.0, 1.0) * 0.2
          |      + (CASE WHEN awl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 4) AS quality
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    // mean unigram surprisal; the fold over the word-sorted term list
+    // reproduces Spark's aggregate() addition order exactly
+    "text_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+         |p AS (SELECT doc_id, unnest(ts) AS w FROM t),
+         |m AS (SELECT doc_id, w, count(*) AS m FROM p GROUP BY 1, 2),
+         |tf AS (SELECT w, sum(m) AS cnt FROM m GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS total FROM tf),
+         |terms AS (
+         |  SELECT doc_id,
+         |    struct_pack(w := w, term := m.m::DOUBLE * -ln(cnt::DOUBLE / total::DOUBLE)) AS wt,
+         |    m.m AS m
+         |  FROM m JOIN tf USING (w) CROSS JOIN tot),
+         |d AS (SELECT doc_id, list_sort(list(wt)) AS l, CAST(sum(m) AS BIGINT) AS n
+         |      FROM terms GROUP BY doc_id)
+         |SELECT doc_id, n AS n_words,
+         |  round(list_reduce(list_prepend(0.0, list_transform(l, x -> x.term)),
+         |        (a, x) -> a + x) / n, 4) AS avg_neg_logp
+         |FROM d ORDER BY doc_id""".stripMargin,
 
     // duplicate-n-gram fractions + top-word share; short docs (<= n words)
     // are 0 by definition on both sides

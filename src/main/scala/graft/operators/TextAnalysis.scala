@@ -26,6 +26,39 @@ object TextAnalysis {
       round(T.avgWordLength(col(textCol)), 4).as("avg_word_len"),
       T.qualityScore(col(textCol)).as("quality"))
 
+  /** Unigram language-model score: per document, the mean surprisal
+    * -ln p(w) of its tokens under the corpus's own unigram distribution —
+    * the model-free stand-in for perplexity filtering (docs full of rare
+    * junk score high, regular prose scores low).
+    *
+    * Scale shape: one (id, word) aggregation, one word-count aggregation
+    * (vocabulary-sized), a join on word, and a re-group by id — all
+    * narrow rows. Determinism: the per-doc double sum runs over the
+    * word-sorted term list via a sequential fold, so the float additions
+    * happen in one fixed order on any partitioning/engine (the oracle
+    * folds the identically-sorted list).
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = docs
+      .select(col(idCol).as("id"), explode(T.tokens(col(textCol))).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("m"))
+    val tf = pairs.groupBy("w").agg(sum("m").as("cnt"))
+    val tot = tf.agg(sum("cnt").as("total"))
+    val terms = pairs.join(tf, "w").crossJoin(broadcast(tot))
+      .select(col("id"),
+        struct(col("w"),
+          (col("m").cast("double") *
+            -log(col("cnt").cast("double") / col("total").cast("double"))).as("term")).as("wt"),
+        col("m"))
+    terms.groupBy("id")
+      .agg(collect_list(col("wt")).as("l"), sum("m").as("n"))
+      .select(col("id").as(idCol),
+        col("n").cast("long").as("n_words"),
+        round(
+          expr("aggregate(array_sort(l), cast(0.0 as double), (a, x) -> a + x.term)")
+            / col("n"), 4).as("avg_neg_logp"))
+  }
+
   /** Within-document repetition signals (the Gopher/MassiveText rule
     * inputs, Rae et al. 2021): duplicate word-n-gram fractions and the
     * top word's frequency share. `dup_ngram_frac` = 1 - distinct/total

