@@ -36,6 +36,10 @@ object PipelineQueries {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    "dedup_exact_normalized" -> ((s, dir) =>
+      Dedup.exactNormalized(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("content_hash")),
+
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)),
@@ -531,6 +535,14 @@ object PipelineQueries {
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id >= 25 AND doc_id NOT IN (SELECT doc_id FROM bad)
          |ORDER BY doc_id""".stripMargin,
+    // \s and the 'g' flag mirror Java's \s+ replace-all exactly on this
+    // corpus (ASCII whitespace)
+    "dedup_exact_normalized" ->
+      """SELECT sha256(trim(regexp_replace(lower("text"), '\s+', ' ', 'g'))) AS content_hash,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
     "dedup_exact" ->
       """SELECT sha256("text") AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies

@@ -57,6 +57,18 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup after text normalization (lower-case, collapse runs of
+    * whitespace, trim): catches the near-trivial duplicates — casing and
+    * spacing variants — that byte-exact hashing misses, at the same
+    * hash-groupBy cost. The normalization every real pipeline applies
+    * before content hashing.
+    */
+  def exactNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      sha2(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), 256).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** Survivor set of exact dedup: all rows whose id is a keeper. */
   def exactSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keep = exact(df, idCol, textCol).select(col("keep_id").as(idCol))
@@ -156,17 +168,32 @@ object Dedup {
         collect_list(struct(col("docfreq"), col("shingle"))).as("byRarity"))
       .withColumn("pref", slice(array_sort(col("byRarity")), lit(1),
         (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")))
-      .select(col("id"), col("sz"), explode(col("pref.shingle")).as("shingle"))
+      // posexplode keeps each prefix token's POSITION in the doc's
+      // global-order-sorted token list (the prefix IS its first L
+      // entries), feeding the positional filter below
+      .select(col("id"), col("sz"),
+        posexplode(col("pref.shingle")).as(Seq("pos", "shingle")))
       // both sides of the candidate self-join read this — materialized
       // once it is built once, not twice (measured 2x end-to-end)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = prefix.select(col("shingle"), col("id").as("a"), col("sz").as("a_sz"))
-    val b = prefix.select(col("shingle"), col("id").as("b"), col("sz").as("b_sz"))
+    val a = prefix.select(col("shingle"), col("id").as("a"),
+      col("sz").as("a_sz"), col("pos").as("a_pos"))
+    val b = prefix.select(col("shingle"), col("id").as("b"),
+      col("sz").as("b_sz"), col("pos").as("b_pos"))
     val candidates = a.join(b, Seq("shingle"))
       .filter(col("a") < col("b"))
       // PPJoin length filter: J >= t forces t*|larger| <= |smaller|
       .filter(col("b_sz") >= col("a_sz") * threshold &&
         col("a_sz") >= col("b_sz") * threshold)
+      // PPJoin positional filter: a token at (0-based) positions i/j of
+      // the two sorted sets bounds the overlap by 1 + min(rest_a, rest_b);
+      // J >= t needs overlap >= ceil(t/(1+t) * (|a|+|b|)). Exact: a true
+      // pair's FIRST shared token has no common tokens before it, so its
+      // bound is valid and >= the required overlap — pairs passing via
+      // any later token are a superset, and the verify step is exact.
+      .filter(lit(1) + least(col("a_sz") - col("a_pos") - 1,
+          col("b_sz") - col("b_pos") - 1) >=
+        ceil(lit(threshold / (1.0 + threshold)) * (col("a_sz") + col("b_sz"))))
       .select("a", "b").distinct()
     verifyJaccard(candidates, docs, threshold)
   }
