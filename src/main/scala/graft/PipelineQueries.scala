@@ -227,6 +227,13 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "pipeline_holdout" -> ((s, dir) =>
+      // exact-size eval holdout: 20 val docs per language, hash-ordered
+      graft.operators.Curation.holdoutSplit(
+        t(s, dir, "documents"), "doc_id", "lang", valPerGroup = 20)
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id")),
+
     "pipeline_mix" -> ((s, dir) =>
       // data mixing: downsample so output token mass follows the target
       // language shares; rates are DERIVED from corpus token totals
@@ -595,6 +602,16 @@ object PipelineQueries {
         |      x -> len(x) > 0)) AS n_words,
         |  length("text") AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipeline_holdout" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY sha256('holdout' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN rk <= 20 THEN 'val' ELSE 'train' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // same derived-rate arithmetic (double ops in the same order) and the
     // same multiplicative-hash uniform as Curation.mixToTarget

@@ -138,6 +138,21 @@ object Curation {
       dup2 <= maxDup2gramFrac && topw <= maxTopWordFrac)
   }
 
+  /** Deterministic exact-size holdout split: the `valPerGroup` documents
+    * with the smallest sha2(salt || id) per group become "val", the rest
+    * "train" — reproducible on any engine/cluster size (hash order, not
+    * rand()), with EXACT per-group counts, which rate-based sampling
+    * cannot guarantee. One key shuffle for the per-group window.
+    */
+  def holdoutSplit(docs: DataFrame, idCol: String, byCol: String,
+      valPerGroup: Int, salt: String = "holdout"): DataFrame = {
+    val w = Window.partitionBy(byCol)
+      .orderBy(sha2(concat(lit(salt), col(idCol).cast("string")), 256), col(idCol))
+    docs.withColumn("_hrk", row_number().over(w))
+      .withColumn("split", when(col("_hrk") <= valPerGroup, "val").otherwise("train"))
+      .drop("_hrk")
+  }
+
   /** PII scrub patterns — deliberately lookaround-free and syntax-portable
     * so the exact same pattern strings run under Java regex (Spark) and
     * RE2 (DuckDB oracle) with identical leftmost-first matches.
