@@ -68,6 +68,25 @@ class CurationSpec extends AnyFunSuite {
     assert(planted.forall(r => r.getLong(1) + r.getLong(2) + r.getLong(3) > 0))
   }
 
+  test("holdout split: exact val count per group, reproducible, exhaustive") {
+    val split = Curation.holdoutSplit(docs, "doc_id", "lang", valPerGroup = 20)
+    val counts = split.groupBy("lang", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (lang, n) =>
+      assert(counts.getOrElse((lang, "val"), 0L) == math.min(20L, n), s"val count for $lang")
+      assert(counts.getOrElse((lang, "val"), 0L) + counts.getOrElse((lang, "train"), 0L) == n)
+    }
+    // reproducible: same membership on a rerun with different partitioning
+    val v1 = split.filter(col("split") === "val").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val v2 = Curation.holdoutSplit(docs.repartition(7), "doc_id", "lang", 20)
+      .filter(col("split") === "val").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(v1 == v2)
+  }
+
   test("urlFilter drops any doc citing a blocked domain, keeps url-free docs") {
     import spark.implicits._
     val df = Seq(
