@@ -125,6 +125,23 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.size == 1, s"latestWins must shuffle exactly once:\n$plan")
   }
 
+  test("holdout split is one key shuffle; LM score has no cartesian join") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val hold = executedNoAqe(
+      graft.operators.Curation.holdoutSplit(docs, "doc_id", "lang", 20))
+    assert(hold.collect { case e: Exchange => e }.size == 1,
+      s"holdout must shuffle exactly once:\n$hold")
+    val lm = executedNoAqe(
+      graft.operators.TextAnalysis.lmScore(docs, "doc_id", "text"))
+    val cartesian = lm.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(cartesian.isEmpty, s"lmScore must not build a cartesian product:\n$lm")
+    // bounded exchange count (incl. broadcast exchanges): pair agg, vocab
+    // agg, scalar total, join-back broadcasts, doc re-group
+    assert(lm.collect { case e: Exchange => e }.size <= 7, lm.toString)
+  }
+
   test("stream-static enrichment broadcasts the reference dim") {
     val ev = Tables.load(spark, TestSpark.sf, "events")
     val plan = executedNoAqe(graft.streaming.EventStreams.enrichBatch(ev))
