@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.expr.GraftFunctions
@@ -103,9 +102,7 @@ object IvfIndex {
       .drop("cells")
     val scored = indexed.join(broadcast(probed), Seq("cell"))
       .withColumn("cosine", GraftFunctions.cosine(col("v"), col("qv")))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    TopK.perKey(scored, "qid", Seq(col("cosine").desc, col("id").asc), k, "rk")
       .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"),
         col("rk").cast("long").as("rk"))
       .orderBy("qid", "rk")

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.expr.GraftFunctions
@@ -158,16 +157,14 @@ object PqIndex {
     val cand = encoded.join(broadcast(probed), Seq("cell"))
       .withColumn("approx", when(denom === 0.0, -1.0).otherwise(
         (col("qdotc") + GraftFunctions.pqAdc(col("codes"), col("lut"), model.kCodes)) / denom))
-    val wA = Window.partitionBy("qid").orderBy(col("approx").desc, col("id").asc)
-    val shortlist = cand.withColumn("rka", row_number().over(wA))
-      .filter(col("rka") <= k * refine)
+    val shortlist = TopK.perKey(cand, "qid",
+        Seq(col("approx").desc, col("id").asc), k * refine, "rka")
       .select("qid", "id")
     val cv = asDouble(corpus, idCol, vecCol, "id", "v")
     val qv = asDouble(queries, qidCol, qvecCol, "qid", "qv")
     val exact = shortlist.join(cv, "id").join(broadcast(qv), "qid")
       .withColumn("cosine", GraftFunctions.cosine(col("v"), col("qv")))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
-    exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    TopK.perKey(exact, "qid", Seq(col("cosine").desc, col("id").asc), k, "rk")
       .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"),
         col("rk").cast("long").as("rk"))
       .orderBy("qid", "rk")

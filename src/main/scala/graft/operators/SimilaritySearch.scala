@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.functions.RandomPlanes
 import graft.functions.expr.GraftFunctions
@@ -27,9 +26,7 @@ object SimilaritySearch {
     val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .crossJoin(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))))
       .withColumn("cosine", GraftFunctions.cosine(col("v"), col("qv")))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    TopK.perKey(scored, "qid", Seq(col("cosine").desc, col("id").asc), k, "rk")
       // long-typed rank: row_number is int32 in Spark, BIGINT in DuckDB
       .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"),
         col("rk").cast("long").as("rk"))
@@ -58,19 +55,23 @@ object SimilaritySearch {
         GraftFunctions.hyperplaneSignature(v,
           RandomPlanes.planes(dim, bitsPerTable, seed + t)).as("key"))
     }: _*)
+    // bucket streams carry ONLY ids and bucket keys: the corpus explode
+    // never replicates vectors ×L, and the candidate dedup shuffles narrow
+    // (qid, id) pairs — vectors are joined back exactly once afterwards
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("b", explode(buckets(col("v"))))
-      .select(col("id"), col("v"), col("b.table"), col("b.key"))
+      .select(col("id"), col("b.table"), col("b.key"))
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
       .withColumn("b", explode(buckets(col("qv"))))
-      .select(col("qid"), col("qv"), col("b.table"), col("b.key"))
+      .select(col("qid"), col("b.table"), col("b.key"))
     val candidates = c.join(broadcast(q), Seq("table", "key"))
-      .select("qid", "id", "v", "qv")
+      .select("qid", "id")
       .dropDuplicates("qid", "id")
-    val scored = candidates.withColumn("cosine", GraftFunctions.cosine(col("v"), col("qv")))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    val scored = candidates
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), Seq("id"))
+      .join(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))), Seq("qid"))
+      .withColumn("cosine", GraftFunctions.cosine(col("v"), col("qv")))
+    TopK.perKey(scored, "qid", Seq(col("cosine").desc, col("id").asc), k, "rk")
       .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"),
         col("rk").cast("long").as("rk"))
       .orderBy("qid", "rk")

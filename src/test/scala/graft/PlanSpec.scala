@@ -226,6 +226,68 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN top-k is two-stage: no qid-only window over the full candidate set") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val model = graft.operators.PqIndex.train(emb, "vec_id", "embedding",
+      nCells = 8, m = 8, kCodes = 16, iters = 1)
+    val enc = graft.operators.PqIndex.encode(emb, "vec_id", "embedding", model)
+    val plans = Seq(
+      "bruteforce" -> executedNoAqe(graft.operators.SimilaritySearch.bruteForceTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 5)),
+      "lsh" -> executedNoAqe(graft.operators.SimilaritySearch.lshTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", dim, k = 5)),
+      "ivf" -> executedNoAqe {
+        val centroids = graft.operators.IvfIndex.train(emb, "vec_id", "embedding",
+          nCells = 8, iters = 1)
+        graft.operators.IvfIndex.search(
+          graft.operators.IvfIndex.index(emb, "vec_id", "embedding", centroids),
+          queries, "vec_id", "embedding", centroids, k = 5)
+      },
+      "ivfpq" -> executedNoAqe(graft.operators.PqIndex.search(
+        enc, emb, "vec_id", "embedding", queries, "vec_id", "embedding", model, k = 5)))
+    plans.foreach { case (name, plan) =>
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$name: expected window top-k:\n$plan")
+      // a window partitioned by qid alone puts one query's candidates in
+      // ONE task — it may only rank survivors of a prior (qid, salt) pass
+      windows.foreach { w =>
+        if (w.partitionSpec.size == 1) {
+          val partialBelow = w.child.collect {
+            case p: WindowExec if p.partitionSpec.size >= 2 => p
+          }
+          assert(partialBelow.nonEmpty,
+            s"$name: qid-only window must rank pre-reduced survivors, " +
+              s"not the full candidate set:\n$plan")
+        }
+      }
+    }
+  }
+
+  test("LSH candidate dedup shuffles narrow (qid,id) pairs - no vectors") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.ArrayType
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val plan = executedNoAqe(graft.operators.SimilaritySearch.lshTopK(
+      emb, "vec_id", "embedding", emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", dim, k = 5))
+    // dropDuplicates(qid,id) compiles to aggregates grouped on two keys;
+    // their inputs must not carry the dim-width vector columns
+    val dedups = plan.collect {
+      case a: BaseAggregateExec if a.groupingExpressions.size == 2 => a
+    }
+    assert(dedups.nonEmpty, s"expected a (qid,id) dedup aggregate:\n$plan")
+    dedups.foreach { a =>
+      assert(!a.child.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"candidate dedup must not shuffle vector columns:\n$plan")
+    }
+  }
+
   test("SQL function registration (extensions + existing-session register)") {
     GraftExtensions.register(spark)
     val r = spark.sql(
