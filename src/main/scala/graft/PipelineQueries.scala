@@ -361,7 +361,7 @@ object PipelineQueries {
          |  FROM documents),
          |d AS (
          |  SELECT doc_id, lang,
-         |    regexp_extract_all(t, '${graft.operators.Curation.UrlDomainRe}', 1) AS domains
+         |    regexp_extract_all(coalesce(t, ''), '${graft.operators.Curation.UrlDomainRe}', 1) AS domains
          |  FROM p)
          |SELECT doc_id, lang, CAST(len(domains) AS BIGINT) AS n_urls
          |FROM d WHERE NOT list_has_any(domains, $blockedSql)

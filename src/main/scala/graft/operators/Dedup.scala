@@ -191,9 +191,14 @@ object Dedup {
       // pair's FIRST shared token has no common tokens before it, so its
       // bound is valid and >= the required overlap — pairs passing via
       // any later token are a superset, and the verify step is exact.
+      // the 1e-9 slack guards the double rounding of t/(1+t): when the
+      // quotient rounds UP (e.g. t=0.25), t/(1+t)*(|a|+|b|) can land just
+      // above an exact integer and ceil would over-require by 1, pruning a
+      // true pair with Jaccard exactly t. Slack only ADDS candidates; the
+      // verify step is exact.
       .filter(lit(1) + least(col("a_sz") - col("a_pos") - 1,
           col("b_sz") - col("b_pos") - 1) >=
-        ceil(lit(threshold / (1.0 + threshold)) * (col("a_sz") + col("b_sz"))))
+        ceil(lit(threshold / (1.0 + threshold)) * (col("a_sz") + col("b_sz")) - lit(1e-9)))
       .select("a", "b").distinct()
     verifyJaccard(candidates, docs, threshold)
   }

@@ -37,11 +37,12 @@ object Upsert {
       .unionByName(withDel.withColumn("_src", lit(1))
         .select((keyCols ++ outCols.filterNot(keyCols.contains) ++
           Seq(versionCol, deleteCol, "_src")).map(col): _*))
-    // last resort: a content hash over the full row, so even two change
-    // rows tying on (version, side, tieCol) resolve the same way on every
-    // run / task retry — deterministic for ANY input, as documented
+    // last resort: a content hash over the full row INCLUDING the delete
+    // flag, so even a tombstone vs a same-content update tying on
+    // (version, side, tieCol) resolves the same way on every run / task
+    // retry — deterministic for ANY input, as documented
     val allCols = struct((keyCols ++ outCols.filterNot(keyCols.contains) ++
-      Seq(versionCol)).map(col): _*)
+      Seq(versionCol, deleteCol)).map(col): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(versionCol).desc, col("_src").desc, col(tieCol).desc,
         xxhash64(allCols).desc)

@@ -83,6 +83,35 @@ class DedupSpec extends AnyFunSuite {
     assert(got == oracle)
   }
 
+  test("ngram jaccard keeps boundary pairs with Jaccard exactly the threshold") {
+    import spark.implicits._
+    // engineered so pair (1,2) has J == 0.25 exactly AND its shared tokens
+    // sit last in both prefix lists (docfreq 3 vs filler docfreq 2), making
+    // the positional-filter bound exactly the required overlap — the double
+    // rounding of t/(1+t)=0.2000…01 used to over-require by 1 and prune it
+    def junk(tag: String) = (1 to 29).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq(
+      (1L, "s1 s2 f1 f2"),
+      (2L, "s1 s2 g1 g2 g3 g4"),
+      (3L, "s1 s2"),
+      (10L, "f1 " + junk("jfonex")), (11L, "f2 " + junk("jftwox")),
+      (12L, "g1 " + junk("jgonex")), (13L, "g2 " + junk("jgtwox")),
+      (14L, "g3 " + junk("jgthrx")), (15L, "g4 " + junk("jgfoux"))
+    ).toDF("doc_id", "text")
+    val sh = corpus.select(col("doc_id").as("id"), H.shingles(col("text"), 1).as("sh"))
+    val a = sh.select(col("id").as("a"), col("sh").as("a_sh"))
+    val b = sh.select(col("id").as("b"), col("sh").as("b_sh"))
+    val oracle = a.crossJoin(b).filter(col("a") < col("b"))
+      .withColumn("j", Dedup.jaccard(col("a_sh"), col("b_sh")))
+      .filter(col("j") >= 0.25)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oracle.contains((1L, 2L)), "construction must make (1,2) a true pair")
+    val got = Dedup.ngramJaccard(corpus, "doc_id", "text",
+      shingleSize = 1, threshold = 0.25)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == oracle, s"missed=${oracle -- got} extra=${got -- oracle}")
+  }
+
   test("embedding near-dup equals the brute-force all-pairs oracle (full recall + precision)") {
     val emb = Tables.load(spark, TestSpark.sf, "embeddings")
     val v = emb.select(col("vec_id").as("id"), col("embedding").as("v"))

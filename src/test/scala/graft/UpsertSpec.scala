@@ -47,6 +47,21 @@ class UpsertSpec extends AnyFunSuite {
     assert(winners.head.length == 1)
   }
 
+  test("latestWins: tombstone vs same-content update tie resolves identically") {
+    val base = Seq((1L, "a", 1L)).toDF("k", "v", "version")
+    // identical in every hashed column except the delete flag: the flag
+    // must participate in the content-hash tiebreak, or keep-vs-delete
+    // depends on input order
+    val mk = (rows: Seq[(Long, String, Long, Boolean)]) =>
+      Upsert.latestWins(base,
+        rows.toDF("k", "v", "version", "_deleted").repartition(3),
+        Seq("k"), "version", "k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ab = mk(Seq((1L, "x", 2L, false), (1L, "x", 2L, true)))
+    val ba = mk(Seq((1L, "x", 2L, true), (1L, "x", 2L, false)))
+    assert(ab == ba, s"winner must not depend on input order: $ab vs $ba")
+  }
+
   test("latestWins resolves multiple changes per key to the highest version") {
     val base = Seq((1L, "a", 1L)).toDF("k", "v", "version")
     val changes = Seq((1L, "a2", 2L), (1L, "a3", 3L), (1L, "a2b", 2L))
