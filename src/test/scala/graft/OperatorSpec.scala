@@ -83,6 +83,20 @@ class DedupSpec extends AnyFunSuite {
     assert(got == oracle)
   }
 
+  test("releaseCaches drops every operator-internal persisted frame") {
+    spark.catalog.clearCache()
+    val sample = docs.filter(col("doc_id") < 200)
+    Dedup.minhashLsh(sample, "doc_id", "text").collect()
+    Dedup.ngramJaccard(sample.filter(col("doc_id") < 100), "doc_id", "text").collect()
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings").filter(col("vec_id") < 200)
+    Dedup.semanticDedup(emb, "vec_id", "embedding", nClusters = 4, threshold = 0.9).collect()
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "dedup operators persist multi-consumer intermediates")
+    Dedup.releaseCaches()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "releaseCaches must unpersist every operator-internal frame")
+  }
+
   test("ngram jaccard keeps boundary pairs with Jaccard exactly the threshold") {
     import spark.implicits._
     // engineered so pair (1,2) has J == 0.25 exactly AND its shared tokens
