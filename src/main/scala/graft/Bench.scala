@@ -54,13 +54,20 @@ object Bench {
     }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ").replace("\t", " ")
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal seconds: ~40% shorter line — a tail-window capture of an
+    // 80+-query line must not truncate mid-JSON (BENCH_r04 parsed null)
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = r3(results.values.filter(_ >= 0).sum)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // short summary printed LAST: even if the harness tail-window clips the
+    // full per-query line, the final line is ~100 bytes and always parses
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}"""
     spark.stop()
     try {
       val out = java.nio.file.Paths.get("target/bench_last.json")
@@ -68,7 +75,8 @@ object Bench {
       java.nio.file.Files.write(out,
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
-    // last stdout line, after spark.stop() so no late log can follow it
+    // last stdout lines, after spark.stop() so no late log can follow them
     println(line)
+    println(summary)
   }
 }
