@@ -280,9 +280,11 @@ object PipelineQueries {
       val manifest = Multimodal.ingestBinaryFiles(s, mediaDir)
         .withColumn("media_id",
           regexp_extract(col("uri"), "media_(\\d+)\\.", 1).cast("long"))
+      // width/height are REAL decoded dimensions for the PNG rows
+      // (javax.imageio), 0 for the stub audio/video payloads
       Multimodal.extractFeatures(s, manifest).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          col("byte_mean"), col("byte_entropy"))
+          col("byte_mean"), col("byte_entropy"), col("width"), col("height"))
         .orderBy("media_id")
     }),
   )

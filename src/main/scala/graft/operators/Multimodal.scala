@@ -6,14 +6,24 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque binary columns
   * with typed metadata, processed per-partition in batches.
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * libraries): `decodeStub` derives deterministic pseudo-features from the
-  * bytes. Everything around it — the schema, the binary column handling,
-  * the per-partition batch shape, the partition-preserving feature
-  * extraction — is the real Spark plumbing a decoder would plug into (swap
-  * `decodeStub` for a JNI/FFI call; the plan does not change).
+  * IMAGE decode is REAL: the JDK ships `javax.imageio` (PNG/JPEG/GIF/BMP,
+  * no external libraries), so image rows get true decoded dimensions and
+  * a true raster resize. AUDIO/VIDEO decode stays STUBBED (no codec
+  * libraries in this container): deterministic pseudo-features from the
+  * bytes. Everything around the stub — the schema, the binary column
+  * handling, the per-partition batch shape, the partition-preserving
+  * feature extraction — is the real Spark plumbing a codec would plug
+  * into (swap the stub for a JNI/FFI call; the plan does not change).
   */
 object Multimodal {
+
+  /** Decode an image payload with the JDK's ImageIO; None when the bytes
+    * are not a decodable image (audio/video payloads, corrupt files).
+    * Pure raster work — safe on headless executors.
+    */
+  private def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Throwable => None }
 
   final case class Media(
       media_id: Long, kind: String, uri: String,
@@ -22,6 +32,7 @@ object Multimodal {
   final case class MediaFeatures(
       media_id: Long, kind: String, n_bytes: Long,
       byte_mean: Double, byte_entropy: Double,
+      width: Int, height: Int,
       feature: Array[Float])
 
   /** Build a media manifest from the documents table: each doc's text
@@ -68,14 +79,40 @@ object Multimodal {
         col("content").as("bytes"))
   }
 
+  /** Deterministic REAL PNG payload for the fixture: dimensions and
+    * pixels are pure functions of the id, encoded with the JDK's ImageIO —
+    * so the decode path downstream exercises a genuine image codec.
+    */
+  private def pngBytes(id: Long): Array[Byte] = {
+    val w = (math.abs(id) % 48 + 4).toInt
+    val h = (math.abs(id) % 36 + 4).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          ((id * 2654435761L + x * 131L + y * 31L) % 0x1000000L).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Write a deterministic media-file fixture from a documents frame: one
     * file per row named `media_<id>.<ext>` (extension cycles image/audio/
-    * video), content = the text bytes standing in for an encoded payload.
-    * The target dir is cleared first so re-runs at a different scale
-    * factor can't leak stale files. Files are written from the executors
-    * (`foreachPartition`) — on a cluster the same code writes to shared
-    * storage; this exists so `ingestBinaryFiles` can be exercised against
-    * real files wherever the corpus has none.
+    * video). Image rows are REAL PNGs (decodable dimensions + pixels
+    * derived from the id); audio/video content = the text bytes standing
+    * in for an encoded payload. The target dir is cleared first so
+    * re-runs at a different scale factor can't leak stale files. Files
+    * are written from the executors (`foreachPartition`) — on a cluster
+    * the same code writes to shared storage; this exists so
+    * `ingestBinaryFiles` can be exercised against real files wherever the
+    * corpus has none.
     */
   def writeMediaFixture(docs: DataFrame, idCol: String, textCol: String,
       dir: String): String = {
@@ -88,26 +125,35 @@ object Multimodal {
         rows.foreach { r =>
           val id = r.getLong(0)
           val ext = exts(((id % 3 + 3) % 3).toInt)
+          val payload =
+            if (ext == "png") pngBytes(id)
+            else r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
           java.nio.file.Files.write(
-            new java.io.File(d, s"media_$id.$ext").toPath,
-            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            new java.io.File(d, s"media_$id.$ext").toPath, payload)
           ()
         }
       }
     dir
   }
 
-  /** STUB decode: deterministic per-record pseudo-features from raw bytes
-    * (mean, entropy, an 8-dim "embedding" from rolling byte stats). Runs
-    * per-partition over iterator batches — the exact shape a real decoder
-    * (which needs per-partition library init) requires.
+  /** Feature extraction over media payloads. IMAGE rows are REALLY
+    * decoded (javax.imageio) and carry true width/height; byte-level
+    * stats (mean, entropy, an 8-dim rolling-stat "embedding") are the
+    * deterministic stand-in for codec features on audio/video, whose
+    * decode is stubbed. Runs per-partition over iterator batches — the
+    * exact shape a real codec (which needs per-partition library init)
+    * requires.
     */
   def extractFeatures(spark: SparkSession, manifest: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     manifest.select("media_id", "kind", "bytes").as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // Real decoders initialize native contexts here, once per partition.
+        // Real codecs initialize native contexts here, once per partition.
         it.map { case (id, kind, bytes) =>
+          val (dw, dh) =
+            if (kind == "image")
+              decodeImage(bytes).map(i => (i.getWidth, i.getHeight)).getOrElse((0, 0))
+            else (0, 0)
           val n = bytes.length
           val hist = new Array[Long](256)
           var sum = 0L
@@ -129,7 +175,8 @@ object Multimodal {
             (acc / math.max(1, n)).toFloat
           }
           MediaFeatures(id, kind, n.toLong,
-            math.rint(mean * 10000) / 10000, math.rint(entropy * 10000) / 10000, feat)
+            math.rint(mean * 10000) / 10000, math.rint(entropy * 10000) / 10000,
+            dw, dh, feat)
         }
       }
   }
@@ -137,30 +184,55 @@ object Multimodal {
   final case class ResizedMedia(
       media_id: Long, width: Int, height: Int, bytes: Array[Byte])
 
-  /** Resize stub for image rows: scales the metadata to fit the target
-    * box (aspect preserved) and downsamples the payload bytes by the area
-    * ratio — a deterministic stand-in for a real scaler. The plumbing is
-    * the production shape: typed per-partition batches, partition-
-    * preserving, output schema carries the new dimensions + payload.
+  /** Resize image rows into a `maxW`×`maxH` box (aspect preserved, never
+    * upscaled). Decodable payloads get a REAL raster resize: ImageIO
+    * decode → bilinear Graphics2D scale → PNG re-encode. Payloads ImageIO
+    * cannot read (the fixture's fake audio/video stand-ins routed here
+    * with image metadata) fall back to the deterministic stub: metadata
+    * dims scaled, payload bytes downsampled by the area ratio. The
+    * plumbing is the production shape either way: typed per-partition
+    * batches, partition-preserving, output schema carries the new
+    * dimensions + payload.
     */
   def resizeImages(spark: SparkSession, manifest: DataFrame,
       maxW: Int = 256, maxH: Int = 256): Dataset[ResizedMedia] = {
     import spark.implicits._
+    def fit(w: Int, h: Int): (Int, Int, Double) = {
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / math.max(1, w), maxH.toDouble / math.max(1, h)))
+      (math.max(1, math.rint(w * scale).toInt),
+        math.max(1, math.rint(h * scale).toInt), scale)
+    }
     manifest.filter(col("kind") === "image")
       .select("media_id", "width", "height", "bytes")
       .as[(Long, Int, Int, Array[Byte])]
       .mapPartitions { it =>
         // a real scaler initializes its native context here, per partition
         it.map { case (id, w, h, bytes) =>
-          val scale = math.min(1.0,
-            math.min(maxW.toDouble / math.max(1, w), maxH.toDouble / math.max(1, h)))
-          val nw = math.max(1, math.rint(w * scale).toInt)
-          val nh = math.max(1, math.rint(h * scale).toInt)
-          val keepEvery = math.max(1, math.rint(1.0 / (scale * scale)).toInt)
-          val out = new Array[Byte]((bytes.length + keepEvery - 1) / keepEvery)
-          var i = 0
-          while (i < out.length) { out(i) = bytes(i * keepEvery); i += 1 }
-          ResizedMedia(id, nw, nh, out)
+          decodeImage(bytes) match {
+            case Some(img) =>
+              val (nw, nh, scale) = fit(img.getWidth, img.getHeight)
+              if (scale >= 1.0) ResizedMedia(id, img.getWidth, img.getHeight, bytes)
+              else {
+                val out = new java.awt.image.BufferedImage(
+                  nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = out.createGraphics()
+                g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, nw, nh, null)
+                g.dispose()
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(out, "png", bos)
+                ResizedMedia(id, nw, nh, bos.toByteArray)
+              }
+            case None =>
+              val (nw, nh, scale) = fit(w, h)
+              val keepEvery = math.max(1, math.rint(1.0 / (scale * scale)).toInt)
+              val out = new Array[Byte]((bytes.length + keepEvery - 1) / keepEvery)
+              var i = 0
+              while (i < out.length) { out(i) = bytes(i * keepEvery); i += 1 }
+              ResizedMedia(id, nw, nh, out)
+          }
         }
       }
   }

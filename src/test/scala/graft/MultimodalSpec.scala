@@ -111,6 +111,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(again == resized.map { case (k, v) => k -> v.bytes.toSeq })
   }
 
+  test("image rows decode to real dimensions; resize re-encodes a true raster") {
+    val dir = TestSpark.scratch("mm_realpng")
+    val sample = docs.filter(col("doc_id") < 30)
+    Multimodal.writeMediaFixture(sample, "doc_id", "text", dir)
+    val man = Multimodal.ingestBinaryFiles(spark, dir)
+      .withColumn("media_id",
+        regexp_extract(col("uri"), "media_(\\d+)\\.", 1).cast("long"))
+    val feats = Multimodal.extractFeatures(spark, man).collect()
+    val images = feats.filter(_.kind == "image")
+    assert(images.nonEmpty)
+    // dims come from javax.imageio reading the PNG, and must equal the
+    // generator's deterministic (id%48+4, id%36+4)
+    images.foreach { f =>
+      assert(f.width == (f.media_id % 48 + 4).toInt &&
+        f.height == (f.media_id % 36 + 4).toInt,
+        s"decoded dims must match the generated PNG: $f")
+    }
+    feats.filterNot(_.kind == "image").foreach(f =>
+      assert(f.width == 0 && f.height == 0, s"non-image rows stay undecoded: $f"))
+    // real raster resize: the output payload is a PNG of exactly the new dims
+    val resized = Multimodal.resizeImages(spark, man, maxW = 16, maxH = 16).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+      assert(img != null, s"resized payload must stay a decodable image: ${r.media_id}")
+      assert(img.getWidth == r.width && img.getHeight == r.height)
+      assert(r.width <= 16 && r.height <= 16)
+    }
+  }
+
   test("frame sampling emits one row per interval for video rows") {
     val m = Multimodal.manifestFromDocuments(docs, "doc_id", "text")
     val frames = Multimodal.sampleFrames(m, everyMs = 60000L)
