@@ -20,6 +20,10 @@ object StreamQueries {
       EventStreams.dedupBatch(Tables.load(s, dir, "events"))),
     "stream_static_join" -> ((s, dir) =>
       EventStreams.enrichBatch(Tables.load(s, dir, "events"))),
+    "stream_interval_join" -> ((s, dir) =>
+      EventStreams.intervalJoinBatch(Tables.load(s, dir, "events"))),
+    "stream_session_window" -> ((s, dir) =>
+      EventStreams.sessionWindowBatch(Tables.load(s, dir, "events"))),
   )
 
   /** VALUES list for the enrichment oracle, generated from the same
@@ -53,6 +57,39 @@ object StreamQueries {
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_interval_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS c_id, user_id, ts AS c_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT user_id, p_id, c_id
+        |FROM p JOIN c USING (user_id)
+        |WHERE c_ts >= p_ts - INTERVAL 30 MINUTE AND c_ts <= p_ts
+        |ORDER BY p_id, c_id""".stripMargin,
+
+    // native session_window face: identical sessions to stream_session's
+    // gaps-and-islands (merge when gap <= 30 min), different output shape
+    "stream_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 0
+        |         WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "stream_session" ->
       """WITH flagged AS (

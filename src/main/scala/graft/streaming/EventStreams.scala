@@ -118,6 +118,63 @@ object EventStreams {
       spark.readStream.schema(schema).parquet(eventsDir)
         .withWatermark("ts", "2 hours"))
 
+  /** Shared condition of the stream-stream interval join: a purchase
+    * matches the same user's clicks within the preceding `windowMinutes`.
+    */
+  private def intervalCond(windowMinutes: Int) =
+    col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+      col("c_ts") <= col("p_ts")
+
+  /** Batch face of the stream-stream interval join. The equi-key
+    * (user_id) drives one hash shuffle per side — Catalyst plans a hash
+    * join with the time band as a post-join filter, so there is no
+    * per-key nested loop; the streaming face below bounds its join state
+    * with the same band + watermark.
+    */
+  def intervalJoinBatch(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id"), col("ts").as("c_ts"))
+    p.join(c, Seq("user_id")).filter(intervalCond(windowMinutes))
+      .select(col("user_id"), col("p_id"), col("c_id"))
+      .orderBy("p_id", "c_id")
+  }
+
+  /** Streaming face: two watermarked slices of the same event stream,
+    * joined on user_id within the time band. State is bounded by
+    * watermark + band (Spark evicts rows whose event time can no longer
+    * match), the scalable stream-stream join shape.
+    */
+  def intervalJoinStream(spark: SparkSession, eventsDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      windowMinutes: Int = 30, horizon: String = "1 hour"): DataFrame = {
+    def side(tpe: String, idAs: String, tsAs: String) =
+      spark.readStream.schema(schema).parquet(eventsDir)
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(idAs), col("user_id"), col("ts").as(tsAs))
+    val p = side("purchase", "p_id", "p_ts").withWatermark("p_ts", horizon)
+    val c = side("click", "c_id", "c_ts").withWatermark("c_ts", horizon)
+    p.join(c, p("user_id") === c("user_id") && intervalCond(windowMinutes))
+      .select(p("user_id"), col("p_id"), col("c_id"))
+  }
+
+  /** Batch face of the native session-window operator: same semantics as
+    * [[sessionizeBatch]] (inactivity gap), but computed by Spark's
+    * `session_window` aggregate — one shuffle on user_id, sessions merged
+    * inside the aggregate instead of a lag + running-sum window pair.
+    * This is the operator the streaming sessionization runs on a stream;
+    * `session_window` accepts streaming frames unchanged.
+    */
+  def sessionWindowBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+
   /** Streaming exact dedup: first event per key wins; the watermark
     * bounds state retention (keys older than the horizon are dropped).
     * The streaming face of Dedup.exact for at-least-once sources.

@@ -134,58 +134,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(n.getLong(0) == n.getLong(1))
   }
 
-  test("stream-stream interval join equals the batch range join") {
+  test("stream-stream interval join equals the batch face (gate plan)") {
     // purchases ⋈ clicks of the same user within the preceding 30 min —
     // the watermarked stream-stream join (state bounded by the time
-    // bound + watermark) against the equivalent batch join
+    // bound + watermark) against the batch face the gate oracles
     val schema = spark.read.parquet(eventsDir).schema
-    def side(tpe: String, idAs: String, tsAs: String) =
-      spark.readStream.schema(schema).parquet(eventsDir)
-        .filter(col("event_type") === tpe)
-        .select(col("event_id").as(idAs), col("user_id"),
-          col("ts").cast("timestamp").as(tsAs))
-    val purchases = side("purchase", "p_id", "p_ts")
-      .withWatermark("p_ts", "1 hour")
-    val clicks = side("click", "c_id", "c_ts")
-      .withWatermark("c_ts", "1 hour")
-    val joined = purchases.join(clicks,
-      purchases("user_id") === clicks("user_id") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
-        col("c_ts") <= col("p_ts"))
-      .select(col("p_id"), col("c_id"))
+    val joined = EventStreams.intervalJoinStream(spark, eventsDir, schema)
     assert(joined.isStreaming)
-    val q = joined.writeStream.format("memory").queryName("ssj")
+    val q = joined.select("p_id", "c_id")
+      .writeStream.format("memory").queryName("ssj")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(180000)
     val streamed = spark.sql("SELECT * FROM ssj").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ev = Tables.load(spark, TestSpark.sf, "events")
-    def bside(tpe: String, idAs: String, tsAs: String) =
-      ev.filter(col("event_type") === tpe)
-        .select(col("event_id").as(idAs), col("user_id"), col("ts").cast("timestamp").as(tsAs))
-    val bp = bside("purchase", "p_id", "p_ts")
-    val bc = bside("click", "c_id", "c_ts")
-    val batch = bp.join(bc, bp("user_id") === bc("user_id") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
-        col("c_ts") <= col("p_ts"))
-      .select(col("p_id"), col("c_id")).collect()
+    val batch = EventStreams.intervalJoinBatch(
+      Tables.load(spark, TestSpark.sf, "events"))
+      .select("p_id", "c_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(batch.nonEmpty)
     assert(streamed == batch)
   }
 
-  test("session_window grouping agrees with gaps-and-islands sessionization") {
-    val ev = Tables.load(spark, TestSpark.sf, "events")
-      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
-    val viaFn = ev
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
-      .agg(count(lit(1)).as("n_events"),
-        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
-      .select("user_id", "session_start", "n_events")
-      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+  test("session_window batch face agrees with gaps-and-islands sessionization") {
+    val viaFn = EventStreams.sessionWindowBatch(
+      Tables.load(spark, TestSpark.sf, "events"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getString(2), r.getLong(3))).toMap
     val viaWindowing = EventStreams.sessionizeBatch(
       Tables.load(spark, TestSpark.sf, "events"))
-      .collect().map(r => (r.getLong(0), r.getString(3)) -> r.getLong(2)).toMap
+      .collect().map(r => (r.getLong(0), r.getString(3)) -> (r.getString(4), r.getLong(2))).toMap
     assert(viaFn.nonEmpty)
     assert(viaFn == viaWindowing)
   }
