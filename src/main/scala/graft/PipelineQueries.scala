@@ -100,6 +100,23 @@ object PipelineQueries {
         k = 10, nProbe = 4, refine = 4)
     }),
 
+    "ann_ivfpq_persisted" -> ((s, dir) => {
+      // the 100 TB serving shape, gated end-to-end: the encoded index is
+      // WRITTEN partitionBy(cell) once and the search reads it back from
+      // disk — the probed-cell join dynamic-partition-prunes unprobed
+      // cell directories (plan-asserted in PqIndexSpec)
+      val e = t(s, dir, "embeddings")
+      val model = graft.operators.PqIndex.train(e, "vec_id", "embedding",
+        nCells = 16, m = 8, kCodes = 16, sampleFraction = 0.5)
+      val idx = s"${Scratch.dir}/ivfpq_index"
+      graft.operators.PqIndex.writeIndex(
+        graft.operators.PqIndex.encode(e, "vec_id", "embedding", model), idx)
+      graft.operators.PqIndex.search(
+        graft.operators.PqIndex.readIndex(s, idx), e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", model,
+        k = 10, nProbe = 4, refine = 4)
+    }),
+
     "text_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),

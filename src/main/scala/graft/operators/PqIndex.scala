@@ -132,6 +132,25 @@ object PqIndex {
         sqrt(GraftFunctions.dot(col("v"), col("v"))).as("norm"))
   }
 
+  /** Persist an encoded index `partitionBy(cell)` — the one-time write at
+    * scale: each coarse cell becomes a directory, so a query batch's
+    * probed-cell join touches nProbe/nCells of the files, not the corpus.
+    */
+  def writeIndex(encoded: DataFrame, path: String): Unit =
+    encoded.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Read a persisted index back into the `search` input shape. `cell`
+    * returns as a partition column, so joining it against the broadcast
+    * probed-cells side dynamic-partition-prunes the unprobed directories
+    * (the on-disk analogue of the in-memory cell filter).
+    */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    // no cast on `cell`: partition-type inference already yields int, and
+    // keeping the raw partition attribute is what lets the probed-cell
+    // join plant a dynamic partition-pruning filter on the scan
+    spark.read.parquet(path)
+      .select(col("id"), col("cell"), col("codes"), col("norm"))
+
   /** Top-k per query: ADC scan over the `nProbe` best cells' codes, then
     * exact cosine re-rank of the top `k * refine` shortlist against the
     * raw vectors (`corpus` — joined by candidate id only).

@@ -44,6 +44,39 @@ class PqIndexSpec extends AnyFunSuite {
     self.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-3))
   }
 
+  test("persisted index round-trip: identical results, cells pruned on read") {
+    val model = PqIndex.train(emb, "vec_id", "embedding", nCells = 8, m = 8,
+      kCodes = 16, iters = 1)
+    val enc = PqIndex.encode(emb, "vec_id", "embedding", model)
+    val dir = TestSpark.scratch("pq_index")
+    PqIndex.writeIndex(enc, dir)
+    val disk = PqIndex.readIndex(spark, dir)
+    val q = emb.filter(col("vec_id") < 5)
+    def run(idx: org.apache.spark.sql.DataFrame) =
+      PqIndex.search(idx, emb, "vec_id", "embedding", q, "vec_id", "embedding",
+        model, k = 10, nProbe = 2, refine = 4)
+    assert(run(disk).collect().toSeq == run(enc).collect().toSeq,
+      "on-disk index must return byte-identical results")
+    // the probed-cell join must dynamic-partition-prune the index scan:
+    // only nProbe of nCells directories are read. AQE off so the physical
+    // tree is directly traversable (stages hide the scans otherwise)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try {
+      val df = run(disk)
+      df.collect()
+      df.queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("pq_index")) => f
+    }
+    assert(scans.nonEmpty, s"expected a scan of the persisted index:\n$plan")
+    scans.foreach { f =>
+      assert(f.partitionFilters.exists(_.toString.contains("dynamicpruning")),
+        s"index scan must carry a dynamic cell-pruning filter:\n$f")
+    }
+  }
+
   test("sampled training preserves recall (the 100 TB train path)") {
     val model = PqIndex.train(emb, "vec_id", "embedding", nCells = 16, m = 8,
       kCodes = 16, sampleFraction = 0.5)
