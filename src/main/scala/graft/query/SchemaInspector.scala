@@ -52,15 +52,32 @@ object SchemaInspector {
         StructField("null", StringType, nullable = false))))
   }
 
-  /** Flattened leaf paths (a.b.c) with types — the "struct tree" view the
-    * reference shows when clicking a nested schema cell.
+  /** Flattened leaf paths (a.b.c; array elements as a[].b, map entries as
+    * m.key / m.value) with types — the "struct tree" view the reference
+    * shows when clicking a nested schema cell. Like the reference's tree
+    * (duckdb-schema-converter.ts:201-206 renders LIST element fields as
+    * expandable children, :287-306 parses LIST/MAP element types), the
+    * recursion continues through arrays and maps whose elements carry
+    * further structure; scalar-element arrays stay one leaf (`T[]`),
+    * matching the flat DESCRIBE rendering.
     */
-  def leafPaths(schema: StructType, prefix: String = ""): Seq[(String, String)] =
+  def leafPaths(schema: StructType, prefix: String = ""): Seq[(String, String)] = {
+    def nested(dt: DataType): Boolean = dt match {
+      case _: StructType | _: MapType => true
+      case ArrayType(e, _) => nested(e)
+      case _ => false
+    }
+    def expand(path: String, dt: DataType): Seq[(String, String)] = dt match {
+      case s: StructType =>
+        s.fields.toSeq.flatMap(f => expand(s"$path.${f.name}", f.dataType))
+      case ArrayType(e, _) if nested(e) => expand(s"$path[]", e)
+      case MapType(k, v, _) =>
+        expand(s"$path.key", k) ++ expand(s"$path.value", v)
+      case leaf => Seq(path -> duckTypeName(leaf))
+    }
     schema.fields.toSeq.flatMap { f =>
       val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
-      f.dataType match {
-        case s: StructType => leafPaths(s, path)
-        case dt => Seq(path -> duckTypeName(dt))
-      }
+      expand(path, f.dataType)
     }
+  }
 }

@@ -311,6 +311,25 @@ class SchemaInspectorSpec extends AnyFunSuite {
     assert(SchemaInspector.leafPaths(sch) ==
       Seq("id" -> "BIGINT", "nest.x" -> "INTEGER", "nest.y" -> "VARCHAR"))
   }
+
+  test("leaf paths recurse through arrays and maps like the reference tree") {
+    val sch = StructType(Seq(
+      // LIST(STRUCT(...)) — the reference renders element fields as
+      // expandable children; the leaf view must reach them
+      StructField("tags", ArrayType(StructType(Seq(
+        StructField("k", StringType),
+        StructField("vals", ArrayType(IntegerType)))))),
+      // scalar-element array stays one leaf, as DESCRIBE renders it
+      StructField("emb", ArrayType(FloatType)),
+      StructField("attrs", MapType(StringType,
+        StructType(Seq(StructField("n", LongType)))))))
+    assert(SchemaInspector.leafPaths(sch) == Seq(
+      "tags[].k" -> "VARCHAR",
+      "tags[].vals" -> "INTEGER[]",
+      "emb" -> "FLOAT[]",
+      "attrs.key" -> "VARCHAR",
+      "attrs.value.n" -> "BIGINT"))
+  }
 }
 
 class MetadataInspectorSpec extends AnyFunSuite {
