@@ -41,20 +41,21 @@ object IvfIndex {
         .orderBy("h").limit(nCells)
         .collect().zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+    val dim = centroids(0)._2.length
     var it = 0
     while (it < iters) {
       val assigned = assign(v, centroids)
-      // new centroid = element-wise mean of member vectors, computed as a
-      // distributed aggregate over posexploded elements
-      val means = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim").agg(avg("x").as("m"))
-        .groupBy("cell").agg(map_from_arrays(
-          collect_list("dim"), collect_list("m")).as("dims"))
-        .collect()
+      // new centroid = element-wise mean of member vectors, computed as
+      // `dim` codegen'd avg(v[i]) aggregate columns: the partial (map-side)
+      // aggregate reduces each input partition to one row per cell BEFORE
+      // the exchange, so the per-iteration shuffle is O(cells × partitions
+      // × dim) doubles — the posexplode formulation this replaces shuffled
+      // n × dim element rows per iteration, the train-scan bottleneck at
+      // corpus scale
+      val els = (0 until dim).map(i => avg(col("v")(i)).as(s"m$i"))
+      val means = assigned.groupBy("cell").agg(els.head, els.tail: _*).collect()
       val updated = means.map { r =>
-        val dims = r.getMap[Int, Double](1)
-        (r.getInt(0), Array.tabulate(dims.size)(i => dims(i)))
+        (r.getInt(0), Array.tabulate(dim)(i => r.getDouble(i + 1)))
       }
       // cells that lost all members keep their previous centroid
       val byId = updated.toMap

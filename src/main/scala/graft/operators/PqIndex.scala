@@ -91,12 +91,16 @@ object PqIndex {
     // Lloyd: assignment is ONE pqEncode kernel call per row (against a
     // zero coarse centroid — `r` is already the residual), so all m
     // subspaces train in the same pass with no per-candidate expression
-    // trees; new entry = element-wise member mean (small collect:
-    // m * kCodes * d rows)
+    // trees; new entry = element-wise member mean, computed as `d`
+    // codegen'd avg(sv[i]) aggregate columns so the map-side partial
+    // aggregate reduces each partition to one row per (sub, code) BEFORE
+    // the exchange — the shuffle is O(m·kCodes × partitions × d) doubles,
+    // not the n·m·d element rows a posexplode formulation would move
     val zeroCentroid = lit(Array.fill(dim)(0.0))
     var it = 0
     while (it < iters) {
       val snapshot = codebooks.map(_.clone()) // plan-captured; never mutated
+      val els = (0 until d).map(i => avg(col("sv")(i)).as(s"mu$i"))
       val means = resid
         .withColumn("codes",
           graft.functions.expr.GraftFunctions.pqEncode(col("r"), zeroCentroid, snapshot, m, kCodes))
@@ -104,12 +108,13 @@ object PqIndex {
           struct(lit(s).as("sub"), col("codes")(s).as("code"),
             slice(col("r"), s * d + 1, d).as("sv"))
         }: _*)).as("e"))
-        .select(col("e.sub").as("sub"), col("e.code").as("code"),
-          posexplode(col("e.sv")).as(Seq("dim", "x")))
-        .groupBy("sub", "code", "dim").agg(avg("x").as("mu"))
+        .select(col("e.sub").as("sub"), col("e.code").as("code"), col("e.sv").as("sv"))
+        .groupBy("sub", "code").agg(els.head, els.tail: _*)
         .collect()
       means.foreach { r =>
-        codebooks(r.getInt(0) * kCodes + r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+        val entry = codebooks(r.getInt(0) * kCodes + r.getInt(1))
+        var i = 0
+        while (i < d) { entry(i) = r.getDouble(i + 2); i += 1 }
       }
       // entries that lost all members keep their previous value
       it += 1
