@@ -276,6 +276,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("session_window on a stream emits closed sessions matching the batch face") {
+    // same incremental-chunk recipe as the windowed-agg test: the
+    // watermark advances between micro-batches, so append mode emits each
+    // session once it can no longer merge with future events
+    val chunkDir = TestSpark.scratch("session_chunks")
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+    val chunks = 4
+    val ranked = ev.orderBy("ts").withColumn("chunk",
+      ntile(chunks).over(org.apache.spark.sql.expressions.Window.orderBy("ts")))
+    (1 to chunks).foreach { c =>
+      ranked.filter(col("chunk") === c).drop("chunk")
+        .coalesce(1).write.mode(if (c == 1) "overwrite" else "append").parquet(chunkDir)
+    }
+    val schema = spark.read.parquet(chunkDir).schema
+    // the same session_window aggregate as sessionWindowBatch, minus the
+    // batch-only orderBy (sorts are unsupported on append streams)
+    val sdf = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(chunkDir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+      .select("user_id", "session_start", "n_events")
+    val q = sdf.writeStream.format("memory").queryName("sess_win_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val emitted = spark.sql("SELECT * FROM sess_win_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(emitted.nonEmpty, "append mode must emit sessions closed by the watermark")
+    val batch = EventStreams.sessionWindowBatch(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(3)).toMap
+    emitted.foreach { case (k, n) =>
+      assert(batch.get(k).contains(n), s"session $k streamed $n != batch ${batch.get(k)}")
+    }
+  }
+
   test("watermarked append-mode stream emits closed hourly windows") {
     val schema = spark.read.parquet(eventsDir).schema
     val sdf = EventStreams.windowAggStream(spark, eventsDir, schema)
