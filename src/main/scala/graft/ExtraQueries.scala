@@ -294,6 +294,26 @@ object ExtraQueries {
         .filter(substring(sha2(col("o_orderkey").cast("string"), 256), 1, 2) <= "14")
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")),
+
+    "q46_schema_evolution" -> ((s, dir) => {
+      // schema-evolution round-trip: later files of a dataset carry an
+      // ADDED column (the standard lakehouse evolution path — at 100 TB
+      // nobody rewrites old files when a column appears). mergeSchema
+      // unions the per-file schemas; pre-evolution rows read the new
+      // column as NULL, which the query must handle explicitly.
+      val out = s"${graft.Scratch.dir}/q46_evolving_orders"
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(out)
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("append").parquet(out)
+      s.read.option("mergeSchema", "true").parquet(out)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          coalesce(col("o_orderstatus"), lit("N/A")).as("status"))
+        .orderBy("o_orderkey")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -341,6 +361,11 @@ object ExtraQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q46_schema_evolution" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus ELSE 'N/A' END AS status
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q45_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

@@ -288,6 +288,51 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits skewed join partitions at runtime (skew=true)") {
+    import org.apache.spark.sql.functions._
+    // 90% of fact rows land on ONE join key — the skew no static plan
+    // survives. With thresholds scaled to test data, AQE must replan the
+    // sort-merge join with the oversized partition split (skew=true).
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // the fact side MUST arrive at the join shuffle from several map
+      // tasks: skew splitting works at map-output granularity, so a
+      // single-file scan (1 map task) leaves nothing to split — the same
+      // single-partition-scan gotcha the dedup operators spread() around.
+      // Payload columns ride along so the skewed partition's bytes clear
+      // the detection threshold after column pruning.
+      val li = Tables.load(spark, TestSpark.sf, "lineitem")
+        .withColumn("k",
+          when(col("l_orderkey") % 10 < 9, lit(0L)).otherwise(col("l_orderkey")))
+        .select(col("k"), col("l_extendedprice"), col("l_quantity"),
+          col("l_discount"), col("l_tax"))
+        .repartition(8)
+      // an independent dim: a dim derived from the fact side arrives
+      // pre-partitioned on k and its join child is no Sort(ShuffleStage),
+      // which the skew rule requires on both sides
+      val dim = spark.range(0, 60000)
+        .select(col("id").as("k"), (col("id") * 2).as("payload"))
+      val joined = li.join(dim, Seq("k"))
+        .agg(count(lit(1)).as("n"), sum("l_extendedprice").as("s1"),
+          sum("l_quantity").as("s2"), sum("payload").as("p"))
+      joined.collect()
+      val s = joined.queryExecution.executedPlan.toString
+      assert(s.contains("isFinalPlan=true"), s)
+      assert(s.contains("skew=true"),
+        s"AQE must mark the skewed sort-merge join partitions split:\n$s")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("SQL function registration (extensions + existing-session register)") {
     GraftExtensions.register(spark)
     val r = spark.sql(
