@@ -174,6 +174,14 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "pipeline_chunk" -> ((s, dir) =>
+      // context-window chunking: 64-token windows, 16-token overlap —
+      // the shuffle-free split ahead of packing/embedding
+      graft.operators.Curation.chunkDocuments(
+        t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_id")),
+
     "text_langid" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), graft.functions.TextFunctions.langId(col("text")).as("lang_pred"))
@@ -386,6 +394,20 @@ object PipelineQueries {
          |FROM d WHERE NOT list_has_any(domains, $blockedSql)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // same chunk arithmetic as Curation.chunkDocuments: stride 48 = 64-16,
+    // nChunks = max(1, ceil((n-16)/48)), window = tokens[start, start+64)
+    "pipeline_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+         |n AS (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) > 0),
+         |c AS (SELECT doc_id, ts, n,
+         |        unnest(range(0, greatest(1, (n - 16 + 47) // 48))) AS chunk_id
+         |      FROM n)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(least(64, n - chunk_id * 48) AS BIGINT) AS chunk_tokens,
+         |  array_to_string(list_slice(ts, chunk_id * 48 + 1,
+         |    least(chunk_id * 48 + 64, n)), ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     // quality rules -> exact-dedup survivors -> greedy shard packing,
     // with the same thresholds/arithmetic as the single-stage oracles

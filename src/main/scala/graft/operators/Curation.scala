@@ -204,6 +204,38 @@ object Curation {
       .drop("__domains")
   }
 
+  /** Split documents into overlapping token windows — the context-window
+    * chunking step ahead of packing/embedding in a training pipeline.
+    * Chunk i covers tokens [i·stride, i·stride + chunkTokens) with
+    * stride = chunkTokens - overlap; a trailing window that would be pure
+    * overlap (start >= nTokens - overlap) is not emitted, and docs
+    * shorter than one chunk yield exactly one chunk. Token-less docs
+    * yield none.
+    *
+    * One projection + explode, no shuffle: chunking streams through the
+    * scan at any corpus size (plan-asserted in CurationSpec).
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got ($chunkTokens, $overlap)")
+    val stride = chunkTokens - overlap
+    // nChunks = max(1, ceil((n - overlap) / stride)): the last start
+    // strictly below n - overlap (plus the i=0 chunk for short docs)
+    val nChunks = greatest(lit(1),
+      floor(((col("n_tokens") - lit(overlap)) + lit(stride - 1)) / lit(stride)).cast("int"))
+    docs
+      .select(col(idCol), T.tokens(col(textCol)).as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")))
+      .filter(col("n_tokens") > 0)
+      .withColumn("chunk_id", explode(sequence(lit(0), nChunks - 1)))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        least(lit(chunkTokens), col("n_tokens") - col("chunk_id") * stride)
+          .cast("long").as("chunk_tokens"),
+        concat_ws(" ", slice(col("__toks"),
+          col("chunk_id") * stride + 1, lit(chunkTokens))).as("chunk_text"))
+  }
+
   /** Drop training documents sharing ANY word n-gram with the eval set —
     * n-gram decontamination. The eval n-gram set
     * is broadcast (eval sets are tiny next to a training corpus), so the

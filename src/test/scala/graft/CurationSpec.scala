@@ -35,6 +35,48 @@ class CurationSpec extends AnyFunSuite {
     else t.sliding(n).map(_.mkString(" ")).toSet
   }
 
+  test("chunkDocuments: full coverage, exact overlap, no pure-overlap tail, no shuffle") {
+    val sample = docs.filter(col("doc_id") < 100)
+    val chunkTokens = 64
+    val overlap = 16
+    val stride = chunkTokens - overlap
+    val got = Curation.chunkDocuments(sample, "doc_id", "text", chunkTokens, overlap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2) }
+    val truth = sample.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> toks(Option(r.getString(1)).getOrElse("")))
+      .filter(_._2.nonEmpty).toMap
+    assert(got.keySet == truth.keySet, "every tokenized doc chunks; empty docs don't")
+    truth.foreach { case (id, ts) =>
+      val chunks = got(id)
+      // chunk i is exactly tokens[i*stride, i*stride+chunkTokens)
+      chunks.foreach { case (_, i, n, text) =>
+        val expect = ts.slice(i.toInt * stride, i.toInt * stride + chunkTokens)
+        assert(text == expect.mkString(" ") && n == expect.size, s"doc $id chunk $i")
+      }
+      // ids are dense from 0 and the count matches the closed form
+      assert(chunks.map(_._2).toSeq == (0L until chunks.length.toLong))
+      assert(chunks.length == math.max(1,
+        ((ts.size - overlap) + stride - 1) / stride), s"doc $id nChunks")
+      // chunks cover every token: last chunk reaches the end
+      assert((chunks.length - 1) * stride + chunks.last._3 == ts.size)
+    }
+    // streaming shape: the chunker itself is one scan stage, no exchange
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = {
+        val df = Curation.chunkDocuments(sample, "doc_id", "text")
+        df.collect()
+        df.queryExecution.executedPlan
+      }
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchanges.isEmpty, s"chunking must not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("redactPii matches a java.util.regex replica and leaves no residual matches") {
     import spark.implicits._
     val rows = Seq(
