@@ -309,7 +309,7 @@ object ExtraQueries {
       o.filter(col("o_orderkey") % 2 === 1)
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
         .write.mode("append").parquet(out)
-      s.read.option("mergeSchema", "true").parquet(out)
+      graft.sources.Tables.openMerged(s, out)
         .select(col("o_orderkey"), col("o_totalprice"),
           coalesce(col("o_orderstatus"), lit("N/A")).as("status"))
         .orderBy("o_orderkey")
