@@ -174,6 +174,14 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "text_hash_embed" -> ((s, dir) =>
+      // hashing-trick featurization: md5-bucketed token counts,
+      // l2-normalized — the model-free bridge from text to the
+      // embedding-space operators
+      graft.operators.TextAnalysis.hashedBow(
+        t(s, dir, "documents"), "doc_id", "text", dim = 64)
+        .orderBy("doc_id")),
+
     "pipeline_chunk" -> ((s, dir) =>
       // context-window chunking: 64-token windows, 16-token overlap —
       // the shuffle-free split ahead of packing/embedding
@@ -394,6 +402,26 @@ object PipelineQueries {
          |FROM d WHERE NOT list_has_any(domains, $blockedSql)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // same md5-bucket arithmetic as TextAnalysis.hashedBow; the squared
+    // norm sums integer-valued doubles (exact), so division + round(4)
+    // bit-match across engines
+    "text_hash_embed" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+         |b AS (SELECT doc_id, list_transform(ts,
+         |        x -> CAST(concat('0x', substring(md5(x), 1, 8)) AS BIGINT) % 64) AS bs
+         |      FROM t),
+         |c AS (SELECT doc_id, list_transform(range(0, 64),
+         |        k -> CAST(len(list_filter(bs, x -> x = k)) AS DOUBLE)) AS cs
+         |      FROM b),
+         |n AS (SELECT doc_id, cs,
+         |        sqrt(list_reduce(list_prepend(0.0,
+         |          list_transform(cs, x -> x * x)), (a, x) -> a + x)) AS nrm
+         |      FROM c)
+         |SELECT doc_id,
+         |  CASE WHEN nrm = 0 THEN cs
+         |       ELSE list_transform(cs, x -> round(x / nrm, 4)) END AS embedding
+         |FROM n ORDER BY doc_id""".stripMargin,
 
     // same chunk arithmetic as Curation.chunkDocuments: stride 48 = 64-16,
     // nChunks = max(1, ceil((n-16)/48)), window = tokens[start, start+64)

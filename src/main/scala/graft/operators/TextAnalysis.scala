@@ -26,6 +26,36 @@ object TextAnalysis {
       round(T.avgWordLength(col(textCol)), 4).as("avg_word_len"),
       T.qualityScore(col(textCol)).as("quality"))
 
+  /** Hashing-trick bag-of-words featurization: each document becomes an
+    * l2-normalized `dim`-dimensional count vector, bucket = md5(token)
+    * mod dim. The model-free featurizer that connects a text corpus to
+    * the embedding operators (ann_*, dedup_embedding, dedup_semantic)
+    * when no learned encoder is available.
+    *
+    * Engine-portable by construction: md5 is identical everywhere (unlike
+    * xxhash64 seeds), counts are integers, the norm folds squares in
+    * array order (exact in double for integer counts), so the DuckDB
+    * oracle hash-matches. Everything happens WITHIN the row (O(dim·n)
+    * filter-count per doc) — a single projection stage, no shuffle: at
+    * corpus scale this streams with the scan, where a groupBy(doc,
+    * bucket) formulation would shuffle n·tokens rows.
+    */
+  def hashedBow(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val buckets = transform(T.tokens(col(textCol)),
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dim)
+    val counts = transform(sequence(lit(0), lit(dim - 1)),
+      b => size(filter(col("__b"), x => x === b.cast("long"))).cast("double"))
+    val norm = sqrt(aggregate(col("__c"), lit(0.0), (a, x) => a + x * x))
+    docs.select(col(idCol), buckets.as("__b"))
+      .withColumn("__c", counts)
+      .select(col(idCol),
+        when(norm === 0.0, col("__c"))
+          .otherwise(transform(col("__c"), x => round(x / norm, 4)))
+          .as("embedding"))
+  }
+
   /** Unigram language-model score: per document, the mean surprisal
     * -ln p(w) of its tokens under the corpus's own unigram distribution —
     * the model-free stand-in for perplexity filtering (docs full of rare

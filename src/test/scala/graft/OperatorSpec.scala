@@ -259,6 +259,45 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("hashedBow: unit norm, counts match an md5 replica, feeds ANN search") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents").limit(100)
+    val dim = 64
+    val got = TextAnalysis.hashedBow(docs, "doc_id", "text", dim).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got.values.forall(_.size == dim))
+    // driver-side replica of the bucket arithmetic
+    def toks(s: String): Seq[String] =
+      s.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+    def bucket(t: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md, 16) % dim).toInt
+    }
+    docs.select("doc_id", "text").collect().foreach { r =>
+      val ts = toks(r.getString(1))
+      val counts = Array.fill(dim)(0.0)
+      ts.foreach(t => counts(bucket(t)) += 1.0)
+      val norm = math.sqrt(counts.foldLeft(0.0)((a, x) => a + x * x))
+      val expect =
+        if (norm == 0.0) counts.toSeq
+        else counts.map(x => BigDecimal(x / norm)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble).toSeq
+      assert(got(r.getLong(0)) == expect, s"doc ${r.getLong(0)}")
+    }
+    // non-empty docs are unit vectors (up to the per-element rounding)
+    got.values.filter(_.exists(_ != 0.0)).foreach { v =>
+      val n2 = v.map(x => x * x).sum
+      assert(math.abs(n2 - 1.0) < 0.05, s"norm^2=$n2")
+    }
+    // the output is a drop-in corpus for the similarity operators
+    val hits = SimilaritySearch.bruteForceTopK(
+      TextAnalysis.hashedBow(docs, "doc_id", "text", dim), "doc_id", "embedding",
+      TextAnalysis.hashedBow(docs.filter(col("doc_id") < 2), "doc_id", "text", dim),
+      "doc_id", "embedding", k = 3)
+    assert(hits.filter(col("qid") === col("id") && col("rk") === 1).count() == 2,
+      "each doc's nearest neighbor in hashed-BoW space is itself")
+  }
+
   test("tokens, counts and ratios on fixed strings") {
     assert(one(T.wordCount(lit("Hello, world! 42"))).getInt(0) == 3)
     assert(one(T.wordCount(lit(""))).getInt(0) == 0)
