@@ -182,6 +182,18 @@ object PipelineQueries {
         t(s, dir, "documents"), "doc_id", "text", dim = 64)
         .orderBy("doc_id")),
 
+    "pipeline_embed_dedup" -> ((s, dir) =>
+      // the embedding-space composition chain, end-to-end: text →
+      // hashed-BoW features → semantic dedup survivors. nClusters=1 makes
+      // semanticDedup equal brute-force global survivors (spec-proven),
+      // which IS SQL-expressible — so the whole chain gets one exact
+      // oracle (the clustered scale path is gated by dedup_semantic)
+      graft.operators.Dedup.semanticDedup(
+        graft.operators.TextAnalysis.hashedBow(
+          t(s, dir, "documents"), "doc_id", "text", dim = 64),
+        "doc_id", "embedding", nClusters = 1, threshold = 0.95)
+        .select("doc_id").orderBy("doc_id")),
+
     "pipeline_chunk" -> ((s, dir) =>
       // context-window chunking: 64-token windows, 16-token overlap —
       // the shuffle-free split ahead of packing/embedding
@@ -422,6 +434,34 @@ object PipelineQueries {
          |  CASE WHEN nrm = 0 THEN cs
          |       ELSE list_transform(cs, x -> round(x / nrm, 4)) END AS embedding
          |FROM n ORDER BY doc_id""".stripMargin,
+
+    // the full text→features→dedup chain against one SQL truth: embeddings
+    // via the text_hash_embed CTEs, survivors = docs with no lower-id
+    // neighbor at cosine >= 0.95. NaN guard: zero vectors give NaN here
+    // but 0.0 from graft_cosine — both must keep the row.
+    "pipeline_embed_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+         |b AS (SELECT doc_id, list_transform(ts,
+         |        x -> CAST(concat('0x', substring(md5(x), 1, 8)) AS BIGINT) % 64) AS bs
+         |      FROM t),
+         |c AS (SELECT doc_id, list_transform(range(0, 64),
+         |        k -> CAST(len(list_filter(bs, x -> x = k)) AS DOUBLE)) AS cs
+         |      FROM b),
+         |n AS (SELECT doc_id, cs,
+         |        sqrt(list_reduce(list_prepend(0.0,
+         |          list_transform(cs, x -> x * x)), (a, x) -> a + x)) AS nrm
+         |      FROM c),
+         |e AS (SELECT doc_id,
+         |        CASE WHEN nrm = 0 THEN cs
+         |             ELSE list_transform(cs, x -> round(x / nrm, 4)) END AS emb
+         |      FROM n),
+         |d AS (SELECT DISTINCT y.doc_id
+         |      FROM e x JOIN e y ON x.doc_id < y.doc_id
+         |      WHERE NOT isnan(list_cosine_similarity(x.emb, y.emb))
+         |        AND list_cosine_similarity(x.emb, y.emb) >= 0.95)
+         |SELECT doc_id FROM e
+         |WHERE doc_id NOT IN (SELECT doc_id FROM d)
+         |ORDER BY doc_id""".stripMargin,
 
     // same chunk arithmetic as Curation.chunkDocuments: stride 48 = 64-16,
     // nChunks = max(1, ceil((n-16)/48)), window = tokens[start, start+64)
