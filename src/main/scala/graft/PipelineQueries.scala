@@ -101,19 +101,24 @@ object PipelineQueries {
     }),
 
     "ann_ivfpq_persisted" -> ((s, dir) => {
-      // the 100 TB serving shape, gated end-to-end: the encoded index is
-      // WRITTEN partitionBy(cell) once and the search reads it back from
-      // disk — the probed-cell join dynamic-partition-prunes unprobed
-      // cell directories (plan-asserted in PqIndexSpec)
+      // the 100 TB serving shape, gated end-to-end: model AND encoded
+      // index are WRITTEN once (model as a small parquet table, index
+      // partitionBy(cell)), then the search runs entirely from disk —
+      // loadModel + readIndex, with the probed-cell join
+      // dynamic-partition-pruning unprobed cell directories
+      // (plan-asserted in PqIndexSpec)
       val e = t(s, dir, "embeddings")
       val model = graft.operators.PqIndex.train(e, "vec_id", "embedding",
         nCells = 16, m = 8, kCodes = 16, sampleFraction = 0.5)
       val idx = s"${Scratch.dir}/ivfpq_index"
+      val mdl = s"${Scratch.dir}/ivfpq_model"
+      graft.operators.PqIndex.saveModel(s, model, mdl)
       graft.operators.PqIndex.writeIndex(
         graft.operators.PqIndex.encode(e, "vec_id", "embedding", model), idx)
       graft.operators.PqIndex.search(
         graft.operators.PqIndex.readIndex(s, idx), e, "vec_id", "embedding",
-        e.filter(col("vec_id") < 5), "vec_id", "embedding", model,
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        graft.operators.PqIndex.loadModel(s, mdl),
         k = 10, nProbe = 4, refine = 4)
     }),
 

@@ -137,6 +137,39 @@ object PqIndex {
         sqrt(GraftFunctions.dot(col("v"), col("v"))).as("norm"))
   }
 
+  /** Persist a trained model as one small parquet table: centroid rows
+    * (kind='centroid', idx=cell) and codebook rows (kind='codebook',
+    * idx=sub*kCodes+code), with (m, kCodes) on every row. At scale the
+    * model is trained once and saved next to the encoded index; query
+    * jobs load it instead of retraining.
+    */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: Model,
+      path: String): Unit = {
+    import spark.implicits._
+    val rows =
+      model.centroids.toSeq.map { case (cell, c) =>
+        ("centroid", cell, c.toSeq, model.m, model.kCodes) } ++
+      model.codebooks.toSeq.zipWithIndex.map { case (e, i) =>
+        ("codebook", i, e.toSeq, model.m, model.kCodes) }
+    rows.toDF("kind", "idx", "vec", "m", "kCodes")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model saved by [[saveModel]] — the driver-side collect is
+    * nCells + m·kCodes rows, the same small footprint train() returns.
+    */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path).collect()
+    require(rows.nonEmpty, s"no model rows at $path")
+    val m = rows.head.getAs[Int]("m")
+    val kCodes = rows.head.getAs[Int]("kCodes")
+    def vecs(kind: String): Array[(Int, Array[Double])] = rows
+      .filter(_.getAs[String]("kind") == kind)
+      .map(r => (r.getAs[Int]("idx"), r.getAs[Seq[Double]]("vec").toArray))
+      .sortBy(_._1)
+    Model(vecs("centroid"), vecs("codebook").map(_._2), m, kCodes)
+  }
+
   /** Persist an encoded index `partitionBy(cell)` — the one-time write at
     * scale: each coarse cell becomes a directory, so a query batch's
     * probed-cell join touches nProbe/nCells of the files, not the corpus.

@@ -77,6 +77,27 @@ class PqIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("model save/load round-trip: identical model, identical search") {
+    val model = PqIndex.train(emb, "vec_id", "embedding", nCells = 8, m = 8,
+      kCodes = 16, iters = 1)
+    val dir = TestSpark.scratch("pq_model")
+    PqIndex.saveModel(spark, model, dir)
+    val loaded = PqIndex.loadModel(spark, dir)
+    assert(loaded.m == model.m && loaded.kCodes == model.kCodes)
+    assert(loaded.centroids.map(_._1).sameElements(model.centroids.map(_._1)))
+    assert(loaded.centroids.zip(model.centroids).forall {
+      case ((_, a), (_, b)) => a.sameElements(b) })
+    assert(loaded.codebooks.zip(model.codebooks).forall {
+      case (a, b) => a.sameElements(b) })
+    // a search under the loaded model is byte-identical
+    val enc = PqIndex.encode(emb, "vec_id", "embedding", model)
+    val q = emb.filter(col("vec_id") < 5)
+    def run(mdl: PqIndex.Model) =
+      PqIndex.search(enc, emb, "vec_id", "embedding", q, "vec_id", "embedding",
+        mdl, k = 5).collect().toSeq
+    assert(run(loaded) == run(model))
+  }
+
   test("sampled training preserves recall (the 100 TB train path)") {
     val model = PqIndex.train(emb, "vec_id", "embedding", nCells = 16, m = 8,
       kCodes = 16, sampleFraction = 0.5)
