@@ -177,6 +177,18 @@ object PqIndex {
   def writeIndex(encoded: DataFrame, path: String): Unit =
     encoded.write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Append newly-ingested vectors to a persisted index WITHOUT
+    * retraining: encode under the same model, append into the cell
+    * directories. This is the daily-ingest path at scale — the coarse
+    * centroids and codebooks stay fixed between offline retrains, so
+    * appends are one narrow encode scan; quality for drifting
+    * distributions degrades gracefully until the next retrain.
+    */
+  def appendToIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      model: Model, path: String): Unit =
+    encode(corpus, idCol, vecCol, model)
+      .write.mode("append").partitionBy("cell").parquet(path)
+
   /** Read a persisted index back into the `search` input shape. `cell`
     * returns as a partition column, so joining it against the broadcast
     * probed-cells side dynamic-partition-prunes the unprobed directories

@@ -77,6 +77,23 @@ class PqIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental append: half-then-half index equals the one-shot index") {
+    val model = PqIndex.train(emb, "vec_id", "embedding", nCells = 8, m = 8,
+      kCodes = 16, iters = 1)
+    val dir = TestSpark.scratch("pq_index_incr")
+    PqIndex.writeIndex(
+      PqIndex.encode(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", model), dir)
+    PqIndex.appendToIndex(
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", model, dir)
+    val q = emb.filter(col("vec_id") < 5)
+    def run(idx: org.apache.spark.sql.DataFrame) =
+      PqIndex.search(idx, emb, "vec_id", "embedding", q, "vec_id", "embedding",
+        model, k = 5).collect().toSeq
+    assert(run(PqIndex.readIndex(spark, dir)) ==
+      run(PqIndex.encode(emb, "vec_id", "embedding", model)),
+      "append-built index must search byte-identically to a one-shot build")
+  }
+
   test("model save/load round-trip: identical model, identical search") {
     val model = PqIndex.train(emb, "vec_id", "embedding", nCells = 8, m = 8,
       kCodes = 16, iters = 1)
