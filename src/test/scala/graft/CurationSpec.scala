@@ -77,6 +77,40 @@ class CurationSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("chunkDocuments edge grid: tiny chunks, zero overlap, boundary lengths") {
+    import spark.implicits._
+    // doc lengths straddle every boundary of the chunk arithmetic:
+    // empty, 1, overlap, overlap+1, chunk, chunk+1, 2 strides, ...
+    val lengths = Seq(0, 1, 2, 3, 4, 5, 7, 8, 9, 15, 16, 17, 31)
+    val docs = lengths.zipWithIndex
+      .map { case (n, i) => (i.toLong, (1 to n).map(j => s"w$j").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val texts = lengths.zipWithIndex
+      .map { case (n, i) => i.toLong -> (1 to n).map(j => s"w$j") }.toMap
+    for ((chunk, overlap) <- Seq((1, 0), (2, 0), (2, 1), (8, 0), (8, 3), (8, 7))) {
+      val stride = chunk - overlap
+      val got = Curation.chunkDocuments(docs, "doc_id", "text", chunk, overlap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2) }
+      texts.foreach { case (id, ts) =>
+        if (ts.isEmpty) assert(!got.contains(id), s"($chunk,$overlap) empty doc $id")
+        else {
+          val chunks = got(id)
+          assert(chunks.length == math.max(1, ((ts.size - overlap) + stride - 1) / stride),
+            s"($chunk,$overlap) doc $id count")
+          chunks.foreach { case (_, i, n, text) =>
+            val expect = ts.slice(i.toInt * stride, i.toInt * stride + chunk)
+            assert(text == expect.mkString(" ") && n == expect.size,
+              s"($chunk,$overlap) doc $id chunk $i")
+          }
+          // coverage: last chunk ends at the last token
+          assert((chunks.length - 1) * stride + chunks.last._3 == ts.size,
+            s"($chunk,$overlap) doc $id coverage")
+        }
+      }
+    }
+  }
+
   test("redactPii matches a java.util.regex replica and leaves no residual matches") {
     import spark.implicits._
     val rows = Seq(
