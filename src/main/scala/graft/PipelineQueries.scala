@@ -192,10 +192,14 @@ object PipelineQueries {
       // hashed-BoW features → semantic dedup survivors. nClusters=1 makes
       // semanticDedup equal brute-force global survivors (spec-proven),
       // which IS SQL-expressible — so the whole chain gets one exact
-      // oracle (the clustered scale path is gated by dedup_semantic)
+      // oracle (the clustered scale path is gated by dedup_semantic).
+      // doc_id < 2000 bounds the brute-force truth face to a fixed
+      // corpus at any SF; quadratic cost is inherent to an exact oracle,
+      // not to the operator.
       graft.operators.Dedup.semanticDedup(
         graft.operators.TextAnalysis.hashedBow(
-          t(s, dir, "documents"), "doc_id", "text", dim = 64),
+          t(s, dir, "documents").filter(col("doc_id") < 2000),
+          "doc_id", "text", dim = 64),
         "doc_id", "embedding", nClusters = 1, threshold = 0.95)
         .select("doc_id").orderBy("doc_id")),
 
@@ -445,7 +449,8 @@ object PipelineQueries {
     // neighbor at cosine >= 0.95. NaN guard: zero vectors give NaN here
     // but 0.0 from graft_cosine — both must keep the row.
     "pipeline_embed_dedup" ->
-      s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents
+         |          WHERE doc_id < 2000),
          |b AS (SELECT doc_id, list_transform(ts,
          |        x -> CAST(concat('0x', substring(md5(x), 1, 8)) AS BIGINT) % 64) AS bs
          |      FROM t),

@@ -186,6 +186,27 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** hashed_bow(array<string>, dim) -> array<double>: md5-bucketed token
+  * counts, l2-normalized, rounded to 4 — one pass per row. The builtin
+  * composition (per-token md5 → hex substring → conv → per-bucket
+  * filter-count) measured ~3 ms/doc from string round-trips; the kernel
+  * hashes digest bytes directly. Bucket arithmetic stays the
+  * engine-portable SQL form (first 8 md5 hex chars as integer, mod dim).
+  */
+case class HashedBow(child: Expression, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_hashed_bow"
+
+  override def nullSafeEval(toks: Any): Any =
+    VectorOps.hashedBow(toks.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.expr.VectorOps.hashedBow($t, $dim);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** top_token_count(array<string>) -> int: max multiplicity of any token. */
 case class TopTokenCount(child: Expression) extends UnaryExpression {
   override def dataType: DataType = IntegerType
@@ -291,6 +312,9 @@ object GraftFunctions {
 
   def topTokenCount(tokens: Column): Column =
     col(TopTokenCount(ColumnBridge.expression(tokens)))
+
+  def hashedBow(tokens: Column, dim: Int): Column =
+    col(HashedBow(ColumnBridge.expression(tokens), dim))
 
   def pqEncode(v: Column, centroid: Column, codebooks: Array[Array[Double]],
       m: Int, k: Int): Column =

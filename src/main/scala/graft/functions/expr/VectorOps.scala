@@ -183,6 +183,43 @@ object VectorOps {
     new GenericArrayData(out)
   }
 
+  /** One-pass hashing-trick bag-of-words: md5-bucket each token (first 4
+    * digest bytes big-endian unsigned mod dim — identical to parsing the
+    * first 8 md5 hex chars, the engine-portable SQL form), count,
+    * l2-normalize, round to 4 decimals (HALF_UP, matching Spark's round).
+    * One MessageDigest reused across the row's tokens; no hex strings.
+    */
+  def hashedBow(tokens: ArrayData, dim: Int): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Double](dim)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      if (t != null) {
+        md.reset()
+        val d = md.digest(t.getBytes)
+        val b32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        counts((b32 % dim).toInt) += 1.0
+      }
+      i += 1
+    }
+    var ss = 0.0
+    var j = 0
+    while (j < dim) { ss += counts(j) * counts(j); j += 1 }
+    val norm = math.sqrt(ss)
+    if (norm != 0.0) {
+      j = 0
+      while (j < dim) {
+        counts(j) = BigDecimal(counts(j) / norm)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        j += 1
+      }
+    }
+    new GenericArrayData(counts)
+  }
+
   /** 64-bit SimHash over a token array: one pass, one hash per token. */
   def simhash64(tokens: ArrayData): Long = {
     val counts = new Array[Int](64)

@@ -297,20 +297,46 @@ object Dedup {
   def semanticDedup(
       df: DataFrame, idCol: String, vecCol: String,
       nClusters: Int, threshold: Double, seed: Long = 42L,
-      sampleFraction: Double = 1.0, maxCluster: Int = 100000): DataFrame = {
-    val centroids = IvfIndex.train(df, idCol, vecCol, nClusters,
+      sampleFraction: Double = 1.0, maxCluster: Int = 100000,
+      pairBlocks: Int = 16): DataFrame = {
+    require(pairBlocks > 0, s"pairBlocks must be positive, got $pairBlocks")
+    // materialize the narrow (id, vector) projection ONCE: train scans it
+    // per Lloyd iteration and assignment scans it again — without this,
+    // an expensive upstream (e.g. featurization) recomputes 4-5x
+    val vecs = tracked(df.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val centroids = IvfIndex.train(vecs, "id", "v", nClusters,
       seed = seed, sampleFraction = sampleFraction)
-    val assigned = tracked(IvfIndex.index(df, idCol, vecCol, centroids)
+    val assigned = tracked(IvfIndex.index(vecs, "id", "v", centroids)
       .select(col("id"), col("cell"), col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val smallCells = assigned.groupBy("cell").agg(count(lit(1)).as("csz"))
       .filter(col("csz").between(2, maxCluster)).select("cell")
     val paired = assigned.join(smallCells, Seq("cell"), "left_semi")
-    val dropped = paired.select(col("cell"), col("id").as("a"), col("v").as("a_v"))
-      .join(paired.select(col("cell"), col("id").as("b"), col("v").as("b_v")), Seq("cell"))
-      .filter(col("a") < col("b"))
+    // BLOCKED within-cell self-join: a join keyed on cell alone runs each
+    // cell's O(csz²) cosine pass in ONE task — at the 100k cap that is
+    // 5e9 evaluations single-threaded (and nClusters=1, the spec/oracle
+    // face, funnels the whole corpus). Each row gets a hash block in
+    // [0, B); the left side fans out to every block >= its own, the join
+    // keys on (cell, right-block), so each unordered pair meets exactly
+    // once — in the task of (cell, max(block_a, block_b)) — and a cell's
+    // work spreads over B tasks for a ×(B+1)/2 fan-out of narrow rows.
+    val withBlk = paired.withColumn("blk",
+      pmod(xxhash64(col("id")), lit(pairBlocks)).cast("int"))
+    val lhs = withBlk.select(col("cell"), col("id").as("a"),
+        col("v").as("a_v"), col("blk").as("ba"))
+      .withColumn("bb", explode(sequence(col("ba"), lit(pairBlocks - 1))))
+    val rhs = withBlk.select(col("cell").as("cellb"), col("id").as("b"),
+      col("v").as("b_v"), col("blk").as("rb"))
+    val dropped = lhs.join(rhs,
+        col("cell") === col("cellb") && col("bb") === col("rb"))
+      // same-block pairs meet in both orientations: keep one; cross-block
+      // pairs meet once in arbitrary id order: normalize via greatest below
+      .filter(col("ba") =!= col("rb") || col("a") < col("b"))
+      .filter(col("a") =!= col("b"))
       .filter(GraftFunctions.cosine(col("a_v"), col("b_v")) >= threshold)
-      .select(col("b").as(idCol)).distinct()
+      .select(greatest(col("a"), col("b")).as(idCol)).distinct()
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
