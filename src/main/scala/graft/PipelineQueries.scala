@@ -182,9 +182,16 @@ object PipelineQueries {
     "text_hash_embed" -> ((s, dir) =>
       // hashing-trick featurization: md5-bucketed token counts,
       // l2-normalized — the model-free bridge from text to the
-      // embedding-space operators
+      // embedding-space operators. The gate emits the vector as ONE
+      // comma-joined string of decimal(10,4)-rendered elements: the
+      // driver's pandas harness sorts/hashes frames and cannot hash an
+      // array column, and decimal formatting (unlike double→string) is
+      // bit-identical across Spark and DuckDB ("0.1234" / "0.0000").
       graft.operators.TextAnalysis.hashedBow(
         t(s, dir, "documents"), "doc_id", "text", dim = 64)
+        .select(col("doc_id"),
+          array_join(transform(col("embedding"),
+            x => x.cast("decimal(10,4)").cast("string")), ",").as("embedding"))
         .orderBy("doc_id")),
 
     "pipeline_embed_dedup" -> ((s, dir) =>
@@ -438,11 +445,15 @@ object PipelineQueries {
          |n AS (SELECT doc_id, cs,
          |        sqrt(list_reduce(list_prepend(0.0,
          |          list_transform(cs, x -> x * x)), (a, x) -> a + x)) AS nrm
-         |      FROM c)
+         |      FROM c),
+         |e AS (SELECT doc_id,
+         |        CASE WHEN nrm = 0 THEN cs
+         |             ELSE list_transform(cs, x -> round(x / nrm, 4)) END AS emb
+         |      FROM n)
          |SELECT doc_id,
-         |  CASE WHEN nrm = 0 THEN cs
-         |       ELSE list_transform(cs, x -> round(x / nrm, 4)) END AS embedding
-         |FROM n ORDER BY doc_id""".stripMargin,
+         |  array_to_string(list_transform(emb,
+         |    x -> CAST(CAST(x AS DECIMAL(10,4)) AS VARCHAR)), ',') AS embedding
+         |FROM e ORDER BY doc_id""".stripMargin,
 
     // the full text→features→dedup chain against one SQL truth: embeddings
     // via the text_hash_embed CTEs, survivors = docs with no lower-id

@@ -32,6 +32,29 @@ class CoverageSpec extends AnyFunSuite {
     assert(unlisted.isEmpty, s"gate entries missing from SURVEY §2: $unlisted")
   }
 
+  test("no gate query emits array/map/struct columns (driver hashes frames in pandas)") {
+    // The driver's correctness harness loads each result into pandas and
+    // sort_values + hashes it — numpy arrays (from array/map/struct
+    // columns) are unhashable, so such a gate errors instead of being
+    // checked (the r5 text_hash_embed failure). Guard the whole surface:
+    // every gate output schema must be scalar/string only; vectors must
+    // be rendered to deterministic strings before leaving the gate.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val spark = TestSpark.spark
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        val bad = q(spark, TestSpark.sf).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+              f.dataType.isInstanceOf[MapType] ||
+              f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+        bad
+    }
+    assert(offenders.isEmpty,
+      s"gate outputs the driver cannot hash (stringify them): $offenders")
+  }
+
   test("SURVEY rows marked sql carry a DuckDB oracle, and oracles map to queries") {
     val oracled = SparkEntry.oracleSql.keySet
     val sqlMarked = surveyRows.filter(_._2.startsWith("sql")).map(_._1)
