@@ -34,6 +34,11 @@ object Bench {
       catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
+      // drop each warmup's internally-persisted frames immediately: 90
+      // warmups otherwise hold every dedup/ANN intermediate at once, and
+      // the timed phase starts against a saturated storage pool (r5's
+      // dedup timings ran ~2x their isolated cost from exactly this)
+      spark.catalog.clearCache()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       if (errors.contains(name)) name -> -1.0

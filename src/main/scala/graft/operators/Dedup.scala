@@ -33,6 +33,16 @@ object Dedup {
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
   private def tracked(df: DataFrame): DataFrame = {
+    // opportunistic drain: entries whose cache is already gone (released
+    // via releaseCaches() or an external catalog.clearCache()) would
+    // otherwise be retained — whole analyzed plans — for the life of the
+    // session; a long-lived service calling dedup per batch must not
+    // accumulate them
+    val it = registeredCaches.iterator()
+    while (it.hasNext) {
+      if (it.next().storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        it.remove()
+    }
     registeredCaches.add(df)
     df
   }
