@@ -342,10 +342,12 @@ object PipelineQueries {
         .withColumn("media_id",
           regexp_extract(col("uri"), "media_(\\d+)\\.", 1).cast("long"))
       // width/height are REAL decoded dimensions for the PNG rows
-      // (javax.imageio), 0 for the stub audio/video payloads
+      // (javax.imageio); sample_rate/channels/audio_ms are REAL parsed
+      // WAV properties (javax.sound.sampled); 0 for the video stub
       Multimodal.extractFeatures(s, manifest).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          col("byte_mean"), col("byte_entropy"), col("width"), col("height"))
+          col("byte_mean"), col("byte_entropy"), col("width"), col("height"),
+          col("sample_rate"), col("channels"), col("audio_ms"))
         .orderBy("media_id")
     }),
   )

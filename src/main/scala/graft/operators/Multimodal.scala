@@ -8,22 +8,43 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: the JDK ships `javax.imageio` (PNG/JPEG/GIF/BMP,
   * no external libraries), so image rows get true decoded dimensions and
-  * a true raster resize. AUDIO/VIDEO decode stays STUBBED (no codec
-  * libraries in this container): deterministic pseudo-features from the
-  * bytes. Everything around the stub — the schema, the binary column
-  * handling, the per-partition batch shape, the partition-preserving
-  * feature extraction — is the real Spark plumbing a codec would plug
-  * into (swap the stub for a JNI/FFI call; the plan does not change).
+  * a true raster resize. AUDIO decode is REAL for WAV: the JDK ships
+  * `javax.sound.sampled` (RIFF/WAVE PCM parsing, no external codecs), so
+  * audio rows get true sample rate / channel count / frame-accurate
+  * duration. VIDEO decode stays STUBBED (the JDK has no video codec):
+  * deterministic pseudo-features from the bytes. Everything around the
+  * stub — the schema, the binary column handling, the per-partition batch
+  * shape, the partition-preserving feature extraction — is the real Spark
+  * plumbing a codec would plug into (swap the stub for a JNI/FFI call;
+  * the plan does not change).
   */
 object Multimodal {
 
   /** Decode an image payload with the JDK's ImageIO; None when the bytes
     * are not a decodable image (audio/video payloads, corrupt files).
-    * Pure raster work — safe on headless executors.
+    * Pure raster work — safe on headless executors. NonFatal only: an
+    * executor-fatal throwable (OutOfMemoryError from a decompression
+    * bomb, InterruptedException) must fail the task, not silently route
+    * the row down the undecodable path.
     */
   private def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: Throwable => None }
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decode an audio payload's header with the JDK's sampled-audio stack:
+    * (sampleRate, channels, frameLength). WAV/AIFF/AU parse out of the
+    * box; None for anything the JDK cannot read (mp3/flac payloads,
+    * corrupt files, non-audio bytes).
+    */
+  private def decodeAudio(bytes: Array[Byte]): Option[(Float, Int, Long)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        Some((fmt.getSampleRate, fmt.getChannels, ais.getFrameLength))
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   final case class Media(
       media_id: Long, kind: String, uri: String,
@@ -33,6 +54,7 @@ object Multimodal {
       media_id: Long, kind: String, n_bytes: Long,
       byte_mean: Double, byte_entropy: Double,
       width: Int, height: Int,
+      sample_rate: Int, channels: Int, audio_ms: Long,
       feature: Array[Float])
 
   /** Build a media manifest from the documents table: each doc's text
@@ -103,11 +125,36 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic REAL WAV payload for the fixture: 16-bit mono PCM at
+    * 8 kHz, frame count and samples pure functions of the id, encoded
+    * with the JDK's AudioSystem — so the audio decode path downstream
+    * parses a genuine RIFF/WAVE container.
+    */
+  private def wavBytes(id: Long): Array[Byte] = {
+    val sampleRate = 8000f
+    val nFrames = (math.abs(id) % 300 + 50).toInt
+    val pcm = new Array[Byte](nFrames * 2) // little-endian s16
+    var k = 0
+    while (k < nFrames) {
+      val s = (((id * 2654435761L + k * 104729L) % 65536L) - 32768L).toShort
+      pcm(2 * k) = (s & 0xff).toByte
+      pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+      k += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Write a deterministic media-file fixture from a documents frame: one
     * file per row named `media_<id>.<ext>` (extension cycles image/audio/
-    * video). Image rows are REAL PNGs (decodable dimensions + pixels
-    * derived from the id); audio/video content = the text bytes standing
-    * in for an encoded payload. The target dir is cleared first so
+    * video). Image rows are REAL PNGs and audio rows REAL WAVs (decodable
+    * dimensions / sample format derived from the id); video content = the
+    * text bytes standing in for an encoded payload. The target dir is cleared first so
     * re-runs at a different scale factor can't leak stale files. Files
     * are written from the executors (`foreachPartition`) — on a cluster
     * the same code writes to shared storage; this exists so
@@ -127,6 +174,7 @@ object Multimodal {
           val ext = exts(((id % 3 + 3) % 3).toInt)
           val payload =
             if (ext == "png") pngBytes(id)
+            else if (ext == "wav") wavBytes(id)
             else r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
           java.nio.file.Files.write(
             new java.io.File(d, s"media_$id.$ext").toPath, payload)
@@ -137,12 +185,13 @@ object Multimodal {
   }
 
   /** Feature extraction over media payloads. IMAGE rows are REALLY
-    * decoded (javax.imageio) and carry true width/height; byte-level
-    * stats (mean, entropy, an 8-dim rolling-stat "embedding") are the
-    * deterministic stand-in for codec features on audio/video, whose
-    * decode is stubbed. Runs per-partition over iterator batches — the
-    * exact shape a real codec (which needs per-partition library init)
-    * requires.
+    * decoded (javax.imageio) and carry true width/height; AUDIO rows are
+    * REALLY parsed (javax.sound.sampled) and carry true sample rate /
+    * channels / frame-accurate duration; byte-level stats (mean, entropy,
+    * an 8-dim rolling-stat "embedding") are the deterministic stand-in
+    * for codec features on video, whose decode is stubbed (no JDK video
+    * codec). Runs per-partition over iterator batches — the exact shape
+    * a real codec (which needs per-partition library init) requires.
     */
   def extractFeatures(spark: SparkSession, manifest: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -154,6 +203,13 @@ object Multimodal {
             if (kind == "image")
               decodeImage(bytes).map(i => (i.getWidth, i.getHeight)).getOrElse((0, 0))
             else (0, 0)
+          val (sr, ch, ams) =
+            if (kind == "audio")
+              decodeAudio(bytes).map { case (rate, chans, frames) =>
+                (math.rint(rate).toInt, chans,
+                  if (rate > 0) math.rint(frames * 1000.0 / rate).toLong else 0L)
+              }.getOrElse((0, 0, 0L))
+            else (0, 0, 0L)
           val n = bytes.length
           val hist = new Array[Long](256)
           var sum = 0L
@@ -176,7 +232,7 @@ object Multimodal {
           }
           MediaFeatures(id, kind, n.toLong,
             math.rint(mean * 10000) / 10000, math.rint(entropy * 10000) / 10000,
-            dw, dh, feat)
+            dw, dh, sr, ch, ams, feat)
         }
       }
   }

@@ -130,6 +130,21 @@ class MultimodalSpec extends AnyFunSuite {
     }
     feats.filterNot(_.kind == "image").foreach(f =>
       assert(f.width == 0 && f.height == 0, s"non-image rows stay undecoded: $f"))
+    // audio rows parse the genuine RIFF/WAVE container: sample rate and
+    // channel count from the format chunk, duration from the frame count
+    // (generator: 8 kHz mono, id%300+50 frames)
+    val audio = feats.filter(_.kind == "audio")
+    assert(audio.nonEmpty)
+    audio.foreach { f =>
+      val frames = f.media_id % 300 + 50
+      assert(f.sample_rate == 8000 && f.channels == 1,
+        s"decoded WAV format must match the generator: $f")
+      assert(f.audio_ms == math.rint(frames * 1000.0 / 8000).toLong,
+        s"decoded WAV duration must be frame-accurate: $f")
+    }
+    feats.filterNot(_.kind == "audio").foreach(f =>
+      assert(f.sample_rate == 0 && f.channels == 0 && f.audio_ms == 0,
+        s"non-audio rows stay unparsed: $f"))
     // real raster resize: the output payload is a PNG of exactly the new dims
     val resized = Multimodal.resizeImages(spark, man, maxW = 16, maxH = 16).collect()
     assert(resized.nonEmpty)
