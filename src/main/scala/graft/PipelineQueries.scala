@@ -76,6 +76,29 @@ object PipelineQueries {
         EmbeddingDim, k = 10, nTables = 16, bitsPerTable = 4)
     }),
 
+    "ann_lsh_recall" -> ((s, dir) => {
+      // recall@10 of the LSH top-k against the brute-force truth, per
+      // query — the quality metric of the ann_lsh configuration as a
+      // DRIVER-HASHED number: the signature scheme is deterministic given
+      // the seed, and the oracle replays the same hyperplane signs in SQL
+      // (plane coefficients inlined as literals, dot products summed in
+      // the kernel's element order).
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+      val lsh = SimilaritySearch.lshTopK(e, "vec_id", "embedding",
+        qs, "vec_id", "embedding", EmbeddingDim,
+        k = 10, nTables = 16, bitsPerTable = 4).select(col("qid"), col("id"))
+      val bf = SimilaritySearch.bruteForceTopK(e, "vec_id", "embedding",
+        qs, "vec_id", "embedding", k = 10).select(col("qid"), col("id"))
+      val ov = bf.join(lsh, Seq("qid", "id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
+      qs.select(col("vec_id").as("qid")).join(ov, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          round(coalesce(col("n_overlap"), lit(0L)) / 10.0, 4).as("recall"))
+        .orderBy("qid")
+    }),
+
     "ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       // sampled training: the 100 TB path — Lloyd iterations scan half
@@ -145,6 +168,24 @@ object PipelineQueries {
         nClusters = 8, threshold = 0.4, sampleFraction = 0.5)
         .select(col("vec_id"), col("label").cast("long").as("label"))
         .orderBy("vec_id")),
+
+    "dedup_semantic_planted" -> ((s, dir) => {
+      // the CLUSTERED (nClusters>1) semantic-dedup path under a DRIVER
+      // hash check: every 10th vector is replicated under a higher id, so
+      // at threshold 0.99999 the only qualifying pairs are the planted
+      // identical copies (natural pairwise cosine on this corpus tops out
+      // ~0.6). Identical vectors get identical centroid distances and
+      // land in the same k-means cell, so the cluster-bounded survivor
+      // set provably equals the global survivor set — which IS
+      // SQL-expressible (no lower-id neighbor at cosine >= t).
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = e.unionAll(
+        e.filter(pmod(col("vec_id"), lit(10)) === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      Dedup.semanticDedup(planted, "vec_id", "embedding",
+        nClusters = 8, threshold = 0.99999, sampleFraction = 0.5)
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
 
     "pipeline_pii" -> ((s, dir) => {
       // the synthetic corpus carries no PII, so the gate plants a
@@ -359,6 +400,21 @@ object PipelineQueries {
   private val ToksSql =
     """list_filter(regexp_split_to_array(lower("text"), '[^\p{L}\p{N}]+'), x -> len(x) > 0)"""
 
+  // SQL-literal replay of RandomPlanes.planes + VectorOps.hyperplaneSig:
+  // an array of one BIGINT key per LSH table, bit b set when the dot of v
+  // with plane b is >= 0. The dot is an explicit left-associative sum in
+  // the kernel's element order, and Double.toString round-trips exactly
+  // (DuckDB parses E-notation), so the literal planes ARE the kernel's.
+  private def lshKeysSql(dim: Int, nTables: Int, bits: Int, seed: Long): String =
+    (0 until nTables).map { t =>
+      val planes = graft.functions.RandomPlanes.planes(dim, bits, seed + t)
+      planes.zipWithIndex.map { case (plane, b) =>
+        val dot = plane.zipWithIndex
+          .map { case (cf, i) => s"($cf)*v[${i + 1}]" }.mkString(" + ")
+        s"(CASE WHEN ($dot) >= 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    }.mkString("[", ", ", "]")
+
   private def swListSql(lang: String): String =
     graft.functions.TextFunctions.stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
 
@@ -561,6 +617,54 @@ object PipelineQueries {
         |      FROM s)
         |SELECT qid, id, round(c, 4) AS cosine, rk FROM r WHERE rk <= 10
         |ORDER BY qid, rk""".stripMargin,
+
+    // full replay of the (L, k) hyperplane scheme in SQL: the plane
+    // coefficients are deterministic (splitmix64 of the seed) and inlined
+    // below as literals, each dot product is an explicit left-associative
+    // sum in the kernel's element order, and sign bits pack exactly like
+    // VectorOps.hyperplaneSig — so candidate generation, top-k and the
+    // recall count are all recomputed from scratch by DuckDB
+    "ann_lsh_recall" ->
+      s"""WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sg AS (SELECT id, ${lshKeysSql(EmbeddingDim, nTables = 16, bits = 4, seed = 42L)} AS ks FROM c),
+         |cb AS (SELECT id, r.t AS t, ks[r.t + 1] AS key
+         |       FROM sg CROSS JOIN (SELECT unnest(range(0, 16)) AS t) r),
+         |qb AS (SELECT id AS qid, t, key FROM cb WHERE id < 5),
+         |cand AS (SELECT DISTINCT qb.qid, cb.id
+         |         FROM cb JOIN qb ON cb.t = qb.t AND cb.key = qb.key),
+         |sc AS (SELECT cand.qid, cand.id, list_cosine_similarity(cv.v, qv.v) AS cs
+         |       FROM cand JOIN c cv ON cand.id = cv.id JOIN c qv ON cand.qid = qv.id),
+         |lr AS (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, id) AS rk
+         |       FROM sc),
+         |lsh AS (SELECT qid, id FROM lr WHERE rk <= 10),
+         |bs AS (SELECT q.id AS qid, e.id, list_cosine_similarity(e.v, q.v) AS cs
+         |       FROM c e CROSS JOIN (SELECT * FROM c WHERE id < 5) q),
+         |br AS (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, id) AS rk
+         |       FROM bs),
+         |bf AS (SELECT qid, id FROM br WHERE rk <= 10),
+         |ov AS (SELECT bf.qid, count(*) FILTER (WHERE lsh.id IS NOT NULL) AS n_overlap
+         |       FROM bf LEFT JOIN lsh ON bf.qid = lsh.qid AND bf.id = lsh.id
+         |       GROUP BY bf.qid)
+         |SELECT qid, CAST(n_overlap AS BIGINT) AS n_overlap,
+         |  round(n_overlap / 10.0, 4) AS recall
+         |FROM ov ORDER BY qid""".stripMargin,
+
+    // planted-family truth: survivors = ids with no lower-id neighbor at
+    // cosine >= 0.99999 over the replicated corpus (NaN guard mirrors
+    // graft_cosine's 0.0 on zero vectors — both engines keep the row)
+    "dedup_semantic_planted" ->
+      """WITH p AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
+        |  WHERE vec_id % 10 = 0),
+        |d AS (SELECT DISTINCT y.vec_id
+        |      FROM p x JOIN p y ON x.vec_id < y.vec_id
+        |      WHERE NOT isnan(list_cosine_similarity(x.v, y.v))
+        |        AND list_cosine_similarity(x.v, y.v) >= 0.99999)
+        |SELECT vec_id FROM p
+        |WHERE vec_id NOT IN (SELECT vec_id FROM d)
+        |ORDER BY vec_id""".stripMargin,
 
     // exact: PPJoin prefix filtering is lossless, so the LSH-free
     // brute-force all-pairs Jaccard is the complete truth

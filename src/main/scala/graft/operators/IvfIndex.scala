@@ -41,6 +41,9 @@ object IvfIndex {
         .orderBy("h").limit(nCells)
         .collect().zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+    require(centroids.nonEmpty,
+      "no centroids: corpus (or its training sample) is empty — " +
+        "check the input frame / raise sampleFraction")
     val dim = centroids(0)._2.length
     var it = 0
     while (it < iters) {

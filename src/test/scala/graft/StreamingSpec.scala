@@ -166,6 +166,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaFn == viaWindowing)
   }
 
+  test("session_window and gaps-and-islands agree at the exact-gap boundary") {
+    // the equivalence above is empirical on generated data; this pins the
+    // boundary semantics with a fixed fixture: a pair exactly 30:00 apart
+    // MERGES on both faces (gap > 30min splits, gap == 30min does not),
+    // a pair 30:01 apart SPLITS on both
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "click", 0.0),
+      (2L, ts("2024-01-01 00:30:00"), 1L, "click", 0.0), // exactly gap
+      (3L, ts("2024-01-01 01:00:00"), 2L, "click", 0.0),
+      (4L, ts("2024-01-01 01:30:01"), 2L, "click", 0.0)  // gap + 1s
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    def canon(rows: Array[(Long, String, String, Long)]) = rows.sortBy(r => (r._1, r._2))
+    val viaFn = canon(EventStreams.sessionWindowBatch(ev, 30).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))))
+    val viaWindowing = canon(EventStreams.sessionizeBatch(ev, 30).collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getString(4), r.getLong(2))))
+    val expected = Array(
+      (1L, "2024-01-01 00:00:00", "2024-01-01 00:30:00", 2L),
+      (2L, "2024-01-01 01:00:00", "2024-01-01 01:00:00", 1L),
+      (2L, "2024-01-01 01:30:01", "2024-01-01 01:30:01", 1L))
+    assert(viaFn.sameElements(expected), s"session_window boundary: ${viaFn.toSeq}")
+    assert(viaWindowing.sameElements(expected), s"gaps-and-islands boundary: ${viaWindowing.toSeq}")
+  }
+
   test("streaming CDC apply: foreachBatch merges change micro-batches latest-wins") {
     import spark.implicits._
     val chunkDir = TestSpark.scratch("stream_cdc_changes")
