@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scaling probe (dev tool, not part of the driver contract): builds
+  * a 10×-replica corpus of the sf0.1 `documents`/`embeddings`/`events`
+  * tables under `target/sf1` and times the most expensive gate queries
+  * at both scales, printing per-query `[scale]` lines.
+  *
+  * The replicas are DECORRELATED so outputs scale ~linearly and the
+  * ratio measures input scaling, not planted-duplicate explosion:
+  *  - documents: every word in replica k>0 gets the digit suffix k, so
+  *    replica shingle sets are pairwise disjoint (10 disjoint sf0.1
+  *    corpora; natural intra-replica duplicates preserved);
+  *  - embeddings: replica k>0 is sign-flipped per element by a
+  *    deterministic Rademacher pattern (xxhash64(k, i) parity). Sign
+  *    flips are an isometry WITHIN a replica (s_i² = 1 preserves every
+  *    inner product, so natural near-dup structure is exact), while
+  *    cross-replica cosines collapse to ~N(0, 1/dim);
+  *  - events: user/event ids offset per replica — 10× users with the
+  *    same per-user session/component structure.
+  */
+object ScaleProbe {
+  private val Reps = 10
+  private val Queries = Seq(
+    "ann_ivfpq_persisted", "ann_ivfpq", "ann_ivf",
+    "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
+    "dedup_embedding", "dedup_semantic",
+    "dedup_cluster", "dedup_cluster_survivors",
+    // bounded-face control: the gate fixes its corpus with doc_id < 2000,
+    // so its sf1 time should be ~flat — that boundedness is the design
+    "pipeline_embed_dedup")
+
+  def main(args: Array[String]): Unit = {
+    val src = "/root/testdata/sf0.1"
+    val out = "/root/repo/target/sf1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$out/documents.parquet").exists())
+      build(spark, src, out)
+    val qs = graft.SparkEntry.queries
+    Queries.foreach { name =>
+      val fn = qs(name)
+      fn(spark, src).count() // warmup: codegen/JIT on the sf0.1 shape
+      graft.operators.Dedup.releaseCaches()
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val rowsSmall = fn(spark, src).count()
+      val tSmall = (System.nanoTime() - t0) / 1e9
+      graft.operators.Dedup.releaseCaches()
+      spark.catalog.clearCache()
+      val t1 = System.nanoTime()
+      val rowsBig = fn(spark, out).count()
+      val tBig = (System.nanoTime() - t1) / 1e9
+      graft.operators.Dedup.releaseCaches()
+      spark.catalog.clearCache()
+      println(f"[scale] $name%-24s sf0.1=$tSmall%6.2fs ($rowsSmall%d rows)  " +
+        f"sf1=$tBig%7.2fs ($rowsBig%d rows)  ratio=${tBig / tSmall}%5.1fx")
+    }
+    spark.stop()
+  }
+
+  private def build(spark: SparkSession, src: String, out: String): Unit = {
+    new java.io.File(out).mkdirs()
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    (0 until Reps).map { k =>
+      if (k == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + k * 10000000L)
+        .withColumn("text", regexp_replace(col("text"), "(\\p{L}+)", "$1" + k))
+    }.reduce(_ unionAll _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    (0 until Reps).map { k =>
+      if (k == 0) emb
+      else emb
+        .withColumn("vec_id", col("vec_id") + k * 10000000L)
+        .withColumn("embedding", expr(
+          s"""transform(embedding, (x, i) ->
+             |  CAST(x * (CASE WHEN pmod(xxhash64($k, i), 2) = 0
+             |                 THEN 1.0 ELSE -1.0 END) AS FLOAT))""".stripMargin))
+    }.reduce(_ unionAll _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    val ev = spark.read.parquet(s"$src/events.parquet") // ts stays raw long
+    (0 until Reps).map { k =>
+      if (k == 0) ev
+      else ev
+        .withColumn("event_id", col("event_id") + k * 100000000L)
+        .withColumn("user_id", col("user_id") + k * 10000000L)
+    }.reduce(_ unionAll _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+    println(s"[scale] built $out: " +
+      s"${spark.read.parquet(s"$out/documents.parquet").count()} docs, " +
+      s"${spark.read.parquet(s"$out/embeddings.parquet").count()} vectors, " +
+      s"${spark.read.parquet(s"$out/events.parquet").count()} events")
+  }
+}
