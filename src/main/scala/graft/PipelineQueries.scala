@@ -415,6 +415,26 @@ object PipelineQueries {
       }.mkString("(", " + ", ")")
     }.mkString("[", ", ", "]")
 
+  // shared WITH-chain replaying lshTopK (gate params L=16, k=4, seed 42,
+  // queries = vec_id < 5) up to `lr`: LSH candidates scored by cosine and
+  // ranked per query. The plane coefficients are deterministic (splitmix64
+  // of the seed) and inlined as literals; each dot product is an explicit
+  // left-associative sum in the kernel's element order; sign bits pack
+  // exactly like VectorOps.hyperplaneSig.
+  private lazy val lshReplaySql: String =
+    s"""WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sg AS (SELECT id, ${lshKeysSql(EmbeddingDim, nTables = 16, bits = 4, seed = 42L)} AS ks FROM c),
+       |cb AS (SELECT id, r.t AS t, ks[r.t + 1] AS key
+       |       FROM sg CROSS JOIN (SELECT unnest(range(0, 16)) AS t) r),
+       |qb AS (SELECT id AS qid, t, key FROM cb WHERE id < 5),
+       |cand AS (SELECT DISTINCT qb.qid, cb.id
+       |         FROM cb JOIN qb ON cb.t = qb.t AND cb.key = qb.key),
+       |sc AS (SELECT cand.qid, cand.id, list_cosine_similarity(cv.v, qv.v) AS cs
+       |       FROM cand JOIN c cv ON cand.id = cv.id JOIN c qv ON cand.qid = qv.id),
+       |lr AS (SELECT qid, id, cs,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, id) AS rk
+       |       FROM sc)""".stripMargin
+
   private def swListSql(lang: String): String =
     graft.functions.TextFunctions.stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
 
@@ -618,24 +638,16 @@ object PipelineQueries {
         |SELECT qid, id, round(c, 4) AS cosine, rk FROM r WHERE rk <= 10
         |ORDER BY qid, rk""".stripMargin,
 
-    // full replay of the (L, k) hyperplane scheme in SQL: the plane
-    // coefficients are deterministic (splitmix64 of the seed) and inlined
-    // below as literals, each dot product is an explicit left-associative
-    // sum in the kernel's element order, and sign bits pack exactly like
-    // VectorOps.hyperplaneSig — so candidate generation, top-k and the
-    // recall count are all recomputed from scratch by DuckDB
+    // full replay of the (L, k) hyperplane scheme in SQL (lshReplaySql):
+    // candidate generation, scoring and top-k are all recomputed from
+    // scratch by DuckDB — so the LSH result itself driver-hashes
+    "ann_lsh" ->
+      s"""$lshReplaySql
+         |SELECT qid, id, round(cs, 4) AS cosine, rk
+         |FROM lr WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
     "ann_lsh_recall" ->
-      s"""WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-         |sg AS (SELECT id, ${lshKeysSql(EmbeddingDim, nTables = 16, bits = 4, seed = 42L)} AS ks FROM c),
-         |cb AS (SELECT id, r.t AS t, ks[r.t + 1] AS key
-         |       FROM sg CROSS JOIN (SELECT unnest(range(0, 16)) AS t) r),
-         |qb AS (SELECT id AS qid, t, key FROM cb WHERE id < 5),
-         |cand AS (SELECT DISTINCT qb.qid, cb.id
-         |         FROM cb JOIN qb ON cb.t = qb.t AND cb.key = qb.key),
-         |sc AS (SELECT cand.qid, cand.id, list_cosine_similarity(cv.v, qv.v) AS cs
-         |       FROM cand JOIN c cv ON cand.id = cv.id JOIN c qv ON cand.qid = qv.id),
-         |lr AS (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, id) AS rk
-         |       FROM sc),
+      s"""$lshReplaySql,
          |lsh AS (SELECT qid, id FROM lr WHERE rk <= 10),
          |bs AS (SELECT q.id AS qid, e.id, list_cosine_similarity(e.v, q.v) AS cs
          |       FROM c e CROSS JOIN (SELECT * FROM c WHERE id < 5) q),

@@ -177,6 +177,27 @@ class DedupSpec extends AnyFunSuite {
     assert(again == clustered)
   }
 
+  test("planted-family clustered semantic dedup equals the global survivor set") {
+    // the dedup_semantic_planted gate invariant: identical copies get
+    // identical centroid distances, so they always share a k-means cell —
+    // at a threshold only identical copies reach, clustered == global
+    val e = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val planted = e.unionAll(
+      e.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    def survivors(n: Int) = Dedup.semanticDedup(planted, "vec_id", "embedding",
+      nClusters = n, threshold = 0.99999, sampleFraction = 0.5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val clustered = survivors(8)
+    val global = survivors(1)
+    assert(clustered == global, "cluster bounding must not change the planted truth")
+    // exactly the originals survive: every planted copy has a lower-id
+    // identical partner, no natural pair reaches 0.99999
+    val originals = e.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(clustered == originals)
+  }
+
   test("simhash and embedding near-dup cap degenerate buckets") {
     // 1.2k identical empty-ish docs share every band key: uncapped this is
     // ~700k candidate pairs; the cap must drop the degenerate bucket whole
