@@ -52,6 +52,14 @@ object PipelineQueries {
       Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, threshold = 0.5)),
 
+    "dedup_substring" -> ((s, dir) =>
+      // corpus-level exact-substring duplicate spans (Lee et al. ACL'22,
+      // fixed-window form): per doc, the count of 20-token windows that
+      // repeat in >= 2 distinct documents
+      Dedup.substringDupSpans(t(s, dir, "documents"), "doc_id", "text",
+        window = 20, minDocs = 2)
+        .orderBy("doc_id")),
+
     // threshold 0.4 sits where the synthetic embeddings actually have
     // near-dup pairs (max pairwise cosine ~0.5-0.6); (L=32, k=3) makes the
     // per-pair miss probability at cosine 0.4 about 1e-4, so the LSH result
@@ -660,6 +668,28 @@ object PipelineQueries {
          |SELECT qid, CAST(n_overlap AS BIGINT) AS n_overlap,
          |  round(n_overlap / 10.0, 4) AS recall
          |FROM ov ORDER BY qid""".stripMargin,
+
+    // same md5-over-window arithmetic as Dedup.substringDupSpans: the
+    // tokenizer parity is proven by text_tokens, md5 and the space-join
+    // are engine-identical, so window hashes match bit-for-bit
+    "dedup_substring" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+         |b AS (SELECT doc_id, ts, len(ts) AS n FROM t),
+         |w AS (SELECT doc_id, ts, n, unnest(range(0, n - 20 + 1)) AS pos
+         |      FROM b WHERE n >= 20),
+         |h AS (SELECT doc_id, pos,
+         |        md5(array_to_string(list_slice(ts, pos + 1, pos + 20), ' ')) AS h
+         |      FROM w),
+         |d AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+         |                     FROM h GROUP BY h) WHERE nd >= 2),
+         |m AS (SELECT doc_id, count(*) AS n_dup, min(pos) AS first_pos
+         |      FROM h WHERE h IN (SELECT h FROM d) GROUP BY doc_id)
+         |SELECT b.doc_id,
+         |  CAST(CASE WHEN b.n >= 20 THEN b.n - 19 ELSE 0 END AS BIGINT) AS n_windows,
+         |  CAST(coalesce(m.n_dup, 0) AS BIGINT) AS n_dup_windows,
+         |  CAST(coalesce(m.first_pos, -1) AS BIGINT) AS first_dup_pos
+         |FROM b LEFT JOIN m ON b.doc_id = m.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
 
     // planted-family truth: survivors = ids with no lower-id neighbor at
     // cosine >= 0.99999 over the replicated corpus (NaN guard mirrors

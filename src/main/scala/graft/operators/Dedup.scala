@@ -350,6 +350,57 @@ object Dedup {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Exact-substring duplicate-span detection (the fixed-window form of
+    * Lee et al. ACL'22 "Deduplicating Training Data Makes Language Models
+    * Better"): a `window`-token span that occurs in >= `minDocs` distinct
+    * documents is a duplicated span; per document, report how much of it
+    * is covered by corpus-repeated spans. The suffix-array construction
+    * of the paper is replaced by fixed-window hashing — the standard
+    * distributed approximation (every duplicated substring of length >=
+    * window contains a duplicated window, so coverage is recall-complete
+    * at window granularity).
+    *
+    * Scale shape: window hashes are computed WITHIN the row (one
+    * projection, no token explosion); the only shuffles carry narrow
+    * (id, pos, 32-byte hash) rows — one groupBy on the hash for document
+    * frequency, one semi-join back. Engine-portable by construction:
+    * md5 over the space-joined window is identical in any engine.
+    */
+  def substringDupSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int = 20, minDocs: Int = 2): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = spread(df, idCol)
+      .select(col(idCol).as("id"), T.tokens(col(textCol)).as("ts"))
+      .withColumn("n", size(col("ts")))
+    // the CASE guard is load-bearing even though the filter precedes it:
+    // the optimizer may evaluate the projection against pre-filter rows,
+    // and sequence(0, n - window) DESCENDS for short docs, handing
+    // slice() an invalid start of 0 — the conditional's lazy branch
+    // evaluation keeps the lambda off those rows
+    val withW = base.filter(col("n") >= window)
+      .withColumn("ws", expr(
+        s"""CASE WHEN n >= $window THEN
+           |  transform(sequence(0, n - $window),
+           |    i -> md5(concat_ws(' ', slice(ts, i + 1, $window))))
+           |ELSE array() END""".stripMargin))
+    val pos = withW.select(col("id"), posexplode(col("ws")).as(Seq("pos", "h")))
+    val dup = pos.groupBy("h")
+      .agg(count_distinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs).select("h")
+    val marked = pos.join(dup, Seq("h"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_dup_windows"),
+        min("pos").as("first_dup_pos"))
+    base.select(col("id"), col("n"))
+      .join(marked, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("n") >= window, col("n") - (window - 1)).otherwise(0L)
+          .cast("long").as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).cast("long").as("n_dup_windows"),
+        coalesce(col("first_dup_pos"), lit(-1)).cast("long").as("first_dup_pos"))
+  }
+
   /** Exact Jaccard of two string-array columns via codegen'd set builtins. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -177,6 +177,25 @@ class DedupSpec extends AnyFunSuite {
     assert(again == clustered)
   }
 
+  test("substring dup spans: planted shared window detected, short docs zero") {
+    import spark.implicits._
+    val shared = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, s"alpha beta $shared gamma delta"),   // shared span at pos 2
+      (2L, s"$shared epsilon zeta"),             // shared span at pos 0
+      (3L, "unique words only here"),            // short: < 20 tokens
+      (4L, (1 to 30).map(i => s"own$i").mkString(" "))) // long, no dups
+      .toDF("doc_id", "text")
+    val r = Dedup.substringDupSpans(df, "doc_id", "text", window = 20, minDocs = 2)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // doc 1: 24 tokens -> 5 windows; those starting inside [2, 2] cover the
+    // planted span exactly (only pos 2 yields the full shared window)
+    assert(r(1L) == ((5L, 1L, 2L)), s"doc1: ${r(1L)}")
+    assert(r(2L) == ((3L, 1L, 0L)), s"doc2: ${r(2L)}")
+    assert(r(3L) == ((0L, 0L, -1L)), s"doc3: ${r(3L)}")
+    assert(r(4L) == ((11L, 0L, -1L)), s"doc4: ${r(4L)}")
+  }
+
   test("planted-family clustered semantic dedup equals the global survivor set") {
     // the dedup_semantic_planted gate invariant: identical copies get
     // identical centroid distances, so they always share a k-means cell —
