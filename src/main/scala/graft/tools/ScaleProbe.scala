@@ -25,7 +25,7 @@ object ScaleProbe {
   private val Reps = 10
   private val Queries = Seq(
     "ann_ivfpq_persisted", "ann_ivfpq", "ann_ivf",
-    "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash", "dedup_substring",
     "dedup_embedding", "dedup_semantic",
     "dedup_cluster", "dedup_cluster_survivors",
     // bounded-face control: the gate fixes its corpus with doc_id < 2000,
@@ -44,18 +44,25 @@ object ScaleProbe {
     if (!new java.io.File(s"$out/documents.parquet").exists())
       build(spark, src, out)
     val qs = graft.SparkEntry.queries
+    // force FULL evaluation: .count() lets Catalyst prune deterministic
+    // projections and eliminate count-preserving left joins (it timed
+    // dedup_substring as a bare scan) — hashing every column of every
+    // row keeps the whole query in the measured path
+    def force(df: DataFrame): Long =
+      df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+        .agg(expr("bit_xor(h)"), count(lit(1))).collect()(0).getLong(1)
     Queries.foreach { name =>
       val fn = qs(name)
-      fn(spark, src).count() // warmup: codegen/JIT on the sf0.1 shape
+      force(fn(spark, src)) // warmup: codegen/JIT on the sf0.1 shape
       graft.operators.Dedup.releaseCaches()
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      val rowsSmall = fn(spark, src).count()
+      val rowsSmall = force(fn(spark, src))
       val tSmall = (System.nanoTime() - t0) / 1e9
       graft.operators.Dedup.releaseCaches()
       spark.catalog.clearCache()
       val t1 = System.nanoTime()
-      val rowsBig = fn(spark, out).count()
+      val rowsBig = force(fn(spark, out))
       val tBig = (System.nanoTime() - t1) / 1e9
       graft.operators.Dedup.releaseCaches()
       spark.catalog.clearCache()
