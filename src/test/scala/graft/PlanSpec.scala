@@ -288,6 +288,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("substring dup spans: window hashes stay in-row; exchanges carry no token arrays") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val plan = executedNoAqe(graft.operators.Dedup.substringDupSpans(
+      docs, "doc_id", "text", window = 20, minDocs = 2))
+    // the md5 window hashing happens WITHIN the row (one projection); the
+    // shuffles must carry only narrow (id, pos, hash) / aggregate rows,
+    // never the per-doc token arrays — the property that keeps the
+    // operator scan-bound at corpus scale
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, s"expected hash-frequency shuffles:\n$plan")
+    exchanges.foreach { e =>
+      assert(!e.child.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"no exchange may carry token/window arrays:\n${e.child.output}")
+    }
+  }
+
   test("AQE splits skewed join partitions at runtime (skew=true)") {
     import org.apache.spark.sql.functions._
     // 90% of fact rows land on ONE join key — the skew no static plan
