@@ -284,6 +284,18 @@ object PipelineQueries {
         length(col("text")).cast("long").as("n_chars"))
         .orderBy("doc_id")),
 
+    "text_vocab" -> ((s, dir) =>
+      // corpus vocabulary builder (the tokenizer-training / vocab-pruning
+      // input): global top-100 words by frequency. One (word) groupBy of
+      // narrow rows; the global top-k compiles to TakeOrderedAndProject
+      // (per-partition partial top-k, merged on the driver) — no full
+      // sort of the vocabulary at any scale
+      t(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc)
+        .limit(100)),
+
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), size(col("fingerprint")).as("n_hashes"),
@@ -668,6 +680,12 @@ object PipelineQueries {
          |SELECT qid, CAST(n_overlap AS BIGINT) AS n_overlap,
          |  round(n_overlap / 10.0, 4) AS recall
          |FROM ov ORDER BY qid""".stripMargin,
+
+    "text_vocab" ->
+      s"""WITH w AS (SELECT unnest($ToksSql) AS word FROM documents),
+         |c AS (SELECT word, count(*) AS n FROM w GROUP BY word)
+         |SELECT word, CAST(n AS BIGINT) AS n FROM c
+         |ORDER BY n DESC, word LIMIT 100""".stripMargin,
 
     // same md5-over-window arithmetic as Dedup.substringDupSpans: the
     // tokenizer parity is proven by text_tokens, md5 and the space-join
