@@ -288,6 +288,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("text_vocab: global top-k compiles to TakeOrderedAndProject, no full sort") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val plan = executedNoAqe(
+      SparkEntry.queries("text_vocab")(spark, TestSpark.sf))
+    assert(plan.collectFirst { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"vocab top-100 must be a partial-top-k merge, not a global sort:\n$plan")
+    assert(plan.collectFirst {
+      case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+      s"no full SortExec may appear under the limit:\n$plan")
+  }
+
   test("substring dup spans: window hashes stay in-row; exchanges carry no token arrays") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.ArrayType
