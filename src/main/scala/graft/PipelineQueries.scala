@@ -55,9 +55,11 @@ object PipelineQueries {
     "dedup_substring" -> ((s, dir) =>
       // corpus-level exact-substring duplicate spans (Lee et al. ACL'22,
       // fixed-window form): per doc, the count of 20-token windows that
-      // repeat in >= 2 distinct documents
+      // repeat in >= 2 distinct documents. portableHash: the gate pays
+      // md5 so DuckDB recomputes identical window keys; production uses
+      // the default xxhash64 path (same plan, same spans, ~3x cheaper)
       Dedup.substringDupSpans(t(s, dir, "documents"), "doc_id", "text",
-        window = 20, minDocs = 2)
+        window = 20, minDocs = 2, portableHash = true)
         .orderBy("doc_id")),
 
     // threshold 0.4 sits where the synthetic embeddings actually have

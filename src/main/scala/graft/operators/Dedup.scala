@@ -362,15 +362,22 @@ object Dedup {
     *
     * Scale shape: window hashes are computed WITHIN the row (one
     * projection, no token explosion); the only shuffles carry narrow
-    * (id, pos, 32-byte hash) rows — one groupBy on the hash for document
-    * frequency, one semi-join back. Engine-portable by construction:
-    * md5 over the space-joined window is identical in any engine.
+    * (id, pos, hash) rows — one groupBy on the hash for document
+    * frequency, one semi-join back.
+    *
+    * `portableHash = true` hashes windows with md5 (identical in any
+    * engine — the gate's oracle face); the default hashes with xxhash64
+    * (8-byte keys, no hex-string round trip — the production path; both
+    * detect the same spans, collisions can only merge two distinct
+    * windows, adding a span, with probability ~n²/2⁶⁴).
     */
   def substringDupSpans(
       df: DataFrame, idCol: String, textCol: String,
-      window: Int = 20, minDocs: Int = 2): DataFrame = {
+      window: Int = 20, minDocs: Int = 2,
+      portableHash: Boolean = false): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val hashFn = if (portableHash) "md5" else "xxhash64"
     val base = spread(df, idCol)
       .select(col(idCol).as("id"), T.tokens(col(textCol)).as("ts"))
       .withColumn("n", size(col("ts")))
@@ -383,8 +390,8 @@ object Dedup {
       .withColumn("ws", expr(
         s"""CASE WHEN n >= $window THEN
            |  transform(sequence(0, n - $window),
-           |    i -> md5(concat_ws(' ', slice(ts, i + 1, $window))))
-           |ELSE array() END""".stripMargin))
+           |    i -> $hashFn(concat_ws(' ', slice(ts, i + 1, $window))))
+           |ELSE cast(array() as array<${if (portableHash) "string" else "bigint"}>) END""".stripMargin))
     val pos = withW.select(col("id"), posexplode(col("ws")).as(Seq("pos", "h")))
     val dup = pos.groupBy("h")
       .agg(count_distinct(col("id")).as("nd"))

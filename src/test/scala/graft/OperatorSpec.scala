@@ -196,6 +196,21 @@ class DedupSpec extends AnyFunSuite {
     assert(r(4L) == ((11L, 0L, -1L)), s"doc4: ${r(4L)}")
   }
 
+  test("substring dup spans: portable (md5) and fast (xxhash64) hashes detect the same spans") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    def run(portable: Boolean) =
+      Dedup.substringDupSpans(docs, "doc_id", "text", window = 20, minDocs = 2,
+        portableHash = portable)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+    val md5Spans = run(portable = true)
+    val xxhSpans = run(portable = false)
+    assert(md5Spans.nonEmpty && md5Spans.exists(_._2._2 > 0),
+      "corpus must contain duplicated spans")
+    assert(md5Spans.sameElements(xxhSpans),
+      "hash choice must not change the detected span structure")
+  }
+
   test("planted-family clustered semantic dedup equals the global survivor set") {
     // the dedup_semantic_planted gate invariant: identical copies get
     // identical centroid distances, so they always share a k-means cell —
