@@ -133,6 +133,24 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** window_hashes(array<string>, w) -> array<long>: rolling polynomial
+  * hash of every length-w token window, O(n) per row (no per-window
+  * string build). Feeds Dedup.substringDupSpans' fast path.
+  */
+case class WindowHashes(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_window_hashes"
+
+  override def nullSafeEval(toks: Any): Any =
+    VectorOps.windowHashes(toks.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.expr.VectorOps.windowHashes($t, $w);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** word_tokens(string) -> array<string>: lower-cased letter/digit-run
   * tokens, order preserved, duplicates kept.
   */
@@ -300,6 +318,9 @@ object GraftFunctions {
 
   def minhashSignature(shingles: Column, k: Int): Column =
     col(MinHashSignature(ColumnBridge.expression(shingles), k))
+
+  def windowHashes(tokens: Column, w: Int): Column =
+    col(WindowHashes(ColumnBridge.expression(tokens), w))
 
   def sortedIntersectSize(a: Column, b: Column): Column =
     col(SortedIntersectSize(ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -274,6 +274,42 @@ object VectorOps {
     new GenericArrayData(sig)
   }
 
+  /** Rolling polynomial window hashes: one 8-byte key per length-`w`
+    * token window, O(n) per document. Each token is xxh64-hashed once,
+    * then windows combine as h = Σ t_j · P^(w-1-j) over natural 2⁶⁴
+    * wraparound, advanced in O(1) per position — no per-window string
+    * build (the measured floor of the concat-then-digest formulation).
+    * Cross-window collisions are ~n²/2⁶⁴, the same class as hashing the
+    * joined window text.
+    */
+  def windowHashes(tokens: ArrayData, w: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = tokens.getUTF8String(i)
+      th(i) = if (s == null) 0L else xxh64(s.getBytes, 0L)
+      i += 1
+    }
+    val P = 0x100000001b3L
+    var pw = 1L
+    var j = 0
+    while (j < w - 1) { pw *= P; j += 1 } // P^(w-1) mod 2^64
+    val out = new Array[Long](n - w + 1)
+    var h = 0L
+    var k = 0
+    while (k < w) { h = h * P + th(k); k += 1 }
+    out(0) = h
+    var s = 1
+    while (s <= n - w) {
+      h = (h - th(s - 1) * pw) * P + th(s + w - 1)
+      out(s) = h
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Intersection size of two ascending-sorted string arrays via linear
     * merge — no hash-set allocation per row (vs builtin array_intersect).
     */

@@ -365,11 +365,14 @@ object Dedup {
     * (id, pos, hash) rows — one groupBy on the hash for document
     * frequency, one semi-join back.
     *
-    * `portableHash = true` hashes windows with md5 (identical in any
-    * engine — the gate's oracle face); the default hashes with xxhash64
-    * (8-byte keys, no hex-string round trip — the production path; both
-    * detect the same spans, collisions can only merge two distinct
-    * windows, adding a span, with probability ~n²/2⁶⁴).
+    * `portableHash = true` hashes windows with md5 over the joined
+    * window text (identical in any engine — the gate's oracle face); the
+    * default uses the `graft_window_hashes` rolling kernel: one xxh64
+    * per TOKEN then O(1) polynomial advance per window — no per-window
+    * string build (the measured floor of the concat-then-digest form) —
+    * 8-byte keys, the production path. Both detect the same spans;
+    * collisions can only merge two distinct windows, adding a span,
+    * with probability ~n²/2⁶⁴.
     */
   def substringDupSpans(
       df: DataFrame, idCol: String, textCol: String,
@@ -377,21 +380,23 @@ object Dedup {
       portableHash: Boolean = false): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val hashFn = if (portableHash) "md5" else "xxhash64"
     val base = spread(df, idCol)
       .select(col(idCol).as("id"), T.tokens(col(textCol)).as("ts"))
       .withColumn("n", size(col("ts")))
-    // the CASE guard is load-bearing even though the filter precedes it:
-    // the optimizer may evaluate the projection against pre-filter rows,
-    // and sequence(0, n - window) DESCENDS for short docs, handing
-    // slice() an invalid start of 0 — the conditional's lazy branch
-    // evaluation keeps the lambda off those rows
-    val withW = base.filter(col("n") >= window)
-      .withColumn("ws", expr(
+    // md5 path: the CASE guard is load-bearing even though the filter
+    // precedes it — the optimizer may evaluate the projection against
+    // pre-filter rows, and sequence(0, n - window) DESCENDS for short
+    // docs, handing slice() an invalid start of 0; the conditional's
+    // lazy branch evaluation keeps the lambda off those rows. The
+    // kernel path handles n < window internally (empty array).
+    val hashed =
+      if (portableHash) expr(
         s"""CASE WHEN n >= $window THEN
            |  transform(sequence(0, n - $window),
-           |    i -> $hashFn(concat_ws(' ', slice(ts, i + 1, $window))))
-           |ELSE cast(array() as array<${if (portableHash) "string" else "bigint"}>) END""".stripMargin))
+           |    i -> md5(concat_ws(' ', slice(ts, i + 1, $window))))
+           |ELSE cast(array() as array<string>) END""".stripMargin)
+      else GraftFunctions.windowHashes(col("ts"), window)
+    val withW = base.filter(col("n") >= window).withColumn("ws", hashed)
     val pos = withW.select(col("id"), posexplode(col("ws")).as(Seq("pos", "h")))
     val dup = pos.groupBy("h")
       .agg(count_distinct(col("id")).as("nd"))
