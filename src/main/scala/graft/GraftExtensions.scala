@@ -59,6 +59,9 @@ object GraftExtensions {
     entry("graft_top_token_count", "max multiplicity of any token in a token array") {
       case Seq(t) => TopTokenCount(t)
     },
+    entry("graft_window_hashes", "rolling polynomial hash per w-token window of a token array") {
+      case Seq(t, w) => WindowHashes(t, intArg(w, "graft_window_hashes"))
+    },
   )
 
   /** Register the graft SQL functions into an already-built session. */
