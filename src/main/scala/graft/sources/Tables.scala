@@ -17,16 +17,28 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read nanos as long and convert (floor) to micros.
-      // Prefer setting this once at session build (Bench/Verify do); the
-      // guarded set here is a fallback for ad-hoc sessions and avoids
-      // re-mutating session conf on every load under concurrent use.
+      // events.ts has shipped two ways across testdata generations:
+      // TIMESTAMP(NANOS) (int64 nanos — Spark's vectorized reader only
+      // accepts it via nanosAsLong) and TIMESTAMP(MICROS,
+      // isAdjustedToUTC=false). Normalize BOTH to TimestampType carrying
+      // the file's raw micros as the instant: nanosAsLong + floor-div for
+      // the former; inferTimestampNTZ=false for the latter (the stored
+      // micros are read as the instant directly, independent of session
+      // timezone — exactly the value DuckDB's epoch_us sees, which the
+      // oracle parity relies on). Prefer setting these once at session
+      // build (Bench/Verify do); the guarded sets here are a fallback for
+      // ad-hoc sessions and avoid re-mutating conf on every load.
       if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      if (!spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled").contains("false"))
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+        case _ => df // already a timestamp type (micros generation)
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table of a scale-factor dir as a temp view. */

@@ -33,11 +33,14 @@ object ScaleProbe {
     "pipeline_embed_dedup")
 
   def main(args: Array[String]): Unit = {
-    val src = "/root/testdata/sf0.1"
-    val out = "/root/repo/target/sf1"
+    // [srcDir [outDir]] — defaults match this container's layout
+    val src = if (args.length >= 1) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length >= 2) args(1) else "/root/repo/target/sf1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -93,7 +96,7 @@ object ScaleProbe {
              |                 THEN 1.0 ELSE -1.0 END) AS FLOAT))""".stripMargin))
     }.reduce(_ unionAll _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    val ev = spark.read.parquet(s"$src/events.parquet") // ts stays raw long
+    val ev = spark.read.parquet(s"$src/events.parquet") // ts passes through as stored
     (0 until Reps).map { k =>
       if (k == 0) ev
       else ev

@@ -9,6 +9,11 @@ object TestSpark {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // testdata timestamps are parquet TIMESTAMP(isAdjustedToUTC=false):
+    // read the stored micros as the instant (pre-3.4 behavior) so Spark
+    // and DuckDB see identical epoch values under the UTC session
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
