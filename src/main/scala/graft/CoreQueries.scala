@@ -201,15 +201,28 @@ object CoreQueries {
     }),
 
     "q18_approx" -> ((s, dir) =>
-      // HLL + approximate quantiles — sketch values are engine-specific,
-      // so this is a rows-only gate (ApproxSpec asserts bounds vs exact).
-      // rsd 0.01: the default 0.05 is a 1-sigma bound, so single runs
-      // stray past 5%; 1% rsd keeps the 5% spec bound at ~5 sigma.
+      // HLL + approximate quantiles as a DRIVER-HASHED gate: sketch
+      // values are engine-specific, so the row emits tolerance BOOLEANS —
+      // each engine checks its OWN sketch against the exact value it
+      // computes from the same data, and both sides deterministically
+      // land true (rsd 0.01 puts the 5% bound at ~5 sigma; DuckDB's
+      // HLL / approx_quantile run ~1% error). The exact distinct counts
+      // ride along as cross-engine-hashable integers. ApproxSpec keeps
+      // the tighter independent bound assertions.
       t(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("median_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price"))),
+        countDistinct(col("l_orderkey")).as("n_orders_exact"),
+        countDistinct(col("l_partkey")).as("n_parts_exact"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("a_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("a_parts"),
+        expr("percentile(l_extendedprice, 0.5D)").as("m_exact"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("m_approx"),
+        expr("percentile(l_extendedprice, 0.95D)").as("p95_exact"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_approx"))
+        .select(col("n_orders_exact"), col("n_parts_exact"),
+          (abs(col("a_orders") - col("n_orders_exact")) / col("n_orders_exact") <= 0.05).as("orders_ok"),
+          (abs(col("a_parts") - col("n_parts_exact")) / col("n_parts_exact") <= 0.05).as("parts_ok"),
+          (abs(col("m_approx") - col("m_exact")) / col("m_exact") <= 0.05).as("median_ok"),
+          (abs(col("p95_approx") - col("p95_exact")) / col("p95_exact") <= 0.05).as("p95_ok"))),
 
     "q19_rollup" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -423,6 +436,24 @@ object CoreQueries {
         |    CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE),
         |    CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) FROM lineitem
         |) ORDER BY col_name""".stripMargin,
+
+    // tolerance booleans: each engine checks its OWN sketch against the
+    // exact values (computation-mirroring, not result-hardcoding — the
+    // exact counts hash across engines, and a sketch drifting past 5%
+    // on either side fails the row)
+    "q18_approx" ->
+      """SELECT
+        |  count(DISTINCT l_orderkey) AS n_orders_exact,
+        |  count(DISTINCT l_partkey) AS n_parts_exact,
+        |  abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey))
+        |    / count(DISTINCT l_orderkey) <= 0.05 AS orders_ok,
+        |  abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+        |    / count(DISTINCT l_partkey) <= 0.05 AS parts_ok,
+        |  abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+        |    / quantile_cont(l_extendedprice, 0.5) <= 0.05 AS median_ok,
+        |  abs(approx_quantile(l_extendedprice, 0.95) - quantile_cont(l_extendedprice, 0.95))
+        |    / quantile_cont(l_extendedprice, 0.95) <= 0.05 AS p95_ok
+        |FROM lineitem""".stripMargin,
 
     "q19_rollup" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,

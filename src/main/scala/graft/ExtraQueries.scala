@@ -314,9 +314,32 @@ object ExtraQueries {
           coalesce(col("o_orderstatus"), lit("N/A")).as("status"))
         .orderBy("o_orderkey")
     }),
+
+    "q47_page_last" -> ((s, dir) => {
+      // the paginator's jump-to-last flow under a driver hash: totalPages
+      // derives from a count with the page-size ceiling, lastPage re-sorts
+      // and offsets to (totalPages-1)*size — reference first/last/goto
+      // paging (duckdb-paginator.ts:29-60). Page size 37 leaves a partial
+      // final page, so the ceil arithmetic is what's actually gated. The
+      // sort field is the unique key, making the pure-SQL mirror exact
+      // (the hash tiebreaker for non-unique sorts is spec-covered in
+      // QuerySurfaceSpec).
+      import graft.query.{PageRequest, Paginator, SortSpec}
+      val p = new Paginator(t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice"))
+      p.lastPage(PageRequest(pageSize = Some(37),
+        sort = Some(SortSpec("o_orderkey", ascending = true))))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q47_page_last" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey
+        |LIMIT 37
+        |OFFSET (SELECT 37 * (CAST(ceil(count(*) / 37.0) AS BIGINT) - 1)
+        |        FROM orders)""".stripMargin,
+
     "asof_join" ->
       """SELECT p.event_id, p.user_id,
         |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,

@@ -45,8 +45,14 @@ object PipelineQueries {
         shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)),
 
     "dedup_simhash" -> ((s, dir) =>
+      // portableHash: md5 token hashes make the signature — and so the
+      // hamming-pair set — fully replayable in DuckDB (see oracle); the
+      // banding is lossless here by pigeonhole (hamming <= 3 over 4
+      // 16-bit bands forces one identical band), so the banded operator
+      // equals the brute-force truth the oracle computes.
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3, bands = 4)),
+        maxHamming = 3, bands = 4, portableHash = true)
+        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
@@ -112,9 +118,15 @@ object PipelineQueries {
     "ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       // sampled training: the 100 TB path — Lloyd iterations scan half
-      // the corpus (seeded, deterministic); assignment covers all of it
-      val centroids = graft.operators.IvfIndex.train(e, "vec_id", "embedding",
-        nCells = 16, sampleFraction = 0.5)
+      // the corpus; assignment covers all of it. The half is selected by
+      // id PARITY (not Bernoulli sample): deterministic across engines,
+      // partitionings and runs, which lets the oracle replay the ENTIRE
+      // training — md5-ordered init, three Lloyd rounds with 6-decimal
+      // means, kernel-order cosines — in DuckDB SQL and hash-match the
+      // search result end to end.
+      val centroids = graft.operators.IvfIndex.train(
+        e.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding",
+        nCells = 16, sampleFraction = 1.0)
       val indexed = graft.operators.IvfIndex.index(e, "vec_id", "embedding", centroids)
       graft.operators.IvfIndex.search(indexed,
         e.filter(col("vec_id") < 5), "vec_id", "embedding",
@@ -405,12 +417,14 @@ object PipelineQueries {
         .withColumn("media_id",
           regexp_extract(col("uri"), "media_(\\d+)\\.", 1).cast("long"))
       // width/height are REAL decoded dimensions for the PNG rows
-      // (javax.imageio); sample_rate/channels/audio_ms are REAL parsed
-      // WAV properties (javax.sound.sampled); 0 for the video stub
+      // (javax.imageio) AND real tkhd track dimensions for the MP4 rows;
+      // sample_rate/channels/audio_ms are REAL parsed WAV properties
+      // (javax.sound.sampled); video_ms is the REAL mvhd movie duration
+      // (parseMp4Metadata — plain ISO-BMFF byte walking, no codec)
       Multimodal.extractFeatures(s, manifest).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("byte_mean"), col("byte_entropy"), col("width"), col("height"),
-          col("sample_rate"), col("channels"), col("audio_ms"))
+          col("sample_rate"), col("channels"), col("audio_ms"), col("video_ms"))
         .orderBy("media_id")
     }),
   )
@@ -427,13 +441,16 @@ object PipelineQueries {
   // with plane b is >= 0. The dot is an explicit left-associative sum in
   // the kernel's element order, and Double.toString round-trips exactly
   // (DuckDB parses E-notation), so the literal planes ARE the kernel's.
+  // NaN guard: Scala's `s >= 0.0` is FALSE for NaN while DuckDB orders
+  // NaN above every number (TRUE), so the sign test spells the kernel's
+  // semantics out explicitly rather than relying on a NaN-free corpus.
   private def lshKeysSql(dim: Int, nTables: Int, bits: Int, seed: Long): String =
     (0 until nTables).map { t =>
       val planes = graft.functions.RandomPlanes.planes(dim, bits, seed + t)
       planes.zipWithIndex.map { case (plane, b) =>
         val dot = plane.zipWithIndex
           .map { case (cf, i) => s"($cf)*v[${i + 1}]" }.mkString(" + ")
-        s"(CASE WHEN ($dot) >= 0 THEN ${1L << b} ELSE 0 END)"
+        s"(CASE WHEN isnan($dot) THEN 0 WHEN ($dot) >= 0 THEN ${1L << b} ELSE 0 END)"
       }.mkString("(", " + ", ")")
     }.mkString("[", ", ", "]")
 
@@ -456,6 +473,76 @@ object PipelineQueries {
        |lr AS (SELECT qid, id, cs,
        |         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, id) AS rk
        |       FROM sc)""".stripMargin
+
+  // SQL-literal replay of VectorOps.cosine's arithmetic: dot and both
+  // squared norms are LEFT folds in element order starting from 0.0
+  // (exactly the kernel's accumulator loop — double addition is order-
+  // sensitive, so the fold shape IS the contract), nn = sqrt(na)*sqrt(nb),
+  // 0.0 when nn = 0.
+  private def dotFoldSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, ${EmbeddingDim + 1}), " +
+      s"i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+
+  private def cosFoldSql(a: String, b: String): String = {
+    val nn = s"(sqrt(${dotFoldSql(a, a)}) * sqrt(${dotFoldSql(b, b)}))"
+    s"(CASE WHEN $nn = 0 THEN 0.0 ELSE ${dotFoldSql(a, b)} / $nn END)"
+  }
+
+  // Full replay of IvfIndex train+index+search (gate params nCells=16,
+  // iters=3, seed 42, train half = even ids, nProbe=4, k=10): init takes
+  // the 16 sampled vectors with the smallest md5('ivf42:'||id) strings
+  // (cell = rank in that order), each Lloyd round reassigns by argmax
+  // kernel-order cosine (ties -> highest cell, matching greatest() over
+  // (score, cell) structs) and recomputes means rounded to 6 decimals
+  // (both engines round their sub-ulp-divergent avg() to the same
+  // decimal — the rounding in IvfIndex.train exists exactly so this
+  // lockstep holds), empty cells keep their previous centroid; probing
+  // ranks cells per query (score DESC, cell DESC = Spark's reversed
+  // array_sort) and keeps 4; top-10 per query by cosine DESC, id ASC.
+  private lazy val ivfReplaySql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH av AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+              |s AS (SELECT id, v FROM av WHERE id % 2 = 0),
+              |c0 AS (SELECT row_number() OVER (ORDER BY md5('ivf42:' || CAST(id AS VARCHAR)), id) - 1 AS cell, v AS c
+              |       FROM s ORDER BY md5('ivf42:' || CAST(id AS VARCHAR)), id LIMIT 16)""".stripMargin
+    for (k <- 1 to 3) {
+      val prev = s"c${k - 1}"
+      sb ++= s""",
+                |sc$k AS (SELECT s.id, s.v, p.cell, ${cosFoldSql("s.v", "p.c")} AS score
+                |        FROM s CROSS JOIN $prev p),
+                |b$k AS (SELECT id, v, cell FROM (
+                |          SELECT id, v, cell,
+                |            row_number() OVER (PARTITION BY id ORDER BY score DESC, cell DESC) AS rk
+                |          FROM sc$k) WHERE rk = 1),
+                |e$k AS (SELECT cell, u.i AS i, round(avg(v[u.i]), 6) AS m
+                |        FROM b$k CROSS JOIN (SELECT unnest(range(1, ${EmbeddingDim + 1})) AS i) u
+                |        GROUP BY cell, u.i),
+                |m$k AS (SELECT cell, list(m ORDER BY i) AS c FROM e$k GROUP BY cell),
+                |c$k AS (SELECT p.cell, coalesce(m$k.c, p.c) AS c
+                |        FROM $prev p LEFT JOIN m$k USING (cell))""".stripMargin
+    }
+    sb ++= s""",
+              |asc0 AS (SELECT av.id, av.v, p.cell, ${cosFoldSql("av.v", "p.c")} AS score
+              |         FROM av CROSS JOIN c3 p),
+              |asg AS (SELECT id, v, cell FROM (
+              |          SELECT id, v, cell,
+              |            row_number() OVER (PARTITION BY id ORDER BY score DESC, cell DESC) AS rk
+              |          FROM asc0) WHERE rk = 1),
+              |q AS (SELECT id AS qid, v AS qv FROM av WHERE id < 5),
+              |cr AS (SELECT q.qid, p.cell, ${cosFoldSql("q.qv", "p.c")} AS score
+              |       FROM q CROSS JOIN c3 p),
+              |probed AS (SELECT qid, cell FROM (
+              |             SELECT qid, cell,
+              |               row_number() OVER (PARTITION BY qid ORDER BY score DESC, cell DESC) AS rk
+              |             FROM cr) WHERE rk <= 4),
+              |cand AS (SELECT p.qid, a.id, a.v FROM probed p JOIN asg a USING (cell)),
+              |csc AS (SELECT cand.qid, cand.id, ${cosFoldSql("cand.v", "q.qv")} AS cs
+              |        FROM cand JOIN q USING (qid)),
+              |r AS (SELECT qid, id, cs,
+              |        row_number() OVER (PARTITION BY qid ORDER BY cs DESC, id) AS rk
+              |      FROM csc)""".stripMargin
+    sb.toString
+  }
 
   private def swListSql(lang: String): String =
     graft.functions.TextFunctions.stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
@@ -668,6 +755,14 @@ object PipelineQueries {
          |SELECT qid, id, round(cs, 4) AS cosine, rk
          |FROM lr WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
+    // full replay of IVF training + probing + search in SQL (ivfReplaySql)
+    // — the trained model is recomputed from scratch by DuckDB, so the
+    // approximate search result itself driver-hashes
+    "ann_ivf" ->
+      s"""$ivfReplaySql
+         |SELECT qid, id, round(cs, 4) AS cosine, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
     "ann_lsh_recall" ->
       s"""$lshReplaySql,
          |lsh AS (SELECT qid, id FROM lr WHERE rk <= 10),
@@ -737,6 +832,40 @@ object PipelineQueries {
     // j=0.8 and ≈1 at the j≈1.0 duplicates this corpus actually contains;
     // banding completeness is additionally spec-proven (OperatorSpec)
     "dedup_minhash" -> bruteJaccardSql(3, 0.8),
+
+    // full replay of the portable simhash scheme: per-token md5-derived
+    // 64-bit hashes (identical bit pattern to the kernel's md5Hash64),
+    // per-bit majority vote over the token multiset (strict >, matching
+    // counts(b) > 0), signed-long packing (bit 63 via the min-long
+    // literal), then the BRUTE-FORCE hamming <= 3 pair set — exactly what
+    // the banded operator returns, since 4 bands over <= 3 differing bits
+    // pigeonhole into one identical band. Empty-token docs get sig 0 on
+    // both engines.
+    "dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+         |tok AS (SELECT doc_id, unnest(ts) AS w FROM t),
+         |h AS (SELECT doc_id,
+         |        CAST(concat('0x', substring(md5(w), 1, 16)) AS UBIGINT) AS h
+         |      FROM tok),
+         |n AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+         |bits AS (SELECT doc_id, bb.b AS b,
+         |           count(*) FILTER (WHERE ((h >> bb.b) & 1) = 1) AS c
+         |         FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+         |         GROUP BY doc_id, bb.b),
+         |sig AS (SELECT bits.doc_id,
+         |          CAST(sum(CASE WHEN 2 * c > n THEN
+         |                 CASE WHEN b = 63 THEN -9223372036854775808
+         |                      ELSE (CAST(1 AS BIGINT) << CAST(b AS INT)) END
+         |               ELSE 0 END) AS BIGINT) AS sig
+         |        FROM bits JOIN n ON bits.doc_id = n.doc_id
+         |        GROUP BY bits.doc_id),
+         |d AS (SELECT t.doc_id, coalesce(sig.sig, 0) AS sig
+         |      FROM t LEFT JOIN sig ON t.doc_id = sig.doc_id),
+         |p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         |        bit_count(xor(x.sig, y.sig)) AS hamming
+         |      FROM d x JOIN d y ON x.doc_id < y.doc_id)
+         |SELECT a, b, CAST(hamming AS BIGINT) AS hamming
+         |FROM p WHERE hamming <= 3 ORDER BY a, b""".stripMargin,
 
     "text_langid" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents),

@@ -103,17 +103,19 @@ case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** simhash64(array<string>) -> long */
-case class SimHash64(child: Expression) extends UnaryExpression {
+/** simhash64(array<string>) -> long. `portable` uses md5-derived token
+  * hashes (bit-replayable in DuckDB oracle SQL) instead of xxh64.
+  */
+case class SimHash64(child: Expression, portable: Boolean = false) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash64"
 
   override def nullSafeEval(toks: Any): Any =
-    VectorOps.simhash64(toks.asInstanceOf[ArrayData])
+    VectorOps.simhash64(toks.asInstanceOf[ArrayData], portable)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t =>
-      s"${ev.value} = graft.functions.expr.VectorOps.simhash64($t);")
+      s"${ev.value} = graft.functions.expr.VectorOps.simhash64($t, $portable);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -313,8 +315,8 @@ object GraftFunctions {
   def hyperplaneSignature(v: Column, planes: Array[Array[Double]]): Column =
     col(HyperplaneSignature(ColumnBridge.expression(v), planes))
 
-  def simhash64(tokens: Column): Column =
-    col(SimHash64(ColumnBridge.expression(tokens)))
+  def simhash64(tokens: Column, portable: Boolean = false): Column =
+    col(SimHash64(ColumnBridge.expression(tokens), portable))
 
   def minhashSignature(shingles: Column, k: Int): Column =
     col(MinHashSignature(ColumnBridge.expression(shingles), k))

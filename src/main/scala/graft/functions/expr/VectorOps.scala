@@ -220,15 +220,32 @@ object VectorOps {
     new GenericArrayData(counts)
   }
 
-  /** 64-bit SimHash over a token array: one pass, one hash per token. */
-  def simhash64(tokens: ArrayData): Long = {
+  /** First 8 bytes of md5, big-endian — the engine-portable 64-bit token
+    * hash: DuckDB reads the identical bit pattern via
+    * `CAST(concat('0x', substring(md5(x), 1, 16)) AS UBIGINT)`, which is
+    * what lets a simhash signature be replayed exactly in oracle SQL
+    * (xxhash64 seeds do not transfer across engines). Slower than xxh64
+    * (one digest per token) — the portable face is for gates/oracles;
+    * production paths keep xxh64.
+    */
+  def md5Hash64(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
+  def simhash64(tokens: ArrayData): Long = simhash64(tokens, false)
+
+  /** 64-bit SimHash over a token array: one pass, one hash per token.
+    * `portable` swaps the token hash to md5Hash64 (DuckDB-replayable).
+    */
+  def simhash64(tokens: ArrayData, portable: Boolean): Long = {
     val counts = new Array[Int](64)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
       val t = tokens.getUTF8String(i)
       if (t != null) {
-        val h = xxh64(t.getBytes, 0L)
+        val h = if (portable) md5Hash64(t.getBytes) else xxh64(t.getBytes, 0L)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -289,7 +306,13 @@ object VectorOps {
     var i = 0
     while (i < n) {
       val s = tokens.getUTF8String(i)
-      th(i) = if (s == null) 0L else xxh64(s.getBytes, 0L)
+      // nulls hash to a fixed sentinel OUTSIDE the practical xxh64 output
+      // domain (the odd splitmix64 increment) rather than 0: the kernel
+      // is exposed as a public SQL function (graft_window_hashes) on
+      // arbitrary arrays, and a 0-sentinel would make windows differing
+      // only at null positions collide deterministically instead of with
+      // ~2^-64 probability. Two nulls still (intentionally) hash equal.
+      th(i) = if (s == null) 0x9E3779B97F4A7C15L else xxh64(s.getBytes, 0L)
       i += 1
     }
     val P = 0x100000001b3L

@@ -18,9 +18,16 @@ import graft.functions.expr.GraftFunctions
   */
 object IvfIndex {
 
-  /** Train centroids with `iters` Lloyd iterations. Deterministic:
-    * initial centroids are the vectors with the `nCells` smallest
-    * xxhash64(id) values (a seeded pseudo-random but stable choice).
+  /** Train centroids with `iters` Lloyd iterations. Deterministic AND
+    * engine-replayable: initial centroids are the vectors with the
+    * `nCells` smallest `md5("ivf<seed>:<id>")` strings (a seeded
+    * pseudo-random but stable choice whose ordering DuckDB reproduces
+    * character-for-character — the ann_ivf oracle replays the whole
+    * training in SQL), and every Lloyd mean is rounded to 6 decimals,
+    * which makes the trained model bit-identical under ANY partial-
+    * aggregation merge order (double addition is not associative; the
+    * sub-ulp noise from shuffle-arrival order would otherwise leak into
+    * the centroids) at a precision cost irrelevant to cell quality.
     * Returns (cellId, centroid array<double>) — small, driver-collectable.
     *
     * `sampleFraction` < 1 trains on a seeded Bernoulli sample of the
@@ -28,6 +35,9 @@ object IvfIndex {
     * representative sample (FAISS trains coarse quantizers the same way),
     * so every Lloyd iteration scans `sampleFraction` of the data instead
     * of all of it. Assignment (`index`) still covers the full corpus.
+    * (Bernoulli sampling is partitioning-dependent; a caller that needs
+    * a cross-engine-replayable sample pre-filters deterministically, e.g.
+    * `id % 2 = 0`, and passes sampleFraction = 1.0 — see the ann_ivf gate.)
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iters: Int = 3, seed: Long = 42L,
@@ -37,8 +47,8 @@ object IvfIndex {
     val v = base.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
     var centroids: Array[(Int, Array[Double])] =
-      v.withColumn("h", xxhash64(lit(seed), col("id")))
-        .orderBy("h").limit(nCells)
+      v.withColumn("h", md5(concat(lit(s"ivf$seed:"), col("id").cast("string"))))
+        .orderBy(col("h"), col("id")).limit(nCells)
         .collect().zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
     require(centroids.nonEmpty,
@@ -54,8 +64,8 @@ object IvfIndex {
       // the exchange, so the per-iteration shuffle is O(cells × partitions
       // × dim) doubles — the posexplode formulation this replaces shuffled
       // n × dim element rows per iteration, the train-scan bottleneck at
-      // corpus scale
-      val els = (0 until dim).map(i => avg(col("v")(i)).as(s"m$i"))
+      // corpus scale. round(6): see scaladoc (bit-deterministic training).
+      val els = (0 until dim).map(i => round(avg(col("v")(i)), 6).as(s"m$i"))
       val means = assigned.groupBy("cell").agg(els.head, els.tail: _*).collect()
       val updated = means.map { r =>
         (r.getInt(0), Array.tabulate(dim)(i => r.getDouble(i + 1)))

@@ -11,14 +11,62 @@ import org.apache.spark.sql.functions._
   * a true raster resize. AUDIO decode is REAL for WAV: the JDK ships
   * `javax.sound.sampled` (RIFF/WAVE PCM parsing, no external codecs), so
   * audio rows get true sample rate / channel count / frame-accurate
-  * duration. VIDEO decode stays STUBBED (the JDK has no video codec):
-  * deterministic pseudo-features from the bytes. Everything around the
-  * stub — the schema, the binary column handling, the per-partition batch
-  * shape, the partition-preserving feature extraction — is the real Spark
-  * plumbing a codec would plug into (swap the stub for a JNI/FFI call;
-  * the plan does not change).
+  * duration. VIDEO container METADATA is REAL: MP4 (ISO base media file
+  * format) `moov/mvhd` timescale+duration and `trak/tkhd` track
+  * dimensions are plain big-endian byte parsing — the same class of work
+  * as the parquet thrift footer read — so video rows carry true
+  * duration_ms / width / height. Only video FRAME decode stays stubbed
+  * (the JDK has no video codec): deterministic pseudo-features from the
+  * bytes. Everything around that stub — the schema, the binary column
+  * handling, the per-partition batch shape, the partition-preserving
+  * feature extraction — is the real Spark plumbing a codec would plug
+  * into (swap the stub for a JNI/FFI call; the plan does not change).
   */
 object Multimodal {
+
+  final case class Mp4Meta(durationMs: Long, width: Int, height: Int)
+
+  /** Parse MP4 container metadata by walking ISO-BMFF box headers:
+    * `moov/mvhd` (version 0 or 1) gives timescale+duration,
+    * `moov/trak/tkhd` gives the 16.16-fixed track width/height (always
+    * the final 8 bytes of the tkhd box, version-independently). Pure
+    * big-endian byte walking — no codec. None when the bytes are not an
+    * MP4 or the boxes are missing/truncated.
+    */
+  def parseMp4Metadata(bytes: Array[Byte]): Option[Mp4Meta] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian
+      // first child box named `typ` inside [start, end): (contentStart, boxEnd)
+      def findBox(start: Int, end: Int, typ: String): Option[(Int, Int)] = {
+        var off = start
+        while (off + 8 <= end) {
+          val size32 = bb.getInt(off)
+          val t = new String(bytes, off + 4, 4, "ISO-8859-1")
+          val (size, header) =
+            if (size32 == 1 && off + 16 <= end) (bb.getLong(off + 8), 16)
+            else (size32.toLong & 0xffffffffL, 8)
+          if (size < header || off + size > end) return None
+          if (t == typ) return Some((off + header, off + size.toInt))
+          off += size.toInt
+        }
+        None
+      }
+      for {
+        (moovS, moovE) <- findBox(0, bytes.length, "moov")
+        (mvhdS, _) <- findBox(moovS, moovE, "mvhd")
+        (trakS, trakE) <- findBox(moovS, moovE, "trak")
+        (_, tkhdE) <- findBox(trakS, trakE, "tkhd")
+      } yield {
+        val (timescale, duration) =
+          if ((bytes(mvhdS) & 0xff) == 1)
+            (bb.getInt(mvhdS + 20).toLong, bb.getLong(mvhdS + 24))
+          else
+            (bb.getInt(mvhdS + 12).toLong, bb.getInt(mvhdS + 16).toLong & 0xffffffffL)
+        Mp4Meta(
+          if (timescale > 0) math.rint(duration * 1000.0 / timescale).toLong else 0L,
+          bb.getInt(tkhdE - 8) >>> 16, bb.getInt(tkhdE - 4) >>> 16)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Decode an image payload with the JDK's ImageIO; None when the bytes
     * are not a decodable image (audio/video payloads, corrupt files).
@@ -54,7 +102,7 @@ object Multimodal {
       media_id: Long, kind: String, n_bytes: Long,
       byte_mean: Double, byte_entropy: Double,
       width: Int, height: Int,
-      sample_rate: Int, channels: Int, audio_ms: Long,
+      sample_rate: Int, channels: Int, audio_ms: Long, video_ms: Long,
       feature: Array[Float])
 
   /** Build a media manifest from the documents table: each doc's text
@@ -150,11 +198,72 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic REAL MP4 container for the fixture: a spec-shaped
+    * ISO-BMFF box tree (`ftyp`, `moov[mvhd + trak[tkhd]]`, `mdat` holding
+    * the payload) with timescale/duration/track dimensions pure functions
+    * of the id. Even ids write version-0 boxes, odd ids version-1 — so
+    * the parser's both paths are exercised by every fixture batch. The
+    * mdat payload keeps byte-stat features (mean/entropy) meaningful.
+    */
+  private def mp4Bytes(id: Long, payload: Array[Byte]): Array[Byte] = {
+    val a = math.abs(id)
+    val ver = (a % 2).toInt
+    val timescale = (600 + (a % 3) * 200).toInt // 600 / 800 / 1000
+    val durationUnits = a % 120000 + timescale // >= 1 second
+    val w = (a % 1280 + 16).toInt
+    val h = (a % 720 + 16).toInt
+    def box(typ: String, content: Array[Byte]*): Array[Byte] = {
+      val total = 8 + content.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(total)
+      bb.putInt(total)
+      bb.put(typ.getBytes("ISO-8859-1"))
+      content.foreach(bb.put)
+      bb.array()
+    }
+    val matrix = { // identity: 0x10000, 0, 0 / 0, 0x10000, 0 / 0, 0, 0x40000000
+      val m = java.nio.ByteBuffer.allocate(36)
+      m.putInt(0x00010000).putInt(0).putInt(0)
+      m.putInt(0).putInt(0x00010000).putInt(0)
+      m.putInt(0).putInt(0).putInt(0x40000000)
+      m.array()
+    }
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(if (ver == 1) 112 else 100)
+      b.putInt(ver << 24) // version + flags
+      if (ver == 1) { b.putLong(0L); b.putLong(0L); b.putInt(timescale); b.putLong(durationUnits) }
+      else { b.putInt(0); b.putInt(0); b.putInt(timescale); b.putInt(durationUnits.toInt) }
+      b.putInt(0x00010000) // rate 1.0
+      b.putShort(0x0100.toShort) // volume 1.0
+      b.putShort(0); b.putLong(0L) // reserved
+      b.put(matrix)
+      (0 until 6).foreach(_ => b.putInt(0)) // pre_defined
+      b.putInt(2) // next_track_ID
+      b.array()
+    }
+    val tkhd = {
+      val b = java.nio.ByteBuffer.allocate(if (ver == 1) 96 else 84)
+      b.putInt((ver << 24) | 0x7) // version + flags (enabled|in-movie|in-preview)
+      if (ver == 1) { b.putLong(0L); b.putLong(0L); b.putInt(1); b.putInt(0); b.putLong(durationUnits) }
+      else { b.putInt(0); b.putInt(0); b.putInt(1); b.putInt(0); b.putInt(durationUnits.toInt) }
+      b.putLong(0L) // reserved
+      b.putShort(0); b.putShort(0); b.putShort(0); b.putShort(0) // layer/group/volume/reserved
+      b.put(matrix)
+      b.putInt(w << 16) // 16.16 fixed
+      b.putInt(h << 16)
+      b.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1"),
+      Array[Byte](0, 0, 2, 0), "isomiso2".getBytes("ISO-8859-1"))
+    val moov = box("moov", box("mvhd", mvhd), box("trak", box("tkhd", tkhd)))
+    ftyp ++ moov ++ box("mdat", payload)
+  }
+
   /** Write a deterministic media-file fixture from a documents frame: one
     * file per row named `media_<id>.<ext>` (extension cycles image/audio/
-    * video). Image rows are REAL PNGs and audio rows REAL WAVs (decodable
-    * dimensions / sample format derived from the id); video content = the
-    * text bytes standing in for an encoded payload. The target dir is cleared first so
+    * video). Image rows are REAL PNGs, audio rows REAL WAVs, video rows
+    * REAL MP4 containers (spec-shaped box tree with parseable
+    * timescale/duration/dimensions; the text bytes ride in `mdat` as the
+    * stand-in encoded stream). The target dir is cleared first so
     * re-runs at a different scale factor can't leak stale files. Files
     * are written from the executors (`foreachPartition`) — on a cluster
     * the same code writes to shared storage; this exists so
@@ -175,7 +284,8 @@ object Multimodal {
           val payload =
             if (ext == "png") pngBytes(id)
             else if (ext == "wav") wavBytes(id)
-            else r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            else mp4Bytes(id,
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
           java.nio.file.Files.write(
             new java.io.File(d, s"media_$id.$ext").toPath, payload)
           ()
@@ -187,11 +297,13 @@ object Multimodal {
   /** Feature extraction over media payloads. IMAGE rows are REALLY
     * decoded (javax.imageio) and carry true width/height; AUDIO rows are
     * REALLY parsed (javax.sound.sampled) and carry true sample rate /
-    * channels / frame-accurate duration; byte-level stats (mean, entropy,
+    * channels / frame-accurate duration; VIDEO rows are REALLY parsed at
+    * the container level (parseMp4Metadata) and carry true track
+    * width/height and movie duration_ms. Byte-level stats (mean, entropy,
     * an 8-dim rolling-stat "embedding") are the deterministic stand-in
-    * for codec features on video, whose decode is stubbed (no JDK video
-    * codec). Runs per-partition over iterator batches — the exact shape
-    * a real codec (which needs per-partition library init) requires.
+    * for codec FRAME features on video (no JDK video codec). Runs
+    * per-partition over iterator batches — the exact shape a real codec
+    * (which needs per-partition library init) requires.
     */
   def extractFeatures(spark: SparkSession, manifest: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -199,10 +311,12 @@ object Multimodal {
       .mapPartitions { it =>
         // Real codecs initialize native contexts here, once per partition.
         it.map { case (id, kind, bytes) =>
+          val mp4 = if (kind == "video") parseMp4Metadata(bytes) else None
           val (dw, dh) =
             if (kind == "image")
               decodeImage(bytes).map(i => (i.getWidth, i.getHeight)).getOrElse((0, 0))
-            else (0, 0)
+            else mp4.map(m => (m.width, m.height)).getOrElse((0, 0))
+          val vms = mp4.map(_.durationMs).getOrElse(0L)
           val (sr, ch, ams) =
             if (kind == "audio")
               decodeAudio(bytes).map { case (rate, chans, frames) =>
@@ -232,7 +346,7 @@ object Multimodal {
           }
           MediaFeatures(id, kind, n.toLong,
             math.rint(mean * 10000) / 10000, math.rint(entropy * 10000) / 10000,
-            dw, dh, sr, ch, ams, feat)
+            dw, dh, sr, ch, ams, vms, feat)
         }
       }
   }

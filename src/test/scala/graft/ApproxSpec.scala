@@ -5,22 +5,37 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.Tables
 
-/** Bounds for q18_approx: sketch outputs are engine-specific, so the
-  * driver gate only checks rows — the correctness claim lives here.
-  * HLL++ (relativeSD default 0.05) must land within 5% of exact distinct;
+/** Bounds for q18_approx. The gate row now carries tolerance booleans
+  * (each engine checks its own sketch against the exact value), so the
+  * driver hash-verifies it; this spec keeps the independent, tighter
+  * assertions on the raw sketch values themselves.
+  * HLL++ (rsd 0.01) must land within 5% of exact distinct;
   * percentile_approx(accuracy=10000) must pick a value whose true rank is
   * within 1% of the requested quantile.
   */
 class ApproxSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private lazy val li = Tables.load(spark, TestSpark.sf, "lineitem")
-  private lazy val row = CoreQueries.queries("q18_approx")(spark, TestSpark.sf).first()
+  private lazy val gateRow = CoreQueries.queries("q18_approx")(spark, TestSpark.sf).first()
+  private lazy val raw = li.agg(
+    approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+    approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+    percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("median_price"),
+    percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price")).first()
+
+  test("gate booleans are all true") {
+    Seq("orders_ok", "parts_ok", "median_ok", "p95_ok").foreach { c =>
+      assert(gateRow.getAs[Boolean](c), s"$c is false")
+    }
+    assert(gateRow.getAs[Long]("n_orders_exact") > 0)
+    assert(gateRow.getAs[Long]("n_parts_exact") > 0)
+  }
 
   test("HLL distinct counts are within 5% of exact") {
     val exactOrders = li.select("l_orderkey").distinct().count()
     val exactParts = li.select("l_partkey").distinct().count()
-    val approxOrders = row.getAs[Long]("approx_orders")
-    val approxParts = row.getAs[Long]("approx_parts")
+    val approxOrders = raw.getAs[Long]("approx_orders")
+    val approxParts = raw.getAs[Long]("approx_parts")
     assert(math.abs(approxOrders - exactOrders).toDouble / exactOrders < 0.05,
       s"approx_orders=$approxOrders exact=$exactOrders")
     assert(math.abs(approxParts - exactParts).toDouble / exactParts < 0.05,
@@ -31,8 +46,8 @@ class ApproxSpec extends AnyFunSuite {
     val n = li.count().toDouble
     def rankOf(v: Double): Double =
       li.filter(col("l_extendedprice") <= v).count() / n
-    val median = row.getAs[Double]("median_price")
-    val p95 = row.getAs[Double]("p95_price")
+    val median = raw.getAs[Double]("median_price")
+    val p95 = raw.getAs[Double]("p95_price")
     assert(math.abs(rankOf(median) - 0.5) <= 0.01,
       s"median=$median trueRank=${rankOf(median)}")
     assert(math.abs(rankOf(p95) - 0.95) <= 0.01,

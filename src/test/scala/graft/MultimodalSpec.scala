@@ -128,8 +128,27 @@ class MultimodalSpec extends AnyFunSuite {
         f.height == (f.media_id % 36 + 4).toInt,
         s"decoded dims must match the generated PNG: $f")
     }
-    feats.filterNot(_.kind == "image").foreach(f =>
-      assert(f.width == 0 && f.height == 0, s"non-image rows stay undecoded: $f"))
+    feats.filter(_.kind == "audio").foreach(f =>
+      assert(f.width == 0 && f.height == 0, s"audio rows carry no dims: $f"))
+    // video rows parse the genuine MP4 box tree: tkhd 16.16 track dims
+    // and mvhd timescale/duration (generator: w=id%1280+16, h=id%720+16,
+    // timescale=600+(id%3)*200, duration=id%120000+timescale; odd ids
+    // write version-1 boxes — both parser paths covered in every batch)
+    val videos = feats.filter(_.kind == "video")
+    assert(videos.nonEmpty)
+    assert(videos.exists(_.media_id % 2 == 0) && videos.exists(_.media_id % 2 == 1),
+      "fixture must exercise both mvhd/tkhd versions")
+    videos.foreach { f =>
+      val ts = 600 + (f.media_id % 3) * 200
+      val dur = f.media_id % 120000 + ts
+      assert(f.width == (f.media_id % 1280 + 16).toInt &&
+        f.height == (f.media_id % 720 + 16).toInt,
+        s"parsed tkhd dims must match the generated MP4: $f")
+      assert(f.video_ms == math.rint(dur * 1000.0 / ts).toLong,
+        s"parsed mvhd duration must match the generated MP4: $f")
+    }
+    feats.filterNot(_.kind == "video").foreach(f =>
+      assert(f.video_ms == 0, s"non-video rows carry no movie duration: $f"))
     // audio rows parse the genuine RIFF/WAVE container: sample rate and
     // channel count from the format chunk, duration from the frame count
     // (generator: 8 kHz mono, id%300+50 frames)

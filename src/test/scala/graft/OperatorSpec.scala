@@ -37,6 +37,17 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == oracle, s"lsh=$lsh oracle=$oracle")
   }
 
+  test("similarity-join shuffle width scales with input size, floors at session width") {
+    // explicit wins
+    assert(Dedup.adaptiveWidth(docs, Some(7)) == 7)
+    // small input: the session width (4 in tests) is the floor
+    assert(Dedup.adaptiveWidth(docs, None) ==
+      spark.sessionState.conf.numShufflePartitions)
+    // huge input (plan stats ~8 GB for a long range): data-proportional,
+    // capped at 4096 so wild stats can't explode the stage
+    assert(Dedup.adaptiveWidth(spark.range(1000000000L).toDF("id"), None) == 4096)
+  }
+
   test("simhash: identical texts collide at hamming 0; hamming matches direct computation") {
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy dog"),
@@ -45,6 +56,30 @@ class DedupSpec extends AnyFunSuite {
     val pairs = Dedup.simhash(df, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("portable simhash: md5 token hash matches the DuckDB bit pattern; banding stays complete") {
+    // md5Hash64 must read the first 8 digest bytes big-endian — the value
+    // DuckDB's CAST(concat('0x', substring(md5(x),1,16)) AS UBIGINT)
+    // produces. Pin it against a known md5: md5("abc") =
+    // 900150983cd24fb0d6963f7d28e17f72.
+    assert(graft.functions.expr.VectorOps.md5Hash64("abc".getBytes("UTF-8")) ==
+      java.lang.Long.parseUnsignedLong("900150983cd24fb0", 16))
+    // and the portable-face operator remains exact vs its own brute force
+    val real = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val sigs = real.select(col("doc_id").as("id"),
+      graft.functions.expr.GraftFunctions.simhash64(
+        T.tokens(col("text")), portable = true).as("sig"))
+    val a = sigs.select(col("id").as("a"), col("sig").as("a_sig"))
+    val b = sigs.select(col("id").as("b"), col("sig").as("b_sig"))
+    val oracle = a.crossJoin(b).filter(col("a") < col("b"))
+      .withColumn("h", H.hamming64(col("a_sig"), col("b_sig")))
+      .filter(col("h") <= 3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.simhash(real, "doc_id", "text", maxHamming = 3, bands = 4,
+      maxBucket = Int.MaxValue, portableHash = true)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == oracle, s"missed=${oracle -- got} extra=${got -- oracle}")
   }
 
   test("simhash banding finds every hamming<=k pair on real documents (uncapped)") {

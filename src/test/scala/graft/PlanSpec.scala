@@ -303,17 +303,24 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.ArrayType
     val docs = Tables.load(spark, TestSpark.sf, "documents")
-    val plan = executedNoAqe(graft.operators.Dedup.substringDupSpans(
-      docs, "doc_id", "text", window = 20, minDocs = 2))
-    // the md5 window hashing happens WITHIN the row (one projection); the
-    // shuffles must carry only narrow (id, pos, hash) / aggregate rows,
-    // never the per-doc token arrays — the property that keeps the
-    // operator scan-bound at corpus scale
-    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
-    assert(exchanges.nonEmpty, s"expected hash-frequency shuffles:\n$plan")
-    exchanges.foreach { e =>
-      assert(!e.child.output.exists(_.dataType.isInstanceOf[ArrayType]),
-        s"no exchange may carry token/window arrays:\n${e.child.output}")
+    // BOTH kernel faces must hold the property: the gate ships
+    // portableHash=true (md5 window strings) while production runs the
+    // default rolling xxh64 kernel — either way the window hashing
+    // happens WITHIN the row (one projection) and the shuffles carry only
+    // narrow (id, pos, hash) / aggregate rows, never the per-doc token
+    // arrays — the property that keeps the operator scan-bound at corpus
+    // scale
+    Seq(true, false).foreach { portable =>
+      val plan = executedNoAqe(graft.operators.Dedup.substringDupSpans(
+        docs, "doc_id", "text", window = 20, minDocs = 2,
+        portableHash = portable))
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty,
+        s"expected hash-frequency shuffles (portableHash=$portable):\n$plan")
+      exchanges.foreach { e =>
+        assert(!e.child.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          s"no exchange may carry token/window arrays (portableHash=$portable):\n${e.child.output}")
+      }
     }
   }
 
