@@ -311,9 +311,13 @@ object PipelineQueries {
         .limit(100)),
 
     "text_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")
-        .select(col("doc_id"), size(col("fingerprint")).as("n_hashes"),
-          // order-insensitive checksum of the hash set, stable across runs
+      // portableHash: 32-bit md5-derived k-gram hashes so DuckDB can
+      // recompute the SAME winnowing fingerprint (see oracle); the
+      // xor-fold checksum is order-insensitive, so both engines agree on
+      // the distinct-minima SET regardless of array order
+      TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text",
+        portableHash = true)
+        .select(col("doc_id"), size(col("fingerprint")).cast("long").as("n_hashes"),
           abs(aggregate(col("fingerprint"), lit(0L), (a, x) => a.bitwiseXOR(x))).as("fp_xor"))
         .orderBy("doc_id")),
 
@@ -871,6 +875,36 @@ object PipelineQueries {
       s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
          |h AS (SELECT doc_id, $HitsCols FROM t)
          |SELECT doc_id, $LangCaseSql AS lang_pred FROM h ORDER BY doc_id""".stripMargin,
+
+    // full replay of the portable winnowing fingerprint (Schleimer et al.
+    // SIGMOD'03; gate params k=5, w=4): per-position 5-gram hashes via
+    // the md5 32-bit bridge (engine-identical values), per-window minima
+    // over 4-gram windows, distinct set. n_hashes counts the set and
+    // fp_xor is the order-insensitive xor fold, so both engines agree
+    // however their arrays are ordered. Short docs: < k chars -> empty
+    // fingerprint; <= w-1 windows -> the single global min.
+    "text_fingerprint" ->
+      """WITH s AS (SELECT doc_id, lower("text") AS s,
+        |             length(lower("text")) AS n FROM documents),
+        |h AS (SELECT doc_id,
+        |        CASE WHEN n < 5 THEN CAST([] AS BIGINT[])
+        |             ELSE list_transform(range(0, n - 5 + 1),
+        |               i -> CAST(concat('0x',
+        |                 substring(md5(substring(s, CAST(i + 1 AS INT), 5)), 1, 8))
+        |                 AS BIGINT))
+        |        END AS hs
+        |      FROM s),
+        |f AS (SELECT doc_id,
+        |        CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+        |             WHEN len(hs) - 3 <= 0 THEN [list_min(hs)]
+        |             ELSE list_distinct(list_transform(range(0, len(hs) - 4 + 1),
+        |               j -> list_min(hs[CAST(j + 1 AS INT):CAST(j + 4 AS INT)])))
+        |        END AS fp
+        |      FROM h)
+        |SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_hashes,
+        |  abs(list_reduce(list_prepend(CAST(0 AS BIGINT), fp),
+        |    (a, x) -> xor(a, x))) AS fp_xor
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // full quality-surface mirror: bpeish token count re-expressed without
     // lookarounds (RE2) as letter-runs + digit-runs + non-alnum-non-space

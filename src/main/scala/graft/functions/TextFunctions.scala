@@ -93,19 +93,31 @@ object TextFunctions {
     round((lenScore * 0.3 + punctScore * 0.3 + swScore * 0.2 + wlScore * 0.2), 4)
   }
 
-  /** Character k-gram rolling hashes (xxhash64 of each k-substring). */
-  def kgramHashes(text: Column, k: Int): Column = {
+  /** Character k-gram rolling hashes (xxhash64 of each k-substring).
+    * `portable` swaps the hash for the first 32 bits of md5 rendered as
+    * a non-negative long — engine-identical in DuckDB via
+    * `CAST(concat('0x', substring(md5(g), 1, 8)) AS BIGINT)` (the same
+    * conv/md5 bridge the text_hash_embed oracle is built on), which lets
+    * a winnowing fingerprint be replayed exactly in oracle SQL. 32-bit
+    * hashes collide more than xxh64 — the portable face is the gate/
+    * oracle face; production keeps xxh64.
+    */
+  def kgramHashes(text: Column, k: Int, portable: Boolean = false): Column = {
     val n = length(text)
+    val h: Column => Column =
+      if (portable) g => conv(substring(md5(g), 1, 8), 16, 10).cast("long")
+      else g => xxhash64(g)
     when(n < k, array().cast("array<bigint>")).otherwise(
-      transform(sequence(lit(0), n - k), i => xxhash64(text.substr(i + 1, lit(k)))))
+      transform(sequence(lit(0), n - k), i => h(text.substr(i + 1, lit(k)))))
   }
 
   /** Winnowing fingerprint (Schleimer et al., SIGMOD 2003): distinct
     * per-window minima of k-gram hashes. Robust doc fingerprint for
     * near-dup detection; built entirely from array builtins.
     */
-  def winnowingFingerprint(text: Column, k: Int = 5, w: Int = 4): Column = {
-    val hs = kgramHashes(lower(text), k)
+  def winnowingFingerprint(text: Column, k: Int = 5, w: Int = 4,
+      portable: Boolean = false): Column = {
+    val hs = kgramHashes(lower(text), k, portable)
     val nWin = size(hs) - (w - 1)
     when(size(hs) === 0, array().cast("array<bigint>"))
       .when(nWin <= 0, array(array_min(hs)))

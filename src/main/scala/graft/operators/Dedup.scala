@@ -94,22 +94,27 @@ object Dedup {
     * A fixed session width (spark.sql.shuffle.partitions) under-partitions
     * the within-bucket self-joins as the corpus grows — the round-6 sf1
     * probe measured ngram-jaccard at 13.1× for 10× input purely from 32
-    * fixed partitions (256 → ~1.6× better). Explicit `numPartitions` wins;
-    * otherwise width scales with the INPUT's optimizer size estimate
-    * (plan stats — file bytes for a scan, no job run): one partition per
-    * MB of source, floored at the session width, capped at 4096 so a
-    * wild upstream estimate (joined/exploded plans multiply stats) can't
-    * explode the stage. On a cluster the same rule gives candidate stages
-    * data-proportional width without touching session conf.
+    * fixed partitions (256 → ~1.6× better, i.e. ~1 partition per 200
+    * docs at 50k docs). Explicit `numPartitions` wins; otherwise width
+    * scales with the input ROW COUNT when the caller knows it (one
+    * partition per 200 rows of corpus, matching that measurement) and
+    * with the optimizer's byte estimate as a floor signal otherwise
+    * (compressed text parquet is tiny on disk, so bytes alone
+    * under-scale). Floored at the session width, capped at 4096 so a
+    * wild estimate can't explode the stage. On a cluster the same rule
+    * gives candidate stages data-proportional width without touching
+    * session conf.
     */
-  private[graft] def adaptiveWidth(df: DataFrame, explicit: Option[Int]): Int =
+  private[graft] def adaptiveWidth(df: DataFrame, explicit: Option[Int],
+      rowCount: Option[Long] = None): Int =
     explicit.getOrElse {
       val session = df.sparkSession.sessionState.conf.numShufflePartitions
       val bytes =
         try df.queryExecution.optimizedPlan.stats.sizeInBytes
         catch { case scala.util.control.NonFatal(_) => BigInt(0) }
       val byBytes = (bytes / (1L << 20)).min(BigInt(4096)).toInt
-      math.max(session, byBytes)
+      val byRows = rowCount.map(n => math.min(4096L, n / 200L).toInt).getOrElse(0)
+      math.max(session, math.max(byBytes, byRows))
     }
 
   /** Exact dedup: keep the lowest id per sha2(content) group. Hash-based
@@ -147,7 +152,9 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, maxBucket: Int = 1000,
       numPartitions: Option[Int] = None): DataFrame = {
-    val width = adaptiveWidth(df, numPartitions)
+    // raw-input count: a cheap narrow scan driving candidate-stage width
+    val width = adaptiveWidth(df, numPartitions,
+      rowCount = if (numPartitions.isEmpty) Some(df.count()) else None)
     val rows = numHashes / bands
     // sorted shingles: verification uses the linear-merge intersect kernel
     val docs = tracked(spread(df, idCol).select(
@@ -181,7 +188,9 @@ object Dedup {
       maxHamming: Int = 3, bands: Int = 4, maxBucket: Int = 1000,
       portableHash: Boolean = false,
       numPartitions: Option[Int] = None): DataFrame = {
-    val width = adaptiveWidth(df, numPartitions)
+    // raw-input count: a cheap narrow scan driving candidate-stage width
+    val width = adaptiveWidth(df, numPartitions,
+      rowCount = if (numPartitions.isEmpty) Some(df.count()) else None)
     // portableHash: md5-derived token hashes so the whole signature (and
     // therefore the hamming-pair set) is replayable in DuckDB oracle SQL;
     // production keeps the ~3x cheaper xxh64 path (identical plan/spans)
@@ -213,7 +222,12 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5,
       numPartitions: Option[Int] = None): DataFrame = {
-    val width = adaptiveWidth(df, numPartitions)
+    // the input count is a cheap narrow scan (and the corpus is about to
+    // be scanned anyway); it drives the candidate-stage width — compressed
+    // text parquet is far too small on disk for a bytes-only estimate
+    val width = adaptiveWidth(df, numPartitions,
+      rowCount = if (numPartitions.isEmpty) Some(df.count()) else None)
+    val session = df.sparkSession.sessionState.conf.numShufflePartitions
     val docs = tracked(spread(df, idCol).select(col(idCol).as("id"),
       H.shingles(col(textCol), shingleSize).as("sh"))
       .withColumn("sz", size(col("sh")))
@@ -247,16 +261,19 @@ object Dedup {
       .select(col("id"), col("sz"),
         posexplode(col("pref.shingle")).as(Seq("pos", "shingle")))
       // both sides of the candidate self-join read this — materialized
-      // once it is built once, not twice (measured 2x end-to-end).
-      // repartition at data-proportional width ON THE JOIN KEY: the
-      // candidate self-join (the quadratic-ish stage) then reuses this
-      // one exchange on both sides instead of running at fixed session
-      // width (the round-6 sf1 13.1x outlier)
-      .repartition(width, col("shingle"))
+      // once it is built once, not twice (measured 2x end-to-end)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val a = prefix.select(col("shingle"), col("id").as("a"),
+    // data-proportional width for the candidate self-join, applied ONLY
+    // when it widens past the session default: at small scale the planner's
+    // own exchanges (AQE-coalesced, broadcast-eligible) beat a pinned
+    // repartition (bench-measured 2x on sf0.1), while at corpus scale the
+    // pinned width on the join key is what prevents the round-6 sf1 13.1x
+    // width collapse — both self-join sides reuse this one exchange
+    val prefixW =
+      if (width > session) prefix.repartition(width, col("shingle")) else prefix
+    val a = prefixW.select(col("shingle"), col("id").as("a"),
       col("sz").as("a_sz"), col("pos").as("a_pos"))
-    val b = prefix.select(col("shingle"), col("id").as("b"),
+    val b = prefixW.select(col("shingle"), col("id").as("b"),
       col("sz").as("b_sz"), col("pos").as("b_pos"))
     val candidates = a.join(b, Seq("shingle"))
       .filter(col("a") < col("b"))
@@ -311,12 +328,13 @@ object Dedup {
       seed: Long = 42L, maxBucket: Int = 1000,
       autoBits: Boolean = true,
       numPartitions: Option[Int] = None): DataFrame = {
-    val width = adaptiveWidth(df, numPartitions)
-    // multi-consumer narrow projection: corpus count (auto-k), band build,
-    // and both verify-join sides read it — persist once
+    // multi-consumer narrow projection: corpus count (auto-k + width),
+    // band build, and both verify-join sides read it — persist once
     val docs = tracked(spread(df, idCol)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val width = adaptiveWidth(df, numPartitions,
+      rowCount = if (numPartitions.isEmpty) Some(docs.count()) else None)
     // k (bits/table) must scale with the corpus: expected bucket size is
     // n/2^k per table, so a fixed k silently pushes EVERY bucket past
     // maxBucket as n grows — at 20k vectors with k=3 (8 buckets/table)
@@ -329,7 +347,7 @@ object Dedup {
     val k =
       if (!autoBits) bitsPerTable
       else {
-        val n = docs.count().toDouble
+        val n = docs.count().toDouble // free: persisted by the width count
         math.max(bitsPerTable,
           math.ceil(math.log(math.max(4.0 * n / maxBucket, 1.0)) / math.log(2.0)).toInt)
       }

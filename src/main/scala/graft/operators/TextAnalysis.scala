@@ -107,9 +107,9 @@ object TextAnalysis {
   }
 
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, w: Int = 4): DataFrame =
+      k: Int = 5, w: Int = 4, portableHash: Boolean = false): DataFrame =
     docs.select(col(idCol),
-      T.winnowingFingerprint(col(textCol), k, w).as("fingerprint"))
+      T.winnowingFingerprint(col(textCol), k, w, portableHash).as("fingerprint"))
 
   /** Docs sharing >= `minShared` winnowing fingerprint hashes — cheap
     * content-overlap detection via inverted index on fingerprint hashes.

@@ -46,6 +46,10 @@ class DedupSpec extends AnyFunSuite {
     // huge input (plan stats ~8 GB for a long range): data-proportional,
     // capped at 4096 so wild stats can't explode the stage
     assert(Dedup.adaptiveWidth(spark.range(1000000000L).toDF("id"), None) == 4096)
+    // row count dominates the (tiny) compressed-bytes estimate: one
+    // partition per 200 corpus rows, same cap
+    assert(Dedup.adaptiveWidth(docs, None, Some(50000L)) == 250)
+    assert(Dedup.adaptiveWidth(docs, None, Some(100000000L)) == 4096)
   }
 
   test("simhash: identical texts collide at hamming 0; hamming matches direct computation") {
