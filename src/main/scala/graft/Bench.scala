@@ -7,9 +7,12 @@ import org.apache.spark.sql.SparkSession
   *
   * The measurement defends itself against a contended host (round 6's driver
   * recorded 176s where the same commit re-ran at 57.6s):
-  *   - each query is timed TWICE (cache-cleared before both) and the metric
-  *     of record is the MIN of the two; both samples are emitted per query
-  *     so run-to-run noise is visible in the artifact itself;
+  *   - each query is timed TWICE (cache-cleared before both) as two FULL
+  *     SWEEPS of the suite — one query's samples land minutes apart, so a
+  *     sustained contention window cannot inflate both — plus a THIRD
+  *     tie-break sample when the two disagree >2x; the metric of record
+  *     is the MIN, and all samples are emitted per query so run-to-run
+  *     noise is visible in the artifact itself;
   *   - cpu count defaults to the host's availableProcessors (not a silent
   *     local[4] on a 32-core box);
   *   - an "env" block records availableProcessors, heap, and /proc/loadavg
@@ -72,22 +75,36 @@ object Bench {
       }
       if (errors.contains(name)) -1.0 else (System.nanoTime() - t0) / 1e9
     }
-    // Two timed samples per query; min is the metric of record (a contended
-    // host inflates samples independently — min-of-2 rejects one-sided
-    // scheduler noise while both samples stay visible in the artifact).
-    val samples = SparkEntry.queries.map { case (name, fn) =>
-      if (errors.contains(name)) name -> (-1.0, -1.0)
-      else {
-        val a = timedRun(name, fn)
-        val b = if (errors.contains(name)) -1.0 else timedRun(name, fn)
-        name -> (a, b)
+    // Two timed samples per query, taken as two FULL SWEEPS over all
+    // queries (sample 1 of every query, then sample 2) so one query's two
+    // samples are minutes apart: min-of-2 then rejects a sustained
+    // contention window (round 7's driver recorded ann_ivf at [15.9,
+    // 10.9]s back-to-back where the same commit re-ran at ~1s — two
+    // adjacent samples share any contention longer than one query).
+    def sweep(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
+        name -> (if (errors.contains(name)) -1.0 else timedRun(name, fn))
       }
-    }
-    val results = samples.map { case (name, (a, b)) =>
+    val sweep1 = sweep()
+    val sweep2 = sweep()
+    // A third sample arbitrates queries whose two samples disagree >2x
+    // (q16_pivot spiked in rounds 6 AND 7): with samples minutes apart a
+    // >2x gap means one of them hit interference — min-of-3 on just those
+    // queries settles it without re-running the whole suite.
+    val samples = SparkEntry.queries.keys.map { name =>
+      val a = sweep1(name); val b = sweep2(name)
+      val third =
+        if (a > 0 && b > 0 && math.max(a, b) > 2 * math.min(a, b))
+          Some(timedRun(name, SparkEntry.queries(name)))
+        else None
+      name -> ((a, b, third))
+    }.toSeq
+    val results = samples.map { case (name, (a, b, c)) =>
       // any errored sample marks the query errored (-1): a query that
       // fails nondeterministically must not bench as its lucky sample
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
-    }
+      name -> (if (a < 0 || b < 0 || c.exists(_ < 0)) -1.0
+        else (Seq(a, b) ++ c).min)
+    }.toMap
     val loadAfter = loadavg()
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ").replace("\t", " ")
@@ -96,8 +113,8 @@ object Bench {
     def r3(v: Double) = math.rint(v * 1000) / 1000
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val samplesJson = samples.map { case (k, (a, b)) =>
-      "\"" + k + "\":[" + r3(a) + "," + r3(b) + "]"
+    val samplesJson = samples.map { case (k, (a, b, c)) =>
+      "\"" + k + "\":[" + (Seq(a, b) ++ c).map(r3).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
@@ -106,7 +123,7 @@ object Bench {
     val env = s"""{"available_processors":${rt.availableProcessors},""" +
       s""""spark_cpus":"$cpus","max_heap_mb":${rt.maxMemory / (1 << 20)},""" +
       s""""free_heap_mb":${rt.freeMemory / (1 << 20)},""" +
-      s""""loadavg_before":"${esc(loadBefore)}","loadavg_after":"${esc(loadAfter)}","timing":"min_of_2"}"""
+      s""""loadavg_before":"${esc(loadBefore)}","loadavg_after":"${esc(loadAfter)}","timing":"min_of_2_interleaved_sweeps_plus_tiebreak"}"""
     // queries that time a WRITTEN layout inside the query (gating a
     // round trip is the point of those entries): their numbers include
     // the one-time write/index-build cost, not just the read path

@@ -49,9 +49,14 @@ object PipelineQueries {
       // hamming-pair set — fully replayable in DuckDB (see oracle); the
       // banding is lossless here by pigeonhole (hamming <= 3 over 4
       // 16-bit bands forces one identical band), so the banded operator
-      // equals the brute-force truth the oracle computes.
+      // equals the brute-force truth the oracle computes — PROVIDED no
+      // bucket is capped: maxBucket = MaxValue enforces the completeness
+      // claim by construction (a default-capped oversized band bucket,
+      // e.g. many short docs sharing a sig-0 band at larger corpora,
+      // would silently drop true pairs the oracle still counts).
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3, bands = 4, portableHash = true)
+        maxHamming = 3, bands = 4, maxBucket = Int.MaxValue,
+        portableHash = true)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>

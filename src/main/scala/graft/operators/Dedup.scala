@@ -95,13 +95,14 @@ object Dedup {
     * the within-bucket self-joins as the corpus grows — the round-6 sf1
     * probe measured ngram-jaccard at 13.1× for 10× input purely from 32
     * fixed partitions (256 → ~1.6× better, i.e. ~1 partition per 200
-    * docs at 50k docs). Explicit `numPartitions` wins; otherwise width
-    * scales with the input ROW COUNT when the caller knows it (one
-    * partition per 200 rows of corpus, matching that measurement) and
-    * with the optimizer's byte estimate as a floor signal otherwise
-    * (compressed text parquet is tiny on disk, so bytes alone
-    * under-scale). Floored at the session width, capped at 4096 so a
-    * wild estimate can't explode the stage. On a cluster the same rule
+    * docs at 50k docs). Explicit `numPartitions` wins; otherwise an
+    * exact ROW COUNT from the caller is authoritative (one partition per
+    * 200 rows of corpus, matching that measurement), with the
+    * optimizer's byte estimate only as the fallback when no count was
+    * taken — never overriding a real count, since derived plans can
+    * carry inflated (or Long.MaxValue) size stats. Floored at the
+    * session width, capped at 4096 so a wild estimate can't explode the
+    * stage. On a cluster the same rule
     * gives candidate stages data-proportional width without touching
     * session conf.
     */
@@ -109,12 +110,20 @@ object Dedup {
       rowCount: Option[Long] = None): Int =
     explicit.getOrElse {
       val session = df.sparkSession.sessionState.conf.numShufflePartitions
-      val bytes =
-        try df.queryExecution.optimizedPlan.stats.sizeInBytes
-        catch { case scala.util.control.NonFatal(_) => BigInt(0) }
-      val byBytes = (bytes / (1L << 20)).min(BigInt(4096)).toInt
-      val byRows = rowCount.map(n => math.min(4096L, n / 200L).toInt).getOrElse(0)
-      math.max(session, math.max(byBytes, byRows))
+      // an exact row count is authoritative when the caller measured one:
+      // the optimizer byte estimate can be wildly inflated (join-product
+      // stats, or Long.MaxValue when stats are unknown) and must not
+      // override it — it is only the fallback signal for callers that
+      // cannot afford a count
+      val data = rowCount match {
+        case Some(n) => math.min(4096L, n / 200L).toInt
+        case None =>
+          val bytes =
+            try df.queryExecution.optimizedPlan.stats.sizeInBytes
+            catch { case scala.util.control.NonFatal(_) => BigInt(0) }
+          (bytes / (1L << 20)).min(BigInt(4096)).toInt
+      }
+      math.max(session, data)
     }
 
   /** Exact dedup: keep the lowest id per sha2(content) group. Hash-based
@@ -151,10 +160,8 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, maxBucket: Int = 1000,
-      numPartitions: Option[Int] = None): DataFrame = {
-    // raw-input count: a cheap narrow scan driving candidate-stage width
-    val width = adaptiveWidth(df, numPartitions,
-      rowCount = if (numPartitions.isEmpty) Some(df.count()) else None)
+      numPartitions: Option[Int] = None,
+      onStats: DedupStats => Unit = _ => ()): DataFrame = {
     val rows = numHashes / bands
     // sorted shingles: verification uses the linear-merge intersect kernel
     val docs = tracked(spread(df, idCol).select(
@@ -167,12 +174,17 @@ object Dedup {
       // index plus BOTH sides of the verify join — materialize it once
       // (the 100 TB pipeline writes this table out; in-session, persist)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // width count runs on the PERSISTED projection (materializing it into
+    // cache), so a derived/expensive upstream plan is not executed an
+    // extra time just to size the candidate stage
+    val width = adaptiveWidth(df, numPartitions,
+      rowCount = if (numPartitions.isEmpty) Some(docs.count()) else None)
     // band rows carry ONLY (id, band, key): the wide shingle arrays never
     // enter the candidate-generation shuffle
     val banded = docs.select(col("id"),
       explode(H.lshBandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
-    val pairs = pairsFromBuckets(banded, maxBucket, width)
+    val pairs = pairsFromBuckets(banded, maxBucket, width, onStats)
     verifyJaccard(pairs, docs, threshold)
   }
 
@@ -187,19 +199,24 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bands: Int = 4, maxBucket: Int = 1000,
       portableHash: Boolean = false,
-      numPartitions: Option[Int] = None): DataFrame = {
-    // raw-input count: a cheap narrow scan driving candidate-stage width
-    val width = adaptiveWidth(df, numPartitions,
-      rowCount = if (numPartitions.isEmpty) Some(df.count()) else None)
+      numPartitions: Option[Int] = None,
+      onStats: DedupStats => Unit = _ => ()): DataFrame = {
     // portableHash: md5-derived token hashes so the whole signature (and
     // therefore the hamming-pair set) is replayable in DuckDB oracle SQL;
     // production keeps the ~3x cheaper xxh64 path (identical plan/spans)
-    val docs = spread(df, idCol).select(col(idCol).as("id"),
+    val docs = tracked(spread(df, idCol).select(col(idCol).as("id"),
       GraftFunctions.simhash64(T.tokens(col(textCol)), portableHash).as("sig"))
+      // consumed 3x (band index + both sides of the hamming verify join):
+      // persist so the tokenize+simhash kernel runs once per invocation
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // width count runs on the persisted narrow projection, not the raw
+    // input — a derived upstream plan must not execute an extra time
+    val width = adaptiveWidth(df, numPartitions,
+      rowCount = if (numPartitions.isEmpty) Some(docs.count()) else None)
     val banded = docs.select(col("id"),
       explode(H.simhashBands(col("sig"), bands)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
-    val pairs = pairsFromBuckets(banded, maxBucket, width)
+    val pairs = pairsFromBuckets(banded, maxBucket, width, onStats)
     pairs
       .join(docs.select(col("id").as("a"), col("sig").as("a_sig")), "a")
       .join(docs.select(col("id").as("b"), col("sig").as("b_sig")), "b")
@@ -222,11 +239,6 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5,
       numPartitions: Option[Int] = None): DataFrame = {
-    // the input count is a cheap narrow scan (and the corpus is about to
-    // be scanned anyway); it drives the candidate-stage width — compressed
-    // text parquet is far too small on disk for a bytes-only estimate
-    val width = adaptiveWidth(df, numPartitions,
-      rowCount = if (numPartitions.isEmpty) Some(df.count()) else None)
     val session = df.sparkSession.sessionState.conf.numShufflePartitions
     val docs = tracked(spread(df, idCol).select(col(idCol).as("id"),
       H.shingles(col(textCol), shingleSize).as("sh"))
@@ -235,6 +247,12 @@ object Dedup {
       // reused by the inverted index and BOTH sides of the verify join;
       // without this the shingle kernel runs 3x over the corpus
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // width count runs on the persisted shingle projection (materializing
+    // it into cache) — compressed text parquet is far too small on disk
+    // for a bytes-only estimate, and a derived upstream plan must not
+    // execute an extra time just for the count
+    val width = adaptiveWidth(df, numPartitions,
+      rowCount = if (numPartitions.isEmpty) Some(docs.count()) else None)
     // the whole index/prefix/candidate path runs on 8-byte xxhash64 tokens
     // instead of shingle strings: docfreq, the prefix re-group and the
     // self-join all shuffle/compare longs. A hash collision merges two
@@ -327,7 +345,8 @@ object Dedup {
       threshold: Double = 0.8, nTables: Int = 32, bitsPerTable: Int = 3,
       seed: Long = 42L, maxBucket: Int = 1000,
       autoBits: Boolean = true,
-      numPartitions: Option[Int] = None): DataFrame = {
+      numPartitions: Option[Int] = None,
+      onStats: DedupStats => Unit = _ => ()): DataFrame = {
     // multi-consumer narrow projection: corpus count (auto-k + width),
     // band build, and both verify-join sides read it — persist once
     val docs = tracked(spread(df, idCol)
@@ -366,7 +385,7 @@ object Dedup {
     // driver memory / the 8 GB broadcast hard limit and the plan is
     // unchanged. (Catalyst still auto-broadcasts a side that fits under
     // autoBroadcastJoinThreshold, so small corpora keep the map-side join.)
-    val pairs = pairsFromBuckets(banded, maxBucket, width)
+    val pairs = pairsFromBuckets(banded, maxBucket, width, onStats)
     pairs
       .join(docs.select(col("id").as("a"), col("v").as("a_v")), "a")
       .join(docs.select(col("id").as("b"), col("v").as("b_v")), "b")
@@ -512,16 +531,31 @@ object Dedup {
     * bands are deduped here — the distinct shuffles only narrow long
     * pairs, so every caller verifies each candidate exactly once.
     */
+  /** Per-invocation candidate-blocking diagnostics: how many multi-member
+    * buckets (bsz >= 2) the `maxBucket` cap saw and dropped. The
+    * silent-no-op failure mode is `dropFraction == 1.0` with
+    * `bucketsTotal > 0`: every bucket was oversized, so zero candidate
+    * pairs will be produced and the empty result is indistinguishable
+    * from "no duplicates".
+    */
+  final case class DedupStats(bucketsTotal: Long, bucketsDropped: Long) {
+    def dropFraction: Double =
+      if (bucketsTotal == 0L) 0.0 else bucketsDropped.toDouble / bucketsTotal
+  }
+
   /** Fraction of multi-member buckets (bsz >= 2) dropped by the `maxBucket`
     * cap in the most recent `pairsFromBuckets` evaluation on this JVM —
     * a diagnostic for the silent-no-op failure mode (all buckets oversized
     * => zero candidates). 0.0 when nothing was dropped or nothing was
-    * bucketed yet.
+    * bucketed yet. SINGLE-QUERY SCOPE: this is a JVM-wide static, so with
+    * concurrent dedup invocations in one session the value cannot be
+    * attributed to a caller — pass `onStats` to the operator instead (it
+    * receives this invocation's own [[DedupStats]], race-free).
     */
   @volatile var lastBucketDropFraction: Double = 0.0
 
   private def pairsFromBuckets(bandedRaw: DataFrame, maxBucket: Int,
-      width: Int): DataFrame = {
+      width: Int, onStats: DedupStats => Unit = _ => ()): DataFrame = {
     // consumed by the bucket-size aggregate, the semi-join and both sides
     // of the self-join — materialize the narrow (id, band, key) rows once
     // so the signature kernels upstream don't run 4x.
@@ -553,16 +587,18 @@ object Dedup {
       sum(when(col("bsz") > maxBucket, 1L).otherwise(0L)).as("dropped")).head()
     val total = statRow.getLong(0)
     val dropped = if (statRow.isNullAt(1)) 0L else statRow.getLong(1)
-    lastBucketDropFraction = if (total == 0L) 0.0 else dropped.toDouble / total
+    val stats = DedupStats(total, dropped)
+    lastBucketDropFraction = stats.dropFraction
+    onStats(stats)
     val logger = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
     if (total > 0L && dropped == total)
       logger.error(s"ALL $total candidate buckets exceed maxBucket=$maxBucket " +
         "— zero candidates will be produced; the blocking key does not " +
         "discriminate at this corpus size (raise signature bits k, or " +
         "maxBucket). Check Dedup.lastBucketDropFraction.")
-    else if (lastBucketDropFraction > 0.5)
+    else if (stats.dropFraction > 0.5)
       logger.warn(s"$dropped of $total candidate buckets exceed " +
-        s"maxBucket=$maxBucket (${math.round(lastBucketDropFraction * 100)}% dropped)")
+        s"maxBucket=$maxBucket (${math.round(stats.dropFraction * 100)}% dropped)")
     val smallBuckets = sizes.filter(col("bsz") <= maxBucket)
       .select("band", "key")
     val sized = banded.join(smallBuckets, Seq("band", "key"), "left_semi")

@@ -28,6 +28,12 @@ object IvfIndex {
     * aggregation merge order (double addition is not associative; the
     * sub-ulp noise from shuffle-arrival order would otherwise leak into
     * the centroids) at a precision cost irrelevant to cell quality.
+    * Residual boundary risk, accepted: Spark rounds via the decimal
+    * string (HALF_UP) while DuckDB rounds the binary double
+    * half-away-from-zero, so a mean landing within sub-ulp of a
+    * .xxxxxx5 boundary could still round differently across engines —
+    * probability ~1e-10 per mean (the avg must land within ~1 ulp of a
+    * 6-decimal half-boundary), never observed on the gated fixtures.
     * Returns (cellId, centroid array<double>) — small, driver-collectable.
     *
     * `sampleFraction` < 1 trains on a seeded Bernoulli sample of the

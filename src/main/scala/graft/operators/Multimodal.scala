@@ -29,7 +29,10 @@ object Multimodal {
   /** Parse MP4 container metadata by walking ISO-BMFF box headers:
     * `moov/mvhd` (version 0 or 1) gives timescale+duration,
     * `moov/trak/tkhd` gives the 16.16-fixed track width/height (always
-    * the final 8 bytes of the tkhd box, version-independently). Pure
+    * the final 8 bytes of the tkhd box, version-independently); trak
+    * boxes are scanned in order and the first tkhd with nonzero
+    * dimensions wins (audio/hint tracks report 0x0 and may come first),
+    * falling back to the first tkhd for all-audio files. Pure
     * big-endian byte walking — no codec. None when the bytes are not an
     * MP4 or the boxes are missing/truncated.
     */
@@ -51,11 +54,33 @@ object Multimodal {
         }
         None
       }
+      // walk ALL trak boxes and keep the first tkhd with nonzero
+      // dimensions: real-world files often carry a non-video (audio/hint)
+      // track FIRST, whose tkhd reports 0x0 — stopping at the first trak
+      // would mislabel such files. Falls back to the first tkhd found
+      // (all-audio files legitimately have no sized track).
+      def videoTkhdEnd(moovS: Int, moovE: Int): Option[Int] = {
+        var off = moovS
+        var first: Option[Int] = None
+        var sized: Option[Int] = None
+        while (off < moovE && sized.isEmpty) {
+          findBox(off, moovE, "trak") match {
+            case None => off = moovE
+            case Some((trakS, trakE)) =>
+              findBox(trakS, trakE, "tkhd").foreach { case (_, e) =>
+                if (first.isEmpty) first = Some(e)
+                if ((bb.getInt(e - 8) >>> 16) != 0 &&
+                    (bb.getInt(e - 4) >>> 16) != 0) sized = Some(e)
+              }
+              off = trakE
+          }
+        }
+        sized.orElse(first)
+      }
       for {
         (moovS, moovE) <- findBox(0, bytes.length, "moov")
         (mvhdS, _) <- findBox(moovS, moovE, "mvhd")
-        (trakS, trakE) <- findBox(moovS, moovE, "trak")
-        (_, tkhdE) <- findBox(trakS, trakE, "tkhd")
+        tkhdE <- videoTkhdEnd(moovS, moovE)
       } yield {
         val (timescale, duration) =
           if ((bytes(mvhdS) & 0xff) == 1)

@@ -284,6 +284,29 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.simhash(small, "doc_id", "text", maxBucket = 1000).count() == 3)
   }
 
+  test("onStats reports per-invocation bucket-drop stats (not the JVM-wide static)") {
+    // two invocations with opposite cap outcomes: each callback must see
+    // ITS OWN invocation's numbers — the static lastBucketDropFraction is
+    // last-writer-wins and cannot attribute, which is why onStats exists
+    val n = 1200
+    val degenerate = spark.range(n).select(col("id").as("doc_id"), lit("").as("text"))
+    var cappedStats: Option[Dedup.DedupStats] = None
+    Dedup.simhash(degenerate, "doc_id", "text", maxHamming = 3, bands = 4,
+      maxBucket = 1000, onStats = s => cappedStats = Some(s)).count()
+    assert(cappedStats.exists(s => s.bucketsTotal > 0 &&
+      s.bucketsDropped == s.bucketsTotal && s.dropFraction == 1.0),
+      s"degenerate corpus must report a 100% drop, got $cappedStats")
+    val small = spark.range(3).select(col("id").as("doc_id"), lit("same text here").as("text"))
+    var cleanStats: Option[Dedup.DedupStats] = None
+    Dedup.simhash(small, "doc_id", "text", maxBucket = 1000,
+      onStats = s => cleanStats = Some(s)).count()
+    assert(cleanStats.exists(s => s.bucketsTotal > 0 && s.bucketsDropped == 0L),
+      s"uncapped corpus must report zero drops, got $cleanStats")
+    // the static still reflects the LAST invocation (documented scope)
+    assert(Dedup.lastBucketDropFraction == 0.0)
+    Dedup.releaseCaches()
+  }
+
   test("embedding near-dup auto-scales bucket bits: 20k vectors with default k find planted pairs") {
     // round-6 verdict: at 20k vectors the FIXED (L, k=3) default put every
     // vector into one of 8 buckets/table, every bucket blew maxBucket, and
