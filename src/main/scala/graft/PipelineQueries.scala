@@ -140,10 +140,16 @@ object PipelineQueries {
 
     "ann_ivfpq" -> ((s, dir) => {
       // IVF-PQ: sampled train (the 100 TB path), residual-coded index,
-      // ADC scan over probed cells, exact re-rank of the shortlist
+      // ADC scan over probed cells, exact re-rank of the shortlist.
+      // The training half is selected by id PARITY (not Bernoulli):
+      // deterministic across engines/partitionings, which lets the
+      // oracle replay the ENTIRE training — coarse k-means, residual
+      // codebooks, encode, ADC, re-rank — in DuckDB SQL and hash-match
+      // the search result end to end (same scheme as ann_ivf).
       val e = t(s, dir, "embeddings")
-      val model = graft.operators.PqIndex.train(e, "vec_id", "embedding",
-        nCells = 16, m = 8, kCodes = 16, sampleFraction = 0.5)
+      val model = graft.operators.PqIndex.train(
+        e.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding",
+        nCells = 16, m = 8, kCodes = 16, sampleFraction = 1.0)
       val enc = graft.operators.PqIndex.encode(e, "vec_id", "embedding", model)
       graft.operators.PqIndex.search(enc, e, "vec_id", "embedding",
         e.filter(col("vec_id") < 5), "vec_id", "embedding", model,
@@ -158,8 +164,13 @@ object PipelineQueries {
       // dynamic-partition-pruning unprobed cell directories
       // (plan-asserted in PqIndexSpec)
       val e = t(s, dir, "embeddings")
-      val model = graft.operators.PqIndex.train(e, "vec_id", "embedding",
-        nCells = 16, m = 8, kCodes = 16, sampleFraction = 0.5)
+      // same parity-sampled deterministic training as ann_ivfpq: the
+      // model save/load and index write/read round-trips are
+      // byte-identical (spec-asserted), so the SAME oracle SQL gates the
+      // from-disk serving path end to end
+      val model = graft.operators.PqIndex.train(
+        e.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding",
+        nCells = 16, m = 8, kCodes = 16, sampleFraction = 1.0)
       val idx = s"${Scratch.dir}/ivfpq_index"
       val mdl = s"${Scratch.dir}/ivfpq_model"
       graft.operators.PqIndex.saveModel(s, model, mdl)
@@ -186,13 +197,18 @@ object PipelineQueries {
         .orderBy("doc_id")),
 
     // SemDeDup-style semantic dedup (cluster-bounded cosine dedup).
-    // Rows-only at the gate: clustering intentionally skips cross-cluster
-    // pairs (that approximation IS the algorithm), so no SQL oracle is
-    // exact; OperatorSpec proves the nClusters=1 result equals the
-    // brute-force global survivor set and the clustered result contains it.
+    // Clustering intentionally skips cross-cluster pairs — that
+    // approximation IS the algorithm — and the oracle replays it
+    // faithfully: IvfIndex.train is bit-deterministic and DuckDB-
+    // replayable (md5 init, 6-decimal means), so the oracle recomputes
+    // the SAME clustering in SQL and applies the same within-cell
+    // lower-id-neighbor drop. Training runs on the full corpus here
+    // (replayable); the Bernoulli-sampled train path stays gated by
+    // dedup_semantic_planted, and the nClusters=1 == brute-force
+    // equivalence stays spec-proven in OperatorSpec.
     "dedup_semantic" -> ((s, dir) =>
       Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
-        nClusters = 8, threshold = 0.4, sampleFraction = 0.5)
+        nClusters = 8, threshold = 0.4, sampleFraction = 1.0)
         .select(col("vec_id"), col("label").cast("long").as("label"))
         .orderBy("vec_id")),
 
@@ -497,23 +513,24 @@ object PipelineQueries {
     s"(CASE WHEN $nn = 0 THEN 0.0 ELSE ${dotFoldSql(a, b)} / $nn END)"
   }
 
-  // Full replay of IvfIndex train+index+search (gate params nCells=16,
-  // iters=3, seed 42, train half = even ids, nProbe=4, k=10): init takes
-  // the 16 sampled vectors with the smallest md5('ivf42:'||id) strings
-  // (cell = rank in that order), each Lloyd round reassigns by argmax
-  // kernel-order cosine (ties -> highest cell, matching greatest() over
-  // (score, cell) structs) and recomputes means rounded to 6 decimals
-  // (both engines round their sub-ulp-divergent avg() to the same
-  // decimal — the rounding in IvfIndex.train exists exactly so this
-  // lockstep holds), empty cells keep their previous centroid; probing
-  // ranks cells per query (score DESC, cell DESC = Spark's reversed
-  // array_sort) and keeps 4; top-10 per query by cosine DESC, id ASC.
-  private lazy val ivfReplaySql: String = {
+  // Parameterized replay of IvfIndex.train (iters=3, seed 42) plus the
+  // full-corpus assignment — the shared core of the ann_ivf, ann_ivfpq
+  // and dedup_semantic oracles: init takes the `nCells` sampled vectors
+  // with the smallest md5('ivf42:'||id) strings (cell = rank in that
+  // order), each Lloyd round reassigns by argmax kernel-order cosine
+  // (ties -> highest cell, matching greatest() over (score, cell)
+  // structs) and recomputes means rounded to 6 decimals (both engines
+  // round their sub-ulp-divergent avg() to the same decimal — the
+  // rounding in IvfIndex.train exists exactly so this lockstep holds),
+  // empty cells keep their previous centroid. Produces CTEs: av (corpus
+  // as DOUBLE[]), s (train sample via `sampleWhere`), c0..c3
+  // (centroids), asg (full-corpus assignment: id, v, cell).
+  private def ivfTrainSql(nCells: Int, sampleWhere: String): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH av AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-              |s AS (SELECT id, v FROM av WHERE id % 2 = 0),
+              |s AS (SELECT id, v FROM av WHERE $sampleWhere),
               |c0 AS (SELECT row_number() OVER (ORDER BY md5('ivf42:' || CAST(id AS VARCHAR)), id) - 1 AS cell, v AS c
-              |       FROM s ORDER BY md5('ivf42:' || CAST(id AS VARCHAR)), id LIMIT 16)""".stripMargin
+              |       FROM s ORDER BY md5('ivf42:' || CAST(id AS VARCHAR)), id LIMIT $nCells)""".stripMargin
     for (k <- 1 to 3) {
       val prev = s"c${k - 1}"
       sb ++= s""",
@@ -536,20 +553,127 @@ object PipelineQueries {
               |asg AS (SELECT id, v, cell FROM (
               |          SELECT id, v, cell,
               |            row_number() OVER (PARTITION BY id ORDER BY score DESC, cell DESC) AS rk
-              |          FROM asc0) WHERE rk = 1),
-              |q AS (SELECT id AS qid, v AS qv FROM av WHERE id < 5),
-              |cr AS (SELECT q.qid, p.cell, ${cosFoldSql("q.qv", "p.c")} AS score
-              |       FROM q CROSS JOIN c3 p),
-              |probed AS (SELECT qid, cell FROM (
-              |             SELECT qid, cell,
-              |               row_number() OVER (PARTITION BY qid ORDER BY score DESC, cell DESC) AS rk
-              |             FROM cr) WHERE rk <= 4),
-              |cand AS (SELECT p.qid, a.id, a.v FROM probed p JOIN asg a USING (cell)),
-              |csc AS (SELECT cand.qid, cand.id, ${cosFoldSql("cand.v", "q.qv")} AS cs
-              |        FROM cand JOIN q USING (qid)),
-              |r AS (SELECT qid, id, cs,
-              |        row_number() OVER (PARTITION BY qid ORDER BY cs DESC, id) AS rk
-              |      FROM csc)""".stripMargin
+              |          FROM asc0) WHERE rk = 1)""".stripMargin
+    sb.toString
+  }
+
+  // Probe CTEs shared by the ann_ivf and ann_ivfpq search replays:
+  // queries (id < 5), per-query cell ranking (score DESC, cell DESC =
+  // Spark's reversed array_sort over (score, cell) structs), top-nProbe=4.
+  private lazy val probeSql: String =
+    s""",
+       |q AS (SELECT id AS qid, v AS qv FROM av WHERE id < 5),
+       |cr AS (SELECT q.qid, p.cell, ${cosFoldSql("q.qv", "p.c")} AS score
+       |       FROM q CROSS JOIN c3 p),
+       |probed AS (SELECT qid, cell FROM (
+       |             SELECT qid, cell,
+       |               row_number() OVER (PARTITION BY qid ORDER BY score DESC, cell DESC) AS rk
+       |             FROM cr) WHERE rk <= 4)""".stripMargin
+
+  // Full replay of IvfIndex train+index+search (gate params nCells=16,
+  // iters=3, seed 42, train half = even ids, nProbe=4, k=10): training
+  // via ivfTrainSql, probing via probeSql, then top-10 per query by
+  // kernel-order cosine DESC, id ASC over the probed cells' members.
+  private lazy val ivfReplaySql: String =
+    ivfTrainSql(16, "id % 2 = 0") + probeSql + s""",
+      |cand AS (SELECT p.qid, a.id, a.v FROM probed p JOIN asg a USING (cell)),
+      |csc AS (SELECT cand.qid, cand.id, ${cosFoldSql("cand.v", "q.qv")} AS cs
+      |        FROM cand JOIN q USING (qid)),
+      |r AS (SELECT qid, id, cs,
+      |        row_number() OVER (PARTITION BY qid ORDER BY cs DESC, id) AS rk
+      |      FROM csc)""".stripMargin
+
+  // Full replay of PqIndex train+encode+search (gate params: coarse =
+  // ann_ivf's 16-cell k-means on the even-id half; m=8 subspaces of d=8,
+  // kCodes=16, 3 Lloyd rounds; nProbe=4, k=10, refine=4):
+  //  - residuals r = v - centroid(cell) (exact double subtraction of
+  //    6-decimal-rounded centroid literals — bit-identical both engines);
+  //  - codebook init: the 16 sample residuals with the smallest
+  //    md5('pq42:'||id) strings seed entry c of EVERY subspace
+  //    (PqIndex.train's driver-side slice);
+  //  - each Lloyd round encodes (argmin per (row, sub) of the kernel-order
+  //    L2 fold over (r[sub*8+i] - e[i])²; ties -> LOWEST code, matching
+  //    the kernel's strict <) and re-means per (sub, code) rounded to 6;
+  //    empty codes keep their previous entry;
+  //  - encode assigns every corpus row its m codes against the final
+  //    codebooks, norm = sqrt(kernel-order dot(v, v));
+  //  - ADC: lut(sub, code) = kernel-order dot of the query subvector
+  //    with the codebook entry; approx = (dot(qv, centroid) + Σ_sub lut)
+  //    / (qnorm·norm) with the Σ in ascending-sub fold order and -1.0 on
+  //    a zero denominator (the kernel's guard);
+  //  - shortlist = top k·refine=40 per query by approx DESC, id ASC;
+  //    final = top 10 of the shortlist by exact kernel-order cosine.
+  private lazy val pqReplaySql: String = {
+    val d = 8; val kCodes = 16
+    def distFold(r: String, sub: String, e: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${d + 1}), " +
+        s"i -> ($r[$sub*$d + i] - $e[i]) * ($r[$sub*$d + i] - $e[i]))), (a, x) -> a + x)"
+    val sb = new StringBuilder
+    sb ++= ivfTrainSql(16, "id % 2 = 0")
+    sb ++= s""",
+      |rs AS (SELECT a.id, a.cell,
+      |         list_transform(range(1, ${EmbeddingDim + 1}), i -> a.v[i] - p.c[i]) AS r
+      |       FROM asg a JOIN c3 p USING (cell) WHERE a.id % 2 = 0),
+      |cbseed AS (SELECT row_number() OVER (ORDER BY md5('pq42:' || CAST(id AS VARCHAR)), id) - 1 AS code, r
+      |           FROM rs ORDER BY md5('pq42:' || CAST(id AS VARCHAR)), id LIMIT $kCodes),
+      |cb0 AS (SELECT u.sub, cbseed.code, list_slice(cbseed.r, u.sub*$d + 1, u.sub*$d + $d) AS e
+      |        FROM cbseed CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) u)""".stripMargin
+    for (k <- 1 to 3) {
+      val prev = s"cb${k - 1}"
+      sb ++= s""",
+        |pd$k AS (SELECT rs.id, cb.sub, cb.code, ${distFold("rs.r", "cb.sub", "cb.e")} AS dist
+        |         FROM rs CROSS JOIN $prev cb),
+        |pa$k AS (SELECT id, sub, code FROM (
+        |           SELECT id, sub, code,
+        |             row_number() OVER (PARTITION BY id, sub ORDER BY dist ASC, code ASC) AS rk
+        |           FROM pd$k) WHERE rk = 1),
+        |pm$k AS (SELECT a.sub, a.code, u.i, round(avg(r2.r[a.sub*$d + u.i]), 6) AS mm
+        |         FROM pa$k a JOIN rs r2 USING (id)
+        |         CROSS JOIN (SELECT unnest(range(1, ${d + 1})) AS i) u
+        |         GROUP BY a.sub, a.code, u.i),
+        |pl$k AS (SELECT sub, code, list(mm ORDER BY i) AS e FROM pm$k GROUP BY sub, code),
+        |cb$k AS (SELECT p.sub, p.code, coalesce(l.e, p.e) AS e
+        |         FROM $prev p LEFT JOIN pl$k l ON p.sub = l.sub AND p.code = l.code)""".stripMargin
+    }
+    sb ++= probeSql
+    sb ++= s""",
+      |fr AS (SELECT a.id, a.cell, a.v,
+      |         list_transform(range(1, ${EmbeddingDim + 1}), i -> a.v[i] - p.c[i]) AS r
+      |       FROM asg a JOIN c3 p USING (cell)),
+      |ed AS (SELECT fr.id, cb.sub, cb.code, ${distFold("fr.r", "cb.sub", "cb.e")} AS dist
+      |       FROM fr CROSS JOIN cb3 cb),
+      |ea AS (SELECT id, sub, code FROM (
+      |         SELECT id, sub, code,
+      |           row_number() OVER (PARTITION BY id, sub ORDER BY dist ASC, code ASC) AS rk
+      |         FROM ed) WHERE rk = 1),
+      |nrm AS (SELECT id, sqrt(${dotFoldSql("v", "v")}) AS nrm FROM av),
+      |qn AS (SELECT qid, sqrt(${dotFoldSql("qv", "qv")}) AS qnorm FROM q),
+      |qd AS (SELECT p.qid, p.cell, ${dotFoldSql("q.qv", "c.c")} AS qdotc
+      |       FROM probed p JOIN q USING (qid) JOIN c3 c USING (cell)),
+      |lut AS (SELECT q.qid, cb.sub, cb.code,
+      |          list_reduce(list_prepend(0.0, list_transform(range(1, ${d + 1}),
+      |            i -> q.qv[cb.sub*$d + i] * cb.e[i])), (a, x) -> a + x) AS lv
+      |        FROM q CROSS JOIN cb3 cb),
+      |adc AS (SELECT p.qid, fr.id, fr.cell,
+      |          list_reduce(list_prepend(0.0, list(l.lv ORDER BY l.sub)), (a, x) -> a + x) AS adcsum
+      |        FROM probed p JOIN fr ON fr.cell = p.cell
+      |        JOIN ea ON ea.id = fr.id
+      |        JOIN lut l ON l.qid = p.qid AND l.sub = ea.sub AND l.code = ea.code
+      |        GROUP BY p.qid, fr.id, fr.cell),
+      |apx AS (SELECT a.qid, a.id,
+      |          CASE WHEN qn.qnorm * n.nrm = 0 THEN -1.0
+      |               ELSE (qd.qdotc + a.adcsum) / (qn.qnorm * n.nrm) END AS approx
+      |        FROM adc a JOIN qd ON qd.qid = a.qid AND qd.cell = a.cell
+      |        JOIN qn ON qn.qid = a.qid JOIN nrm n ON n.id = a.id),
+      |sl AS (SELECT qid, id FROM (
+      |         SELECT qid, id,
+      |           row_number() OVER (PARTITION BY qid ORDER BY approx DESC, id ASC) AS rka
+      |         FROM apx) WHERE rka <= 40),
+      |ex AS (SELECT sl.qid, sl.id, ${cosFoldSql("cv.v", "qv2.v")} AS cs
+      |       FROM sl JOIN av cv ON cv.id = sl.id JOIN av qv2 ON qv2.id = sl.qid),
+      |pr AS (SELECT qid, id, cs,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, id) AS rk
+      |       FROM ex)""".stripMargin
     sb.toString
   }
 
@@ -772,6 +896,25 @@ object PipelineQueries {
          |SELECT qid, id, round(cs, 4) AS cosine, CAST(rk AS BIGINT) AS rk
          |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
+    // full replay of IVF-PQ training (coarse k-means + residual
+    // codebooks) + encode + ADC search + exact re-rank in SQL
+    // (pqReplaySql) — DuckDB recomputes the entire trained model from
+    // scratch, so the compressed-index search result itself driver-hashes
+    "ann_ivfpq" ->
+      s"""$pqReplaySql
+         |SELECT qid, id, round(cs, 4) AS cosine, CAST(rk AS BIGINT) AS rk
+         |FROM pr WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    // identical replay: the persisted variant trains the same model,
+    // round-trips it (and the encoded index) through parquet
+    // byte-identically (spec-asserted: saveModel/loadModel and
+    // writeIndex/readIndex are exact), then serves the same search — so
+    // the SAME SQL gates the from-disk path end to end
+    "ann_ivfpq_persisted" ->
+      s"""$pqReplaySql
+         |SELECT qid, id, round(cs, 4) AS cosine, CAST(rk AS BIGINT) AS rk
+         |FROM pr WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
     "ann_lsh_recall" ->
       s"""$lshReplaySql,
          |lsh AS (SELECT qid, id FROM lr WHERE rk <= 10),
@@ -814,6 +957,25 @@ object PipelineQueries {
          |  CAST(coalesce(m.first_pos, -1) AS BIGINT) AS first_dup_pos
          |FROM b LEFT JOIN m ON b.doc_id = m.doc_id
          |ORDER BY b.doc_id""".stripMargin,
+
+    // full replay of the SemDeDup gate: recompute the 8-cell k-means in
+    // SQL (ivfTrainSql — bit-deterministic by md5 init + 6-decimal
+    // means), keep cells with 2..100000 members (the operator's
+    // degenerate-cell guard), drop every id with a lower-id SAME-CELL
+    // neighbor at kernel-order cosine >= 0.4 (cluster-bounded pairing IS
+    // the algorithm — cross-cell near-dups are intentionally kept), and
+    // return the survivors with their labels
+    "dedup_semantic" ->
+      s"""${ivfTrainSql(8, "TRUE")},
+         |okc AS (SELECT cell FROM (SELECT cell, count(*) AS csz FROM asg GROUP BY cell)
+         |        WHERE csz BETWEEN 2 AND 100000),
+         |pp AS (SELECT a.id, a.cell, a.v FROM asg a JOIN okc USING (cell)),
+         |drp AS (SELECT DISTINCT y.id
+         |        FROM pp x JOIN pp y ON x.cell = y.cell AND x.id < y.id
+         |        WHERE ${cosFoldSql("x.v", "y.v")} >= 0.4)
+         |SELECT e.vec_id, CAST(e.label AS BIGINT) AS label FROM embeddings e
+         |WHERE e.vec_id NOT IN (SELECT id FROM drp)
+         |ORDER BY vec_id""".stripMargin,
 
     // planted-family truth: survivors = ids with no lower-id neighbor at
     // cosine >= 0.99999 over the replicated corpus (NaN guard mirrors

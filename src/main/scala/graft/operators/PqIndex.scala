@@ -54,7 +54,13 @@ object PqIndex {
   /** Train coarse centroids + residual codebooks with `iters` Lloyd
     * iterations each, on a seeded `sampleFraction` of the corpus (the
     * 100 TB path — FAISS trains IVFPQ on a sample the same way).
-    * Deterministic: hash-seeded init, fixed iteration count.
+    * Deterministic AND engine-replayable: md5-seeded init orderings and
+    * 6-decimal-rounded Lloyd means (both coarse and codebook) make the
+    * trained model bit-identical under any merge order and let the
+    * ann_ivfpq oracle recompute it from scratch in DuckDB SQL.
+    * (Bernoulli `sampleFraction` is partitioning-dependent; a caller
+    * needing a cross-engine-replayable sample pre-filters
+    * deterministically, e.g. `id % 2 = 0`, and passes 1.0.)
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, m: Int = 8, kCodes: Int = 16, iters: Int = 3,
@@ -75,10 +81,14 @@ object PqIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // init: the kCodes residual vectors with the smallest seeded hash
-    // (stable pseudo-random, same scheme as IvfIndex) seed entry c of
-    // EVERY subspace — any spread-out pick works for Lloyd init, and one
-    // driver-side slice beats a per-subspace row_number window
-    val seeds = resid.withColumn("h", xxhash64(lit(seed), col("id")))
+    // seed entry c of EVERY subspace — any spread-out pick works for
+    // Lloyd init, and one driver-side slice beats a per-subspace
+    // row_number window. md5 (not xxhash64): the SAME stable pseudo-
+    // random ordering is reproducible character-for-character in DuckDB,
+    // which lets the ann_ivfpq oracle replay codebook training in SQL
+    // (engine-portable hashing, same scheme as IvfIndex.train's init).
+    val seeds = resid
+      .withColumn("h", md5(concat(lit(s"pq$seed:"), col("id").cast("string"))))
       .orderBy(col("h").asc, col("id").asc).limit(kCodes)
       .select("r").collect()
       .map(_.getSeq[Double](0).toArray)
@@ -100,7 +110,12 @@ object PqIndex {
     var it = 0
     while (it < iters) {
       val snapshot = codebooks.map(_.clone()) // plan-captured; never mutated
-      val els = (0 until d).map(i => avg(col("sv")(i)).as(s"mu$i"))
+      // round(6) on every codebook mean, for the same two reasons as
+      // IvfIndex.train: the trained model becomes bit-identical under any
+      // partial-aggregation merge order, and both engines round their
+      // sub-ulp-divergent avg() to the same decimal — which is what lets
+      // the ann_ivfpq oracle replay the whole training in DuckDB SQL
+      val els = (0 until d).map(i => round(avg(col("sv")(i)), 6).as(s"mu$i"))
       val means = resid
         .withColumn("codes",
           graft.functions.expr.GraftFunctions.pqEncode(col("r"), zeroCentroid, snapshot, m, kCodes))
