@@ -282,9 +282,10 @@ object CoreQueries {
       t(s, dir, "lineitem").agg(count(lit(1)).as("num_rows"))),
 
     "schema_inspect" -> ((s, dir) =>
-      // Schema tab: DESCRIBE-shaped table (rows-only: type-name strings
-      // are engine-specific).
-      graft.query.SchemaInspector.describe(t(s, dir, "lineitem"))),
+      // Schema tab: DESCRIBE-shaped table. Footer-based so the rendered
+      // type is the FILE's logical type (what DuckDB's DESCRIBE shows),
+      // not whatever a session reader flag maps a timestamp to.
+      graft.query.SchemaInspector.describeParquet(s, s"$dir/lineitem.parquet")),
 
     "meta_footer" -> ((s, dir) =>
       // Parquet footer metadata (rows-only: DuckDB sees the same footer
@@ -477,6 +478,30 @@ object CoreQueries {
 
     "meta_rowcount" ->
       "SELECT count(*) AS num_rows FROM lineitem",
+
+    // DESCRIBE over the registered view renders exactly the type strings
+    // SchemaInspector.describeParquet derives from the parquet footer.
+    "schema_inspect" ->
+      """SELECT column_name, column_type, "null"
+        |FROM (DESCRIBE SELECT * FROM lineitem)""".stripMargin,
+
+    // The footer fields the reference's metadata tab shows come straight
+    // from DuckDB's parquet_file_metadata() (duckdb-backend.ts
+    // getMetaDataImpl), so the oracle IS that function, unpivoted to the
+    // gate's key/value shape. parquet_file_metadata takes a file path, not
+    // a registered view, so the driver's verify path (always sf0.01 per
+    // the harness contract) is named literally — the same file the Spark
+    // gate reads through `dir`.
+    "meta_footer" ->
+      """WITH m AS (SELECT * FROM parquet_file_metadata('/root/testdata/sf0.01/lineitem.parquet'))
+        |SELECT key, value FROM (
+        |  SELECT 'created_by' AS key, created_by::VARCHAR AS value FROM m
+        |  UNION ALL SELECT 'encryption_algorithm', encryption_algorithm::VARCHAR FROM m
+        |  UNION ALL SELECT 'footer_signing_key_metadata', footer_signing_key_metadata::VARCHAR FROM m
+        |  UNION ALL SELECT 'format_version', format_version::VARCHAR FROM m
+        |  UNION ALL SELECT 'num_row_groups', num_row_groups::VARCHAR FROM m
+        |  UNION ALL SELECT 'num_rows', num_rows::VARCHAR FROM m
+        |) ORDER BY key""".stripMargin,
   )
 }
 

@@ -1,5 +1,7 @@
 package graft.query
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -34,6 +36,91 @@ object SchemaInspector {
     case StructType(fields) =>
       fields.map(f => s"""\"${f.name}\" ${duckTypeName(f.dataType)}""").mkString("STRUCT(", ", ", ")")
     case other => other.sql
+  }
+
+  /** DuckDB-style rendering of a parquet footer type — the mapping
+    * DuckDB's own DESCRIBE applies when it opens a parquet file, so the
+    * schema tab shows the file's schema independent of any Spark session
+    * reader flag (`inferTimestampNTZ` / `nanosAsLong` change what SPARK
+    * reads a timestamp as; the file's logical type is fixed).
+    */
+  def duckTypeName(t: org.apache.parquet.schema.Type): String = {
+    import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation => L, PrimitiveType}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    t match {
+      case p: PrimitiveType =>
+        (p.getPrimitiveTypeName, p.getLogicalTypeAnnotation) match {
+          case (_, s: L.StringLogicalTypeAnnotation) => "VARCHAR"
+          case (_, _: L.EnumLogicalTypeAnnotation) => "VARCHAR"
+          case (_, d: L.DecimalLogicalTypeAnnotation) =>
+            s"DECIMAL(${d.getPrecision},${d.getScale})"
+          case (_, _: L.DateLogicalTypeAnnotation) => "DATE"
+          case (_, ts: L.TimestampLogicalTypeAnnotation) =>
+            if (ts.isAdjustedToUTC) "TIMESTAMP WITH TIME ZONE"
+            else ts.getUnit match {
+              case L.TimeUnit.MILLIS => "TIMESTAMP_MS"
+              case L.TimeUnit.NANOS => "TIMESTAMP_NS"
+              case _ => "TIMESTAMP"
+            }
+          case (_, _: L.TimeLogicalTypeAnnotation) => "TIME"
+          case (_, i: L.IntLogicalTypeAnnotation) =>
+            val base = i.getBitWidth match {
+              case 8 => "TINYINT"
+              case 16 => "SMALLINT"
+              case 32 => "INTEGER"
+              case _ => "BIGINT"
+            }
+            if (i.isSigned) base else "U" + base
+          case (_, _: L.UUIDLogicalTypeAnnotation) => "UUID"
+          case (BOOLEAN, _) => "BOOLEAN"
+          case (INT32, _) => "INTEGER"
+          case (INT64, _) => "BIGINT"
+          case (INT96, _) => "TIMESTAMP"
+          case (FLOAT, _) => "FLOAT"
+          case (DOUBLE, _) => "DOUBLE"
+          case (BINARY, _) | (FIXED_LEN_BYTE_ARRAY, _) => "BLOB"
+          case other => other._1.name
+        }
+      case g: GroupType => g.getLogicalTypeAnnotation match {
+        case _: L.ListLogicalTypeAnnotation =>
+          // standard 3-level list: group(LIST){ repeated group list { element } };
+          // legacy 2-level: group(LIST){ repeated element }
+          val repeated = g.getFields.get(0)
+          val element = repeated match {
+            case rg: GroupType if rg.getFieldCount == 1 && rg.getName == "list" =>
+              rg.getFields.get(0)
+            case e => e
+          }
+          s"${duckTypeName(element)}[]"
+        case _: L.MapLogicalTypeAnnotation =>
+          val kv = g.getFields.get(0).asGroupType()
+          s"MAP(${duckTypeName(kv.getFields.get(0))}, ${duckTypeName(kv.getFields.get(1))})"
+        case _ =>
+          g.getFields.asScala
+            .map(f => s"""\"${f.getName}\" ${duckTypeName(f)}""")
+            .mkString("STRUCT(", ", ", ")")
+      }
+    }
+  }
+
+  /** DESCRIBE of a parquet file from its footer alone (no data scan):
+    * one row per column, types rendered exactly as DuckDB's DESCRIBE
+    * renders them for the same file (reference: duckdb-backend.ts
+    * initializeSchema). Repetition OPTIONAL → "YES", REQUIRED → "NO".
+    */
+  def describeParquet(spark: SparkSession, path: String): DataFrame = {
+    val msg = MetadataInspector.footer(spark, path)
+      .getFileMetaData.getSchema
+    val rows = msg.getFields.asScala.toSeq.map { f =>
+      Row(f.getName, duckTypeName(f),
+        if (f.getRepetition == org.apache.parquet.schema.Type.Repetition.REQUIRED) "NO" else "YES")
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("column_name", StringType, nullable = false),
+        StructField("column_type", StringType, nullable = false),
+        StructField("null", StringType, nullable = false))))
   }
 
   /** One row per column: (column_name, column_type, null) — the DESCRIBE

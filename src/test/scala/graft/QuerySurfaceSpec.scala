@@ -304,6 +304,22 @@ class SchemaInspectorSpec extends AnyFunSuite {
     assert(desc.forall(_.getString(2) == "YES"))
   }
 
+  test("describeParquet renders the file's logical types (DuckDB DESCRIBE strings)") {
+    // footer-based: independent of session reader flags (inferTimestampNTZ
+    // is off in TestSpark, yet the NTZ-micros l_shipdate must still render
+    // as DuckDB's "TIMESTAMP", not "TIMESTAMP WITH TIME ZONE")
+    val li = SchemaInspector.describeParquet(spark, s"${TestSpark.sf}/lineitem.parquet")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(li("l_orderkey") == ("BIGINT", "YES"))
+    assert(li("l_linenumber") == ("INTEGER", "YES"))
+    assert(li("l_quantity") == ("DOUBLE", "YES"))
+    assert(li("l_returnflag") == ("VARCHAR", "YES"))
+    assert(li("l_shipdate") == ("TIMESTAMP", "YES"))
+    val emb = SchemaInspector.describeParquet(spark, s"${TestSpark.sf}/embeddings.parquet")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(emb("embedding") == "FLOAT[]")
+  }
+
   test("nested leaf paths") {
     val sch = StructType(Seq(
       StructField("id", LongType),
