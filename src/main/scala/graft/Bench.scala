@@ -128,7 +128,8 @@ object Bench {
     // round trip is the point of those entries): their numbers include
     // the one-time write/index-build cost, not just the read path
     val roundTrip = Seq("q43_partitioned_source", "q44_bucketed_join",
-      "q46_schema_evolution", "ann_ivfpq_persisted")
+      "q46_schema_evolution", "ann_ivfpq_persisted", "q48_zorder",
+      "q49_compaction")
       .filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =

@@ -330,9 +330,84 @@ object ExtraQueries {
       p.lastPage(PageRequest(pageSize = Some(37),
         sort = Some(SortSpec("o_orderkey", ascending = true))))
     }),
+
+    "q48_zorder" -> ((s, dir) => {
+      // z-order (Morton) clustered write on (l_partkey, l_suppkey) —
+      // the multi-column data-skipping layout (per-file bounding boxes
+      // tight in BOTH columns; skipping effectiveness is spec-asserted
+      // in LayoutSpec). The gate round-trips the layout and aggregates
+      // per 256-wide z-block, so the oracle replays the full bucket +
+      // interleave arithmetic AND the written files' content.
+      val out = s"${Scratch.dir}/q48_zorder_li"
+      graft.operators.Layout.zOrderWrite(
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        "l_partkey", "l_suppkey", bits = 8, out, numFiles = 16)
+      s.read.parquet(out)
+        .groupBy(floor(col("z") / 256).as("z_block"))
+        .agg(count(lit(1)).as("n"),
+          sum("l_partkey").cast("long").as("sum_partkey"),
+          sum("l_suppkey").cast("long").as("sum_suppkey"),
+          min("z").as("z_min"), max("z").as("z_max"))
+        .orderBy("z_block")
+    }),
+
+    "q49_compaction" -> ((s, dir) => {
+      // small-file compaction: 64 fragment files rewritten to
+      // ceil(n/target) bounded files (file count + per-file row cap are
+      // spec-asserted in LayoutSpec). The gate hashes the compacted
+      // CONTENT per group — an md5-derived checksum both engines compute
+      // identically — so lost or duplicated rows in the rewrite break
+      // the driver hash.
+      val frag = s"${Scratch.dir}/q49_frag"
+      t(s, dir, "documents").repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      val out = s"${Scratch.dir}/q49_compacted"
+      graft.operators.Layout.compact(s.read.parquet(frag), 2000L, out)
+      s.read.parquet(out)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+            .cast("long").as("text_checksum"),
+          sum("n_chars").cast("long").as("sum_chars"))
+        .orderBy("source")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // full replay of the z-order math: equal-width bucket + Morton
+    // interleave (rendered by the same Layout helpers the Spark side
+    // mirrors), then the per-z-block aggregate over the round-tripped
+    // files' content
+    "q48_zorder" -> {
+      import graft.operators.Layout.{zBucketSql, zInterleaveSql}
+      s"""WITH b AS (
+         |  SELECT min(l_partkey) AS pmin, max(l_partkey) - min(l_partkey) + 1 AS pspan,
+         |         min(l_suppkey) AS smin, max(l_suppkey) - min(l_suppkey) + 1 AS sspan
+         |  FROM lineitem
+         |), bk AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    ${zBucketSql("l_partkey", "pmin", "pspan", 8)} AS bx,
+         |    ${zBucketSql("l_suppkey", "smin", "sspan", 8)} AS byy
+         |  FROM lineitem, b
+         |), z AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    ${zInterleaveSql("bx", "byy", 8)} AS z
+         |  FROM bk
+         |)
+         |SELECT CAST(floor(z / 256) AS BIGINT) AS z_block, count(*) AS n,
+         |  CAST(sum(l_partkey) AS BIGINT) AS sum_partkey,
+         |  CAST(sum(l_suppkey) AS BIGINT) AS sum_suppkey,
+         |  min(z) AS z_min, max(z) AS z_max
+         |FROM z GROUP BY z_block ORDER BY z_block""".stripMargin
+    },
+
+    "q49_compaction" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS text_checksum,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     "q47_page_last" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey

@@ -91,20 +91,26 @@ object Dedup {
   }
 
   /** Shuffle width for the candidate-pair stages of the similarity joins.
-    * A fixed session width (spark.sql.shuffle.partitions) under-partitions
-    * the within-bucket self-joins as the corpus grows — the round-6 sf1
-    * probe measured ngram-jaccard at 13.1× for 10× input purely from 32
-    * fixed partitions (256 → ~1.6× better, i.e. ~1 partition per 200
-    * docs at 50k docs). Explicit `numPartitions` wins; otherwise an
-    * exact ROW COUNT from the caller is authoritative (one partition per
-    * 200 rows of corpus, matching that measurement), with the
-    * optimizer's byte estimate only as the fallback when no count was
-    * taken — never overriding a real count, since derived plans can
-    * carry inflated (or Long.MaxValue) size stats. Floored at the
-    * session width, capped at 4096 so a wild estimate can't explode the
-    * stage. On a cluster the same rule
-    * gives candidate stages data-proportional width without touching
-    * session conf.
+    * The pin exists ONLY to keep per-partition candidate state out of the
+    * spill regime when the session width is tiny relative to the corpus —
+    * NOT to out-schedule AQE: the round-8 sf1 probe measured the pinned
+    * width as a 2-5× pessimization at 50k docs on local[32] (ngram 28s
+    * pinned-250 vs 5.2s session-32; minhash 13.7 vs 4.1; simhash 8.8 vs
+    * 2.0), because the candidate path now shuffles 8-byte tokens (round-7
+    * kernel change) and 32 AQE-managed partitions carry 50k docs without
+    * spilling, while an explicit repartition disables AQE coalescing and
+    * adds a full extra exchange. So the divisor targets the SPILL
+    * threshold, not task granularity: one partition per 20k corpus rows
+    * (~50 prefix tokens × 40 B × 20k ≈ 40 MB of candidate state), i.e.
+    * the pin only fires when a partition would otherwise hold well past
+    * that. Explicit `numPartitions` wins; otherwise an exact ROW COUNT
+    * from the caller is authoritative, with the optimizer's byte
+    * estimate only as the fallback when no count was taken — never
+    * overriding a real count, since derived plans can carry inflated (or
+    * Long.MaxValue) size stats. Floored at the session width (a cluster
+    * sizes spark.sql.shuffle.partitions to its cores; that remains the
+    * primary scale signal), capped at 4096 so a wild estimate can't
+    * explode the stage.
     */
   private[graft] def adaptiveWidth(df: DataFrame, explicit: Option[Int],
       rowCount: Option[Long] = None): Int =
@@ -116,12 +122,12 @@ object Dedup {
       // override it — it is only the fallback signal for callers that
       // cannot afford a count
       val data = rowCount match {
-        case Some(n) => math.min(4096L, n / 200L).toInt
+        case Some(n) => math.min(4096L, n / 20000L).toInt
         case None =>
           val bytes =
             try df.queryExecution.optimizedPlan.stats.sizeInBytes
             catch { case scala.util.control.NonFatal(_) => BigInt(0) }
-          (bytes / (1L << 20)).min(BigInt(4096)).toInt
+          (bytes / (64L << 20)).min(BigInt(4096)).toInt
       }
       math.max(session, data)
     }

@@ -54,19 +54,28 @@ object ScaleProbe {
     def force(df: DataFrame): Long =
       df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
         .agg(expr("bit_xor(h)"), count(lit(1))).collect()(0).getLong(1)
+    // min-of-2 per scale: a single sample is at the mercy of a transient
+    // contention window (the round-7/8 driver benches recorded 5-10x
+    // phantoms exactly that way); the min of two cache-cleared runs is
+    // the reproducible cost
+    def timedMin(fn: (SparkSession, String) => DataFrame, dir: String): (Double, Long) = {
+      var best = Double.MaxValue; var rows = 0L
+      var i = 0
+      while (i < 2) {
+        graft.operators.Dedup.releaseCaches()
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        rows = force(fn(spark, dir))
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        i += 1
+      }
+      (best, rows)
+    }
     Queries.foreach { name =>
       val fn = qs(name)
       force(fn(spark, src)) // warmup: codegen/JIT on the sf0.1 shape
-      graft.operators.Dedup.releaseCaches()
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val rowsSmall = force(fn(spark, src))
-      val tSmall = (System.nanoTime() - t0) / 1e9
-      graft.operators.Dedup.releaseCaches()
-      spark.catalog.clearCache()
-      val t1 = System.nanoTime()
-      val rowsBig = force(fn(spark, out))
-      val tBig = (System.nanoTime() - t1) / 1e9
+      val (tSmall, rowsSmall) = timedMin(fn, src)
+      val (tBig, rowsBig) = timedMin(fn, out)
       graft.operators.Dedup.releaseCaches()
       spark.catalog.clearCache()
       println(f"[scale] $name%-24s sf0.1=$tSmall%6.2fs ($rowsSmall%d rows)  " +

@@ -37,18 +37,22 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == oracle, s"lsh=$lsh oracle=$oracle")
   }
 
-  test("similarity-join shuffle width scales with input size, floors at session width") {
+  test("similarity-join shuffle width pins only past the spill threshold") {
     // explicit wins
     assert(Dedup.adaptiveWidth(docs, Some(7)) == 7)
     // small input: the session width (4 in tests) is the floor
     assert(Dedup.adaptiveWidth(docs, None) ==
       spark.sessionState.conf.numShufflePartitions)
-    // huge input (plan stats ~8 GB for a long range): data-proportional,
-    // capped at 4096 so wild stats can't explode the stage
-    assert(Dedup.adaptiveWidth(spark.range(1000000000L).toDF("id"), None) == 4096)
-    // row count dominates the (tiny) compressed-bytes estimate: one
-    // partition per 200 corpus rows, same cap
-    assert(Dedup.adaptiveWidth(docs, None, Some(50000L)) == 250)
+    // huge input (plan stats = 8 B x 1e9 rows for a long range):
+    // 64 MB/partition from the bytes fallback -> floor(8e9 / 64 MiB)
+    assert(Dedup.adaptiveWidth(spark.range(1000000000L).toDF("id"), None) == 119)
+    // 50k rows stay at session width — pinning there was measured a
+    // 2-5x pessimization at sf1 (AQE-managed session partitions carry
+    // 20k 8-byte-token rows each without spilling)
+    assert(Dedup.adaptiveWidth(docs, None, Some(50000L)) ==
+      spark.sessionState.conf.numShufflePartitions)
+    // one partition per 20k rows once the corpus is big enough to spill
+    assert(Dedup.adaptiveWidth(docs, None, Some(5000000L)) == 250)
     assert(Dedup.adaptiveWidth(docs, None, Some(100000000L)) == 4096)
   }
 
