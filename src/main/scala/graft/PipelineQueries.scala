@@ -442,14 +442,18 @@ object PipelineQueries {
         .withColumn("media_id",
           regexp_extract(col("uri"), "media_(\\d+)\\.", 1).cast("long"))
       // width/height are REAL decoded dimensions for the PNG rows
-      // (javax.imageio) AND real tkhd track dimensions for the MP4 rows;
+      // (javax.imageio) AND real tkhd track dimensions for the MP4 rows
+      // AND real decoded-frame dimensions for the AVI/MJPEG rows;
       // sample_rate/channels/audio_ms are REAL parsed WAV properties
       // (javax.sound.sampled); video_ms is the REAL mvhd movie duration
-      // (parseMp4Metadata — plain ISO-BMFF byte walking, no codec)
+      // (MP4) or avih-rate x frame-count (AVI); n_frames counts the
+      // REALLY DECODED JPEG frames of the AVI rows (ImageIO per 00dc
+      // chunk — zero for MP4, the JDK having no H.264 codec)
       Multimodal.extractFeatures(s, manifest).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("byte_mean"), col("byte_entropy"), col("width"), col("height"),
-          col("sample_rate"), col("channels"), col("audio_ms"), col("video_ms"))
+          col("sample_rate"), col("channels"), col("audio_ms"), col("video_ms"),
+          col("n_frames"))
         .orderBy("media_id")
     }),
   )

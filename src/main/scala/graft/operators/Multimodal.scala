@@ -11,20 +11,76 @@ import org.apache.spark.sql.functions._
   * a true raster resize. AUDIO decode is REAL for WAV: the JDK ships
   * `javax.sound.sampled` (RIFF/WAVE PCM parsing, no external codecs), so
   * audio rows get true sample rate / channel count / frame-accurate
-  * duration. VIDEO container METADATA is REAL: MP4 (ISO base media file
-  * format) `moov/mvhd` timescale+duration and `trak/tkhd` track
-  * dimensions are plain big-endian byte parsing — the same class of work
-  * as the parquet thrift footer read — so video rows carry true
-  * duration_ms / width / height. Only video FRAME decode stays stubbed
-  * (the JDK has no video codec): deterministic pseudo-features from the
-  * bytes. Everything around that stub — the schema, the binary column
-  * handling, the per-partition batch shape, the partition-preserving
-  * feature extraction — is the real Spark plumbing a codec would plug
-  * into (swap the stub for a JNI/FFI call; the plan does not change).
+  * duration. VIDEO FRAME decode is REAL for AVI/MJPEG: the RIFF walk
+  * (parseAviMjpeg) extracts each `00dc` chunk's JPEG payload and ImageIO
+  * decodes it — Motion-JPEG needs no codec beyond the JPEG decoder every
+  * JDK ships — so those rows carry true per-frame dimensions, frame
+  * counts and decoded-pixel luminance features. MP4 rows get REAL
+  * container METADATA (`moov/mvhd` timescale+duration, `trak/tkhd` track
+  * dimensions — plain big-endian byte parsing, the same class of work as
+  * the parquet thrift footer read) with byte-stat stand-in features:
+  * the JDK has no H.264 codec, a declared limitation — the MJPEG path
+  * is the template a JNI/FFI codec call plugs into (same schema, same
+  * per-partition batch shape; the plan does not change).
   */
 object Multimodal {
 
   final case class Mp4Meta(durationMs: Long, width: Int, height: Int)
+
+  /** A fully-decoded MJPEG video: real container header fields plus the
+    * per-frame JPEG payloads, ready for ImageIO frame decode.
+    */
+  final case class AviVideo(durationMs: Long, width: Int, height: Int,
+      frames: Array[Array[Byte]])
+
+  /** Parse an AVI (RIFF) container and extract its MJPEG frame payloads:
+    * `hdrl/avih` gives microseconds-per-frame, total frames and
+    * dimensions; the `movi` LIST's `00dc`/`00db` chunks are the encoded
+    * JPEG frames, which the JDK's ImageIO decodes for REAL — unlike
+    * MP4/H.264, Motion-JPEG needs no codec beyond the JPEG decoder every
+    * JDK ships. Little-endian RIFF walking, `rec ` sub-lists flattened.
+    * None when the bytes are not a RIFF/AVI.
+    */
+  def parseAviMjpeg(bytes: Array[Byte]): Option[AviVideo] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(off: Int) = new String(bytes, off, 4, "ISO-8859-1")
+      if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+        return None
+      var usPerFrame = 0L; var totalFrames = 0L; var w = 0; var h = 0
+      val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      // walk chunks in [start, end); LISTs recurse (hdrl, movi, rec )
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        var ok = true
+        while (ok && off + 8 <= end) {
+          val cc = fourcc(off)
+          val size = bb.getInt(off + 4).toLong & 0xffffffffL
+          val dataStart = off + 8
+          if (dataStart + size > end) ok = false // truncated chunk: stop
+          else {
+            if (cc == "LIST" && size >= 4) {
+              walk(dataStart + 4, dataStart + size.toInt)
+            } else if (cc == "avih" && size >= 40) {
+              usPerFrame = bb.getInt(dataStart).toLong & 0xffffffffL
+              totalFrames = bb.getInt(dataStart + 16).toLong & 0xffffffffL
+              w = bb.getInt(dataStart + 32)
+              h = bb.getInt(dataStart + 36)
+            } else if ((cc.endsWith("dc") || cc.endsWith("db")) && size > 0) {
+              frames += java.util.Arrays.copyOfRange(
+                bytes, dataStart, dataStart + size.toInt)
+            }
+            off = dataStart + size.toInt + (size.toInt & 1) // chunks pad to even
+          }
+        }
+      }
+      walk(12, bytes.length)
+      if (usPerFrame == 0L && frames.isEmpty) None
+      else Some(AviVideo(
+        math.rint(usPerFrame * totalFrames / 1000.0).toLong,
+        w, h, frames.toArray))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Parse MP4 container metadata by walking ISO-BMFF box headers:
     * `moov/mvhd` (version 0 or 1) gives timescale+duration,
@@ -128,7 +184,25 @@ object Multimodal {
       byte_mean: Double, byte_entropy: Double,
       width: Int, height: Int,
       sample_rate: Int, channels: Int, audio_ms: Long, video_ms: Long,
-      feature: Array[Float])
+      n_frames: Int, feature: Array[Float])
+
+  /** Mean luminance (0..255, ITU-R 601 weights) of a decoded frame. */
+  private def meanLuma(img: java.awt.image.BufferedImage): Double = {
+    val w = img.getWidth; val h = img.getHeight
+    var sum = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    sum / math.max(1, w * h)
+  }
 
   /** Build a media manifest from the documents table: each doc's text
     * bytes stand in for an encoded media payload (deterministic fake).
@@ -159,7 +233,7 @@ object Multimodal {
     val kinds = Map(
       "jpg" -> "image", "jpeg" -> "image", "png" -> "image", "gif" -> "image",
       "wav" -> "audio", "mp3" -> "audio", "flac" -> "audio",
-      "mp4" -> "video", "mkv" -> "video", "webm" -> "video")
+      "mp4" -> "video", "mkv" -> "video", "webm" -> "video", "avi" -> "video")
     val kindExpr = kinds.foldLeft(lit("binary")) { case (acc, (ext, kind)) =>
       when(lower(col("path")).endsWith("." + ext), kind).otherwise(acc)
     }
@@ -232,7 +306,10 @@ object Multimodal {
     */
   private def mp4Bytes(id: Long, payload: Array[Byte]): Array[Byte] = {
     val a = math.abs(id)
-    val ver = (a % 2).toInt
+    // version alternates across the ids the fixture actually routes to
+    // MP4 (id ≡ 2 mod 6 since the AVI split), so both mvhd/tkhd box
+    // versions keep fixture coverage
+    val ver = ((a / 6) % 2).toInt
     val timescale = (600 + (a % 3) * 200).toInt // 600 / 800 / 1000
     val durationUnits = a % 120000 + timescale // >= 1 second
     val w = (a % 1280 + 16).toInt
@@ -283,6 +360,84 @@ object Multimodal {
     ftyp ++ moov ++ box("mdat", payload)
   }
 
+  /** One REAL JPEG-encoded frame of the synthetic video: a gradient
+    * background with a white square that GROWS with the frame index, so
+    * decoded-frame mean luminance strictly increases over the clip — a
+    * brightness ramp any real frame-feature extractor must reproduce
+    * (spec-asserted). Pixels are pure functions of (id, frame).
+    */
+  private def jpegFrame(id: Long, frame: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val a = math.abs(id)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (((x * 255 / w) << 16) | ((y * 255 / h) << 8)
+          | ((a % 256).toInt)).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val sq = math.min(math.min(w, h) - 1, 2 + frame * math.max(1, math.min(w, h) / 8))
+    var yy = 0
+    while (yy < sq) {
+      var xx = 0
+      while (xx < sq) { img.setRGB(xx, yy, 0xffffff); xx += 1 }
+      yy += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic REAL AVI/MJPEG container for the fixture: a RIFF tree
+    * (`hdrl[avih + strl[strh,strf]]`, `movi[00dc…]`) whose `00dc` chunks
+    * are genuine ImageIO-encoded JPEG frames — so the video FRAME decode
+    * path downstream runs a real codec end-to-end (Motion-JPEG is the
+    * video format a JDK can both write and decode; H.264/MP4 stays
+    * container-metadata-only). Frame count, rate and dimensions are pure
+    * functions of the id.
+    */
+  private def aviBytes(id: Long): Array[Byte] = {
+    val a = math.abs(id)
+    val w = (a % 48 + 16).toInt
+    val h = (a % 32 + 16).toInt
+    val nFrames = (a % 6 + 3).toInt
+    val usPerFrame = (33333 + (a % 3) * 6667).toInt // ~30/25/20 fps
+    val frames = Array.tabulate(nFrames)(f => jpegFrame(id, f, w, h))
+    def le(i: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(i); b.array()
+    }
+    def chunk(cc: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if ((data.length & 1) == 1) Array[Byte](0) else Array.empty[Byte]
+      cc.getBytes("ISO-8859-1") ++ le(data.length) ++ data ++ pad
+    }
+    def list(subtype: String, children: Array[Byte]*): Array[Byte] = {
+      val body = subtype.getBytes("ISO-8859-1") ++ children.flatten
+      "LIST".getBytes("ISO-8859-1") ++ le(body.length) ++ body
+    }
+    val avih = chunk("avih",
+      le(usPerFrame) ++ le(0) ++ le(0) ++ le(0) ++ // usPerFrame/maxBytes/pad/flags
+      le(nFrames) ++ le(0) ++ le(1) ++ le(0) ++    // totalFrames/initial/streams/bufSize
+      le(w) ++ le(h) ++ le(0) ++ le(0) ++ le(0) ++ le(0))
+    val strh = chunk("strh",
+      "vids".getBytes("ISO-8859-1") ++ "MJPG".getBytes("ISO-8859-1") ++
+      le(0) ++ le(0) ++ le(0) ++ le(usPerFrame) ++ le(1000000) ++ // flags/prio/frames/scale/rate
+      le(0) ++ le(nFrames) ++ le(0) ++ le(-1) ++ le(0) ++ le(0) ++ le(0))
+    val strf = chunk("strf",
+      le(40) ++ le(w) ++ le(h) ++ le(1 | (24 << 16)) ++ // biSize/biWidth/biHeight/planes+bpp
+      "MJPG".getBytes("ISO-8859-1") ++ le(w * h * 3) ++
+      le(0) ++ le(0) ++ le(0) ++ le(0))
+    val hdrl = list("hdrl", avih, list("strl", strh, strf))
+    val movi = list("movi", frames.map(chunk("00dc", _)): _*)
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ le(body.length) ++ body
+  }
+
   /** Write a deterministic media-file fixture from a documents frame: one
     * file per row named `media_<id>.<ext>` (extension cycles image/audio/
     * video). Image rows are REAL PNGs, audio rows REAL WAVs, video rows
@@ -300,17 +455,23 @@ object Multimodal {
     val d = new java.io.File(dir)
     if (d.exists()) d.listFiles().foreach(f => { f.delete(); () })
     d.mkdirs()
-    val exts = Array("png", "wav", "mp4")
     docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         rows.foreach { r =>
           val id = r.getLong(0)
-          val ext = exts(((id % 3 + 3) % 3).toInt)
-          val payload =
-            if (ext == "png") pngBytes(id)
-            else if (ext == "wav") wavBytes(id)
-            else mp4Bytes(id,
+          val m = ((id % 3) + 3) % 3
+          // video rows alternate container: MP4 (metadata-only parse) and
+          // AVI/MJPEG (full frame decode) both stay exercised
+          val ext =
+            if (m == 0) "png" else if (m == 1) "wav"
+            else if ((id / 3) % 2 == 0) "mp4" else "avi"
+          val payload = ext match {
+            case "png" => pngBytes(id)
+            case "wav" => wavBytes(id)
+            case "avi" => aviBytes(id)
+            case _ => mp4Bytes(id,
               r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
           java.nio.file.Files.write(
             new java.io.File(d, s"media_$id.$ext").toPath, payload)
           ()
@@ -322,13 +483,16 @@ object Multimodal {
   /** Feature extraction over media payloads. IMAGE rows are REALLY
     * decoded (javax.imageio) and carry true width/height; AUDIO rows are
     * REALLY parsed (javax.sound.sampled) and carry true sample rate /
-    * channels / frame-accurate duration; VIDEO rows are REALLY parsed at
-    * the container level (parseMp4Metadata) and carry true track
-    * width/height and movie duration_ms. Byte-level stats (mean, entropy,
-    * an 8-dim rolling-stat "embedding") are the deterministic stand-in
-    * for codec FRAME features on video (no JDK video codec). Runs
-    * per-partition over iterator batches — the exact shape a real codec
-    * (which needs per-partition library init) requires.
+    * channels / frame-accurate duration. VIDEO rows: AVI/MJPEG payloads
+    * get REAL FRAME DECODE — the RIFF walk (parseAviMjpeg) hands each
+    * `00dc` JPEG to ImageIO, and width/height/n_frames/duration plus the
+    * 8-dim feature (mean luminance of 8 evenly-sampled decoded frames)
+    * all come from decoded pixels; MP4 payloads get REAL container
+    * metadata (parseMp4Metadata: tkhd dims, mvhd duration) with
+    * byte-stat stand-in features, the JDK having no H.264 codec
+    * (declared limitation — the MJPEG path shows where a codec plugs
+    * in). Runs per-partition over iterator batches — the exact shape a
+    * real codec (which needs per-partition library init) requires.
     */
   def extractFeatures(spark: SparkSession, manifest: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -336,12 +500,19 @@ object Multimodal {
       .mapPartitions { it =>
         // Real codecs initialize native contexts here, once per partition.
         it.map { case (id, kind, bytes) =>
-          val mp4 = if (kind == "video") parseMp4Metadata(bytes) else None
+          val avi = if (kind == "video") parseAviMjpeg(bytes) else None
+          val aviFrames: Array[java.awt.image.BufferedImage] =
+            avi.map(_.frames.flatMap(decodeImage)).getOrElse(Array.empty)
+          val mp4 =
+            if (kind == "video" && avi.isEmpty) parseMp4Metadata(bytes) else None
           val (dw, dh) =
             if (kind == "image")
               decodeImage(bytes).map(i => (i.getWidth, i.getHeight)).getOrElse((0, 0))
-            else mp4.map(m => (m.width, m.height)).getOrElse((0, 0))
-          val vms = mp4.map(_.durationMs).getOrElse(0L)
+            else if (aviFrames.nonEmpty)
+              (aviFrames(0).getWidth, aviFrames(0).getHeight)
+            else avi.map(v => (v.width, v.height))
+              .orElse(mp4.map(m => (m.width, m.height))).getOrElse((0, 0))
+          val vms = avi.map(_.durationMs).orElse(mp4.map(_.durationMs)).getOrElse(0L)
           val (sr, ch, ams) =
             if (kind == "audio")
               decodeAudio(bytes).map { case (rate, chans, frames) =>
@@ -363,15 +534,23 @@ object Multimodal {
               j += 1
             }
           }
-          val feat = Array.tabulate(8) { d =>
-            val stride = 1 << d
-            var acc = 0.0; var k = 0
-            while (k < n) { acc += ((bytes(k) & 0xff) * ((k / stride) % 2 * 2 - 1)); k += stride }
-            (acc / math.max(1, n)).toFloat
-          }
+          val feat =
+            if (aviFrames.nonEmpty) {
+              // REAL frame features: mean luminance of 8 evenly-sampled
+              // DECODED frames (normalized 0..1) — pixels, not bytes
+              val lumas = aviFrames.map(meanLuma)
+              Array.tabulate(8) { d =>
+                (lumas(d * (lumas.length - 1) / 7) / 255.0).toFloat
+              }
+            } else Array.tabulate(8) { d =>
+              val stride = 1 << d
+              var acc = 0.0; var k = 0
+              while (k < n) { acc += ((bytes(k) & 0xff) * ((k / stride) % 2 * 2 - 1)); k += stride }
+              (acc / math.max(1, n)).toFloat
+            }
           MediaFeatures(id, kind, n.toLong,
             math.rint(mean * 10000) / 10000, math.rint(entropy * 10000) / 10000,
-            dw, dh, sr, ch, ams, vms, feat)
+            dw, dh, sr, ch, ams, vms, aviFrames.length, feat)
         }
       }
   }

@@ -55,7 +55,7 @@ class MultimodalSpec extends AnyFunSuite {
     val files = new java.io.File(dir).listFiles().map(_.getName).sorted
     assert(files.length == sample.count())
     assert(!files.contains("media_999999.png"))
-    assert(files.forall(_.matches("media_\\d+\\.(png|wav|mp4)")))
+    assert(files.forall(_.matches("media_\\d+\\.(png|wav|mp4|avi)")))
     // the gate pipeline over the fixture: binaryFile ingest + name-derived
     // ids + stub features, fully deterministic across runs
     def run() = {
@@ -130,15 +130,20 @@ class MultimodalSpec extends AnyFunSuite {
     }
     feats.filter(_.kind == "audio").foreach(f =>
       assert(f.width == 0 && f.height == 0, s"audio rows carry no dims: $f"))
-    // video rows parse the genuine MP4 box tree: tkhd 16.16 track dims
-    // and mvhd timescale/duration (generator: w=id%1280+16, h=id%720+16,
-    // timescale=600+(id%3)*200, duration=id%120000+timescale; odd ids
-    // write version-1 boxes — both parser paths covered in every batch)
+    // video rows split by container. MP4 rows (id ≡ 2 mod 6) parse the
+    // genuine box tree: tkhd 16.16 track dims and mvhd timescale/duration
+    // (generator: w=id%1280+16, h=id%720+16, timescale=600+(id%3)*200,
+    // duration=id%120000+timescale; version alternates by (id/6)%2 —
+    // both parser paths covered). AVI rows (id ≡ 5 mod 6) get REAL FRAME
+    // DECODE below.
     val videos = feats.filter(_.kind == "video")
     assert(videos.nonEmpty)
-    assert(videos.exists(_.media_id % 2 == 0) && videos.exists(_.media_id % 2 == 1),
+    val (mp4s, avis) = videos.partition(_.media_id % 6 == 2)
+    assert(mp4s.nonEmpty && avis.nonEmpty, "fixture must carry both containers")
+    assert(mp4s.exists(f => (f.media_id / 6) % 2 == 0) &&
+      mp4s.exists(f => (f.media_id / 6) % 2 == 1),
       "fixture must exercise both mvhd/tkhd versions")
-    videos.foreach { f =>
+    mp4s.foreach { f =>
       val ts = 600 + (f.media_id % 3) * 200
       val dur = f.media_id % 120000 + ts
       assert(f.width == (f.media_id % 1280 + 16).toInt &&
@@ -146,6 +151,30 @@ class MultimodalSpec extends AnyFunSuite {
         s"parsed tkhd dims must match the generated MP4: $f")
       assert(f.video_ms == math.rint(dur * 1000.0 / ts).toLong,
         s"parsed mvhd duration must match the generated MP4: $f")
+      assert(f.n_frames == 0, s"no JDK H.264 codec: MP4 rows decode no frames: $f")
+    }
+    // AVI/MJPEG rows: every 00dc JPEG frame REALLY decoded by ImageIO —
+    // frame count, decoded dims and duration match the generator
+    // (w=id%48+16, h=id%32+16, frames=id%6+3, 46667 us/frame for
+    // id ≡ 5 mod 6), and the decoded-pixel luminance features reproduce
+    // the generator's growing-square brightness ramp
+    avis.foreach { f =>
+      assert(f.n_frames == (f.media_id % 6 + 3).toInt,
+        s"every generated JPEG frame must decode: $f")
+      assert(f.width == (f.media_id % 48 + 16).toInt &&
+        f.height == (f.media_id % 32 + 16).toInt,
+        s"dims must come from DECODED frames: $f")
+      assert(f.video_ms ==
+        math.rint(46667L * f.n_frames / 1000.0).toLong,
+        s"duration must be avih rate x frames: $f")
+      assert(f.feature.length == 8 && f.feature.forall(v => v > 0f && v < 1f),
+        s"luma features are normalized decoded-pixel means: $f")
+      // the growing white square makes mean luminance strictly ramp up:
+      // JPEG is lossy, so assert the ramp's ends, not every step
+      assert(f.feature(7) > f.feature(0) + 0.01f,
+        s"decoded luminance must reproduce the brightness ramp: $f")
+      assert((0 until 7).forall(i => f.feature(i + 1) >= f.feature(i) - 0.02f),
+        s"luminance ramp is monotone up to JPEG noise: $f")
     }
     feats.filterNot(_.kind == "video").foreach(f =>
       assert(f.video_ms == 0, s"non-video rows carry no movie duration: $f"))
