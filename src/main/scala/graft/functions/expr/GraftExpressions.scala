@@ -39,6 +39,36 @@ private object ExprUtil {
           s"$name requires two arrays with the same float/double element " +
             s"type, got ${l.catalogString} and ${r.catalogString}")
     }
+
+  /** The kernels read raw `ArrayData`/`UTF8String` slots, so a
+    * wrong-typed child does not throw — it silently reinterprets memory
+    * (a long array fed to a string kernel returns garbage counts, found
+    * by PropertySpec). Every expression therefore rejects wrong input
+    * types at ANALYSIS time; these helpers keep the messages uniform.
+    */
+  def checkArrayOf(name: String, e: Expression, elem: DataType,
+      pos: String): TypeCheckResult = e.dataType match {
+    case ArrayType(t, _) if t == elem => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name requires $pos of type array<${elem.catalogString}>, " +
+        s"got ${other.catalogString}")
+  }
+
+  def checkString(name: String, e: Expression): TypeCheckResult = e.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name requires a string input, got ${other.catalogString}")
+  }
+
+  def checkVector(name: String, e: Expression): TypeCheckResult = e.dataType match {
+    case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name requires an array<float|double> vector, got ${other.catalogString}")
+  }
+
+  def firstFailure(checks: TypeCheckResult*): TypeCheckResult =
+    checks.find(!_.isSuccess).getOrElse(TypeCheckResult.TypeCheckSuccess)
 }
 
 /** cosine(array<float|double>, array<float|double>) -> double */
@@ -89,6 +119,8 @@ case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
     extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hyperplane_sig"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.checkVector(prettyName, child)
   private lazy val isFloat = ExprUtil.isFloatArray(child)
 
   override def nullSafeEval(v: Any): Any =
@@ -109,6 +141,8 @@ case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
 case class SimHash64(child: Expression, portable: Boolean = false) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash64"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.checkArrayOf(prettyName, child, StringType, "its token input")
 
   override def nullSafeEval(toks: Any): Any =
     VectorOps.simhash64(toks.asInstanceOf[ArrayData], portable)
@@ -124,6 +158,8 @@ case class SimHash64(child: Expression, portable: Boolean = false) extends Unary
 case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_signature"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.checkArrayOf(prettyName, child, StringType, "its shingle input")
 
   override def nullSafeEval(sh: Any): Any =
     VectorOps.minhashSignature(sh.asInstanceOf[ArrayData], k)
@@ -142,6 +178,8 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
 case class WindowHashes(child: Expression, w: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_window_hashes"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.checkArrayOf(prettyName, child, StringType, "its token input")
 
   override def nullSafeEval(toks: Any): Any =
     VectorOps.windowHashes(toks.asInstanceOf[ArrayData], w)
@@ -159,6 +197,8 @@ case class WindowHashes(child: Expression, w: Int) extends UnaryExpression {
 case class WordTokens(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_word_tokens"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.checkString(prettyName, child)
 
   override def nullSafeEval(text: Any): Any =
     VectorOps.wordTokens(text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
@@ -176,6 +216,8 @@ case class WordTokens(child: Expression) extends UnaryExpression {
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_word_shingles"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.checkString(prettyName, child)
 
   override def nullSafeEval(text: Any): Any =
     VectorOps.wordShingles(text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
@@ -194,6 +236,10 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_sorted_intersect_size"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.firstFailure(
+      ExprUtil.checkArrayOf(prettyName, left, StringType, "its left input"),
+      ExprUtil.checkArrayOf(prettyName, right, StringType, "its right input"))
 
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorOps.sortedIntersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -216,6 +262,8 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 case class HashedBow(child: Expression, dim: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_hashed_bow"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.checkArrayOf(prettyName, child, StringType, "its token input")
 
   override def nullSafeEval(toks: Any): Any =
     VectorOps.hashedBow(toks.asInstanceOf[ArrayData], dim)
@@ -231,6 +279,8 @@ case class HashedBow(child: Expression, dim: Int) extends UnaryExpression {
 case class TopTokenCount(child: Expression) extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_top_token_count"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.checkArrayOf(prettyName, child, StringType, "its token input")
 
   override def nullSafeEval(toks: Any): Any =
     VectorOps.topTokenCount(toks.asInstanceOf[ArrayData])
@@ -250,6 +300,10 @@ case class PqEncode(left: Expression, right: Expression,
     extends BinaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_pq_encode"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.firstFailure(
+      ExprUtil.checkVector(prettyName, left),
+      ExprUtil.checkArrayOf(prettyName, right, DoubleType, "its centroid input"))
   private lazy val isFloat = ExprUtil.isFloatArray(left)
 
   override def nullSafeEval(v: Any, c: Any): Any =
@@ -271,6 +325,8 @@ case class PqLut(child: Expression, codebooks: Array[Array[Double]], m: Int, k: 
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_pq_lut"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.checkVector(prettyName, child)
   private lazy val isFloat = ExprUtil.isFloatArray(child)
 
   override def nullSafeEval(q: Any): Any =
@@ -290,6 +346,10 @@ case class PqAdc(left: Expression, right: Expression, k: Int)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_pq_adc"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.firstFailure(
+      ExprUtil.checkArrayOf(prettyName, left, IntegerType, "its codes input"),
+      ExprUtil.checkArrayOf(prettyName, right, DoubleType, "its LUT input"))
 
   override def nullSafeEval(codes: Any, lut: Any): Any =
     VectorOps.pqAdc(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData], k)
