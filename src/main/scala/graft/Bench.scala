@@ -129,7 +129,7 @@ object Bench {
     // the one-time write/index-build cost, not just the read path
     val roundTrip = Seq("q43_partitioned_source", "q44_bucketed_join",
       "q46_schema_evolution", "ann_ivfpq_persisted", "q48_zorder",
-      "q49_compaction")
+      "q49_compaction", "q50_sketch_rollup")
       .filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =

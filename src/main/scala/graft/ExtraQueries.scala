@@ -352,6 +352,41 @@ object ExtraQueries {
         .orderBy("z_block")
     }),
 
+    "q50_sketch_rollup" -> ((s, dir) => {
+      // incremental distinct-count maintenance — the 100 TB pattern where
+      // a pipeline keeps a tiny per-partition SKETCH table and answers
+      // "distinct users over any day range" by merging persisted sketches
+      // (mergeable-summaries property of HLL) instead of rescanning raw
+      // events. The gate persists per-day DataSketches HLL sketches to
+      // parquet, reads them back, and checks both the per-day estimates
+      // and the merged-over-all-days estimate against exact distincts —
+      // tolerance booleans per the q18_approx scheme (each engine checks
+      // its OWN sketch; exact counts ride along cross-engine-hashable).
+      val ev = t(s, dir, "events")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      val skDir = s"${Scratch.dir}/q50_sketches"
+      ev.groupBy("day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          count(lit(1)).as("n_events"))
+        .write.mode("overwrite").parquet(skDir)
+      val sk = s.read.parquet(skDir)
+      val exactDay = ev.groupBy("day")
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+      val perDay = sk.join(exactDay, "day")
+        .select(col("day"), col("n_events"), col("exact_users"),
+          (abs(hll_sketch_estimate(col("sk")) - col("exact_users"))
+            / col("exact_users") <= 0.05).as("day_ok"))
+      val exactAll = ev.agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("exact_users"))
+      val allRow = sk
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .crossJoin(broadcast(exactAll))
+        .select(lit("ALL").as("day"), col("n_events"), col("exact_users"),
+          (abs(col("est") - col("exact_users"))
+            / col("exact_users") <= 0.05).as("day_ok"))
+      perDay.unionByName(allRow).orderBy("day")
+    }),
+
     "q49_compaction" -> ((s, dir) => {
       // small-file compaction: 64 fragment files rewritten to
       // ceil(n/target) bounded files (file count + per-file row cap are
@@ -401,6 +436,26 @@ object ExtraQueries {
          |  min(z) AS z_min, max(z) AS z_max
          |FROM z GROUP BY z_block ORDER BY z_block""".stripMargin
     },
+
+    // exact counts are cross-engine; the _ok booleans follow the
+    // q18_approx scheme (each engine validates its own sketch — Spark's
+    // persisted+merged DataSketches HLL vs DuckDB's approx_count_distinct,
+    // both comfortably inside the 5% band)
+    "q50_sketch_rollup" ->
+      """WITH ev AS (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),
+        |d AS (
+        |  SELECT day, count(*) AS n_events,
+        |    count(DISTINCT user_id) AS exact_users,
+        |    abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+        |      / count(DISTINCT user_id) <= 0.05 AS day_ok
+        |  FROM ev GROUP BY day),
+        |a AS (
+        |  SELECT 'ALL' AS day, count(*) AS n_events,
+        |    count(DISTINCT user_id) AS exact_users,
+        |    abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+        |      / count(DISTINCT user_id) <= 0.05 AS day_ok
+        |  FROM ev)
+        |SELECT * FROM d UNION ALL SELECT * FROM a ORDER BY day""".stripMargin,
 
     "q49_compaction" ->
       """SELECT source, count(*) AS n_docs,

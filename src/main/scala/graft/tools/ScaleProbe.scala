@@ -30,7 +30,10 @@ object ScaleProbe {
     "dedup_cluster", "dedup_cluster_survivors",
     // bounded-face control: the gate fixes its corpus with doc_id < 2000,
     // so its sf1 time should be ~flat — that boundedness is the design
-    "pipeline_embed_dedup")
+    "pipeline_embed_dedup",
+    // layout maintenance at 10x input (documents-based; q48 uses lineitem,
+    // which the replica corpus does not carry)
+    "q49_compaction")
 
   def main(args: Array[String]): Unit = {
     // [srcDir [outDir]] — defaults match this container's layout

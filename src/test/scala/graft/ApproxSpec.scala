@@ -56,4 +56,28 @@ class ApproxSpec extends AnyFunSuite {
     assert(li.filter(col("l_extendedprice") === median).count() > 0)
     assert(li.filter(col("l_extendedprice") === p95).count() > 0)
   }
+
+  test("persisted HLL sketches merge losslessly (q50 mergeable-summary property)") {
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+    // union of per-day sketches must estimate like one sketch over the
+    // raw union — the property that lets a range query merge PERSISTED
+    // per-partition sketches instead of rescanning raw data
+    val perDay = ev.groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = perDay
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est")).first().getLong(0)
+    val oneShot = ev
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est")).first().getLong(0)
+    val exact = ev.agg(count_distinct(col("user_id"))).first().getLong(0)
+    assert(math.abs(merged - oneShot).toDouble / math.max(1L, oneShot) <= 0.01,
+      s"merged=$merged vs one-shot=$oneShot")
+    assert(math.abs(merged - exact).toDouble / exact <= 0.05,
+      s"merged=$merged vs exact=$exact")
+    // and the gate's booleans land true end-to-end through the parquet
+    // round-trip of the sketch table
+    val gate = ExtraQueries.queries("q50_sketch_rollup")(spark, TestSpark.sf)
+      .collect()
+    assert(gate.nonEmpty && gate.forall(_.getAs[Boolean]("day_ok")))
+    assert(gate.count(_.getAs[String]("day") == "ALL") == 1)
+  }
 }
