@@ -407,6 +407,35 @@ object ExtraQueries {
           sum("n_chars").cast("long").as("sum_chars"))
         .orderBy("source")
     }),
+
+    "q51_skipping_index" -> ((s, dir) => {
+      // file-level min/max data skipping, end-to-end: range-cluster
+      // lineitem on l_partkey into 16 files, build the per-file footer
+      // stats table (footer-only reads — no data scan), then answer a
+      // narrow partkey band by reading ONLY the files the stats cannot
+      // rule out, residual filter re-applied. The gate hashes the pruned
+      // read's aggregate against a plain full-scan filter: pruning must
+      // be invisible to results whatever the (sampling-based) range
+      // boundaries did. The actual skipping (files_kept << 16 on this
+      // layout) is spec-asserted in SkippingIndexSpec, not gated — file
+      // boundaries are not engine-replayable.
+      val data = s"${Scratch.dir}/q51_ranged_li"
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+          "l_extendedprice", "l_returnflag")
+        .repartitionByRange(16, col("l_partkey"))
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite").parquet(data)
+      val stats = s"${Scratch.dir}/q51_stats"
+      graft.operators.SkippingIndex.buildStats(s, data, Seq("l_partkey"), stats)
+      val (pruned, _) = graft.operators.SkippingIndex.prunedRead(
+        s, stats, "l_partkey", 100L, 300L)
+      pruned.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("l_partkey").cast("long").as("sum_partkey"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -456,6 +485,15 @@ object ExtraQueries {
         |      / count(DISTINCT user_id) <= 0.05 AS day_ok
         |  FROM ev)
         |SELECT * FROM d UNION ALL SELECT * FROM a ORDER BY day""".stripMargin,
+
+    // the pruned read must equal the plain filter — the skipping itself
+    // is an I/O property (spec-asserted), never a semantic one
+    "q51_skipping_index" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_partkey) AS BIGINT) AS sum_partkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_partkey BETWEEN 100 AND 300
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q49_compaction" ->
       """SELECT source, count(*) AS n_docs,

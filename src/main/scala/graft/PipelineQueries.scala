@@ -263,6 +263,19 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "pipeline_bpe" -> ((s, dir) =>
+      // BPE tokenizer training (Sennrich ACL'16): 8 merge rules learned
+      // from the corpus vocabulary. The corpus is scanned once (tokenize →
+      // word count); every merge round runs on the cached vocab alone —
+      // argmax pair by (count DESC, lhs, rhs) then a greedy
+      // non-overlapping replace, both engine-portable, so the oracle
+      // replays the entire training round by round in DuckDB SQL.
+      // corpus_symbols (weighted symbol total AFTER each merge)
+      // independently validates the greedy apply: under overlapping
+      // pairs fewer merges fire than pairs counted.
+      graft.operators.Bpe.train(t(s, dir, "documents"), "text", merges = 8)
+        .orderBy("round")),
+
     "text_hash_embed" -> ((s, dir) =>
       // hashing-trick featurization: md5-bucketed token counts,
       // l2-normalized — the model-free bridge from text to the
@@ -681,6 +694,47 @@ object PipelineQueries {
     sb.toString
   }
 
+  // Full replay of Bpe.train (8 merges), unrolled round by round like the
+  // Lloyd replays: v0 = weighted vocab with each word rendered (c1)(c2)…,
+  // round r = argmax adjacent pair by (cnt DESC, lhs, rhs) over v_{r-1}
+  // then ONE non-overlapping left-to-right replace — Spark's
+  // UTF8String.replace and DuckDB's replace() share that exact greedy
+  // semantics, and parens never occur inside a symbol (tokens are alnum
+  // runs), so "(l)(r)" matches exactly at symbol boundaries. cs_r checks
+  // the weighted symbol total AFTER each merge.
+  // AS MATERIALIZED on every per-round CTE: the round chain references
+  // each v_{r-1} several times, and DuckDB's inliner would otherwise
+  // re-expand the whole prefix per reference — measured exponential
+  // (~3x/round); materialized, the full 8-round replay runs in <1s
+  private lazy val bpeReplaySql: String = {
+    val symRe = """\(([^)]*)\)"""
+    val backref = """(\1)"""
+    val sb = new StringBuilder
+    sb ++= s"""WITH btok AS (SELECT unnest($ToksSql) AS word FROM documents),
+              |v0 AS MATERIALIZED (SELECT word, count(*) AS n,
+              |         regexp_replace(word, '(.)', '$backref', 'g') AS s
+              |       FROM btok GROUP BY word)""".stripMargin
+    for (r <- 1 to 8) {
+      sb ++= s""",
+                |sy$r AS MATERIALIZED (SELECT n, regexp_extract_all(s, '$symRe', 1) AS syms FROM v${r - 1}),
+                |pp$r AS MATERIALIZED (SELECT n, syms, unnest(range(1, len(syms))) AS i
+                |        FROM sy$r WHERE len(syms) >= 2),
+                |pc$r AS MATERIALIZED (SELECT syms[i] AS lhs, syms[i+1] AS rhs, sum(n) AS cnt
+                |        FROM pp$r GROUP BY 1, 2),
+                |m$r AS MATERIALIZED (SELECT lhs, rhs, cnt FROM pc$r ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+                |v$r AS MATERIALIZED (SELECT word, n,
+                |         replace(s, (SELECT '('||lhs||')('||rhs||')' FROM m$r),
+                |                    (SELECT '('||lhs||rhs||')' FROM m$r)) AS s
+                |       FROM v${r - 1}),
+                |cs$r AS MATERIALIZED (SELECT sum(n * len(regexp_extract_all(s, '$symRe', 1))) AS t FROM v$r)""".stripMargin
+    }
+    sb ++= (1 to 8).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, lhs, rhs, CAST(cnt AS BIGINT) AS pair_count,
+         |  (SELECT CAST(t AS BIGINT) FROM cs$r) AS corpus_symbols FROM m$r""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "\nORDER BY round")
+    sb.toString
+  }
+
   private def swListSql(lang: String): String =
     graft.functions.TextFunctions.stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
 
@@ -754,6 +808,11 @@ object PipelineQueries {
          |FROM d WHERE NOT list_has_any(domains, $blockedSql)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // full training replay (bpeReplaySql): DuckDB relearns the 8 merge
+    // rules from scratch — argmax, tie-break and greedy apply all
+    // recomputed — so the rule table itself driver-hashes
+    "pipeline_bpe" -> bpeReplaySql,
 
     // same md5-bucket arithmetic as TextAnalysis.hashedBow; the squared
     // norm sums integer-valued doubles (exact), so division + round(4)

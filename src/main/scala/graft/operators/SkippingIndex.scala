@@ -1,0 +1,143 @@
+package graft.operators
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** File-level min/max data-skipping index — the read-side complement of
+  * [[Layout]]'s clustered writes (no reference counterpart: the reference
+  * opens single files as-is, src/duckdb-backend.ts; this is what the
+  * OPERATOR of a 100 TB table needs so selective queries touch a handful
+  * of its files).
+  *
+  * The index is a tiny stats table (one row per data file: row count plus
+  * per-column min/max) built from parquet FOOTERS only — column-chunk
+  * statistics are already in every footer, so building the index costs
+  * O(files) KB-sized footer reads distributed over the cluster, never a
+  * data scan. Query time, the stats table prunes to the files whose
+  * [min,max] interval intersects the predicate and reads only those,
+  * with the predicate re-applied as a residual filter (pruning is
+  * file-granular; correctness never depends on it).
+  *
+  * This is exactly the mechanism behind lakehouse "data skipping"
+  * (Delta/Iceberg file stats, Snowflake micro-partition pruning): on a
+  * range-clustered or z-ordered layout a selective predicate keeps
+  * files_kept ≈ selectivity × files_total; on a random layout it keeps
+  * everything — which is why [[Layout.zOrderWrite]] exists.
+  */
+object SkippingIndex {
+
+  /** One pruning decision, for callers that want the evidence (specs,
+    * query logs): how many files the stats table held and how many
+    * survived the interval test.
+    */
+  final case class Prune(filesTotal: Int, filesKept: Int, kept: Seq[String])
+
+  private def statsSchema(cols: Seq[String]): StructType =
+    StructType(
+      StructField("file", StringType, nullable = false) +:
+      StructField("n_rows", LongType, nullable = false) +:
+      cols.flatMap(c => Seq(
+        StructField(s"${c}_min", LongType, nullable = true),
+        StructField(s"${c}_max", LongType, nullable = true))))
+
+  /** Build the stats table for integer-typed `cols` over every
+    * `*.parquet` file under `dir`, and write it to `statsOut` (one small
+    * parquet file — the index itself). Footer-only I/O, parallelized
+    * across the cluster via a paths RDD like
+    * [[graft.query.MetadataInspector.directoryMetadata]].
+    *
+    * Min/max are the footer's column-chunk statistics folded across row
+    * groups. Columns must be INT32/INT64 (stored as long) — the gate
+    * surface; a chunk without statistics yields NULL min/max, which
+    * [[prune]] treats as "cannot skip" (conservative, never wrong).
+    */
+  def buildStats(spark: SparkSession, dir: String, cols: Seq[String],
+      statsOut: String): Unit = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val fs = new Path(dir).getFileSystem(conf.value)
+    val files = fs.listStatus(new Path(dir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted.toSeq
+    require(files.nonEmpty, s"no parquet files under $dir")
+    val colsB = cols.toArray
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.length, 64)))
+      .map { p =>
+        val in = HadoopInputFile.fromPath(new Path(p), conf.value)
+        val reader = ParquetFileReader.open(in)
+        try {
+          val f = reader.getFooter
+          val blocks = f.getBlocks.asScala.toSeq
+          val nRows = blocks.map(_.getRowCount).sum
+          val minMax: Seq[(Any, Any)] = colsB.toSeq.map { c =>
+            val chunks = blocks.flatMap(_.getColumns.asScala)
+              .filter(_.getPath.toDotString == c)
+            require(chunks.nonEmpty, s"column $c not found in $p")
+            val stats = chunks.map(_.getStatistics)
+            if (stats.exists(s => s == null || !s.hasNonNullValue)) (null, null)
+            else {
+              val mins = stats.map(s => (s.genericGetMin: Any) match {
+                case i: java.lang.Integer => i.longValue
+                case l: java.lang.Long => l.longValue
+                case other => throw new IllegalArgumentException(
+                  s"$c: unsupported stats type ${other.getClass.getName} " +
+                    "(INT32/INT64 columns only)")
+              })
+              val maxs = stats.map(s => (s.genericGetMax: Any) match {
+                case i: java.lang.Integer => i.longValue
+                case l: java.lang.Long => l.longValue
+                case other => throw new IllegalArgumentException(
+                  s"$c: unsupported stats type ${other.getClass.getName}")
+              })
+              (mins.min, maxs.max)
+            }
+          }
+          Row.fromSeq(p +: nRows +: minMax.flatMap { case (a, b) => Seq(a, b) })
+        } finally reader.close()
+      }
+    spark.createDataFrame(rows, statsSchema(cols))
+      .coalesce(1).write.mode("overwrite").parquet(statsOut)
+  }
+
+  /** Evaluate the interval test over the stats table: keep files whose
+    * [min,max] on `column` intersects [lo, hi], plus files with NULL
+    * stats (unknown ⇒ cannot skip). The collect is the FILE LIST — the
+    * same driver-side footprint every file index (Spark's own
+    * InMemoryFileIndex, a Delta snapshot) carries; data rows never leave
+    * the executors.
+    */
+  def prune(spark: SparkSession, statsPath: String, column: String,
+      lo: Long, hi: Long): Prune = {
+    val stats = spark.read.parquet(statsPath)
+    val total = stats.count().toInt
+    val kept = stats.filter(
+        col(s"${column}_min").isNull || col(s"${column}_max").isNull ||
+        (col(s"${column}_min") <= hi && col(s"${column}_max") >= lo))
+      .select("file").collect().map(_.getString(0)).sorted.toSeq
+    Prune(total, kept.length, kept)
+  }
+
+  /** Read only the files the stats table cannot rule out for
+    * `column BETWEEN lo AND hi`, with the predicate re-applied as a
+    * residual filter — result is ALWAYS exactly the full-scan filter,
+    * whatever the layout did (pruning is an I/O optimization, not a
+    * semantic one).
+    */
+  def prunedRead(spark: SparkSession, statsPath: String, column: String,
+      lo: Long, hi: Long): (DataFrame, Prune) = {
+    val p = prune(spark, statsPath, column, lo, hi)
+    require(p.filesKept > 0,
+      s"no file can contain $column in [$lo,$hi] — empty result; " +
+        "read one file to keep the schema")
+    val df = spark.read.parquet(p.kept: _*)
+      .filter(col(column).between(lo, hi))
+    (df, p)
+  }
+}
