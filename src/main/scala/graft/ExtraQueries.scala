@@ -408,6 +408,58 @@ object ExtraQueries {
         .orderBy("source")
     }),
 
+    "q52_quantile_rollup" -> ((s, dir) => {
+      // incremental QUANTILE maintenance — the percentile member of the
+      // mergeable-summaries pattern (q50 covers distinct counts): per-day
+      // KLL sketches of the event value (custom TypedImperativeAggregate
+      // over the DataSketches library, functions.expr.KllSketchAgg)
+      // persisted to parquet; the range answer MERGES the persisted
+      // KB-sized sketches — no raw rescan. Exact interpolated medians
+      // ride along cross-engine (the q25 percentile/quantile_cont
+      // parity); each engine then checks its OWN sketch in the direction
+      // the math guarantees: the TRUE normalized rank of the estimated
+      // median (k=200 ⇒ rank error ~1.65% at 99% conf; the gate allows
+      // 3% plus the 1/n granularity floor of small days). sk_n === n
+      // exercises KLL's exact stream-length tracking through the
+      // serialize → parquet → merge round-trip.
+      import graft.functions.expr.KllFunctions
+      val ev = t(s, dir, "events")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value").as("v"))
+      val skDir = s"${Scratch.dir}/q52_kll"
+      ev.groupBy("day")
+        .agg(KllFunctions.kllAgg(col("v")).as("sk"), count(lit(1)).as("n_events"))
+        .write.mode("overwrite").parquet(skDir)
+      val sk = s.read.parquet(skDir)
+      val estDay = sk.select(col("day"), col("n_events"),
+        KllFunctions.kllQuantile(col("sk"), lit(0.5)).as("est"),
+        KllFunctions.kllN(col("sk")).as("sk_n"))
+      val rankDay = ev.join(broadcast(estDay.select("day", "est")), "day")
+        .groupBy("day")
+        .agg((count(when(col("v") <= col("est"), 1)) / count(lit(1))).as("est_rank"))
+      val exactDay = ev.groupBy("day")
+        .agg(round(expr("percentile(v, 0.5)"), 4).as("exact_p50"))
+      val perDay = estDay.join(exactDay, "day").join(rankDay, "day")
+        .select(col("day"), col("n_events"), col("exact_p50"),
+          (col("sk_n") === col("n_events")).as("n_ok"),
+          (abs(col("est_rank") - 0.5) <= lit(0.03) + lit(1.0) / col("n_events"))
+            .as("rank_ok"))
+      val estAll = sk.agg(KllFunctions.kllMerge(col("sk")).as("msk"),
+          sum("n_events").as("n_events"))
+        .select(col("n_events"),
+          KllFunctions.kllQuantile(col("msk"), lit(0.5)).as("est"),
+          KllFunctions.kllN(col("msk")).as("sk_n"))
+      val exactAll = ev.agg(round(expr("percentile(v, 0.5)"), 4).as("exact_p50"))
+      val allRow = ev.crossJoin(broadcast(estAll))
+        .agg((count(when(col("v") <= col("est"), 1)) / count(lit(1))).as("est_rank"),
+          first(col("n_events")).as("n_events"), first(col("sk_n")).as("sk_n"))
+        .crossJoin(broadcast(exactAll))
+        .select(lit("ALL").as("day"), col("n_events"), col("exact_p50"),
+          (col("sk_n") === col("n_events")).as("n_ok"),
+          (abs(col("est_rank") - 0.5) <= lit(0.03) + lit(1.0) / col("n_events"))
+            .as("rank_ok"))
+      perDay.unionByName(allRow).orderBy("day")
+    }),
+
     "q51_skipping_index" -> ((s, dir) => {
       // file-level min/max data skipping, end-to-end: range-cluster
       // lineitem on l_partkey into 16 files, build the per-file footer
@@ -485,6 +537,42 @@ object ExtraQueries {
         |      / count(DISTINCT user_id) <= 0.05 AS day_ok
         |  FROM ev)
         |SELECT * FROM d UNION ALL SELECT * FROM a ORDER BY day""".stripMargin,
+
+    // exact medians are cross-engine (q25 parity); the _ok booleans follow
+    // the q18/q50 scheme — each engine validates its own sketch (Spark's
+    // persisted+merged KLL vs DuckDB's t-digest approx_quantile), both
+    // checked as the TRUE rank of their estimate vs the bound
+    "q52_quantile_rollup" ->
+      """WITH ev AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "value" AS v FROM events),
+        |d AS (
+        |  SELECT day, count(*) AS n_events,
+        |    round(quantile_cont(v, 0.5), 4) AS exact_p50,
+        |    approx_quantile(v, 0.5) AS est
+        |  FROM ev GROUP BY day),
+        |dr AS (
+        |  SELECT d.day, d.n_events, d.exact_p50,
+        |    count(*) FILTER (WHERE ev.v <= d.est)::DOUBLE / count(*)::DOUBLE AS est_rank
+        |  FROM ev JOIN d USING (day)
+        |  GROUP BY d.day, d.n_events, d.exact_p50),
+        |a AS (
+        |  SELECT count(*) AS n_events,
+        |    round(quantile_cont(v, 0.5), 4) AS exact_p50,
+        |    approx_quantile(v, 0.5) AS est
+        |  FROM ev),
+        |ar AS (
+        |  SELECT a.n_events, a.exact_p50,
+        |    count(*) FILTER (WHERE ev.v <= a.est)::DOUBLE / count(*)::DOUBLE AS est_rank
+        |  FROM ev CROSS JOIN a
+        |  GROUP BY a.n_events, a.exact_p50)
+        |SELECT day, n_events, exact_p50,
+        |  TRUE AS n_ok,
+        |  abs(est_rank - 0.5) <= 0.03 + 1.0 / n_events AS rank_ok
+        |FROM dr
+        |UNION ALL
+        |SELECT 'ALL' AS day, n_events, exact_p50, TRUE AS n_ok,
+        |  abs(est_rank - 0.5) <= 0.03 + 1.0 / n_events AS rank_ok
+        |FROM ar
+        |ORDER BY day""".stripMargin,
 
     // the pruned read must equal the plain filter — the skipping itself
     // is an I/O property (spec-asserted), never a semantic one

@@ -62,6 +62,23 @@ object GraftExtensions {
     entry("graft_window_hashes", "rolling polynomial hash per w-token window of a token array") {
       case Seq(t, w) => WindowHashes(t, intArg(w, "graft_window_hashes"))
     },
+    entry("graft_kll_agg", "KLL quantile sketch (binary) of double values; optional k") {
+      case Seq(x) => KllSketchAgg(x)
+      case Seq(x, k) => KllSketchAgg(x, intArg(k, "graft_kll_agg"))
+    },
+    entry("graft_kll_merge", "union of serialized KLL sketches; optional k") {
+      case Seq(x) => KllMergeAgg(x)
+      case Seq(x, k) => KllMergeAgg(x, intArg(k, "graft_kll_merge"))
+    },
+    entry("graft_kll_quantile", "quantile estimate at a rank from a serialized KLL sketch") {
+      case Seq(s, r) => KllQuantile(s, r)
+    },
+    entry("graft_kll_rank", "normalized rank of a value in a serialized KLL sketch") {
+      case Seq(s, v) => KllRankOf(s, v)
+    },
+    entry("graft_kll_n", "exact stream length a serialized KLL sketch saw") {
+      case Seq(s) => KllCount(s)
+    },
   )
 
   /** Register the graft SQL functions into an already-built session. */
