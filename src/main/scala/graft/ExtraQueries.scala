@@ -408,6 +408,43 @@ object ExtraQueries {
         .orderBy("source")
     }),
 
+    "q53_topk_rollup" -> ((s, dir) => {
+      // heavy-hitters rollup — the FREQUENCY member of the
+      // mergeable-summaries trio (q50 distinct counts, q52 quantiles):
+      // per-day frequent-items sketches of user_id (custom
+      // TypedImperativeAggregate over DataSketches LongsSketch,
+      // functions.expr.FreqSketchAgg) persisted to parquet; the range
+      // answer MERGES the persisted sketches. The frequency guarantee is
+      // DETERMINISTIC (lb <= true <= ub always), so bracket_ok is an
+      // always-true mathematical certificate, not a tolerance; the exact
+      // top-10 rides cross-engine and sk_n === n checks exact stream-
+      // length tracking through serialize → parquet → merge.
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.expr.FreqFunctions
+      val ev = t(s, dir, "events")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      val skDir = s"${Scratch.dir}/q53_freq"
+      ev.groupBy("day")
+        .agg(FreqFunctions.freqAgg(col("user_id")).as("sk"), count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(skDir)
+      val sk = s.read.parquet(skDir)
+      val merged = sk.agg(FreqFunctions.freqMerge(col("sk")).as("msk"),
+        sum("n").as("n_events"))
+      val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("user_id").asc).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("exact_cnt").desc, col("user_id").asc)))
+      top.crossJoin(broadcast(merged))
+        .select(col("rank").cast("long").as("rank"), col("user_id"), col("exact_cnt"),
+          FreqFunctions.freqBounds(col("msk"), col("user_id")).as("b"),
+          FreqFunctions.freqN(col("msk")).as("sk_n"), col("n_events"))
+        .select(col("rank"), col("user_id"), col("exact_cnt"),
+          (col("b.lb") <= col("exact_cnt") && col("exact_cnt") <= col("b.ub"))
+            .as("bracket_ok"),
+          (col("sk_n") === col("n_events")).as("n_ok"))
+        .orderBy("rank")
+    }),
+
     "q52_quantile_rollup" -> ((s, dir) => {
       // incremental QUANTILE maintenance — the percentile member of the
       // mergeable-summaries pattern (q50 covers distinct counts): per-day
@@ -537,6 +574,19 @@ object ExtraQueries {
         |      / count(DISTINCT user_id) <= 0.05 AS day_ok
         |  FROM ev)
         |SELECT * FROM d UNION ALL SELECT * FROM a ORDER BY day""".stripMargin,
+
+    // the exact top-10 is cross-engine; bracket_ok/n_ok are TRUE by the
+    // frequency sketch's deterministic guarantee (lb <= true <= ub
+    // always) — DuckDB asserts the same literals the Spark side must
+    // reproduce by actually satisfying the bracket
+    "q53_topk_rollup" ->
+      """WITH c AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY user_id),
+        |r AS (SELECT user_id, exact_cnt,
+        |        row_number() OVER (ORDER BY exact_cnt DESC, user_id) AS rank
+        |      FROM c)
+        |SELECT CAST(rank AS BIGINT) AS rank, user_id, exact_cnt,
+        |  TRUE AS bracket_ok, TRUE AS n_ok
+        |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     // exact medians are cross-engine (q25 parity); the _ok booleans follow
     // the q18/q50 scheme — each engine validates its own sketch (Spark's

@@ -79,6 +79,20 @@ object GraftExtensions {
     entry("graft_kll_n", "exact stream length a serialized KLL sketch saw") {
       case Seq(s) => KllCount(s)
     },
+    entry("graft_freq_agg", "frequent-items sketch (binary) of bigint items; optional maxMapSize") {
+      case Seq(x) => FreqSketchAgg(x)
+      case Seq(x, m) => FreqSketchAgg(x, intArg(m, "graft_freq_agg"))
+    },
+    entry("graft_freq_merge", "union of serialized frequent-items sketches; optional maxMapSize") {
+      case Seq(x) => FreqMergeAgg(x)
+      case Seq(x, m) => FreqMergeAgg(x, intArg(m, "graft_freq_merge"))
+    },
+    entry("graft_freq_bounds", "certified (estimate, lb, ub) count bracket for an item") {
+      case Seq(s, i) => FreqBounds(s, i)
+    },
+    entry("graft_freq_n", "exact stream length a serialized frequent-items sketch saw") {
+      case Seq(s) => FreqStreamLength(s)
+    },
   )
 
   /** Register the graft SQL functions into an already-built session. */
