@@ -129,7 +129,8 @@ object Bench {
     // the one-time write/index-build cost, not just the read path
     val roundTrip = Seq("q43_partitioned_source", "q44_bucketed_join",
       "q46_schema_evolution", "ann_ivfpq_persisted", "q48_zorder",
-      "q49_compaction", "q50_sketch_rollup")
+      "q49_compaction", "q50_sketch_rollup", "q51_skipping_index",
+      "q52_quantile_rollup", "q53_topk_rollup")
       .filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =

@@ -1,9 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.streaming.EventStreams
+import graft.streaming.{EventStreams, SketchRollup}
 
 /** §2-D: batch-equivalent plans of the streaming operators, so the DuckDB
   * oracle applies; the readStream/state variants live in graft.streaming
@@ -24,6 +25,39 @@ object StreamQueries {
       EventStreams.intervalJoinBatch(Tables.load(s, dir, "events"))),
     "stream_session_window" -> ((s, dir) =>
       EventStreams.sessionWindowBatch(Tables.load(s, dir, "events"))),
+
+    "stream_sketch_rollup" -> ((s, dir) => {
+      // incremental sketch-store maintenance (streaming.SketchRollup):
+      // the corpus ARRIVES in 3 batches (event_id mod 3 — deterministic),
+      // each merged into the persisted per-day HLL store without
+      // rescanning earlier arrivals; the served answers must then equal
+      // the one-shot truth — mergeability makes arrival batching
+      // invisible. n_events (exact through the store's counters) rides
+      // cross-engine; est tolerance-checked per the q50 scheme. The
+      // foreachBatch streaming face of the same maintainer is spec-run
+      // in StreamingSpec.
+      val store = s"${Scratch.dir}/stream_sk_store"
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(store), true) // idempotent gate
+      val ev = Tables.load(s, dir, "events")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("user_id"), col("event_id"))
+      (0 until 3).foreach { b =>
+        SketchRollup.mergeInto(s,
+          ev.filter(pmod(col("event_id"), lit(3)) === b), store)
+      }
+      val served = SketchRollup.serve(s, store)
+      val exact = ev.groupBy("day")
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+        .unionByName(ev.agg(count_distinct(col("user_id")).as("exact_users"))
+          .select(lit("ALL").as("day"), col("exact_users")))
+      served.join(exact, "day")
+        .select(col("day"), col("n_events"), col("exact_users"),
+          (abs(col("est_users") - col("exact_users"))
+            / col("exact_users") <= 0.05).as("ok"))
+        .orderBy("day")
+    }),
   )
 
   /** VALUES list for the enrichment oracle, generated from the same
@@ -34,6 +68,25 @@ object StreamQueries {
     .mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    // exact counts cross-engine; `ok` follows the q50 scheme (each engine
+    // inside its own sketch's 5% band). The one-shot DuckDB truth is
+    // exactly what the 3-batch incremental store must reproduce.
+    "stream_sketch_rollup" ->
+      """WITH ev AS (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),
+        |d AS (
+        |  SELECT day, count(*) AS n_events,
+        |    count(DISTINCT user_id) AS exact_users,
+        |    abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+        |      / count(DISTINCT user_id) <= 0.05 AS ok
+        |  FROM ev GROUP BY day),
+        |a AS (
+        |  SELECT 'ALL' AS day, count(*) AS n_events,
+        |    count(DISTINCT user_id) AS exact_users,
+        |    abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+        |      / count(DISTINCT user_id) <= 0.05 AS ok
+        |  FROM ev)
+        |SELECT * FROM d UNION ALL SELECT * FROM a ORDER BY day""".stripMargin,
+
     "stream_dedup" ->
       """WITH r AS (
         |  SELECT user_id, event_type, event_id, ts,

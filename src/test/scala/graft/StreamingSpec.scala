@@ -338,6 +338,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch-store maintainer: multi-batch stream equals the one-shot rollup") {
+    import graft.streaming.SketchRollup
+    def clean(name: String): String = {
+      val d = new java.io.File(TestSpark.scratch(name))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(d); d.mkdirs(); d.getAbsolutePath
+    }
+    // several source files + maxFilesPerTrigger=1 => several micro-batches,
+    // each merging into the store without rescanning earlier arrivals
+    val srcDir = clean("sketch_stream_src")
+    Tables.load(spark, TestSpark.sf, "events")
+      .repartition(4).write.mode("overwrite").parquet(srcDir)
+    val store = clean("sketch_stream_store") + "/store"
+    val ck = clean("sketch_stream_ck")
+    val schema = spark.read.parquet(srcDir).schema
+    val q = SketchRollup.maintainStream(spark, srcDir, schema, store, ck)
+    q.awaitTermination(180000)
+    assert(q.exception.isEmpty)
+
+    val served = SketchRollup.serve(spark, store).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // one-shot truth over the same data
+    val ev = spark.read.parquet(srcDir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+    val exact = ev.groupBy("day")
+      .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(served.size == exact.size + 1, "per-day rows plus the ALL row")
+    exact.foreach { case (day, (n, u)) =>
+      val (sn, est) = served(day)
+      assert(sn == n, s"$day: store n_events must be exactly the arrival count")
+      assert(math.abs(est - u).toDouble / u <= 0.05, s"$day: est $est vs exact $u")
+    }
+    val (allN, allEst) = served("ALL")
+    assert(allN == exact.values.map(_._1).sum)
+    val allU = ev.agg(count_distinct(col("user_id"))).collect()(0).getLong(0)
+    assert(math.abs(allEst - allU).toDouble / allU <= 0.05)
+  }
+
   test("watermarked append-mode stream emits closed hourly windows") {
     val schema = spark.read.parquet(eventsDir).schema
     val sdf = EventStreams.windowAggStream(spark, eventsDir, schema)
