@@ -790,7 +790,224 @@ object PipelineQueries {
        |SELECT a, b, round(inter / (asz + bsz - inter), 4) AS jaccard
        |FROM p WHERE inter / (asz + bsz - inter) >= $threshold ORDER BY a, b""".stripMargin
 
+  // ---- mm_manifest oracle: byte-level replay of the media feature
+  // extraction. DuckDB reads the fixture files the gate itself wrote
+  // (read_blob over the fixed Scratch path — the same literal-path
+  // contract as the meta_footer oracle: a table function takes a path,
+  // not a view, and Verify runs before the oracle), hex-encodes each
+  // payload, and PARSES the containers in SQL:
+  //  - PNG: signature check + IHDR (the spec-mandated first chunk) dims;
+  //  - WAV/AVI: a recursive RIFF chunk walk (LIST boxes descended, odd
+  //    sizes padded) — WAV rate/channels/blockAlign from `fmt `, frames
+  //    from `data` size; AVI usPerFrame/totalFrames from `avih` and the
+  //    frame count from its `00dc`/`00db` chunks;
+  //  - first AVI frame dims: a JPEG marker walk to SOF0-3 — the SAME
+  //    dimensions ImageIO's real decode reports for the frame;
+  //  - MP4: a recursive ISO-BMFF box walk (moov/trak descended) — mvhd
+  //    timescale+duration (both box versions), tkhd 16.16-fixed dims with
+  //    the kernel's first-nonzero-else-first track selection.
+  // Byte stats replay the kernel loop exactly: the mean's byte sum is
+  // exact integer arithmetic; entropy is the ascending-byte-value left
+  // fold of -p*ln(p)/ln(2); round_even == Math.rint (half-even).
+  // Residual cross-engine risk, accepted: ln() may differ from Java's
+  // Math.log in the last ulp, so a 4-decimal entropy landing within
+  // ~1e-14 of a .00005 boundary could round apart (~1e-10 per file —
+  // the same accepted class as the k-means round(6) lockstep).
+  /** Big-endian unsigned int read from hex column `h` at 0-based byte
+    * offset `off` (an SQL expression), `nBytes` wide.
+    */
+  private def beSql(h: String, off: String, nBytes: Int): String =
+    s"CAST('0x' || substring($h, 2*($off) + 1, ${2 * nBytes}) AS BIGINT)"
+
+  /** Little-endian unsigned int: byte pairs of the hex read in reverse. */
+  private def leSql(h: String, off: String, nBytes: Int): String = {
+    val parts = (nBytes - 1).to(0, -1)
+      .map(i => s"substring($h, 2*(($off) + $i) + 1, 2)").mkString(" || ")
+    s"CAST('0x' || $parts AS BIGINT)"
+  }
+
+  /** Raw hex of the 4-byte tag at `off` (blob bytes are not UTF-8, so
+    * tags compare as hex literals, never via decode()).
+    */
+  private def tagSql(h: String, off: String): String =
+    s"substring($h, 2*($off) + 1, 8)"
+
+  /** Hex literal of an ASCII 4cc, for comparison against [[tagSql]]. */
+  private def ccHex(tag: String): String =
+    "'" + tag.getBytes("ISO-8859-1").map(b => f"$b%02X").mkString + "'"
+
+  private lazy val mmManifestOracleSql: String = {
+    val mediaGlob = s"${Scratch.dir}/mm_media/media_*"
+    s"""WITH RECURSIVE files AS (
+       |  SELECT CAST(regexp_extract(filename, 'media_(\\d+)\\.', 1) AS BIGINT) AS media_id,
+       |         lower(regexp_extract(filename, '\\.([a-z0-9]+)$$', 1)) AS ext,
+       |         hex(content) AS h,
+       |         CAST(octet_length(content) AS BIGINT) AS n
+       |  FROM read_blob('$mediaGlob')
+       |),
+       |kinds AS (
+       |  SELECT *, CASE ext WHEN 'png' THEN 'image' WHEN 'wav' THEN 'audio'
+       |                     WHEN 'mp4' THEN 'video' WHEN 'avi' THEN 'video'
+       |                     ELSE 'binary' END AS kind
+       |  FROM files
+       |),
+       |bytes AS (
+       |  SELECT media_id, n, unnest(range(0, n)) AS i FROM kinds
+       |),
+       |bvals AS (
+       |  SELECT b.media_id, ${beSql("k.h", "b.i", 1)} AS v
+       |  FROM bytes b JOIN kinds k USING (media_id)
+       |),
+       |hist AS (
+       |  SELECT media_id, v, CAST(count(*) AS BIGINT) AS c FROM bvals GROUP BY 1, 2
+       |),
+       |stats AS (
+       |  SELECT k.media_id,
+       |         round_even(CAST(sum(c * v) AS DOUBLE) / k.n * 10000, 0) / 10000 AS byte_mean,
+       |         round_even(
+       |           list_reduce(
+       |             list_prepend(0.0, list(CAST(c AS DOUBLE) / k.n ORDER BY v)),
+       |             (acc, p) -> acc - p * ln(p) / ln(2)) * 10000, 0) / 10000 AS byte_entropy
+       |  FROM hist JOIN kinds k USING (media_id)
+       |  GROUP BY k.media_id, k.n
+       |),
+       |png AS (
+       |  SELECT media_id,
+       |         CASE WHEN substring(h, 1, 16) = '89504E470D0A1A0A'
+       |              AND ${tagSql("h", "12")} = ${ccHex("IHDR")}
+       |              THEN ${beSql("h", "16", 4)} ELSE 0 END AS width,
+       |         CASE WHEN substring(h, 1, 16) = '89504E470D0A1A0A'
+       |              AND ${tagSql("h", "12")} = ${ccHex("IHDR")}
+       |              THEN ${beSql("h", "20", 4)} ELSE 0 END AS height
+       |  FROM kinds WHERE ext = 'png'
+       |),
+       |rwalk(media_id, h, off, lim) AS (
+       |  SELECT media_id, h, CAST(12 AS BIGINT), n FROM kinds
+       |  WHERE ext IN ('wav', 'avi') AND ${tagSql("h", "0")} = ${ccHex("RIFF")}
+       |  UNION ALL
+       |  SELECT media_id, h, s.nx.o, s.nx.l FROM (
+       |    SELECT media_id, h, off, lim,
+       |           ${tagSql("h", "off")} AS cc, ${leSql("h", "off + 4", 4)} AS sz
+       |    FROM rwalk WHERE off + 8 <= lim
+       |  ) t, LATERAL (SELECT unnest(list_filter([
+       |        struct_pack(o := t.off + 8 + t.sz + (t.sz % 2), l := t.lim),
+       |        CASE WHEN t.cc = ${ccHex("LIST")} AND t.sz >= 4
+       |             THEN struct_pack(o := t.off + 12, l := t.off + 8 + t.sz) END],
+       |      x -> x IS NOT NULL AND x.o + 8 <= x.l)) AS nx) s
+       |  WHERE t.off + 8 + t.sz <= t.lim
+       |),
+       |rchunks AS (
+       |  SELECT media_id, off, ${tagSql("h", "off")} AS cc,
+       |         ${leSql("h", "off + 4", 4)} AS sz, off + 8 AS ds, h
+       |  FROM rwalk WHERE off + 8 <= lim
+       |),
+       |wav AS (
+       |  SELECT f.media_id,
+       |         ${leSql("f.h", "f.ds + 4", 4)} AS sample_rate,
+       |         ${leSql("f.h", "f.ds + 2", 2)} AS channels,
+       |         CAST(d.sz / ${leSql("f.h", "f.ds + 12", 2)} AS BIGINT) AS frames
+       |  FROM (SELECT * FROM rchunks WHERE cc = ${ccHex("fmt ")}) f
+       |  JOIN (SELECT * FROM rchunks WHERE cc = ${ccHex("data")}) d USING (media_id)
+       |),
+       |avih AS (
+       |  SELECT media_id, ${leSql("h", "ds", 4)} AS us_per_frame,
+       |         ${leSql("h", "ds + 16", 4)} AS total_frames
+       |  FROM rchunks WHERE cc = ${ccHex("avih")}
+       |),
+       |avifr AS (
+       |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+       |         min(ds) AS first_ds, any_value(h) AS h
+       |  FROM rchunks
+       |  WHERE substring(cc, 5, 4) IN ('6463', '6462') AND sz > 0
+       |  GROUP BY media_id
+       |),
+       |jwalk(media_id, h, off) AS (
+       |  SELECT media_id, h, first_ds + 2 FROM avifr
+       |  WHERE substring(h, 2*first_ds + 1, 4) = 'FFD8'
+       |  UNION ALL
+       |  SELECT media_id, h, off + 2 + ${beSql("h", "off + 2", 2)} FROM jwalk
+       |  WHERE substring(h, 2*off + 1, 2) = 'FF'
+       |    AND substring(h, 2*off + 3, 2) NOT IN ('C0','C1','C2','C3','D8','D9','DA')
+       |),
+       |jsof AS (
+       |  SELECT media_id, ${beSql("h", "off + 5", 2)} AS height,
+       |         ${beSql("h", "off + 7", 2)} AS width
+       |  FROM jwalk
+       |  WHERE substring(h, 2*off + 1, 2) = 'FF'
+       |    AND substring(h, 2*off + 3, 2) IN ('C0','C1','C2','C3')
+       |),
+       |bwalk(media_id, h, off, lim) AS (
+       |  SELECT media_id, h, CAST(0 AS BIGINT), n FROM kinds WHERE ext = 'mp4'
+       |  UNION ALL
+       |  SELECT media_id, h, s.nx.o, s.nx.l FROM (
+       |    SELECT media_id, h, off, lim,
+       |           ${tagSql("h", "off + 4")} AS bt, ${beSql("h", "off", 4)} AS sz
+       |    FROM bwalk WHERE off + 8 <= lim
+       |  ) t, LATERAL (SELECT unnest(list_filter([
+       |        struct_pack(o := t.off + t.sz, l := t.lim),
+       |        CASE WHEN t.bt IN (${ccHex("moov")}, ${ccHex("trak")})
+       |             THEN struct_pack(o := t.off + 8, l := t.off + t.sz) END],
+       |      x -> x IS NOT NULL AND x.o + 8 <= x.l)) AS nx) s
+       |  WHERE t.sz >= 8 AND t.off + t.sz <= t.lim
+       |),
+       |boxes AS (
+       |  SELECT media_id, off, ${tagSql("h", "off + 4")} AS bt,
+       |         ${beSql("h", "off", 4)} AS sz, off + 8 AS ds, h
+       |  FROM bwalk WHERE off + 8 <= lim
+       |),
+       |mvhd AS (
+       |  SELECT media_id,
+       |         CASE WHEN ${beSql("h", "ds", 1)} = 1
+       |              THEN ${beSql("h", "ds + 20", 4)} ELSE ${beSql("h", "ds + 12", 4)} END AS timescale,
+       |         CASE WHEN ${beSql("h", "ds", 1)} = 1
+       |              THEN ${beSql("h", "ds + 24", 8)} ELSE ${beSql("h", "ds + 16", 4)} END AS duration
+       |  FROM boxes WHERE bt = ${ccHex("mvhd")}
+       |),
+       |tkhd AS (
+       |  SELECT media_id, width, height FROM (
+       |    SELECT media_id,
+       |           ${beSql("h", "off + sz - 8", 2)} AS width,
+       |           ${beSql("h", "off + sz - 4", 2)} AS height,
+       |           row_number() OVER (PARTITION BY media_id
+       |             ORDER BY CASE WHEN ${beSql("h", "off + sz - 8", 2)} != 0
+       |                            AND ${beSql("h", "off + sz - 4", 2)} != 0
+       |                      THEN 0 ELSE 1 END, off) AS rk
+       |    FROM boxes WHERE bt = ${ccHex("tkhd")}
+       |  ) WHERE rk = 1
+       |)
+       |SELECT k.media_id, k.kind, k.n AS n_bytes,
+       |  s.byte_mean, s.byte_entropy,
+       |  CAST(CASE k.ext WHEN 'png' THEN p.width WHEN 'avi' THEN j.width
+       |                  WHEN 'mp4' THEN t.width ELSE 0 END AS INT) AS width,
+       |  CAST(CASE k.ext WHEN 'png' THEN p.height WHEN 'avi' THEN j.height
+       |                  WHEN 'mp4' THEN t.height ELSE 0 END AS INT) AS height,
+       |  CAST(coalesce(w.sample_rate, 0) AS INT) AS sample_rate,
+       |  CAST(coalesce(w.channels, 0) AS INT) AS channels,
+       |  CAST(coalesce(round_even(w.frames * 1000.0 / w.sample_rate, 0), 0) AS BIGINT) AS audio_ms,
+       |  CAST(CASE k.ext
+       |    WHEN 'avi' THEN coalesce(round_even(a.us_per_frame * a.total_frames / 1000.0, 0), 0)
+       |    WHEN 'mp4' THEN coalesce(round_even(m.duration * 1000.0 / m.timescale, 0), 0)
+       |    ELSE 0 END AS BIGINT) AS video_ms,
+       |  CAST(coalesce(fr.n_frames, 0) AS INT) AS n_frames
+       |FROM kinds k
+       |JOIN stats s USING (media_id)
+       |LEFT JOIN png p USING (media_id)
+       |LEFT JOIN wav w USING (media_id)
+       |LEFT JOIN avih a USING (media_id)
+       |LEFT JOIN avifr fr USING (media_id)
+       |LEFT JOIN jsof j USING (media_id)
+       |LEFT JOIN mvhd m USING (media_id)
+       |LEFT JOIN tkhd t USING (media_id)
+       |ORDER BY k.media_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // full byte-level container replay (mmManifestOracleSql): DuckDB
+    // re-parses the files the gate wrote — PNG IHDR, recursive RIFF and
+    // ISO-BMFF walks, a JPEG marker walk for the decoded frame dims —
+    // and recomputes the byte stats with the kernel's exact fold order
+    "mm_manifest" -> mmManifestOracleSql,
+
     "pipeline_url_filter" -> {
       val blockedSql = BlockedDomains.map(d => s"'$d'").mkString("[", ", ", "]")
       s"""WITH p AS (
@@ -1251,6 +1468,7 @@ object PipelineQueries {
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256("text"))
         |ORDER BY doc_id""".stripMargin,
+
 
     // exact: both engines accumulate the dot/norms sequentially in double
     // over the float vectors, and round(4) absorbs any last-ulp drift
