@@ -355,6 +355,34 @@ object PipelineQueries {
           abs(aggregate(col("fingerprint"), lit(0L), (a, x) => a.bitwiseXOR(x))).as("fp_xor"))
         .orderBy("doc_id")),
 
+    "dedup_incremental" -> ((s, dir) => {
+      // incremental exact-dedup maintenance, gated end-to-end: the corpus
+      // arrives as three id-range batches, each deduped against the
+      // persisted hash store (first-arrival-wins) and appended —
+      // O(batch + store-join) per step, no history rescan. Id-range
+      // arrival makes the incremental keeper equal the one-shot global
+      // min, so the final store is SQL-expressible; arrival_batch is
+      // carried by the STORE (written at ingest time) while the oracle
+      // re-derives it from the keeper's id range — a genuine
+      // first-arrival-semantics check, not an echo. The store dir is
+      // cleared first so re-runs cannot leak prior state.
+      val store = s"${Scratch.dir}/dedup_store"
+      val p = new org.apache.hadoop.fs.Path(store)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val docs = t(s, dir, "documents")
+      Seq((0, col("doc_id") < 1000),
+          (1, col("doc_id") >= 1000 && col("doc_id") < 3000),
+          (2, col("doc_id") >= 3000)).foreach { case (tag, cond) =>
+        graft.operators.DedupStore.ingest(
+          s, docs.filter(cond), "doc_id", "text", store, tag)
+        ()
+      }
+      graft.operators.DedupStore.read(s, store)
+        .select(col("content_hash"), col("keep_id"),
+          col("arrival_batch").cast("long").as("arrival_batch"))
+        .orderBy("content_hash")
+    }),
+
     "dedup_cluster" -> ((s, dir) => {
       // Connected-components duplicate clustering, driven on a graph with
       // a SQL-checkable truth: consecutive same-user events within 30 min
@@ -1469,6 +1497,16 @@ object PipelineQueries {
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256("text"))
         |ORDER BY doc_id""".stripMargin,
 
+    // one-shot truth for the incremental store: with id-range arrival
+    // batches the first-arrival keeper IS the global min id, and the
+    // arrival batch that first contributed a hash is the keeper's id
+    // range — the oracle re-derives what the store recorded at ingest
+    "dedup_incremental" ->
+      """SELECT sha256("text") AS content_hash, min(doc_id) AS keep_id,
+        |  CAST(CASE WHEN min(doc_id) < 1000 THEN 0
+        |            WHEN min(doc_id) < 3000 THEN 1 ELSE 2 END AS BIGINT) AS arrival_batch
+        |FROM documents GROUP BY sha256("text")
+        |ORDER BY content_hash""".stripMargin,
 
     // exact: both engines accumulate the dot/norms sequentially in double
     // over the float vectors, and round(4) absorbs any last-ulp drift

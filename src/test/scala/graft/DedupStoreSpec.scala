@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, DedupStore}
+
+/** Exact oracles for the incremental content-hash store: batch-split
+  * invariance against the one-shot truth, first-arrival-wins semantics
+  * under out-of-order arrival, store distinctness, and the returned
+  * survivor frame's stability across its own append.
+  */
+class DedupStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshStore(name: String): String = {
+    val d = TestSpark.scratch(name) + "/store"
+    val p = new org.apache.hadoop.fs.Path(d)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    d
+  }
+
+  // 12 docs in 4 duplicate families (texts t0..t3), ids interleaved so
+  // families span every batch split used below
+  private lazy val docs = (0 until 12)
+    .map(i => (i.toLong, s"t${i % 4} body"))
+    .toDF("doc_id", "text")
+
+  test("id-ordered incremental ingest equals the one-shot exact dedup") {
+    val store = freshStore("dedupstore-ordered")
+    Seq((0, col("doc_id") < 4), (1, col("doc_id") >= 4 && col("doc_id") < 8),
+        (2, col("doc_id") >= 8)).foreach { case (tag, cond) =>
+      DedupStore.ingest(spark, docs.filter(cond), "doc_id", "text", store, tag)
+      ()
+    }
+    val got = DedupStore.read(spark, store)
+      .select("content_hash", "keep_id").sort("content_hash")
+      .as[(String, Long)].collect().toSeq
+    val want = Dedup.exact(docs, "doc_id", "text")
+      .select("content_hash", "keep_id").sort("content_hash")
+      .as[(String, Long)].collect().toSeq
+    assert(got == want)
+    // everything landed in batch 0: ids 0..3 cover all four families
+    val batches = DedupStore.read(spark, store)
+      .select("arrival_batch").distinct().as[Int].collect().toSeq
+    assert(batches == Seq(0))
+  }
+
+  test("out-of-order arrival: first arrival wins, not the global min id") {
+    val store = freshStore("dedupstore-ooo")
+    // high ids arrive first: keepers must be the batch-0 minima (8..11),
+    // NOT the global minima (0..3)
+    DedupStore.ingest(spark, docs.filter(col("doc_id") >= 8), "doc_id", "text", store, 0)
+    DedupStore.ingest(spark, docs.filter(col("doc_id") < 8), "doc_id", "text", store, 1)
+    val keepers = DedupStore.read(spark, store)
+      .select("keep_id").as[Long].collect().toSet
+    assert(keepers == Set(8L, 9L, 10L, 11L))
+    assert(DedupStore.read(spark, store)
+      .select("arrival_batch").distinct().as[Int].collect().toSeq == Seq(0))
+  }
+
+  test("store stays distinct by content_hash across ingests") {
+    val store = freshStore("dedupstore-distinct")
+    (0 until 3).foreach { tag =>
+      // the SAME batch re-ingested: only the first contributes rows
+      DedupStore.ingest(spark, docs, "doc_id", "text", store, tag)
+      ()
+    }
+    val byHash = DedupStore.read(spark, store)
+      .groupBy("content_hash").count().select("count").as[Long].collect()
+    assert(byHash.nonEmpty && byHash.forall(_ == 1L))
+  }
+
+  test("returned survivors are materialized before the append (stable frame)") {
+    val store = freshStore("dedupstore-stable")
+    val s0 = DedupStore.ingest(spark, docs.filter(col("doc_id") < 4),
+      "doc_id", "text", store, 0)
+    // second ingest changes the store on disk; the first survivor frame
+    // must still read its own pre-append content
+    DedupStore.ingest(spark, docs.filter(col("doc_id") >= 4), "doc_id", "text", store, 1)
+    assert(s0.count() == 4)
+    assert(s0.select("keep_id").as[Long].collect().toSet == Set(0L, 1L, 2L, 3L))
+    // and the second ingest found nothing new
+    assert(DedupStore.read(spark, store).count() == 4)
+  }
+
+  test("survivors view joins keepers back to the corpus") {
+    val store = freshStore("dedupstore-surv")
+    DedupStore.ingest(spark, docs, "doc_id", "text", store, 0)
+    val surv = DedupStore.survivors(spark, docs, "doc_id", store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv == Set(0L, 1L, 2L, 3L))
+  }
+}
