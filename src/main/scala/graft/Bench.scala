@@ -39,6 +39,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // the generated-code cache defaults to 100 entries; a 100+-query
+      // suite swept in FULL passes (see below) evicts every query's
+      // compiled stages between its two samples, so each timed run would
+      // re-pay Janino compilation — a near-uniform ~1.5-2x inflation
+      // measured on the r8 interleave. Sizing the cache to the suite
+      // keeps the warmup's compiles live through both sweeps: samples
+      // time query EXECUTION (what a cluster repeats), not driver-side
+      // codegen latency (paid once, which is the warmup's job).
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -130,7 +139,8 @@ object Bench {
     val roundTrip = Seq("q43_partitioned_source", "q44_bucketed_join",
       "q46_schema_evolution", "ann_ivfpq_persisted", "q48_zorder",
       "q49_compaction", "q50_sketch_rollup", "q51_skipping_index",
-      "q52_quantile_rollup", "q53_topk_rollup")
+      "q52_quantile_rollup", "q53_topk_rollup", "stream_sketch_rollup",
+      "dedup_incremental", "mm_manifest")
       .filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
