@@ -72,4 +72,29 @@ object DedupStore {
   def survivors(spark: SparkSession, corpus: DataFrame, idCol: String,
       storePath: String): DataFrame =
     corpus.join(read(spark, storePath).select(col("keep_id").as(idCol)), idCol)
+
+  /** Keep the store current from a file-arrival document stream: every
+    * micro-batch dedups against the store and appends its genuinely-new
+    * hashes, tagged with the checkpointed batch id (arrival order is
+    * recorded in the store). Replay-safe: a re-run batch finds its
+    * hashes already present and the anti-join appends nothing, so a
+    * committed batch is never double-recorded — the relational sibling
+    * of SketchRollup.maintainStream's crash contract.
+    */
+  def maintainStream(spark: SparkSession, docsDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      idCol: String, textCol: String,
+      storePath: String, checkpoint: String,
+      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingest(batch.sparkSession, batch, idCol, textCol, storePath, batchId.toInt)
+        ()
+      }
+      .start()
 }

@@ -85,6 +85,38 @@ class DedupStoreSpec extends AnyFunSuite {
     assert(DedupStore.read(spark, store).count() == 4)
   }
 
+  test("streaming maintainer: multi-batch arrival covers the one-shot hash set") {
+    val srcDir = TestSpark.scratch("dedupstore-stream-src")
+    val rmSrc = new org.apache.hadoop.fs.Path(srcDir)
+    rmSrc.getFileSystem(spark.sessionState.newHadoopConf()).delete(rmSrc, true)
+    graft.sources.Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartition(4).write.mode("overwrite").parquet(srcDir)
+    val store = freshStore("dedupstore-stream")
+    val ck = TestSpark.scratch("dedupstore-stream-ck")
+    val rmCk = new org.apache.hadoop.fs.Path(ck)
+    rmCk.getFileSystem(spark.sessionState.newHadoopConf()).delete(rmCk, true)
+    val schema = spark.read.parquet(srcDir).schema
+    val q = DedupStore.maintainStream(spark, srcDir, schema,
+      "doc_id", "text", store, ck)
+    q.awaitTermination(180000)
+    assert(q.exception.isEmpty)
+    val corpus = spark.read.parquet(srcDir)
+      .select(col("doc_id").cast("long").as("keep_id"),
+        sha2(col("text"), 256).as("content_hash"))
+    val st = DedupStore.read(spark, store)
+    // one row per distinct content, whatever the file-to-batch split was
+    assert(st.count() ==
+      corpus.select("content_hash").distinct().count())
+    assert(st.groupBy("content_hash").count()
+      .filter(col("count") > 1).count() == 0)
+    // every keeper is a genuine (id, hash) pair of the corpus: the
+    // first-arrival winner is always a real member of its family
+    assert(st.select("content_hash", "keep_id")
+      .join(corpus, Seq("content_hash", "keep_id"), "left_anti")
+      .count() == 0)
+  }
+
   test("survivors view joins keepers back to the corpus") {
     val store = freshStore("dedupstore-surv")
     DedupStore.ingest(spark, docs, "doc_id", "text", store, 0)
