@@ -442,13 +442,17 @@ object Multimodal {
     * file per row named `media_<id>.<ext>` (extension cycles image/audio/
     * video). Image rows are REAL PNGs, audio rows REAL WAVs, video rows
     * REAL MP4 containers (spec-shaped box tree with parseable
-    * timescale/duration/dimensions; the text bytes ride in `mdat` as the
-    * stand-in encoded stream). The target dir is cleared first so
-    * re-runs at a different scale factor can't leak stale files. Files
-    * are written from the executors (`foreachPartition`) — on a cluster
-    * the same code writes to shared storage; this exists so
-    * `ingestBinaryFiles` can be exercised against real files wherever the
-    * corpus has none.
+    * timescale/duration/dimensions; a seeded pseudo-random byte stream
+    * rides in `mdat` as the stand-in encoded stream). Every file is a
+    * PURE FUNCTION OF ITS ID — byte-identical however often and at
+    * whatever scale factor the fixture is rewritten (`textCol` is kept
+    * for signature stability but no longer shapes any payload), which is
+    * what lets the mm_manifest oracle re-read the files after any later
+    * run has rewritten the shared scratch dir. The target dir is cleared
+    * first so re-runs can't leak stale files. Files are written from the
+    * executors (`foreachPartition`) — on a cluster the same code writes
+    * to shared storage; this exists so `ingestBinaryFiles` can be
+    * exercised against real files wherever the corpus has none.
     */
   def writeMediaFixture(docs: DataFrame, idCol: String, textCol: String,
       dir: String): String = {
@@ -469,8 +473,18 @@ object Multimodal {
             case "png" => pngBytes(id)
             case "wav" => wavBytes(id)
             case "avi" => aviBytes(id)
-            case _ => mp4Bytes(id,
-              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            case _ =>
+              // mdat payload is a pure function of the id (NOT the doc
+              // text): every fixture file is byte-identical however often
+              // and at whatever scale factor the fixture is rewritten, so
+              // a later bench/verify run at a different SF clobbering the
+              // shared scratch dir cannot invalidate the mm_manifest
+              // oracle's read of the files (the oracle replays bytes)
+              val a = math.abs(id)
+              val mdat = Array.tabulate(((a % 2000) + 500).toInt) { i =>
+                ((a * 2654435761L + i.toLong * 104729L) >>> (i % 13)).toByte
+              }
+              mp4Bytes(id, mdat)
           }
           java.nio.file.Files.write(
             new java.io.File(d, s"media_$id.$ext").toPath, payload)

@@ -33,7 +33,13 @@ object ScaleProbe {
     "pipeline_embed_dedup",
     // layout maintenance at 10x input (documents-based; q48 uses lineitem,
     // which the replica corpus does not carry)
-    "q49_compaction")
+    "q49_compaction",
+    // incremental hash-store ingest: 3 arrival batches over 10x docs —
+    // cost should track corpus hashing + anti-join, not history size
+    "dedup_incremental",
+    // BPE training: corpus tokenize scan is 10x, the 8 merge rounds run
+    // on the cached vocabulary (~10x entries from the digit suffixes)
+    "pipeline_bpe")
 
   def main(args: Array[String]): Unit = {
     // [srcDir [outDir]] — defaults match this container's layout
