@@ -276,6 +276,21 @@ object PipelineQueries {
       graft.operators.Bpe.train(t(s, dir, "documents"), "text", merges = 8)
         .orderBy("round")),
 
+    "pipeline_bpe_apply" -> ((s, dir) => {
+      // the inference side of BPE, gated end-to-end: train the 8 merge
+      // rules (bit-deterministic, DuckDB-replayable), then ENCODE the
+      // whole corpus under them — per-doc subword token counts, the
+      // actual 100 TB tokenizer workload (one narrow scan; the rule fold
+      // is 8 codegen'd replaces per word). Docs with zero tokens have no
+      // row, mirroring the oracle's tokens-to-vocab join.
+      val docs = t(s, dir, "documents")
+      val rules = graft.operators.Bpe.train(docs, "text", merges = 8)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Bpe.encodeSymbolCounts(docs, "doc_id", "text", rules)
+        .orderBy("doc_id")
+    }),
+
     "text_hash_embed" -> ((s, dir) =>
       // hashing-trick featurization: md5-bucketed token counts,
       // l2-normalized — the model-free bridge from text to the
@@ -734,8 +749,16 @@ object PipelineQueries {
   // each v_{r-1} several times, and DuckDB's inliner would otherwise
   // re-expand the whole prefix per reference — measured exponential
   // (~3x/round); materialized, the full 8-round replay runs in <1s
-  private lazy val bpeReplaySql: String = {
-    val symRe = """\(([^)]*)\)"""
+  private val BpeSymRe = """\(([^)]*)\)"""
+
+  /** The shared WITH-chain of the BPE oracles: vocab v0 plus, per round
+    * r, the pair counts, argmax rule m_r, merged vocab v_r and weighted
+    * symbol total cs_r — the full training replay. Both the train oracle
+    * (rule table) and the apply oracle (per-doc encode under the learned
+    * rules) compose on top of v8/m_r.
+    */
+  private def bpeChainSql: String = {
+    val symRe = BpeSymRe
     val backref = """(\1)"""
     val sb = new StringBuilder
     sb ++= s"""WITH btok AS (SELECT unnest($ToksSql) AS word FROM documents),
@@ -756,12 +779,26 @@ object PipelineQueries {
                 |       FROM v${r - 1}),
                 |cs$r AS MATERIALIZED (SELECT sum(n * len(regexp_extract_all(s, '$symRe', 1))) AS t FROM v$r)""".stripMargin
     }
-    sb ++= (1 to 8).map { r =>
+    sb.toString
+  }
+
+  private lazy val bpeReplaySql: String =
+    bpeChainSql + (1 to 8).map { r =>
       s"""SELECT CAST($r AS BIGINT) AS round, lhs, rhs, CAST(cnt AS BIGINT) AS pair_count,
          |  (SELECT CAST(t AS BIGINT) FROM cs$r) AS corpus_symbols FROM m$r""".stripMargin
     }.mkString("\n", "\nUNION ALL\n", "\nORDER BY round")
-    sb.toString
-  }
+
+  // apply face: every corpus word's post-merge rendering lives in v8 (the
+  // vocab is built from this same corpus), so the per-doc encode is one
+  // tokens-to-vocab join summing each word's symbol count — exactly what
+  // Bpe.encodeSymbolCounts computes with its fold of the 8 learned rules
+  private lazy val bpeApplySql: String =
+    bpeChainSql + s""",
+      |dt AS (SELECT doc_id, unnest($ToksSql) AS word FROM documents)
+      |SELECT dt.doc_id,
+      |  CAST(sum(len(regexp_extract_all(v8.s, '$BpeSymRe', 1))) AS BIGINT) AS n_bpe_tokens
+      |FROM dt JOIN v8 USING (word)
+      |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin
 
   private def swListSql(lang: String): String =
     graft.functions.TextFunctions.stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
@@ -1058,6 +1095,11 @@ object PipelineQueries {
     // rules from scratch — argmax, tie-break and greedy apply all
     // recomputed — so the rule table itself driver-hashes
     "pipeline_bpe" -> bpeReplaySql,
+
+    // training replay up to the final vocab v8, then the per-doc encode
+    // as a tokens-to-vocab join (bpeApplySql) — the applied tokenizer's
+    // output driver-hashes end to end
+    "pipeline_bpe_apply" -> bpeApplySql,
 
     // same md5-bucket arithmetic as TextAnalysis.hashedBow; the squared
     // norm sums integer-valued doubles (exact), so division + round(4)
