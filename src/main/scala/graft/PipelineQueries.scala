@@ -183,6 +183,32 @@ object PipelineQueries {
         k = 10, nProbe = 4, refine = 4)
     }),
 
+    "ann_ivfpq_append" -> ((s, dir) => {
+      // the daily-ingest path at scale, gated end-to-end: the persisted
+      // index is BUILT from half the corpus (even ids), then the other
+      // half arrives later and is appended under the SAME trained model
+      // (appendToIndex — one narrow encode scan into the cell
+      // directories, no retrain, no rebuild). The served search must be
+      // byte-identical to encoding everything at once — which is exactly
+      // what the ann_ivfpq training-replay oracle computes, so arrival
+      // batching is proven invisible (the index is a set of (id, cell,
+      // codes, norm) rows; append order cannot change it).
+      val e = t(s, dir, "embeddings")
+      val model = graft.operators.PqIndex.train(
+        e.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding",
+        nCells = 16, m = 8, kCodes = 16, sampleFraction = 1.0)
+      val idx = s"${Scratch.dir}/ivfpq_append_index"
+      graft.operators.PqIndex.writeIndex(
+        graft.operators.PqIndex.encode(
+          e.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding", model), idx)
+      graft.operators.PqIndex.appendToIndex(
+        e.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding", model, idx)
+      graft.operators.PqIndex.search(
+        graft.operators.PqIndex.readIndex(s, idx), e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", model,
+        k = 10, nProbe = 4, refine = 4)
+    }),
+
     "text_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -1261,6 +1287,16 @@ object PipelineQueries {
     // writeIndex/readIndex are exact), then serves the same search — so
     // the SAME SQL gates the from-disk path end to end
     "ann_ivfpq_persisted" ->
+      s"""$pqReplaySql
+         |SELECT qid, id, round(cs, 4) AS cosine, CAST(rk AS BIGINT) AS rk
+         |FROM pr WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    // same replay once more: build-on-half + append-the-rest produces the
+    // SAME encoded row set as encode-all-at-once (same fixed model), so
+    // the identical SQL gates the append path — arrival batching must be
+    // invisible, and a wrong append (dropped rows, double-encode, stale
+    // model) hash-mismatches
+    "ann_ivfpq_append" ->
       s"""$pqReplaySql
          |SELECT qid, id, round(cs, 4) AS cosine, CAST(rk AS BIGINT) AS rk
          |FROM pr WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
