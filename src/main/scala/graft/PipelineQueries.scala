@@ -217,6 +217,13 @@ object PipelineQueries {
       TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "text_bigram_lm" -> ((s, dir) =>
+      // interpolated bigram LM surprisal (λ=0.5 — exactly representable,
+      // so both engines interpolate with the same doubles); docs with
+      // < 2 tokens have no bigram position and no row
+      TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "pipeline_quality_filter" -> ((s, dir) =>
       graft.operators.Curation.qualityFilter(t(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "lang", "source")
@@ -1505,6 +1512,38 @@ object PipelineQueries {
          |d AS (SELECT doc_id, list_sort(list(wt)) AS l, CAST(sum(m) AS BIGINT) AS n
          |      FROM terms GROUP BY doc_id)
          |SELECT doc_id, n AS n_words,
+         |  round(list_reduce(list_prepend(0.0, list_transform(l, x -> x.term)),
+         |        (a, x) -> a + x) / n, 4) AS avg_neg_logp
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // interpolated bigram surprisal: counts are exact integers on both
+    // engines, the interpolation literals (0.5) are binary-exact, each
+    // term's arithmetic mirrors the kernel expression shape, and the
+    // per-doc sum folds over the (w1, w2)-sorted term list — the
+    // text_lm_score determinism contract extended to bigrams
+    "text_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+         |big AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+         |        FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+         |              FROM t WHERE len(ts) >= 2)),
+         |m AS (SELECT doc_id, w1, w2, count(*) AS m FROM big GROUP BY 1, 2, 3),
+         |uc AS (SELECT w, count(*) AS cnt
+         |       FROM (SELECT unnest(ts) AS w FROM t) GROUP BY w),
+         |tot AS (SELECT sum(cnt) AS total FROM uc),
+         |bc AS (SELECT w1, w2, sum(m) AS bcnt FROM m GROUP BY 1, 2),
+         |terms AS (SELECT m.doc_id, m.m,
+         |    struct_pack(w1 := m.w1, w2 := m.w2,
+         |      term := m.m::DOUBLE * -ln(
+         |        0.5 * (bc.bcnt::DOUBLE / u1.cnt::DOUBLE)
+         |        + 0.5 * (u2.cnt::DOUBLE / tot.total::DOUBLE))) AS wt
+         |  FROM m JOIN bc USING (w1, w2)
+         |  JOIN uc u1 ON u1.w = m.w1
+         |  JOIN uc u2 ON u2.w = m.w2
+         |  CROSS JOIN tot),
+         |d AS (SELECT doc_id, list_sort(list(wt)) AS l,
+         |        CAST(sum(m) AS BIGINT) AS n
+         |      FROM terms GROUP BY doc_id)
+         |SELECT doc_id, n AS n_bigrams,
          |  round(list_reduce(list_prepend(0.0, list_transform(l, x -> x.term)),
          |        (a, x) -> a + x) / n, 4) AS avg_neg_logp
          |FROM d ORDER BY doc_id""".stripMargin,

@@ -84,6 +84,57 @@ object TextAnalysis {
             / col("n"), 4).as("avg_neg_logp"))
   }
 
+  /** Interpolated bigram LM mean surprisal — the count-based form of the
+    * CCNet/KenLM-style LM-perplexity quality signal (Wenzek et al.,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", LREC 2020 uses a trained KenLM; this is the same signal from
+    * corpus-internal counts): per bigram position,
+    * p = λ·(cnt(w1,w2)/cnt(w1)) + (1-λ)·(cnt(w2)/total), score = mean
+    * -ln p over the doc's bigram positions. Docs with < 2 tokens have no
+    * bigram position and are absent from the output (mirroring the
+    * oracle's joins). Default λ = 0.5: exactly representable in binary,
+    * so the Spark and DuckDB interpolations are the same doubles.
+    *
+    * Distributed shape: two corpus-wide count tables (unigram + bigram —
+    * vocabulary-sized, map-side partial aggregation), then each doc's
+    * DISTINCT bigrams join against them; the per-doc sum folds over the
+    * (w1, w2)-sorted term list so double addition happens in one fixed
+    * order on any partitioning — the [[lmScore]] determinism contract.
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.5): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), T.tokens(col(textCol)).as("ts"))
+    val pairs = toks.filter(size(col("ts")) >= 2)
+      .select(col("id"), explode(transform(
+        sequence(lit(1), size(col("ts")) - 1),
+        i => struct(element_at(col("ts"), i).as("w1"),
+          element_at(col("ts"), i + 1).as("w2")))).as("b"))
+      .groupBy(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("m"))
+    val uni = toks.select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val tot = uni.agg(sum("cnt").as("total"))
+    val bc = pairs.groupBy("w1", "w2").agg(sum("m").as("bcnt"))
+    val terms = pairs
+      .join(bc, Seq("w1", "w2"))
+      .join(uni.select(col("w").as("w1"), col("cnt").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cnt").as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("id"), col("m"),
+        struct(col("w1"), col("w2"),
+          (col("m").cast("double") * -log(
+            lit(lambda) * (col("bcnt").cast("double") / col("c1").cast("double")) +
+              lit(1.0 - lambda) * (col("c2").cast("double") / col("total").cast("double"))))
+            .as("term")).as("wt"))
+    terms.groupBy("id")
+      .agg(collect_list(col("wt")).as("l"), sum("m").as("n"))
+      .select(col("id").as(idCol),
+        col("n").cast("long").as("n_bigrams"),
+        round(
+          expr("aggregate(array_sort(l), cast(0.0 as double), (a, x) -> a + x.term)")
+            / col("n"), 4).as("avg_neg_logp"))
+  }
+
   /** Within-document repetition signals (the Gopher/MassiveText rule
     * inputs, Rae et al. 2021): duplicate word-n-gram fractions and the
     * top word's frequency share. `dup_ngram_frac` = 1 - distinct/total

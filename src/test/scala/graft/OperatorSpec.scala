@@ -418,6 +418,30 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("bigram LM: exact hand-computed value; interpolation bounds hold") {
+    // "x y x y": bigrams (x,y) m=2, (y,x) m=1; uni x=2 y=2 total=4
+    // p(x,y) = .5*(2/2) + .5*(2/4) = .75 ; p(y,x) = .5*(1/2) + .5*(2/4) = .5
+    // score = (2*-ln(.75) + 1*-ln(.5)) / 3
+    val df = Seq((1L, "x y x y")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLmScore(df, "doc_id", "text").collect()(0)
+    assert(r.getLong(1) == 3L)
+    val expected = (2.0 * -math.log(0.75) + -math.log(0.5)) / 3.0
+    assert(math.abs(r.getDouble(2) - math.rint(expected * 10000) / 10000) < 1e-9)
+    // single-token and empty docs have no bigram position and no row
+    val short = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    assert(TextAnalysis.bigramLmScore(short, "doc_id", "text").count() == 0)
+    // on real docs: every score is positive (p < 1 whenever the corpus
+    // has more than one distinct word) and finite
+    val real = TextAnalysis.bigramLmScore(
+      Tables.load(spark, TestSpark.sf, "documents").limit(100), "doc_id", "text")
+      .collect()
+    assert(real.nonEmpty)
+    real.foreach { row =>
+      val s = row.getDouble(2)
+      assert(s > 0.0 && !s.isNaN && !s.isInfinite)
+    }
+  }
+
   test("hashedBow: unit norm, counts match an md5 replica, feeds ANN search") {
     val docs = Tables.load(spark, TestSpark.sf, "documents").limit(100)
     val dim = 64
