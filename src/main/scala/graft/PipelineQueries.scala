@@ -224,6 +224,12 @@ object PipelineQueries {
       TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "text_keywords" -> ((s, dir) =>
+      // TF-IDF top-3 keywords per doc; the rank compares the ROUNDED
+      // score (word tiebreak) so ln()'s last ulp cannot flip the order
+      // across engines — see tfidfKeywords
+      TextAnalysis.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", k = 3)),
+
     "pipeline_quality_filter" -> ((s, dir) =>
       graft.operators.Curation.qualityFilter(t(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "lang", "source")
@@ -1547,6 +1553,25 @@ object PipelineQueries {
          |  round(list_reduce(list_prepend(0.0, list_transform(l, x -> x.term)),
          |        (a, x) -> a + x) / n, 4) AS avg_neg_logp
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    // tf·idf replay with exact integer counts; both engines rank the
+    // 4-decimal-rounded score with a word tiebreak (rounding first pins
+    // one cross-engine order against ln()'s last-ulp freedom)
+    "text_keywords" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+         |p AS (SELECT doc_id, w, count(*) AS m
+         |      FROM (SELECT doc_id, unnest(ts) AS w FROM t) GROUP BY 1, 2),
+         |dfq AS (SELECT w, count(*) AS df FROM p GROUP BY w),
+         |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM p),
+         |sc AS (SELECT p.doc_id, p.w,
+         |         round(p.m::DOUBLE * ln(nd.nd::DOUBLE / dfq.df::DOUBLE), 4) AS tfidf
+         |       FROM p JOIN dfq USING (w) CROSS JOIN nd),
+         |r AS (SELECT doc_id, w, tfidf,
+         |        row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY tfidf DESC, w ASC) AS rk
+         |      FROM sc)
+         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, w AS word, tfidf
+         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     // duplicate-n-gram fractions + top-word share; short docs (<= n words)
     // are 0 by definition on both sides

@@ -135,6 +135,39 @@ object TextAnalysis {
             / col("n"), 4).as("avg_neg_logp"))
   }
 
+  /** TF-IDF keyword extraction: the top `k` terms per document by
+    * tf·idf, idf = ln(N/df) with N = documents holding >= 1 token and
+    * df = documents containing the word. The classic tagging/retrieval
+    * primitive over a corpus — two vocabulary-sized aggregates (term
+    * frequency per doc, document frequency per word) and a two-stage
+    * per-doc top-k ([[TopK.perKey]] — no full sort of the posting list).
+    *
+    * Ranking compares the score ROUNDED to 4 decimals (ties broken by
+    * word): the unrounded score is m·ln(N/df), and two near-equal
+    * scores could order differently across engines on ln()'s last ulp —
+    * rounding first pins one cross-engine order (the same decimal
+    * lockstep the k-means means rely on), which is what lets the
+    * text_keywords oracle replay the ranking exactly.
+    */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val pairs = docs
+      .select(col(idCol).as("id"), explode(T.tokens(col(textCol))).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("m"))
+    val dfreq = pairs.groupBy("w").agg(count(lit(1)).as("df"))
+    // N rides as a broadcast one-row aggregate (no eager count, no
+    // driver-side constant folding of a corpus-dependent value)
+    val nd = pairs.agg(count_distinct(col("id")).as("nd"))
+    val scored = pairs.join(dfreq, "w").crossJoin(broadcast(nd))
+      .withColumn("tfidf", round(
+        col("m").cast("double") *
+          log(col("nd").cast("double") / col("df").cast("double")), 4))
+    TopK.perKey(scored, "id", Seq(col("tfidf").desc, col("w").asc), k, "rk")
+      .select(col("id").as(idCol), col("rk").cast("long").as("rk"),
+        col("w").as("word"), col("tfidf"))
+      .orderBy(idCol, "rk")
+  }
+
   /** Within-document repetition signals (the Gopher/MassiveText rule
     * inputs, Rae et al. 2021): duplicate word-n-gram fractions and the
     * top word's frequency share. `dup_ngram_frac` = 1 - distinct/total
