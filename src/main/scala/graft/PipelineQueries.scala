@@ -89,6 +89,18 @@ object PipelineQueries {
         e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
     }),
 
+    "ann_range_search" -> ((s, dir) => {
+      // radius search: every corpus vector with cosine >= 0.3 of each
+      // query — data-dependent result size (the "everything similar
+      // enough" face); 0.3 sits where the synthetic corpus has real
+      // matches (max pairwise cosine ~0.5-0.6)
+      val e = t(s, dir, "embeddings")
+      SimilaritySearch.rangeSearch(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        threshold = 0.3)
+    }),
+
     "ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       SimilaritySearch.lshTopK(
@@ -1268,6 +1280,19 @@ object PipelineQueries {
         |      FROM s)
         |SELECT qid, id, round(c, 4) AS cosine, rk FROM r WHERE rk <= 10
         |ORDER BY qid, rk""".stripMargin,
+
+    // exact truth via DuckDB's own cosine over the same double vectors;
+    // both engines accumulate sequentially in double and round(4)
+    // absorbs last-ulp drift (the dedup_embedding contract); boundary
+    // rows compare the UNROUNDED cosine to the threshold on both sides
+    "ann_range_search" ->
+      """SELECT q.vec_id AS qid, e.vec_id AS id,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine
+        |FROM embeddings e
+        |JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+        |  ON e.vec_id != q.vec_id
+        |WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) >= 0.3
+        |ORDER BY qid, id""".stripMargin,
 
     // full replay of the (L, k) hyperplane scheme in SQL (lshReplaySql):
     // candidate generation, scoring and top-k are all recomputed from

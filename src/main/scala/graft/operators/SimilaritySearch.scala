@@ -33,6 +33,28 @@ object SimilaritySearch {
       .orderBy("qid", "rk")
   }
 
+  /** Radius (range) search: every corpus vector within cosine >=
+    * `threshold` of each query — the FAISS `range_search` counterpart,
+    * and the query-batch sibling of [[Dedup.embeddingNearDup]]'s
+    * all-pairs form. Exact: one broadcast of the (small) query batch,
+    * one codegen'd scan of the corpus, no shuffle before the result —
+    * result size is data-dependent (unlike top-k), which is the point:
+    * "give me everything similar enough", e.g. near-dup lookup of a
+    * candidate batch against a corpus. Self-matches (id == qid) are
+    * excluded. For corpus-side pruning at scale, bucket the corpus with
+    * the LSH/IVF machinery and range-search within probed buckets.
+    */
+  def rangeSearch(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      threshold: Double): DataFrame =
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))))
+      .withColumn("cosine", GraftFunctions.cosine(col("v"), col("qv")))
+      .filter(col("cosine") >= threshold && col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"))
+      .orderBy("qid", "id")
+
   /** Multi-table LSH ANN (classic (L, k) random-hyperplane scheme: L
     * independent tables of k sign-bits each; a corpus vector is a
     * candidate if it collides with the query in ANY table). Collision
