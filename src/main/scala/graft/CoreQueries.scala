@@ -293,6 +293,20 @@ object CoreQueries {
       graft.query.MetadataInspector.fileMetadata(s, s"$dir/lineitem.parquet")
         .filter(col("key") =!= "file_name") // path differs by environment
         .orderBy("key")),
+
+    "meta_column_stats" -> ((s, dir) =>
+      // per-row-group column-chunk statistics (the drill-down level of
+      // DuckDB's parquet_metadata(), and the raw material of q51's
+      // data-skipping index). Gated on the INT64 columns, whose min/max
+      // render identically across engines ("0", not "0.0"/binary).
+      graft.query.MetadataInspector.rowGroupMetadata(s, s"$dir/orders.parquet")
+        .filter(col("column").isin("o_orderkey", "o_custkey"))
+        .select(col("row_group").cast("long").as("row_group"),
+          col("column").as("col_name"),
+          col("value_count").cast("long").as("num_values"),
+          col("stats_min").as("min_s"), col("stats_max").as("max_s"),
+          col("num_nulls").cast("long").as("null_count"))
+        .orderBy("row_group", "col_name")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -502,6 +516,20 @@ object CoreQueries {
         |  UNION ALL SELECT 'num_row_groups', num_row_groups::VARCHAR FROM m
         |  UNION ALL SELECT 'num_rows', num_rows::VARCHAR FROM m
         |) ORDER BY key""".stripMargin,
+
+    // drill-down parity: both engines read the SAME column-chunk
+    // statistics out of the footer; parquet_metadata takes a file path,
+    // so the driver's verify path (sf0.01 per the harness contract) is
+    // named literally — the same file the Spark gate reads through `dir`
+    "meta_column_stats" ->
+      """SELECT CAST(row_group_id AS BIGINT) AS row_group,
+        |  path_in_schema AS col_name,
+        |  CAST(num_values AS BIGINT) AS num_values,
+        |  stats_min_value AS min_s, stats_max_value AS max_s,
+        |  CAST(stats_null_count AS BIGINT) AS null_count
+        |FROM parquet_metadata('/root/testdata/sf0.01/orders.parquet')
+        |WHERE path_in_schema IN ('o_orderkey', 'o_custkey')
+        |ORDER BY row_group, col_name""".stripMargin,
   )
 }
 
