@@ -56,6 +56,44 @@ object ExtraQueries {
           col("cnt"))
         .orderBy("status", "priority")),
 
+    "q54_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS (the general form cube/rollup are sugar
+      // for): per-(status, priority), per-status, and grand total — but
+      // NOT per-priority, which only an explicit set list can express.
+      // grouping_id disambiguates a real NULL group key from a
+      // rolled-up level, the standard trap coalesce-only outputs hide.
+      // gid from explicit grouping() bits (1 = rolled up), NOT the
+      // engine-specific grouping_id() packing — bit order is then pinned
+      // identically on both engines
+      t(s, dir, "orders").createOrReplaceTempView("q54_orders")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |  coalesce(o_orderpriority, 'ALL') AS priority,
+          |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+          |  count(1) AS cnt
+          |FROM q54_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |                        (o_orderstatus), ())
+          |ORDER BY gid, status, priority""".stripMargin)
+    }),
+
+    "q55_set_ops" -> ((s, dir) => {
+      // INTERSECT / EXCEPT (the set operators q10_union leaves out):
+      // customers who placed an urgent order AND a low-priority order,
+      // minus those who ever had an F-status order — exercised as
+      // DataFrame intersect/except (DISTINCT set semantics)
+      val o = t(s, dir, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val low = o.filter(col("o_orderpriority") === "5-LOW")
+        .select(col("o_custkey"))
+      val failed = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      urgent.intersect(low).except(failed)
+        .select(col("o_custkey").as("custkey"))
+        .orderBy("custkey")
+    }),
+
     "q23_histogram" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
@@ -665,6 +703,28 @@ object ExtraQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    // same explicit grouping() bit arithmetic on both engines — the gid
+    // column distinguishes a genuine NULL key from a rolled-up level
+    "q54_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+        |  count(1) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY gid, status, priority""".stripMargin,
+
+    // DISTINCT set semantics on both engines (INTERSECT/EXCEPT without
+    // ALL); DataFrame intersect/except compile to the same
+    "q55_set_ops" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY custkey""".stripMargin,
 
     "q22_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
