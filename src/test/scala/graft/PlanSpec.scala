@@ -267,6 +267,44 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("range search: broadcast query batch, no pre-result shuffle, two-stage keyword top-k") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    // rangeSearch before its output sort: the scan side must see only a
+    // broadcast of the query batch — no shuffle produces the result rows
+    val rs = graft.operators.SimilaritySearch.rangeSearch(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", 0.2)
+    val plan = executedNoAqe(rs)
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    // the only allowed shuffle is the final orderBy's range partitioning
+    assert(shuffles.size <= 1 &&
+      shuffles.forall(_.outputPartitioning.toString.contains("range")),
+      s"range search must not shuffle before the result sort:\n$plan")
+    assert(plan.toString.contains("BroadcastExchange") ||
+      plan.toString.contains("BroadcastNestedLoopJoin") ||
+      plan.toString.contains("BroadcastHashJoin") ||
+      plan.toString.contains("Broadcast"),
+      s"query batch must broadcast:\n$plan")
+    // tfidfKeywords: per-doc top-k must be two-stage (the ANN contract)
+    val kw = graft.operators.TextAnalysis.tfidfKeywords(
+      Tables.load(spark, TestSpark.sf, "documents").limit(200), "doc_id", "text")
+    val kwPlan = executedNoAqe(kw)
+    val windows = kwPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      if (w.partitionSpec.size == 1) {
+        val partialBelow = w.child.collect {
+          case p: WindowExec if p.partitionSpec.size >= 2 => p
+        }
+        assert(partialBelow.nonEmpty,
+          s"keyword top-k must rank pre-reduced survivors:\n$kwPlan")
+      }
+    }
+  }
+
   test("LSH candidate dedup shuffles narrow (qid,id) pairs - no vectors") {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.functions._
