@@ -140,6 +140,7 @@ object Bench {
       "q46_schema_evolution", "ann_ivfpq_persisted", "q48_zorder",
       "q49_compaction", "q50_sketch_rollup", "q51_skipping_index",
       "q52_quantile_rollup", "q53_topk_rollup", "stream_sketch_rollup",
+      "stream_quantile_rollup", "stream_topk_rollup",
       "dedup_incremental", "mm_manifest", "ann_ivfpq_append")
       .filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")

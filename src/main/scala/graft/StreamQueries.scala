@@ -26,6 +26,94 @@ object StreamQueries {
     "stream_session_window" -> ((s, dir) =>
       EventStreams.sessionWindowBatch(Tables.load(s, dir, "events"))),
 
+    "stream_quantile_rollup" -> ((s, dir) => {
+      // incremental QUANTILE-store maintenance: the q52 per-day KLL store
+      // built from 3 arrival batches (event_id mod 3) via
+      // mergeQuantilesInto — each update scans the NEW batch only and
+      // re-merges the KB-sized store. The served answers must then stand
+      // in the same q52 gates (exact medians cross-engine, store counts
+      // exactly the arrivals, each engine's own estimate within the
+      // guaranteed rank band) — mergeability across arrival batching,
+      // driver-hashed.
+      import graft.functions.expr.KllFunctions
+      val store = s"${Scratch.dir}/stream_kll_store"
+      val fsp = new org.apache.hadoop.fs.Path(store)
+      fsp.getFileSystem(s.sessionState.newHadoopConf()).delete(fsp, true)
+      val ev = Tables.load(s, dir, "events")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("value").as("v"), col("event_id"))
+      (0 until 3).foreach { b =>
+        SketchRollup.mergeQuantilesInto(s,
+          ev.filter(pmod(col("event_id"), lit(3)) === b), store)
+      }
+      val sk = s.read.parquet(store)
+      val estDay = sk.select(col("day"), col("n_events"),
+        KllFunctions.kllQuantile(col("sk"), lit(0.5)).as("est"),
+        KllFunctions.kllN(col("sk")).as("sk_n"))
+      val rankDay = ev.join(broadcast(estDay.select("day", "est")), "day")
+        .groupBy("day")
+        .agg((count(when(col("v") <= col("est"), 1)) / count(lit(1))).as("est_rank"))
+      val exactDay = ev.groupBy("day")
+        .agg(round(expr("percentile(v, 0.5)"), 4).as("exact_p50"))
+      val perDay = estDay.join(exactDay, "day").join(rankDay, "day")
+        .select(col("day"), col("n_events"), col("exact_p50"),
+          (col("sk_n") === col("n_events")).as("n_ok"),
+          (abs(col("est_rank") - 0.5) <= lit(0.03) + lit(1.0) / col("n_events"))
+            .as("rank_ok"))
+      val estAll = sk.agg(KllFunctions.kllMerge(col("sk")).as("msk"),
+          sum("n_events").as("n_events"))
+        .select(col("n_events"),
+          KllFunctions.kllQuantile(col("msk"), lit(0.5)).as("est"),
+          KllFunctions.kllN(col("msk")).as("sk_n"))
+      val exactAll = ev.agg(round(expr("percentile(v, 0.5)"), 4).as("exact_p50"))
+      val allRow = ev.crossJoin(broadcast(estAll))
+        .agg((count(when(col("v") <= col("est"), 1)) / count(lit(1))).as("est_rank"),
+          first(col("n_events")).as("n_events"), first(col("sk_n")).as("sk_n"))
+        .crossJoin(broadcast(exactAll))
+        .select(lit("ALL").as("day"), col("n_events"), col("exact_p50"),
+          (col("sk_n") === col("n_events")).as("n_ok"),
+          (abs(col("est_rank") - 0.5) <= lit(0.03) + lit(1.0) / col("n_events"))
+            .as("rank_ok"))
+      perDay.unionByName(allRow).orderBy("day")
+    }),
+
+    "stream_topk_rollup" -> ((s, dir) => {
+      // incremental heavy-hitters store: the q53 per-day frequent-items
+      // store built from 3 arrival batches via mergeTopkInto; the merged
+      // store must still certify the exact top-10 (lb <= true <= ub is
+      // deterministic) and track the exact stream length through
+      // serialize → merge → serialize cycles across updates.
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.expr.FreqFunctions
+      val store = s"${Scratch.dir}/stream_freq_store"
+      val fsp = new org.apache.hadoop.fs.Path(store)
+      fsp.getFileSystem(s.sessionState.newHadoopConf()).delete(fsp, true)
+      val ev = Tables.load(s, dir, "events")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("user_id"), col("event_id"))
+      (0 until 3).foreach { b =>
+        SketchRollup.mergeTopkInto(s,
+          ev.filter(pmod(col("event_id"), lit(3)) === b), store)
+      }
+      val merged = s.read.parquet(store)
+        .agg(FreqFunctions.freqMerge(col("sk")).as("msk"),
+          sum("n_events").as("n_events"))
+      val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("user_id").asc).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("exact_cnt").desc, col("user_id").asc)))
+      top.crossJoin(broadcast(merged))
+        .select(col("rank").cast("long").as("rank"), col("user_id"),
+          col("exact_cnt"),
+          FreqFunctions.freqBounds(col("msk"), col("user_id")).as("b"),
+          FreqFunctions.freqN(col("msk")).as("sk_n"), col("n_events"))
+        .select(col("rank"), col("user_id"), col("exact_cnt"),
+          (col("b.lb") <= col("exact_cnt") && col("exact_cnt") <= col("b.ub"))
+            .as("bracket_ok"),
+          (col("sk_n") === col("n_events")).as("n_ok"))
+        .orderBy("rank")
+    }),
+
     "stream_sketch_rollup" -> ((s, dir) => {
       // incremental sketch-store maintenance (streaming.SketchRollup):
       // the corpus ARRIVES in 3 batches (event_id mod 3 — deterministic),
@@ -86,6 +174,53 @@ object StreamQueries {
         |      / count(DISTINCT user_id) <= 0.05 AS ok
         |  FROM ev)
         |SELECT * FROM d UNION ALL SELECT * FROM a ORDER BY day""".stripMargin,
+
+    // identical truth shape to q52 — the incremental store must serve the
+    // same answers as the one-shot rollup (mergeability), and each
+    // engine's own sketch stands in its guaranteed rank band
+    "stream_quantile_rollup" ->
+      """WITH ev AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "value" AS v FROM events),
+        |d AS (
+        |  SELECT day, count(*) AS n_events,
+        |    round(quantile_cont(v, 0.5), 4) AS exact_p50,
+        |    approx_quantile(v, 0.5) AS est
+        |  FROM ev GROUP BY day),
+        |dr AS (
+        |  SELECT d.day, d.n_events, d.exact_p50,
+        |    count(*) FILTER (WHERE ev.v <= d.est)::DOUBLE / count(*)::DOUBLE AS est_rank
+        |  FROM ev JOIN d USING (day)
+        |  GROUP BY d.day, d.n_events, d.exact_p50),
+        |a AS (
+        |  SELECT count(*) AS n_events,
+        |    round(quantile_cont(v, 0.5), 4) AS exact_p50,
+        |    approx_quantile(v, 0.5) AS est
+        |  FROM ev),
+        |ar AS (
+        |  SELECT a.n_events, a.exact_p50,
+        |    count(*) FILTER (WHERE ev.v <= a.est)::DOUBLE / count(*)::DOUBLE AS est_rank
+        |  FROM ev CROSS JOIN a
+        |  GROUP BY a.n_events, a.exact_p50)
+        |SELECT day, n_events, exact_p50,
+        |  TRUE AS n_ok,
+        |  abs(est_rank - 0.5) <= 0.03 + 1.0 / n_events AS rank_ok
+        |FROM dr
+        |UNION ALL
+        |SELECT 'ALL' AS day, n_events, exact_p50, TRUE AS n_ok,
+        |  abs(est_rank - 0.5) <= 0.03 + 1.0 / n_events AS rank_ok
+        |FROM ar
+        |ORDER BY day""".stripMargin,
+
+    // identical truth shape to q53: the exact top-10 rides cross-engine,
+    // the bracket and stream-length booleans are deterministic guarantees
+    // the merged incremental store must uphold
+    "stream_topk_rollup" ->
+      """WITH c AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY user_id),
+        |r AS (SELECT user_id, exact_cnt,
+        |        row_number() OVER (ORDER BY exact_cnt DESC, user_id) AS rank
+        |      FROM c)
+        |SELECT CAST(rank AS BIGINT) AS rank, user_id, exact_cnt,
+        |  TRUE AS bracket_ok, TRUE AS n_ok
+        |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     "stream_dedup" ->
       """WITH r AS (

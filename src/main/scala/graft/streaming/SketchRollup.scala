@@ -39,14 +39,59 @@ object SketchRollup {
     val incoming = batch.groupBy("day")
       .agg(hll_sketch_agg(col("user_id")).as("sk"),
         count(lit(1)).as("n_events"))
+    mergeStore(spark, incoming, storePath) { existing =>
+      existing.groupBy("day")
+        .agg(hll_union_agg(col("sk")).as("sk"),
+          sum("n_events").as("n_events"))
+    }
+  }
+
+  /** KLL-quantile sibling of [[mergeInto]] — the QUANTILE member of the
+    * mergeable trio kept current as data arrives (q52 builds the same
+    * store in one batch job). `batch` must carry `day` and `v`.
+    */
+  def mergeQuantilesInto(spark: SparkSession, batch: DataFrame,
+      storePath: String): Unit = {
+    import graft.functions.expr.KllFunctions
+    val incoming = batch.groupBy("day")
+      .agg(KllFunctions.kllAgg(col("v")).as("sk"),
+        count(lit(1)).as("n_events"))
+    mergeStore(spark, incoming, storePath) { existing =>
+      existing.groupBy("day")
+        .agg(KllFunctions.kllMerge(col("sk")).as("sk"),
+          sum("n_events").as("n_events"))
+    }
+  }
+
+  /** Frequent-items sibling of [[mergeInto]] — the FREQUENCY member of
+    * the trio (q53 builds the same store in one batch job). `batch` must
+    * carry `day` and `user_id`.
+    */
+  def mergeTopkInto(spark: SparkSession, batch: DataFrame,
+      storePath: String): Unit = {
+    import graft.functions.expr.FreqFunctions
+    val incoming = batch.groupBy("day")
+      .agg(FreqFunctions.freqAgg(col("user_id")).as("sk"),
+        count(lit(1)).as("n_events"))
+    mergeStore(spark, incoming, storePath) { existing =>
+      existing.groupBy("day")
+        .agg(FreqFunctions.freqMerge(col("sk")).as("sk"),
+          sum("n_events").as("n_events"))
+    }
+  }
+
+  /** Shared store-update shape: union the incoming per-day partials with
+    * the live store (when one exists), re-merge via `remerge`, then
+    * crash-safe swap (write tmp → move live aside → promote → drop old —
+    * a crash at any point leaves a complete store on disk).
+    */
+  private def mergeStore(spark: SparkSession, incoming: DataFrame,
+      storePath: String)(remerge: DataFrame => DataFrame): Unit = {
     val live = new Path(storePath)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     val merged =
       if (!fs.exists(live)) incoming
-      else spark.read.parquet(storePath).unionByName(incoming)
-        .groupBy("day")
-        .agg(hll_union_agg(col("sk")).as("sk"),
-          sum("n_events").as("n_events"))
+      else remerge(spark.read.parquet(storePath).unionByName(incoming))
     val tmp = new Path(storePath + "__tmp")
     val old = new Path(storePath + "__old")
     merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
