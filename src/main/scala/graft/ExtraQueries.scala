@@ -494,7 +494,10 @@ object ExtraQueries {
       // parity); each engine then checks its OWN sketch in the direction
       // the math guarantees: the TRUE normalized rank of the estimated
       // median (k=200 ⇒ rank error ~1.65% at 99% conf; the gate allows
-      // 3% plus the 1/n granularity floor of small days). sk_n === n
+      // 5% — ~3× the 99% bound, so KLL's RANDOMIZED compaction (no fixed
+      // seed) and DuckDB's unbounded t-digest cannot intermittently flake
+      // the hash gate — plus the 1/n granularity floor of small days;
+      // round-8 advice). sk_n === n
       // exercises KLL's exact stream-length tracking through the
       // serialize → parquet → merge round-trip.
       import graft.functions.expr.KllFunctions
@@ -516,7 +519,7 @@ object ExtraQueries {
       val perDay = estDay.join(exactDay, "day").join(rankDay, "day")
         .select(col("day"), col("n_events"), col("exact_p50"),
           (col("sk_n") === col("n_events")).as("n_ok"),
-          (abs(col("est_rank") - 0.5) <= lit(0.03) + lit(1.0) / col("n_events"))
+          (abs(col("est_rank") - 0.5) <= lit(0.05) + lit(1.0) / col("n_events"))
             .as("rank_ok"))
       val estAll = sk.agg(KllFunctions.kllMerge(col("sk")).as("msk"),
           sum("n_events").as("n_events"))
@@ -530,7 +533,7 @@ object ExtraQueries {
         .crossJoin(broadcast(exactAll))
         .select(lit("ALL").as("day"), col("n_events"), col("exact_p50"),
           (col("sk_n") === col("n_events")).as("n_ok"),
-          (abs(col("est_rank") - 0.5) <= lit(0.03) + lit(1.0) / col("n_events"))
+          (abs(col("est_rank") - 0.5) <= lit(0.05) + lit(1.0) / col("n_events"))
             .as("rank_ok"))
       perDay.unionByName(allRow).orderBy("day")
     }),
@@ -654,11 +657,11 @@ object ExtraQueries {
         |  GROUP BY a.n_events, a.exact_p50)
         |SELECT day, n_events, exact_p50,
         |  TRUE AS n_ok,
-        |  abs(est_rank - 0.5) <= 0.03 + 1.0 / n_events AS rank_ok
+        |  abs(est_rank - 0.5) <= 0.05 + 1.0 / n_events AS rank_ok
         |FROM dr
         |UNION ALL
         |SELECT 'ALL' AS day, n_events, exact_p50, TRUE AS n_ok,
-        |  abs(est_rank - 0.5) <= 0.03 + 1.0 / n_events AS rank_ok
+        |  abs(est_rank - 0.5) <= 0.05 + 1.0 / n_events AS rank_ok
         |FROM ar
         |ORDER BY day""".stripMargin,
 

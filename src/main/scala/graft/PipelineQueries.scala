@@ -1282,16 +1282,17 @@ object PipelineQueries {
         |ORDER BY qid, rk""".stripMargin,
 
     // exact truth via DuckDB's own cosine over the same double vectors;
-    // both engines accumulate sequentially in double and round(4)
-    // absorbs last-ulp drift (the dedup_embedding contract); boundary
-    // rows compare the UNROUNDED cosine to the threshold on both sides
+    // both engines accumulate sequentially in double, and BOTH the score
+    // and the threshold compare use the 4-decimal-rounded value, so
+    // boundary membership is pinned the same way the top-k rankings are
+    // (an unrounded compare could flip a last-ulp row in/out at 0.3)
     "ann_range_search" ->
       """SELECT q.vec_id AS qid, e.vec_id AS id,
         |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine
         |FROM embeddings e
         |JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
         |  ON e.vec_id != q.vec_id
-        |WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) >= 0.3
+        |WHERE round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) >= 0.3
         |ORDER BY qid, id""".stripMargin,
 
     // full replay of the (L, k) hyperplane scheme in SQL (lshReplaySql):

@@ -58,7 +58,7 @@ object StreamQueries {
       val perDay = estDay.join(exactDay, "day").join(rankDay, "day")
         .select(col("day"), col("n_events"), col("exact_p50"),
           (col("sk_n") === col("n_events")).as("n_ok"),
-          (abs(col("est_rank") - 0.5) <= lit(0.03) + lit(1.0) / col("n_events"))
+          (abs(col("est_rank") - 0.5) <= lit(0.05) + lit(1.0) / col("n_events"))
             .as("rank_ok"))
       val estAll = sk.agg(KllFunctions.kllMerge(col("sk")).as("msk"),
           sum("n_events").as("n_events"))
@@ -72,7 +72,7 @@ object StreamQueries {
         .crossJoin(broadcast(exactAll))
         .select(lit("ALL").as("day"), col("n_events"), col("exact_p50"),
           (col("sk_n") === col("n_events")).as("n_ok"),
-          (abs(col("est_rank") - 0.5) <= lit(0.03) + lit(1.0) / col("n_events"))
+          (abs(col("est_rank") - 0.5) <= lit(0.05) + lit(1.0) / col("n_events"))
             .as("rank_ok"))
       perDay.unionByName(allRow).orderBy("day")
     }),
@@ -202,11 +202,11 @@ object StreamQueries {
         |  GROUP BY a.n_events, a.exact_p50)
         |SELECT day, n_events, exact_p50,
         |  TRUE AS n_ok,
-        |  abs(est_rank - 0.5) <= 0.03 + 1.0 / n_events AS rank_ok
+        |  abs(est_rank - 0.5) <= 0.05 + 1.0 / n_events AS rank_ok
         |FROM dr
         |UNION ALL
         |SELECT 'ALL' AS day, n_events, exact_p50, TRUE AS n_ok,
-        |  abs(est_rank - 0.5) <= 0.03 + 1.0 / n_events AS rank_ok
+        |  abs(est_rank - 0.5) <= 0.05 + 1.0 / n_events AS rank_ok
         |FROM ar
         |ORDER BY day""".stripMargin,
 

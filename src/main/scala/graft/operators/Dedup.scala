@@ -549,17 +549,6 @@ object Dedup {
       if (bucketsTotal == 0L) 0.0 else bucketsDropped.toDouble / bucketsTotal
   }
 
-  /** Fraction of multi-member buckets (bsz >= 2) dropped by the `maxBucket`
-    * cap in the most recent `pairsFromBuckets` evaluation on this JVM —
-    * a diagnostic for the silent-no-op failure mode (all buckets oversized
-    * => zero candidates). 0.0 when nothing was dropped or nothing was
-    * bucketed yet. SINGLE-QUERY SCOPE: this is a JVM-wide static, so with
-    * concurrent dedup invocations in one session the value cannot be
-    * attributed to a caller — pass `onStats` to the operator instead (it
-    * receives this invocation's own [[DedupStats]], race-free).
-    */
-  @volatile var lastBucketDropFraction: Double = 0.0
-
   private def pairsFromBuckets(bandedRaw: DataFrame, maxBucket: Int,
       width: Int, onStats: DedupStats => Unit = _ => ()): DataFrame = {
     // consumed by the bucket-size aggregate, the semi-join and both sides
@@ -580,8 +569,10 @@ object Dedup {
       .filter(col("bsz") >= 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // the cap must not fail SILENT: one eager aggregate over the (already
-    // persisted) bucket sizes measures what the cap discards, recorded in
-    // [[lastBucketDropFraction]]. A partial drop is legitimate (degenerate
+    // persisted) bucket sizes measures what the cap discards, delivered to
+    // the caller's `onStats` (per-invocation, race-free — the JVM-wide
+    // static it replaced could not attribute concurrent invocations).
+    // A partial drop is legitimate (degenerate
     // keys ARE the spam you'd cap on a real corpus), but a 100% drop means
     // the blocking key does not discriminate at this corpus size and the
     // empty result is indistinguishable from "no duplicates" (round-6
@@ -594,14 +585,13 @@ object Dedup {
     val total = statRow.getLong(0)
     val dropped = if (statRow.isNullAt(1)) 0L else statRow.getLong(1)
     val stats = DedupStats(total, dropped)
-    lastBucketDropFraction = stats.dropFraction
     onStats(stats)
     val logger = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
     if (total > 0L && dropped == total)
       logger.error(s"ALL $total candidate buckets exceed maxBucket=$maxBucket " +
         "— zero candidates will be produced; the blocking key does not " +
         "discriminate at this corpus size (raise signature bits k, or " +
-        "maxBucket). Check Dedup.lastBucketDropFraction.")
+        "maxBucket). Pass onStats to observe per-invocation drop stats.")
     else if (stats.dropFraction > 0.5)
       logger.warn(s"$dropped of $total candidate buckets exceed " +
         s"maxBucket=$maxBucket (${math.round(stats.dropFraction * 100)}% dropped)")

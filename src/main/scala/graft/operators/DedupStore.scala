@@ -39,7 +39,7 @@ object DedupStore {
     * returned frame cannot observe its own write.
     */
   def ingest(spark: SparkSession, batch: DataFrame, idCol: String,
-      textCol: String, storePath: String, tag: Int): DataFrame = {
+      textCol: String, storePath: String, tag: Long): DataFrame = {
     val intra = batch
       .select(col(idCol).cast("long").as("keep_id"),
         sha2(col(textCol), 256).as("content_hash"))
@@ -93,7 +93,9 @@ object DedupStore {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingest(batch.sparkSession, batch, idCol, textCol, storePath, batchId.toInt)
+        // batchId rides through as-is: arrival_batch is BIGINT in the
+        // store, so checkpoints with large batch ids never wrap negative
+        ingest(batch.sparkSession, batch, idCol, textCol, storePath, batchId)
         ()
       }
       .start()

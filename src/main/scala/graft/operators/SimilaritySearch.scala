@@ -43,6 +43,13 @@ object SimilaritySearch {
     * candidate batch against a corpus. Self-matches (id == qid) are
     * excluded. For corpus-side pruning at scale, bucket the corpus with
     * the LSH/IVF machinery and range-search within probed buckets.
+    *
+    * Membership is decided on the 4-decimal-ROUNDED cosine: the emitted
+    * score is rounded anyway (the dedup_embedding contract absorbing
+    * last-ulp engine drift), and deciding the threshold on the same
+    * rounded value pins boundary rows the same way the top-k queries pin
+    * rank order — an unrounded compare could flip a row in/out when two
+    * engines disagree in the last ulp exactly at the threshold.
     */
   def rangeSearch(
       corpus: DataFrame, idCol: String, vecCol: String,
@@ -50,9 +57,9 @@ object SimilaritySearch {
       threshold: Double): DataFrame =
     corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .crossJoin(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))))
-      .withColumn("cosine", GraftFunctions.cosine(col("v"), col("qv")))
+      .withColumn("cosine", round(GraftFunctions.cosine(col("v"), col("qv")), 4))
       .filter(col("cosine") >= threshold && col("id") =!= col("qid"))
-      .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"))
+      .select(col("qid"), col("id"), col("cosine"))
       .orderBy("qid", "id")
 
   /** Multi-table LSH ANN (classic (L, k) random-hyperplane scheme: L

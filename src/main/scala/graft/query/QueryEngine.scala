@@ -38,6 +38,11 @@ final class QueryEngine(val spark: SparkSession, val path: String) {
     * src/worker.ts:236-241 rewrites the placeholder to the real reader
     * call) — are rewritten to the opened file's `data` view, which is the
     * same table the real reader call would produce.
+    *
+    * The PREVIOUS result's cache is released eagerly (the reference keeps
+    * exactly one `query_result` table alive, worker.ts:236-310): a caller
+    * still holding the old DataFrame keeps a valid plan but silently
+    * recomputes on next use — hold at most the latest result.
     */
   def query(sql: String): DataFrame = {
     cached.foreach(_.unpersist(blocking = false))

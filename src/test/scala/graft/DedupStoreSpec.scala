@@ -43,7 +43,7 @@ class DedupStoreSpec extends AnyFunSuite {
     assert(got == want)
     // everything landed in batch 0: ids 0..3 cover all four families
     val batches = DedupStore.read(spark, store)
-      .select("arrival_batch").distinct().as[Int].collect().toSeq
+      .select("arrival_batch").distinct().as[Long].collect().toSeq
     assert(batches == Seq(0))
   }
 
@@ -57,7 +57,7 @@ class DedupStoreSpec extends AnyFunSuite {
       .select("keep_id").as[Long].collect().toSet
     assert(keepers == Set(8L, 9L, 10L, 11L))
     assert(DedupStore.read(spark, store)
-      .select("arrival_batch").distinct().as[Int].collect().toSeq == Seq(0))
+      .select("arrival_batch").distinct().as[Long].collect().toSeq == Seq(0L))
   }
 
   test("store stays distinct by content_hash across ingests") {

@@ -288,10 +288,11 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.simhash(small, "doc_id", "text", maxBucket = 1000).count() == 3)
   }
 
-  test("onStats reports per-invocation bucket-drop stats (not the JVM-wide static)") {
+  test("onStats reports per-invocation bucket-drop stats") {
     // two invocations with opposite cap outcomes: each callback must see
-    // ITS OWN invocation's numbers — the static lastBucketDropFraction is
-    // last-writer-wins and cannot attribute, which is why onStats exists
+    // ITS OWN invocation's numbers — a JVM-wide static would be
+    // last-writer-wins and could not attribute, which is why onStats is
+    // the only drop-stats channel (the static was retired, round-8 item)
     val n = 1200
     val degenerate = spark.range(n).select(col("id").as("doc_id"), lit("").as("text"))
     var cappedStats: Option[Dedup.DedupStats] = None
@@ -306,8 +307,6 @@ class DedupSpec extends AnyFunSuite {
       onStats = s => cleanStats = Some(s)).count()
     assert(cleanStats.exists(s => s.bucketsTotal > 0 && s.bucketsDropped == 0L),
       s"uncapped corpus must report zero drops, got $cleanStats")
-    // the static still reflects the LAST invocation (documented scope)
-    assert(Dedup.lastBucketDropFraction == 0.0)
     Dedup.releaseCaches()
   }
 
@@ -325,26 +324,29 @@ class DedupSpec extends AnyFunSuite {
     val df = spark.createDataFrame(base ++ dups).toDF("vec_id", "embedding")
       .withColumn("embedding", col("embedding")) // Array[Double] column
     // nTables=8 keeps the spec fast; k / autoBits / maxBucket are defaults
+    var autoStats: Option[Dedup.DedupStats] = None
     val pairs = Dedup.embeddingNearDup(df, "vec_id", "embedding", dim,
-      threshold = 0.95, nTables = 8)
+      threshold = 0.95, nTables = 8, onStats = s => autoStats = Some(s))
     val got = pairs.select("a", "b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val planted = (0 until 1000).map(i => (i.toLong, 100000L + i)).toSet
     assert((planted -- got).isEmpty,
       s"missed ${(planted -- got).size} of 1000 planted exact duplicates")
     // the drop diagnostic is populated and NOT the silent-no-op signature
-    assert(Dedup.lastBucketDropFraction < 1.0)
+    assert(autoStats.exists(_.dropFraction < 1.0))
     Dedup.releaseCaches()
     // the OLD parameterization (autoBits off, k=3 => 8 buckets/table) is
     // the (near-)silent no-op: ~2500 expected per bucket, nearly all
     // capped out — recall collapses, and the drop diagnostic must say so
+    var oldStats: Option[Dedup.DedupStats] = None
     val old = Dedup.embeddingNearDup(df, "vec_id", "embedding", dim,
-      threshold = 0.95, nTables = 8, bitsPerTable = 3, autoBits = false)
+      threshold = 0.95, nTables = 8, bitsPerTable = 3, autoBits = false,
+      onStats = s => oldStats = Some(s))
     val oldGot = old.select("a", "b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert((planted -- oldGot).size > 500,
       s"fixed k=3 at 20k vectors should miss most planted pairs, missed only ${(planted -- oldGot).size}")
-    assert(Dedup.lastBucketDropFraction > 0.5,
+    assert(oldStats.exists(_.dropFraction > 0.5),
       "the collapsed-recall run must be observable via the drop fraction")
     Dedup.releaseCaches()
   }
