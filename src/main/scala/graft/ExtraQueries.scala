@@ -369,6 +369,27 @@ object ExtraQueries {
         sort = Some(SortSpec("o_orderkey", ascending = true))))
     }),
 
+    "q56_page_keyset" -> ((s, dir) => {
+      // keyset (seek) pagination, gated as a DEEP WALK: ten pages of 100
+      // are traversed purely by cursor — each step filters on the
+      // last-seen (sort value, tiebreaker) and takes a top-k, never
+      // paying an offset (Paginator.pageAfter; plan shape asserted in
+      // PlanSpec: pushed filter + TakeOrderedAndProject of ONE page).
+      // This is the 100 TB answer to the reference's LIMIT/OFFSET
+      // next-page (duckdb-paginator.ts:29-60): O(page) at any depth. The
+      // sort field is unique, so the pure-SQL offset mirror is exact;
+      // keyset == offset for non-unique sorts is spec-covered in
+      // QuerySurfaceSpec.
+      import graft.query.{PageRequest, Paginator, SortSpec}
+      val p = new Paginator(t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice"))
+      val req = PageRequest(pageSize = Some(100),
+        sort = Some(SortSpec("o_orderkey", ascending = true)))
+      var cur = p.cursorOfPage(req) // end of page 1
+      (0 until 9).foreach { _ => cur = p.cursorOfPage(req, cur) }
+      p.pageAfter(req, cur.get) // page 11: rows 1000..1099 (in range at every SF)
+    }),
+
     "q48_zorder" -> ((s, dir) => {
       // z-order (Morton) clustered write on (l_partkey, l_suppkey) —
       // the multi-column data-skipping layout (per-file bounding boxes
@@ -686,6 +707,13 @@ object ExtraQueries {
         |LIMIT 37
         |OFFSET (SELECT 37 * (CAST(ceil(count(*) / 37.0) AS BIGINT) - 1)
         |        FROM orders)""".stripMargin,
+
+    // the keyset walk's page 11 must equal the offset page exactly —
+    // seek is a pure execution-strategy change, never a semantic one
+    "q56_page_keyset" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey
+        |LIMIT 100 OFFSET 1000""".stripMargin,
 
     "asof_join" ->
       """SELECT p.event_id, p.user_id,

@@ -315,27 +315,31 @@ object PipelineQueries {
     }),
 
     "pipeline_bpe" -> ((s, dir) =>
-      // BPE tokenizer training (Sennrich ACL'16): 8 merge rules learned
+      // BPE tokenizer training (Sennrich ACL'16): 64 merge rules learned
       // from the corpus vocabulary. The corpus is scanned once (tokenize →
-      // word count); every merge round runs on the cached vocab alone —
-      // argmax pair by (count DESC, lhs, rhs) then a greedy
-      // non-overlapping replace, both engine-portable, so the oracle
-      // replays the entire training round by round in DuckDB SQL.
-      // corpus_symbols (weighted symbol total AFTER each merge)
-      // independently validates the greedy apply: under overlapping
-      // pairs fewer merges fire than pairs counted.
-      graft.operators.Bpe.train(t(s, dir, "documents"), "text", merges = 8)
+      // word count); training then runs the INCREMENTAL algorithm on the
+      // collected vocabulary — per round, argmax pair by
+      // (count DESC, lhs, rhs) from a lazy max-heap, then ONLY the words
+      // containing the winning pair are re-counted (greedy
+      // non-overlapping merge), so round cost tracks affected words, not
+      // vocab. Both steps are engine-portable, so the oracle replays the
+      // entire 64-round training in DuckDB SQL. corpus_symbols (weighted
+      // symbol total AFTER each merge) independently validates the
+      // greedy apply: under overlapping pairs fewer merges fire than
+      // pairs counted.
+      graft.operators.Bpe.train(t(s, dir, "documents"), "text", merges = BpeMerges)
         .orderBy("round")),
 
     "pipeline_bpe_apply" -> ((s, dir) => {
-      // the inference side of BPE, gated end-to-end: train the 8 merge
+      // the inference side of BPE, gated end-to-end: train the 64 merge
       // rules (bit-deterministic, DuckDB-replayable), then ENCODE the
       // whole corpus under them — per-doc subword token counts, the
-      // actual 100 TB tokenizer workload (one narrow scan; the rule fold
-      // is 8 codegen'd replaces per word). Docs with zero tokens have no
-      // row, mirroring the oracle's tokens-to-vocab join.
+      // actual 100 TB tokenizer workload (one narrow scan; the per-word
+      // work is BpeOps' bounded O(len^2) kernel, rule-count-independent).
+      // Docs with zero tokens have no row, mirroring the oracle's
+      // tokens-to-vocab join.
       val docs = t(s, dir, "documents")
-      val rules = graft.operators.Bpe.train(docs, "text", merges = 8)
+      val rules = graft.operators.Bpe.train(docs, "text", merges = BpeMerges)
         .orderBy("round").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       graft.operators.Bpe.encodeSymbolCounts(docs, "doc_id", "text", rules)
@@ -799,8 +803,16 @@ object PipelineQueries {
   // AS MATERIALIZED on every per-round CTE: the round chain references
   // each v_{r-1} several times, and DuckDB's inliner would otherwise
   // re-expand the whole prefix per reference — measured exponential
-  // (~3x/round); materialized, the full 8-round replay runs in <1s
+  // (~3x/round); materialized, the replay runs round-linear
   private val BpeSymRe = """\(([^)]*)\)"""
+
+  /** Gate depth of the BPE training replay. 64 rounds (vs the round-8
+    * gate's 8) exercises the incremental trainer well past where the old
+    * full-rescan implementation's replace chain stopped being plausible,
+    * while the unrolled DuckDB replay (5 materialized CTEs per round)
+    * stays comfortably inside oracle runtime at sf0.01.
+    */
+  private val BpeMerges = 64
 
   /** The shared WITH-chain of the BPE oracles: vocab v0 plus, per round
     * r, the pair counts, argmax rule m_r, merged vocab v_r and weighted
@@ -816,7 +828,7 @@ object PipelineQueries {
               |v0 AS MATERIALIZED (SELECT word, count(*) AS n,
               |         regexp_replace(word, '(.)', '$backref', 'g') AS s
               |       FROM btok GROUP BY word)""".stripMargin
-    for (r <- 1 to 8) {
+    for (r <- 1 to BpeMerges) {
       sb ++= s""",
                 |sy$r AS MATERIALIZED (SELECT n, regexp_extract_all(s, '$symRe', 1) AS syms FROM v${r - 1}),
                 |pp$r AS MATERIALIZED (SELECT n, syms, unnest(range(1, len(syms))) AS i
@@ -834,21 +846,22 @@ object PipelineQueries {
   }
 
   private lazy val bpeReplaySql: String =
-    bpeChainSql + (1 to 8).map { r =>
+    bpeChainSql + (1 to BpeMerges).map { r =>
       s"""SELECT CAST($r AS BIGINT) AS round, lhs, rhs, CAST(cnt AS BIGINT) AS pair_count,
          |  (SELECT CAST(t AS BIGINT) FROM cs$r) AS corpus_symbols FROM m$r""".stripMargin
     }.mkString("\n", "\nUNION ALL\n", "\nORDER BY round")
 
-  // apply face: every corpus word's post-merge rendering lives in v8 (the
-  // vocab is built from this same corpus), so the per-doc encode is one
-  // tokens-to-vocab join summing each word's symbol count — exactly what
-  // Bpe.encodeSymbolCounts computes with its fold of the 8 learned rules
+  // apply face: every corpus word's post-merge rendering lives in the
+  // final vN (the vocab is built from this same corpus), so the per-doc
+  // encode is one tokens-to-vocab join summing each word's symbol count —
+  // exactly what Bpe.encodeSymbolCounts computes with its bounded kernel
+  // applying the learned rules in training order
   private lazy val bpeApplySql: String =
     bpeChainSql + s""",
       |dt AS (SELECT doc_id, unnest($ToksSql) AS word FROM documents)
       |SELECT dt.doc_id,
-      |  CAST(sum(len(regexp_extract_all(v8.s, '$BpeSymRe', 1))) AS BIGINT) AS n_bpe_tokens
-      |FROM dt JOIN v8 USING (word)
+      |  CAST(sum(len(regexp_extract_all(v$BpeMerges.s, '$BpeSymRe', 1))) AS BIGINT) AS n_bpe_tokens
+      |FROM dt JOIN v$BpeMerges USING (word)
       |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin
 
   private def swListSql(lang: String): String =
@@ -1142,12 +1155,12 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin
     },
 
-    // full training replay (bpeReplaySql): DuckDB relearns the 8 merge
+    // full training replay (bpeReplaySql): DuckDB relearns all 64 merge
     // rules from scratch — argmax, tie-break and greedy apply all
     // recomputed — so the rule table itself driver-hashes
     "pipeline_bpe" -> bpeReplaySql,
 
-    // training replay up to the final vocab v8, then the per-doc encode
+    // training replay up to the final vocab v64, then the per-doc encode
     // as a tokens-to-vocab join (bpeApplySql) — the applied tokenizer's
     // output driver-hashes end to end
     "pipeline_bpe_apply" -> bpeApplySql,

@@ -210,6 +210,33 @@ case class WordTokens(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** bpe_symbol_count(word) -> number of BPE symbols the word encodes to
+  * under a learned rule table. The rule table rides as a plan-level
+  * reference object ([[BpeTable]], like HyperplaneSignature's planes);
+  * the kernel ([[BpeOps.symbolCount]]) is O(len^2) per word independent
+  * of the rule count — a 32k-merge tokenizer stays one static call
+  * inside WholeStageCodegen, where the former fold of one `replace` per
+  * rule grew the expression tree (and the generated code) linearly with
+  * the vocabulary.
+  */
+case class BpeSymbolCount(child: Expression, table: BpeTable) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_bpe_symbol_count"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.checkString(prettyName, child)
+
+  override def nullSafeEval(word: Any): Any =
+    BpeOps.symbolCount(word.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table, classOf[BpeTable].getName)
+    nullSafeCodeGen(ctx, ev, w =>
+      s"${ev.value} = graft.functions.expr.BpeOps.symbolCount($w, $ref);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** word_shingles(string, n) -> sorted distinct array<string> of word
   * n-grams; tokenize + shingle + dedupe + sort in one kernel.
   */
@@ -392,6 +419,9 @@ object GraftFunctions {
 
   def wordTokens(text: Column): Column =
     col(WordTokens(ColumnBridge.expression(text)))
+
+  def bpeSymbolCount(word: Column, rules: Seq[(String, String)]): Column =
+    col(BpeSymbolCount(ColumnBridge.expression(word), new BpeTable(rules)))
 
   def topTokenCount(tokens: Column): Column =
     col(TopTokenCount(ColumnBridge.expression(tokens)))

@@ -17,6 +17,14 @@ final case class PageRequest(
     sort: Option[SortSpec] = None,
     search: Option[String] = None)
 
+/** Opaque position of the LAST row of a page in its total order:
+  * the user sort value (None when the request had no sort) plus the
+  * synthetic tiebreaker. Produced by [[Paginator.cursorOfPage]], consumed
+  * by [[Paginator.pageAfter]] — the keyset (seek) handle that makes
+  * "next page" O(page) at any depth.
+  */
+final case class PageCursor(sortValue: Option[Any], rid: Long)
+
 /** Scalable pagination over any DataFrame, mirroring the reference's
   * paginator semantics (reference: src/duckdb-paginator.ts:29-60 builds
   * `SELECT * FROM src [ORDER BY f dir] LIMIT n OFFSET m`) as a Spark plan:
@@ -98,6 +106,100 @@ final class Paginator(df: DataFrame) {
       case None => sorted
     }
     paged.drop(Paginator.RID)
+  }
+
+  // ---- keyset (seek) pagination ----------------------------------------
+  //
+  // page() above mirrors the reference's LIMIT/OFFSET semantics
+  // (duckdb-paginator.ts:29-60), whose cost at page N is offset+limit rows
+  // per partition — fine for a UI hopping around small results, wrong for
+  // walking deep into 100 TB. The seek form replaces the offset with a
+  // FILTER on the last-seen (sort value, tiebreaker): the predicate pushes
+  // into the scan and the page compiles to a plain top-k
+  // (TakeOrderedAndProject over the filtered rows), so "next page" costs
+  // O(page) at ANY depth. Spec'd page-equal to the offset path and
+  // plan-asserted in PlanSpec.
+  //
+  // Null sort values are not seekable (a null cursor comparison silently
+  // drops rows): pageAfter requires them absent from the sort column —
+  // the standard keyset contract (make the sort key NOT NULL or coalesce).
+
+  private def searched(search: Option[String]): DataFrame =
+    normalized(search).fold(withRid)(s => withRid.filter(Search.predicate(df, s)))
+
+  /** Rows strictly after `cursor` in the (sort, rid) total order. The
+    * exact condition is a disjunction involving the derived tiebreaker
+    * (not scannable), so a REDUNDANT range conjunct on the sort column
+    * alone is added — that one pushes into the parquet scan (min/max
+    * row-group pruning + PushedFilters), which is where the
+    * depth-independence actually comes from.
+    */
+  private def afterCursor(search: Option[String], sort: Option[SortSpec],
+      cursor: PageCursor): DataFrame = {
+    val base = searched(search)
+    sort match {
+      case Some(SortSpec(f, asc)) =>
+        val v = cursor.sortValue.getOrElse(throw new IllegalArgumentException(
+          s"cursor has no sort value but the request sorts by '$f'"))
+        require(v != null, "null sort values are not seekable")
+        val range = if (asc) col(f) >= lit(v) else col(f) <= lit(v)
+        val strict = if (asc) col(f) > lit(v) else col(f) < lit(v)
+        base.filter(range &&
+          (strict || (col(f) === lit(v) && col(Paginator.RID) > lit(cursor.rid))))
+      case None =>
+        base.filter(col(Paginator.RID) > lit(cursor.rid))
+    }
+  }
+
+  private def ordered(df0: DataFrame, sort: Option[SortSpec]): DataFrame = sort match {
+    case Some(SortSpec(f, asc)) =>
+      df0.orderBy(if (asc) col(f).asc else col(f).desc, col(Paginator.RID).asc)
+    case None => df0.orderBy(col(Paginator.RID).asc)
+  }
+
+  /** The page of rows strictly AFTER `cursor` in the request's total
+    * order — `pageNumber` is ignored (the cursor is the position).
+    * Requires a bounded pageSize.
+    */
+  def pageAfter(req: PageRequest, cursor: PageCursor): DataFrame = {
+    val size = req.pageSize.getOrElse(
+      throw new IllegalArgumentException("pageAfter requires a bounded pageSize"))
+    ordered(afterCursor(req.search, req.sort, cursor), req.sort)
+      .limit(size).drop(Paginator.RID)
+  }
+
+  /** Cursor at the last row of the page `req` describes — or, with
+    * `after` set, of the page following that cursor (so a deep walk
+    * never pays an offset). One single-row job; None on an empty page.
+    */
+  def cursorOfPage(req: PageRequest, after: Option[PageCursor] = None): Option[PageCursor] = {
+    val size = req.pageSize.getOrElse(
+      throw new IllegalArgumentException("cursorOfPage requires a bounded pageSize"))
+    // with a cursor the page starts right at it; without one, the offset
+    // is the (paid-once) entry point into the walk
+    val base = after match {
+      case Some(c) => afterCursor(req.search, req.sort, c)
+      case None => searched(req.search)
+    }
+    val inverted = req.sort match {
+      case Some(SortSpec(f, asc)) =>
+        Seq(if (asc) col(f).desc else col(f).asc, col(Paginator.RID).desc)
+      case None => Seq(col(Paginator.RID).desc)
+    }
+    val pageFrame = after match {
+      case Some(_) => ordered(base, req.sort).limit(size)
+      case None =>
+        ordered(base, req.sort).offset((req.pageNumber - 1) * size).limit(size)
+    }
+    val lastRow = pageFrame.orderBy(inverted: _*).limit(1)
+      .select(req.sort.map(s => Seq(col(s.field))).getOrElse(Seq.empty) :+ col(Paginator.RID): _*)
+      .collect().headOption
+    lastRow.map { r =>
+      req.sort match {
+        case Some(_) => PageCursor(Some(r.get(0)), r.getLong(1))
+        case None => PageCursor(None, r.getLong(0))
+      }
+    }
   }
 
   def firstPage(req: PageRequest): DataFrame = page(req.copy(pageNumber = 1))

@@ -41,10 +41,16 @@ object ScaleProbe {
     // on the cached vocabulary (~10x entries from the digit suffixes)
     "pipeline_bpe")
 
+  private def loadavg(): String =
+    scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).trim.split("\\s+").take(3).mkString(","))
+      .getOrElse("n/a")
+
   def main(args: Array[String]): Unit = {
     // [srcDir [outDir]] — defaults match this container's layout
     val src = if (args.length >= 1) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length >= 2) args(1) else "/root/repo/target/sf1"
+    val loadBefore = loadavg()
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -80,6 +86,7 @@ object ScaleProbe {
       }
       (best, rows)
     }
+    val results = scala.collection.mutable.ArrayBuffer.empty[String]
     Queries.foreach { name =>
       val fn = qs(name)
       force(fn(spark, src)) // warmup: codegen/JIT on the sf0.1 shape
@@ -89,7 +96,70 @@ object ScaleProbe {
       spark.catalog.clearCache()
       println(f"[scale] $name%-24s sf0.1=$tSmall%6.2fs ($rowsSmall%d rows)  " +
         f"sf1=$tBig%7.2fs ($rowsBig%d rows)  ratio=${tBig / tSmall}%5.1fx")
+      results += f"""  "$name": {"sf01_sec": $tSmall%.3f, "sf1_sec": $tBig%.3f, """ +
+        f""""sf01_rows": $rowsSmall, "sf1_rows": $rowsBig, "ratio": ${tBig / tSmall}%.2f}"""
     }
+    // deep-merge BPE probe: 1024 merge rounds. The sf1 documents
+    // vocabulary EXHAUSTS at ~368 merges (every distinct word collapses
+    // to one symbol — it is replica-structured synthetic text), so the
+    // deep probe runs on a 60k-distinct-word random vocabulary, the
+    // shape a real tokenizer trains on. The wall-clock comparison vs 64
+    // rounds bounds marginal per-round cost, and the TrainStats counters
+    // prove the incremental property directly: total word updates across
+    // rounds ≪ rounds × vocabulary (a full-rescan trainer touches the
+    // whole vocab every round).
+    locally {
+      val rnd = new scala.util.Random(42)
+      val letters = "abcdefghijklmnopqrstuvwxyz"
+      val vocabN = 60000
+      val rows = (0 until vocabN).map { i =>
+        (i.toLong, (0 until (6 + rnd.nextInt(9))).map(_ => letters(rnd.nextInt(26))).mkString)
+      }
+      import spark.implicits._
+      val docs = rows.toDF("doc_id", "text").repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      def trainTimed(m: Int): (Double, graft.operators.Bpe.TrainStats) = {
+        var st: graft.operators.Bpe.TrainStats = null
+        val t0 = System.nanoTime()
+        graft.operators.Bpe.train(docs, "text", merges = m, onStats = st = _).collect()
+        ((System.nanoTime() - t0) / 1e9, st)
+      }
+      trainTimed(64) // warmup
+      val (t64, _) = trainTimed(64)
+      val (t1k, s1k) = trainTimed(1024)
+      val perRound = (t1k - t64) / (1024 - 64)
+      // encode under the FULL 1024-rule table: the bounded kernel's cost
+      // per word is rule-count-independent (the old fold would have been
+      // a 1024-deep replace chain)
+      val rules1k = graft.operators.Bpe.train(docs, "text", merges = 1024)
+        .orderBy("round").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val tE0 = System.nanoTime()
+      val encRows = graft.operators.Bpe
+        .encodeSymbolCounts(docs, "doc_id", "text", rules1k).count()
+      val tEnc = (System.nanoTime() - tE0) / 1e9
+      println(f"[scale] bpe_encode 60k words under 1024 rules: $tEnc%.2fs ($encRows rows)")
+      docs.unpersist()
+      println(f"[scale] bpe_train 60k-word vocab: 64 merges $t64%.2fs, 1024 merges $t1k%.2fs " +
+        f"(marginal ${perRound * 1000}%.2f ms/round); word updates " +
+        f"${s1k.wordUpdates} over ${s1k.rounds} rounds vs full-rescan " +
+        f"${s1k.vocabWords * s1k.rounds} (${s1k.vocabWords} vocab words)")
+      results += f"""  "bpe_train_deep": {"merges64_sec": $t64%.3f, "merges1024_sec": $t1k%.3f, """ +
+        f""""marginal_ms_per_round": ${perRound * 1000}%.3f, "vocab_words": ${s1k.vocabWords}, """ +
+        f""""word_updates_1024": ${s1k.wordUpdates}, "symbol_ops_1024": ${s1k.symbolOps}, """ +
+        f""""full_rescan_equiv_updates": ${s1k.vocabWords * s1k.rounds}, """ +
+        f""""encode_1024rules_sec": $tEnc%.3f}"""
+    }
+    val rt = Runtime.getRuntime
+    val json = "{\n\"queries\": {\n" + results.mkString(",\n") + "\n},\n" +
+      s""""env": {"available_processors": ${rt.availableProcessors}, """ +
+      s""""max_heap_mb": ${rt.maxMemory / (1 << 20)}, """ +
+      s""""loadavg_before": "$loadBefore", "loadavg_after": "${loadavg()}", """ +
+      s""""timing": "min_of_2_cache_cleared_forced_evaluation"},\n""" +
+      s""""src": "$src", "replicas": $Reps\n}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_sf1.json"), json)
+    println("[scale] wrote target/bench_sf1.json")
     spark.stop()
   }
 

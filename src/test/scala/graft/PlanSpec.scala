@@ -207,6 +207,27 @@ class PlanSpec extends AnyFunSuite {
     assert(topk.head.sortOrder.size == 2, topk.head.sortOrder.toString)
   }
 
+  test("keyset page: cursor filter reaches the scan, top-k is ONE page deep") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import graft.query.{PageCursor, PageRequest, Paginator, SortSpec}
+    val orders = Tables.load(spark, TestSpark.sf, "orders")
+    val pg = new Paginator(orders)
+    val req = PageRequest(pageSize = Some(50),
+      sort = Some(SortSpec("o_orderkey", ascending = true)))
+    val df = pg.pageAfter(req, PageCursor(Some(1000L), 0L))
+    // the seek predicate must push into the parquet scan: that's what
+    // makes deep pages O(page) — the offset form reads offset+limit rows
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(fmt.contains("PushedFilters:") && fmt.contains("GreaterThanOrEqual(o_orderkey"),
+      s"cursor range predicate must reach the scan:\n$fmt")
+    val plan = executedNoAqe(df)
+    val topk = plan.collect { case t: TakeOrderedAndProjectExec => t }
+    assert(topk.nonEmpty, s"keyset page must be a per-partition top-K:\n$plan")
+    assert(topk.head.limit == 50 && topk.head.offset == 0,
+      s"top-K must be exactly one page (no offset rows): ${topk.head.limit}/${topk.head.offset}")
+  }
+
   test("pack shards: no single-task-per-group window over the corpus") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec

@@ -10,6 +10,49 @@ class PaginatorSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private lazy val orders = Tables.load(spark, TestSpark.sf, "orders")
 
+  test("keyset walk equals offset pages under a non-unique sort (tiebreak live)") {
+    // o_orderpriority has 5 distinct values over 1500 rows, so nearly
+    // every page boundary falls INSIDE a tie group — the cursor's rid
+    // tiebreak is what's actually exercised
+    val p = new Paginator(orders)
+    val req = PageRequest(pageSize = Some(97),
+      sort = Some(SortSpec("o_orderpriority", ascending = false)))
+    var cur: Option[PageCursor] = None
+    for (k <- 2 to 6) {
+      cur = p.cursorOfPage(req, cur)
+      val seek = p.pageAfter(req, cur.get).collect().map(_.toSeq)
+      val offs = p.gotoPage(req.copy(pageNumber = k)).collect().map(_.toSeq)
+      assert(seek.toSeq == offs.toSeq, s"page $k differs between seek and offset")
+    }
+  }
+
+  test("keyset walk composes with search and with the unsorted rid order") {
+    val p = new Paginator(orders)
+    val searched = PageRequest(pageSize = Some(40), search = Some("1-URGENT"),
+      sort = Some(SortSpec("o_totalprice", ascending = true)))
+    val c1 = p.cursorOfPage(searched)
+    assert(p.pageAfter(searched, c1.get).collect().map(_.toSeq).toSeq ==
+      p.gotoPage(searched.copy(pageNumber = 2)).collect().map(_.toSeq).toSeq)
+    // no user sort: the walk follows the deterministic rid total order
+    val unsorted = PageRequest(pageSize = Some(200))
+    val c2 = p.cursorOfPage(unsorted)
+    assert(c2.get.sortValue.isEmpty)
+    assert(p.pageAfter(unsorted, c2.get).collect().map(_.toSeq).toSeq ==
+      p.page(unsorted.copy(pageNumber = 2)).collect().map(_.toSeq).toSeq)
+  }
+
+  test("cursorOfPage is None past the end; pageAfter at the tail is the partial page") {
+    val p = new Paginator(orders)
+    val req = PageRequest(pageSize = Some(1000),
+      sort = Some(SortSpec("o_orderkey", ascending = true)))
+    val end = p.cursorOfPage(req.copy(pageNumber = 2)) // rows 1000..1499
+    assert(end.isDefined)
+    assert(p.pageAfter(req, end.get).count() == 0)
+    assert(p.cursorOfPage(req, end).isEmpty, "no page after the last row")
+    val c1 = p.cursorOfPage(req) // end of page 1
+    assert(p.pageAfter(req, c1.get).count() == 500, "partial tail page")
+  }
+
   test("pages are stable, disjoint, and cover the table") {
     val p = new Paginator(orders)
     val req = PageRequest(pageSize = Some(100), sort = Some(SortSpec("o_totalprice", ascending = false)))
