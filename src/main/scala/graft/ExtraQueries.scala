@@ -390,6 +390,43 @@ object ExtraQueries {
       p.pageAfter(req, cur.get) // page 11: rows 1000..1099 (in range at every SF)
     }),
 
+    "q57_snapshot" -> ((s, dir) => {
+      // versioned snapshot table, end-to-end: v1 = orders (key-clustered
+      // files), v2 = file-pruned latest-wins upsert (updates for keys
+      // ≡3 mod 10, tombstone deletes for ≡7, inserts at key+10M for ≡1),
+      // v3 = compaction of v2. The gate reads BOTH v1 and v3 AFTER the
+      // compaction — the pinned v1 snapshot must still equal the
+      // pre-upsert truth (its files are untouched until vacuum), and v3
+      // must equal the merged truth however the files were rewritten.
+      // Both versions are plain SQL over orders, so the whole
+      // manifest/commit/merge/compact machinery driver-hashes.
+      import graft.operators.SnapshotTable
+      val tdir = s"${Scratch.dir}/q57_table"
+      val p = new org.apache.hadoop.fs.Path(tdir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotTable.create(s,
+        base.withColumn("commit_v", lit(0L))
+          .repartitionByRange(8, col("o_orderkey")), tdir)
+      val m = pmod(col("o_orderkey"), lit(10))
+      val changes = base.filter(m === 3)
+        .withColumn("o_custkey", col("o_custkey") + lit(1000000L))
+        .withColumn("_deleted", lit(false))
+        .unionByName(base.filter(m === 7).withColumn("_deleted", lit(true)))
+        .unionByName(base.filter(m === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+          .withColumn("_deleted", lit(false)))
+        .withColumn("commit_v", lit(1L))
+      SnapshotTable.upsert(s, tdir, changes, "o_orderkey", "commit_v", "o_custkey")
+      SnapshotTable.compact(s, tdir, targetRecords = 4096L)
+      val v1 = SnapshotTable.read(s, tdir, Some(1L)).withColumn("snap", lit(1L))
+      val v3 = SnapshotTable.read(s, tdir, Some(3L)).withColumn("snap", lit(3L))
+      v1.unionByName(v3)
+        .select("snap", "o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("snap", "o_orderkey")
+    }),
+
     "q48_zorder" -> ((s, dir) => {
       // z-order (Morton) clustered write on (l_partkey, l_suppkey) —
       // the multi-column data-skipping layout (per-file bounding boxes
@@ -707,6 +744,25 @@ object ExtraQueries {
         |LIMIT 37
         |OFFSET (SELECT 37 * (CAST(ceil(count(*) / 37.0) AS BIGINT) - 1)
         |        FROM orders)""".stripMargin,
+
+    // both snapshots replayed from orders alone: v1 is the base, v3 the
+    // merged truth (updates/deletes/inserts by key mod 10) — commit,
+    // file-pruned merge and compaction must all be content-invisible
+    "q57_snapshot" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |v3 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN o_custkey + 1000000
+        |         ELSE o_custkey END AS o_custkey,
+        |    o_totalprice
+        |  FROM b WHERE o_orderkey % 10 != 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_totalprice
+        |  FROM b WHERE o_orderkey % 10 = 1)
+        |SELECT CAST(1 AS BIGINT) AS snap, * FROM b
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT) AS snap, * FROM v3
+        |ORDER BY snap, o_orderkey""".stripMargin,
 
     // the keyset walk's page 11 must equal the offset page exactly —
     // seek is a pure execution-strategy change, never a semantic one

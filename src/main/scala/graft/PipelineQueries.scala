@@ -559,12 +559,15 @@ object PipelineQueries {
       // (javax.sound.sampled); video_ms is the REAL mvhd movie duration
       // (MP4) or avih-rate x frame-count (AVI); n_frames counts the
       // REALLY DECODED JPEG frames of the AVI rows (ImageIO per 00dc
-      // chunk — zero for MP4, the JDK having no H.264 codec)
+      // chunk — zero for MP4, the JDK having no H.264 codec);
+      // frames_decoded carries that limitation IN THE SCHEMA (true only
+      // where the feature vector comes from decoded pixels), re-derived
+      // by the oracle from its own container walk
       Multimodal.extractFeatures(s, manifest).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("byte_mean"), col("byte_entropy"), col("width"), col("height"),
           col("sample_rate"), col("channels"), col("audio_ms"), col("video_ms"),
-          col("n_frames"))
+          col("n_frames"), col("frames_decoded"))
         .orderBy("media_id")
     }),
   )
@@ -1117,7 +1120,8 @@ object PipelineQueries {
        |    WHEN 'avi' THEN coalesce(round_even(a.us_per_frame * a.total_frames / 1000.0, 0), 0)
        |    WHEN 'mp4' THEN coalesce(round_even(m.duration * 1000.0 / m.timescale, 0), 0)
        |    ELSE 0 END AS BIGINT) AS video_ms,
-       |  CAST(coalesce(fr.n_frames, 0) AS INT) AS n_frames
+       |  CAST(coalesce(fr.n_frames, 0) AS INT) AS n_frames,
+       |  (k.ext = 'avi' AND coalesce(fr.n_frames, 0) > 0) AS frames_decoded
        |FROM kinds k
        |JOIN stats s USING (media_id)
        |LEFT JOIN png p USING (media_id)

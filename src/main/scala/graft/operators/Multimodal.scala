@@ -184,7 +184,14 @@ object Multimodal {
       byte_mean: Double, byte_entropy: Double,
       width: Int, height: Int,
       sample_rate: Int, channels: Int, audio_ms: Long, video_ms: Long,
-      n_frames: Int, feature: Array[Float])
+      n_frames: Int,
+      // TRUE iff `feature` comes from decoded PIXELS (per-frame video
+      // decode succeeded). FALSE rows carry byte-stat stand-in features —
+      // notably MP4/H.264, whose frames the JDK cannot decode: the flag
+      // makes the declared limitation machine-visible in the schema, so
+      // a consumer can never mistake stand-ins for pixel features.
+      frames_decoded: Boolean,
+      feature: Array[Float])
 
   /** Mean luminance (0..255, ITU-R 601 weights) of a decoded frame. */
   private def meanLuma(img: java.awt.image.BufferedImage): Double = {
@@ -564,7 +571,8 @@ object Multimodal {
             }
           MediaFeatures(id, kind, n.toLong,
             math.rint(mean * 10000) / 10000, math.rint(entropy * 10000) / 10000,
-            dw, dh, sr, ch, ams, vms, aviFrames.length, feat)
+            dw, dh, sr, ch, ams, vms, aviFrames.length,
+            frames_decoded = aviFrames.nonEmpty, feat)
         }
       }
   }

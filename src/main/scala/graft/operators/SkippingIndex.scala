@@ -59,13 +59,25 @@ object SkippingIndex {
     */
   def buildStats(spark: SparkSession, dir: String, cols: Seq[String],
       statsOut: String): Unit = {
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sessionState.newHadoopConf())
-    val fs = new Path(dir).getFileSystem(conf.value)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     val files = fs.listStatus(new Path(dir))
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).sorted.toSeq
     require(files.nonEmpty, s"no parquet files under $dir")
+    statsRows(spark, files, cols)
+      .coalesce(1).write.mode("overwrite").parquet(statsOut)
+  }
+
+  /** The stats table for an EXPLICIT file list (no directory listing) —
+    * the form a manifest-based table ([[SnapshotTable]]) consumes, since
+    * its live files span several commit directories. Same footer-only
+    * distributed build.
+    */
+  def statsRows(spark: SparkSession, files: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    require(files.nonEmpty, "statsRows needs at least one file")
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
     val colsB = cols.toArray
     val rows = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.length, 64)))
@@ -103,7 +115,6 @@ object SkippingIndex {
         } finally reader.close()
       }
     spark.createDataFrame(rows, statsSchema(cols))
-      .coalesce(1).write.mode("overwrite").parquet(statsOut)
   }
 
   /** Evaluate the interval test over the stats table: keep files whose

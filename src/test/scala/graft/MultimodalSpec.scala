@@ -152,6 +152,8 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.video_ms == math.rint(dur * 1000.0 / ts).toLong,
         s"parsed mvhd duration must match the generated MP4: $f")
       assert(f.n_frames == 0, s"no JDK H.264 codec: MP4 rows decode no frames: $f")
+      assert(!f.frames_decoded,
+        s"MP4 stand-in features must be flagged undecoded in the schema: $f")
     }
     // AVI/MJPEG rows: every 00dc JPEG frame REALLY decoded by ImageIO —
     // frame count, decoded dims and duration match the generator
@@ -159,6 +161,7 @@ class MultimodalSpec extends AnyFunSuite {
     // id ≡ 5 mod 6), and the decoded-pixel luminance features reproduce
     // the generator's growing-square brightness ramp
     avis.foreach { f =>
+      assert(f.frames_decoded, s"AVI features come from decoded pixels: $f")
       assert(f.n_frames == (f.media_id % 6 + 3).toInt,
         s"every generated JPEG frame must decode: $f")
       assert(f.width == (f.media_id % 48 + 16).toInt &&

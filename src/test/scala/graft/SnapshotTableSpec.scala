@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SnapshotTable
+
+class SnapshotTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(name: String): String = {
+    val d = s"${graft.Scratch.dir}/$name"
+    val p = new org.apache.hadoop.fs.Path(d)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    d
+  }
+
+  private def mkBase(n: Int) = (0 until n)
+    .map(i => (i.toLong, s"val$i", 0L)).toDF("k", "payload", "commit_v")
+
+  test("upsert is copy-on-write: only key-intersecting files rewritten, rest reused") {
+    val dir = freshDir("snap-cow")
+    // 8 key-clustered files over keys 0..7999 => each file covers ~1000 keys
+    val c1 = SnapshotTable.create(spark,
+      mkBase(8000).repartitionByRange(8, col("k")), dir)
+    assert(c1.version == 1L && c1.files.size == 8)
+    // change keys 100..119: one (maybe two) files affected
+    val changes = (100 until 120)
+      .map(i => (i.toLong, s"upd$i", 1L, false)).toDF("k", "payload", "commit_v", "_deleted")
+    val c2 = SnapshotTable.upsert(spark, dir, changes, "k", "commit_v", "payload")
+    assert(c2.version == 2L)
+    assert(c2.filesReused >= 6,
+      s"narrow-band upsert must reuse most files, reused only ${c2.filesReused} of 8")
+    assert(c1.files.toSet.intersect(c2.files.toSet).size == c2.filesReused)
+    // content: updated band has new payloads, rest untouched
+    val got = SnapshotTable.read(spark, dir).orderBy("k")
+      .select("k", "payload").as[(Long, String)].collect()
+    assert(got.length == 8000)
+    assert(got(105) == ((105L, "upd105")))
+    assert(got(500) == ((500L, "val500")))
+  }
+
+  test("tombstones delete, inserts land, versions chain (upsert over upsert)") {
+    val dir = freshDir("snap-chain")
+    SnapshotTable.create(spark, mkBase(100).repartitionByRange(4, col("k")), dir)
+    val ch1 = Seq((5L, "x", 1L, true), (200L, "new200", 1L, false))
+      .toDF("k", "payload", "commit_v", "_deleted")
+    SnapshotTable.upsert(spark, dir, ch1, "k", "commit_v", "payload")
+    // second upsert resurrects key 5 at a higher version — the stored
+    // commit_v (keepVersionCol) is what makes this merge correct
+    val ch2 = Seq((5L, "back", 2L, false)).toDF("k", "payload", "commit_v", "_deleted")
+    SnapshotTable.upsert(spark, dir, ch2, "k", "commit_v", "payload")
+    val got = SnapshotTable.read(spark, dir).select("k", "payload")
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 101 && got(5L) == "back" && got(200L) == "new200")
+    assert(SnapshotTable.versions(spark, dir) == Seq(1L, 2L, 3L))
+  }
+
+  test("a pinned snapshot survives compaction; vacuum enforces retention") {
+    val dir = freshDir("snap-pin")
+    SnapshotTable.create(spark, mkBase(1000).repartition(16), dir)
+    val v1Truth = SnapshotTable.read(spark, dir, Some(1L))
+      .select("k", "payload").as[(Long, String)].collect().toSet
+    val ch = Seq((1L, "upd", 1L, false)).toDF("k", "payload", "commit_v", "_deleted")
+    SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload")
+    val c3 = SnapshotTable.compact(spark, dir, targetRecords = 600L)
+    assert(c3.files.size == 2, s"1000 rows at 600/record-cap => 2 files: ${c3.files.size}")
+    // v1 still reads the PRE-upsert truth after two rewrites of the table
+    assert(SnapshotTable.read(spark, dir, Some(1L))
+      .select("k", "payload").as[(Long, String)].collect().toSet == v1Truth)
+    // v2 (pre-compaction) == v3 (post-compaction): layout-invisible
+    assert(SnapshotTable.read(spark, dir, Some(2L)).orderBy("k").collect().toSeq ==
+      SnapshotTable.read(spark, dir, Some(3L)).orderBy("k").collect().toSeq)
+    // vacuum to the latest: old manifests and their unshared files go
+    val deleted = SnapshotTable.vacuum(spark, dir, keepLast = 1)
+    assert(deleted.nonEmpty)
+    assert(SnapshotTable.versions(spark, dir) == Seq(3L))
+    assertThrows[IllegalArgumentException](SnapshotTable.files(spark, dir, Some(1L)))
+    assert(SnapshotTable.read(spark, dir).count() == 1000)
+  }
+
+  test("a crashed commit (data without manifest) is invisible and vacuumable") {
+    val dir = freshDir("snap-crash")
+    SnapshotTable.create(spark, mkBase(50), dir)
+    // simulate a writer that died after its data write, before its commit
+    mkBase(5).write.mode("overwrite").parquet(s"$dir/data/v00099")
+    assert(SnapshotTable.versions(spark, dir) == Seq(1L),
+      "a data dir without a manifest must not be a version")
+    assert(SnapshotTable.read(spark, dir).count() == 50)
+    val deleted = SnapshotTable.vacuum(spark, dir, keepLast = 1)
+    assert(deleted.exists(_.contains("v00099")), "orphan files must be vacuumed")
+    assert(SnapshotTable.read(spark, dir).count() == 50)
+  }
+
+  test("insert-only upsert (no file intersects) merges over the empty base") {
+    val dir = freshDir("snap-insert")
+    SnapshotTable.create(spark, mkBase(100).repartitionByRange(4, col("k")), dir)
+    val ch = Seq((5000L, "n1", 1L, false), (5001L, "n2", 1L, false))
+      .toDF("k", "payload", "commit_v", "_deleted")
+    val c2 = SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload")
+    assert(c2.filesReused == 4, "no existing file covers the new keys — all reused")
+    assert(SnapshotTable.read(spark, dir).count() == 102)
+  }
+}
