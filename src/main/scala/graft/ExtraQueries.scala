@@ -614,10 +614,14 @@ object ExtraQueries {
         .repartitionByRange(16, col("l_partkey"))
         .sortWithinPartitions("l_partkey")
         .write.mode("overwrite").parquet(data)
-      val stats = s"${Scratch.dir}/q51_stats"
-      graft.operators.SkippingIndex.buildStats(s, data, Seq("l_partkey"), stats)
-      val (pruned, _) = graft.operators.SkippingIndex.prunedRead(
-        s, stats, "l_partkey", 100L, 300L)
+      // the AUTOMATIC path (round-9): the index is ATTACHED to the table
+      // (an underscore subdir plain readers ignore) and scanBetween
+      // consults it with no stats path at the call site — identical
+      // results to the explicit prunedRead, which SkippingIndexSpec
+      // asserts alongside the pruned file count
+      graft.operators.SkippingIndex.attachStats(s, data, Seq("l_partkey"))
+      val (pruned, _) = graft.operators.SkippingIndex.scanBetween(
+        s, data, "l_partkey", 100L, 300L)
       pruned.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           sum("l_partkey").cast("long").as("sum_partkey"),

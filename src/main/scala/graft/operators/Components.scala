@@ -23,11 +23,15 @@ import org.apache.spark.sql.graft.{ColumnBridge => Ckpt}
   * converged-count per round (control flow only; data never leaves the
   * cluster).
   *
-  * Durability note: `localCheckpoint` stores blocks on executors, not
-  * reliable storage — an executor loss mid-run fails the job (Spark
-  * cannot recompute a truncated lineage). For long cluster runs, set a
-  * checkpoint dir and swap in reliable `checkpoint()`: same plan shape,
-  * same O(log L) rounds, blocks on the cluster FS.
+  * Durability: by default rounds truncate lineage with `localCheckpoint`
+  * (blocks on executors — an executor loss mid-run fails the job, since
+  * Spark cannot recompute a truncated lineage). Pass `checkpointDir` to
+  * swap in RELIABLE `checkpoint()`: same plan shape, same O(log L)
+  * rounds, but every round's state is backed by files on the cluster FS,
+  * so lost blocks recompute from storage instead of failing — the
+  * long-cluster-run mode (spec'd by dropping all cached blocks mid-result
+  * and recounting). The per-round unpersist cleanup is identical: it
+  * drops cached blocks only, never the checkpoint files.
   */
 object Components {
 
@@ -36,7 +40,13 @@ object Components {
     * don't appear — callers left-join and `coalesce(comp, id)` to label
     * singletons as their own component.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(d => pairs.sparkSession.sparkContext.setCheckpointDir(d))
+    // one knob, two durability modes: reliable checkpoint() when a dir is
+    // given, executor-local truncation otherwise
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // a silent cast of string ids would turn every edge into (NULL, NULL)
     // and "converge" to an empty labeling — reject non-integral ids loudly
     // (hash string ids to longs with xxhash64 at the call site)
@@ -55,13 +65,11 @@ object Components {
     // once per round, and a leaf plan keeps the Union node out of every
     // downstream plan (Catalyst's union constraint rewrite chokes on the
     // repeatedly re-joined subtree otherwise)
-    val sym = edges
+    val sym = ckpt(edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var lab = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+      .distinct())
+    var lab = ckpt(sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -72,9 +80,8 @@ object Components {
       val nbrMin = sym.join(lab.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("comp").as("ncomp"))
         .groupBy("id").agg(min("ncomp").as("ncomp"))
-      val pulled = lab.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), col("ncomp")).as("comp"))
-        .localCheckpoint()
+      val pulled = ckpt(lab.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), col("ncomp")).as("comp")))
       // (b) pointer jump: comp := comp's comp (labels are node ids, so
       // every label has a row; left+coalesce guards the root's self-row).
       // Applied TWICE per round: the extra self-join is one more shuffle
@@ -90,8 +97,8 @@ object Components {
       // the inner jump is checkpointed too: un-materialized it would sit
       // on BOTH sides of the outer self-join and its join work would run
       // twice per round
-      val half = jump(pulled).localCheckpoint()
-      val jumped = jump(half).localCheckpoint()
+      val half = ckpt(jump(pulled))
+      val jumped = ckpt(jump(half))
       Ckpt.unpersistLocalCheckpoint(half)
       // jumped is materialized (localCheckpoint is eager) — pulled's
       // blocks are dead from here

@@ -151,4 +151,49 @@ object SkippingIndex {
       .filter(col(column).between(lo, hi))
     (df, p)
   }
+
+  /** Conventional in-table location of the stats index: an
+    * underscore-prefixed subdirectory, which Spark's file listing (like
+    * every parquet reader's) IGNORES — so a plain
+    * `spark.read.parquet(dir)` of the data is never polluted by its own
+    * index, exactly how `_delta_log`/`_metadata` side-files coexist with
+    * data.
+    */
+  def statsPathFor(dir: String): String = s"$dir/_graft_stats"
+
+  /** Build the stats index AT the table — after this, [[scanBetween]]
+    * consults it automatically.
+    */
+  def attachStats(spark: SparkSession, dir: String, cols: Seq[String]): Unit =
+    buildStats(spark, dir, cols, statsPathFor(dir))
+
+  /** Scan `dir` for `column BETWEEN lo AND hi`, consulting an attached
+    * stats index AUTOMATICALLY when one exists and covers `column`:
+    * pruned file list + residual filter (the q51 machinery with the
+    * explicit statsPath removed from the call site). Without a usable
+    * index — none attached, or attached for other columns — it is a
+    * plain filtered scan; and an index that prunes EVERYTHING yields the
+    * correctly-empty plain scan (parquet row-group stats make it
+    * footer-cheap). Returns the frame plus the pruning decision (None =
+    * no index consulted). Results are ALWAYS the full-scan filter.
+    */
+  def scanBetween(spark: SparkSession, dir: String, column: String,
+      lo: Long, hi: Long): (DataFrame, Option[Prune]) = {
+    val statsPath = new Path(statsPathFor(dir))
+    val hasStats = statsPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(statsPath)
+    val covered = hasStats && {
+      val s = spark.read.parquet(statsPath.toString)
+      s.columns.contains(s"${column}_min") && s.columns.contains(s"${column}_max")
+    }
+    if (!covered)
+      (spark.read.parquet(dir).filter(col(column).between(lo, hi)), None)
+    else {
+      val p = prune(spark, statsPath.toString, column, lo, hi)
+      if (p.filesKept == 0)
+        (spark.read.parquet(dir).filter(col(column).between(lo, hi)), Some(p))
+      else
+        (spark.read.parquet(p.kept: _*).filter(col(column).between(lo, hi)), Some(p))
+    }
+  }
 }

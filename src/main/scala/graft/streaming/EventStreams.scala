@@ -148,11 +148,18 @@ object EventStreams {
     */
   def intervalJoinStream(spark: SparkSession, eventsDir: String,
       schema: org.apache.spark.sql.types.StructType,
-      windowMinutes: Int = 30, horizon: String = "1 hour"): DataFrame = {
-    def side(tpe: String, idAs: String, tsAs: String) =
-      spark.readStream.schema(schema).parquet(eventsDir)
+      windowMinutes: Int = 30, horizon: String = "1 hour",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    // maxFilesPerTrigger bounds each micro-batch so the watermark
+    // actually advances across a backlog (a single giant batch would
+    // admit every late row and evict nothing until the end)
+    def side(tpe: String, idAs: String, tsAs: String) = {
+      val r0 = spark.readStream.schema(schema)
+      val r = maxFilesPerTrigger.fold(r0)(n => r0.option("maxFilesPerTrigger", n))
+      r.parquet(eventsDir)
         .filter(col("event_type") === tpe)
         .select(col("event_id").as(idAs), col("user_id"), col("ts").as(tsAs))
+    }
     val p = side("purchase", "p_id", "p_ts").withWatermark("p_ts", horizon)
     val c = side("click", "c_id", "c_ts").withWatermark("c_ts", horizon)
     p.join(c, p("user_id") === c("user_id") && intervalCond(windowMinutes))

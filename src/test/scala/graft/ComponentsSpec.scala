@@ -24,6 +24,26 @@ class ComponentsSpec extends AnyFunSuite {
     nodes.map(x => x -> find(x)).toMap
   }
 
+  test("reliable checkpointDir: the result survives losing every cached block") {
+    // the durability mode for long cluster runs: with a checkpoint dir,
+    // each round's truncated lineage is backed by FILES, so dropping all
+    // executor blocks (the simulated executor loss) recomputes instead
+    // of failing — localCheckpoint's documented weakness
+    val ckDir = TestSpark.scratch("cc_reliable_ck")
+    val rnd = new scala.util.Random(23)
+    val edges = (0 until 300).map(_ => (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+      .filter { case (a, b) => a != b }
+    val comp = Components.connectedComponents(edges.toDF("a", "b"),
+      checkpointDir = Some(ckDir))
+    val before = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // simulated loss: every cached block in the JVM goes away
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    spark.catalog.clearCache()
+    val after = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == before, "recomputation from checkpoint files must reproduce the labeling")
+    assert(before == ufOracle(100, edges), "and match the union-find oracle")
+  }
+
   test("a long chain collapses to one component in O(log n) rounds") {
     // chain 0-1-2-...-400: diameter 400 forces pointer jumping — plain
     // min-propagation would need 400 rounds and trip maxIter

@@ -61,6 +61,37 @@ class SkippingIndexSpec extends AnyFunSuite {
     assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
   }
 
+  test("attached index: scanBetween consults it automatically, invisibly to plain readers") {
+    val data = TestSpark.scratch("skip_auto_li")
+    Tables.load(spark, TestSpark.sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(data)
+    val plainBefore = spark.read.parquet(data).count()
+    SkippingIndex.attachStats(spark, data, Seq("l_partkey"))
+    // the _-prefixed index dir is ignored by a plain directory read
+    assert(spark.read.parquet(data).count() == plainBefore,
+      "attaching the index must not change what a plain reader sees")
+    val (lo, hi) = (10L, 30L)
+    val (auto, pr) = SkippingIndex.scanBetween(spark, data, "l_partkey", lo, hi)
+    assert(pr.isDefined && pr.get.filesTotal == 16 && pr.get.filesKept <= 4,
+      s"auto path must prune like the explicit one: $pr")
+    // the scan's actual input files ARE the pruned list (plan-level proof)
+    assert(auto.inputFiles.map(norm).toSet == pr.get.kept.map(norm).toSet)
+    val full = spark.read.parquet(data).filter(col("l_partkey").between(lo, hi))
+    assert(auto.exceptAll(full).isEmpty && full.exceptAll(auto).isEmpty)
+    // column not covered by the index -> plain scan, no pruning decision
+    val (fallback, none) = SkippingIndex.scanBetween(spark, data, "l_orderkey", 0L, 10L)
+    assert(none.isEmpty)
+    assert(fallback.exceptAll(spark.read.parquet(data)
+      .filter(col("l_orderkey").between(0L, 10L))).isEmpty)
+    // a band no file can contain -> correctly-empty plain scan
+    val (empty, zero) = SkippingIndex.scanBetween(spark, data, "l_partkey",
+      100000000L, 100000001L)
+    assert(zero.exists(_.filesKept == 0) && empty.count() == 0)
+  }
+
   test("pruning is conservative: every row of the band is inside some kept file's interval") {
     val (lo, hi) = (50L, 52L)
     val p = SkippingIndex.prune(spark, statsDir, "l_partkey", lo, hi)

@@ -155,6 +155,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("interval join: a late arrival is dropped by the watermark and state is evicted") {
+    // THE state-bound behavior of the stream-stream join, exercised
+    // end-to-end with a controlled arrival order (one file per
+    // micro-batch, watermark advances between batches; both sides read
+    // the same files, so the advancing chunks carry far-future clicks
+    // AND purchases — the global watermark is the min across both
+    // sides):
+    //   batch 0: C100@10:00, P200@10:10 (user 1)  -> joins
+    //   batch 1: P300/C301@14:00 (user 2)         -> joins; wm -> 13:30
+    //   batch 2: P400/C401@15:00 (user 3)         -> joins; the 13:30
+    //            watermark EVICTS user 1's state (P200 can never match
+    //            a future click); wm -> 14:30
+    //   batch 3: C101@10:05 (user 1), a TRUE match for P200 — but hours
+    //            below the watermark and its partner's state is GONE:
+    //            the join must produce nothing for it. (Spark evicts at
+    //            batch end and still joins same-batch input against
+    //            not-yet-evicted state, which is why the late row
+    //            arrives one batch AFTER the eviction here.)
+    import java.sql.Timestamp
+    import spark.implicits._
+    val chunkDir = TestSpark.scratch("ssj_late_chunks")
+    def write(mode: String, rows: (Long, Long, String, String)*): Unit = {
+      rows.map { case (id, u, tpe, ts) => (id, u, tpe, Timestamp.valueOf(ts)) }
+        .toDF("event_id", "user_id", "event_type", "ts")
+        .coalesce(1).write.mode(mode).parquet(chunkDir)
+      Thread.sleep(1100) // distinct mod-times: the file source orders by them
+    }
+    write("overwrite",
+      (100L, 1L, "click", "2024-01-01 10:00:00"),
+      (200L, 1L, "purchase", "2024-01-01 10:10:00"))
+    write("append",
+      (300L, 2L, "purchase", "2024-01-01 14:00:00"),
+      (301L, 2L, "click", "2024-01-01 14:00:00"))
+    write("append",
+      (400L, 3L, "purchase", "2024-01-01 15:00:00"),
+      (401L, 3L, "click", "2024-01-01 15:00:00"))
+    write("append",
+      (101L, 1L, "click", "2024-01-01 10:05:00"))
+    val schema = spark.read.parquet(chunkDir).schema
+    val joined = EventStreams.intervalJoinStream(spark, chunkDir, schema,
+      windowMinutes = 30, horizon = "30 minutes", maxFilesPerTrigger = Some(1))
+    val q = joined.select("p_id", "c_id")
+      .writeStream.format("memory").queryName("ssj_late")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.sql("SELECT * FROM ssj_late").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the batch face over the SAME rows sees the late click as a real
+    // match — the streaming face dropping it is watermark semantics,
+    // not a join-condition artifact
+    val batchPairs = EventStreams.intervalJoinBatch(spark.read.parquet(chunkDir))
+      .select("p_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs ==
+      Set((200L, 100L), (200L, 101L), (300L, 301L), (400L, 401L)))
+    assert(streamed == Set((200L, 100L), (300L, 301L), (400L, 401L)),
+      s"late click 101 must find no state (its partner was evicted), got $streamed")
+    // state cleanup: rows whose event time can no longer match were
+    // REMOVED from the join state as the watermark advanced
+    val removed = q.recentProgress.flatMap(_.stateOperators.toSeq)
+      .map(_.numRowsRemoved).sum
+    assert(removed > 0, "watermark advance must evict join state")
+    val lateDropped = q.recentProgress.flatMap(_.stateOperators.toSeq)
+      .map(_.numRowsDroppedByWatermark).sum
+    assert(lateDropped >= 1,
+      "the late click must be counted dropped-by-watermark by the join operator")
+    val finalTotal = q.recentProgress.flatMap(_.stateOperators.toSeq)
+      .lastOption.map(_.numRowsTotal).getOrElse(Long.MaxValue)
+    assert(finalTotal < 5,
+      s"terminal state must hold only rows still inside the horizon, got $finalTotal")
+  }
+
   test("session_window batch face agrees with gaps-and-islands sessionization") {
     val viaFn = EventStreams.sessionWindowBatch(
       Tables.load(spark, TestSpark.sf, "events"))
