@@ -141,7 +141,8 @@ object Bench {
       "q49_compaction", "q50_sketch_rollup", "q51_skipping_index",
       "q52_quantile_rollup", "q53_topk_rollup", "stream_sketch_rollup",
       "stream_quantile_rollup", "stream_topk_rollup",
-      "dedup_incremental", "mm_manifest", "ann_ivfpq_append")
+      "dedup_incremental", "mm_manifest", "ann_ivfpq_append",
+      "q57_snapshot")
       .filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =

@@ -201,6 +201,39 @@ object SnapshotTable {
     Commit(v + 1, fl, 0)
   }
 
+  /** Keep the table current from a CDC change stream: every micro-batch
+    * is applied as one [[upsert]] commit (the change rows carry
+    * key/payload/version and optionally `_deleted` tombstones) — the
+    * foreachBatch face, like [[DedupStore.maintainStream]] for the hash
+    * store and SketchRollup's for the sketch stores.
+    *
+    * Crash contract: application is at-least-once but CONTENT-IDEMPOTENT
+    * — latest-wins over the same (key, version) change rows re-applied
+    * against the already-updated table selects the same winners (updates
+    * and inserts reproduce themselves; a tombstone re-deletes an absent
+    * key, a no-op), so a replayed batch can only burn a version number,
+    * never produce a wrong row. Spec'd by applying one batch twice and
+    * hashing the table. Single maintainer, like every incremental-view
+    * maintainer here.
+    */
+  def maintainStream(spark: SparkSession, changesDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      tableDir: String, keyCol: String, versionCol: String, tieCol: String,
+      checkpoint: String,
+      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(changesDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          upsert(batch.sparkSession, tableDir, batch, keyCol, versionCol, tieCol)
+        ()
+      }
+      .start()
+
   /** Drop every version but the last `keepLast`, and delete data files no
     * retained manifest references (orphans from crashed commits
     * included). Returns the deleted file paths. Run only when no reader

@@ -93,6 +93,44 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, dir).count() == 50)
   }
 
+  test("streaming CDC maintainer: micro-batched changes reach the one-shot truth; replay is content-idempotent") {
+    val dir = freshDir("snap-stream")
+    val chDir = freshDir("snap-stream-changes")
+    val ck = freshDir("snap-stream-ck")
+    SnapshotTable.create(spark, mkBase(100).repartitionByRange(4, col("k")), dir)
+    // three arrival files: update band, tombstones, inserts
+    (0 until 20).map(i => (i.toLong, s"u$i", 1L, false))
+      .toDF("k", "payload", "commit_v", "_deleted")
+      .coalesce(1).write.mode("overwrite").parquet(chDir)
+    Thread.sleep(1100)
+    (40 until 50).map(i => (i.toLong, "", 1L, true))
+      .toDF("k", "payload", "commit_v", "_deleted")
+      .coalesce(1).write.mode("append").parquet(chDir)
+    Thread.sleep(1100)
+    (500 until 510).map(i => (i.toLong, s"n$i", 1L, false))
+      .toDF("k", "payload", "commit_v", "_deleted")
+      .coalesce(1).write.mode("append").parquet(chDir)
+    val schema = spark.read.parquet(chDir).schema
+    val q = SnapshotTable.maintainStream(spark, chDir, schema, dir,
+      "k", "commit_v", "payload", ck)
+    q.awaitTermination(180000)
+    def content() = SnapshotTable.read(spark, dir).select("k", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = content()
+    assert(got.size == 100 - 10 + 10)
+    assert(got.contains((5L, "u5")) && got.contains((505L, "n505")))
+    assert(!got.exists(_._1 == 45L), "tombstoned keys must be gone")
+    // replayed batch (the at-least-once case): content must not change —
+    // only a version number is burned
+    val vBefore = SnapshotTable.currentVersion(spark, dir).get
+    SnapshotTable.upsert(spark, dir,
+      (40 until 50).map(i => (i.toLong, "", 1L, true))
+        .toDF("k", "payload", "commit_v", "_deleted"),
+      "k", "commit_v", "payload")
+    assert(content() == got, "re-applied batch must be content-idempotent")
+    assert(SnapshotTable.currentVersion(spark, dir).get == vBefore + 1)
+  }
+
   test("insert-only upsert (no file intersects) merges over the empty base") {
     val dir = freshDir("snap-insert")
     SnapshotTable.create(spark, mkBase(100).repartitionByRange(4, col("k")), dir)
