@@ -182,14 +182,28 @@ object SnapshotTable {
     * bounded files ([[Layout.compact]]'s arithmetic), committed as a new
     * version. Readers pinned to older versions are untouched — their
     * files are still on disk until [[vacuum]].
+    *
+    * `zOrderOn = Some((x, y, bits))` makes the rewrite a
+    * [[Layout]] z-order CLUSTERING pass: files become contiguous Morton
+    * intervals with tight per-file bounding boxes in both columns — the
+    * layout maintenance that makes [[attachStats]]/[[scanBetween]]
+    * actually skip.
     */
-  def compact(spark: SparkSession, dir: String, targetRecords: Long): Commit = {
+  def compact(spark: SparkSession, dir: String, targetRecords: Long,
+      zOrderOn: Option[(String, String, Int)] = None): Commit = {
     val v = currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no table under $dir"))
     val df = read(spark, dir, Some(v))
     val n = df.count()
     val nf = math.max(1L, (n + targetRecords - 1) / targetRecords).toInt
-    val shaped = df.repartition(nf)
+    val shaped = zOrderOn match {
+      case Some((x, y, bits)) =>
+        Layout.withZValue(df, x, y, bits)
+          .repartitionByRange(nf, col("z"))
+          .sortWithinPartitions("z")
+          .drop("z")
+      case None => df.repartition(nf)
+    }
     val out = s"$dir/data/" + f"v${v + 1}%05d"
     shaped.write.mode("overwrite")
       .option("maxRecordsPerFile", targetRecords).parquet(out)
@@ -199,6 +213,48 @@ object SnapshotTable {
       .map(_.getPath.toString).sorted.toSeq
     commitManifest(spark, dir, v + 1, fl)
     Commit(v + 1, fl, 0)
+  }
+
+  private def statsDir(dir: String, v: Long): String =
+    s"$dir/stats/" + f"v$v%05d"
+
+  /** Build the [[SkippingIndex]] stats table for a version's live files
+    * (footer-only) at the version-scoped stats location — each snapshot
+    * gets its own index, because each snapshot is a different file set.
+    */
+  def attachStats(spark: SparkSession, dir: String, cols: Seq[String],
+      version: Option[Long] = None): Unit = {
+    val v = version.orElse(currentVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no table under $dir"))
+    SkippingIndex.statsRows(spark, files(spark, dir, Some(v)), cols)
+      .coalesce(1).write.mode("overwrite").parquet(statsDir(dir, v))
+  }
+
+  /** Range scan of a pinned snapshot, consulting its attached stats
+    * index automatically when present (file prune + residual filter —
+    * [[SkippingIndex.scanBetween]]'s contract on a versioned file set).
+    * Results always equal the full-snapshot filter.
+    */
+  def scanBetween(spark: SparkSession, dir: String, column: String,
+      lo: Long, hi: Long,
+      version: Option[Long] = None): (DataFrame, Option[SkippingIndex.Prune]) = {
+    val v = version.orElse(currentVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no table under $dir"))
+    val sp = new Path(statsDir(dir, v))
+    val f = fs(spark, dir)
+    val covered = f.exists(sp) && {
+      val s = spark.read.parquet(sp.toString)
+      s.columns.contains(s"${column}_min") && s.columns.contains(s"${column}_max")
+    }
+    if (!covered)
+      (read(spark, dir, Some(v)).filter(col(column).between(lo, hi)), None)
+    else {
+      val p = SkippingIndex.prune(spark, sp.toString, column, lo, hi)
+      if (p.filesKept == 0)
+        (read(spark, dir, Some(v)).filter(col(column).between(lo, hi)).limit(0), Some(p))
+      else
+        (spark.read.parquet(p.kept: _*).filter(col(column).between(lo, hi)), Some(p))
+    }
   }
 
   /** Keep the table current from a CDC change stream: every micro-batch
@@ -255,7 +311,10 @@ object SnapshotTable {
         .map(_.getPath.toString)
     val doomed = onDisk.filterNot(referenced.contains).sorted
     doomed.foreach(p => f.delete(new Path(p), false))
-    drop.foreach(v => f.delete(manifestPath(dir, v), false))
+    drop.foreach { v =>
+      f.delete(manifestPath(dir, v), false)
+      f.delete(new Path(statsDir(dir, v)), true) // version-scoped index goes with it
+    }
     doomed
   }
 }

@@ -131,6 +131,33 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.currentVersion(spark, dir).get == vBefore + 1)
   }
 
+  test("z-order compaction + per-version stats: snapshot scans skip files") {
+    val dir = freshDir("snap-zorder")
+    val rnd = new scala.util.Random(31)
+    // random (x, y) rows: unclustered, so v1 files have wide ranges
+    val rows = (0 until 20000).map(i =>
+      (i.toLong, rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+      .toDF("k", "x", "y").withColumn("commit_v", lit(0L))
+    SnapshotTable.create(spark, rows.repartition(16), dir)
+    SnapshotTable.attachStats(spark, dir, Seq("x"), Some(1L))
+    val p1 = SnapshotTable.scanBetween(spark, dir, "x", 0L, 63L, Some(1L))._2
+    assert(p1.exists(_.filesKept == 16), "random layout cannot skip")
+    // z-order compact -> v2: tight per-file boxes in BOTH x and y
+    val c2 = SnapshotTable.compact(spark, dir, targetRecords = 1500L,
+      zOrderOn = Some(("x", "y", 8)))
+    SnapshotTable.attachStats(spark, dir, Seq("x"), Some(c2.version))
+    val (zx, p2) = SnapshotTable.scanBetween(spark, dir, "x", 0L, 63L, Some(c2.version))
+    assert(p2.exists(p => p.filesKept <= p.filesTotal / 2),
+      s"z-ordered layout must skip at least half the files on a 1/16 x band: $p2")
+    // and the pruned scan equals the full filter on the SAME snapshot
+    val full = SnapshotTable.read(spark, dir, Some(c2.version))
+      .filter(col("x").between(0L, 63L))
+    assert(zx.exceptAll(full).isEmpty && full.exceptAll(zx).isEmpty)
+    // v1's index is a different file set: still consulted independently
+    assert(SnapshotTable.scanBetween(spark, dir, "x", 0L, 63L, Some(1L))
+      ._2.exists(_.filesTotal == 16))
+  }
+
   test("insert-only upsert (no file intersects) merges over the empty base") {
     val dir = freshDir("snap-insert")
     SnapshotTable.create(spark, mkBase(100).repartitionByRange(4, col("k")), dir)
