@@ -41,6 +41,26 @@ class PaginatorSpec extends AnyFunSuite {
       p.page(unsorted.copy(pageNumber = 2)).collect().map(_.toSeq).toSeq)
   }
 
+  test("property: random sorts, directions and page sizes — seek walk equals offset pages") {
+    val rnd = new scala.util.Random(43)
+    val fields = Seq("o_orderpriority", "o_totalprice", "o_orderdate", "o_custkey")
+    for (trial <- 0 until 6) {
+      val req = PageRequest(
+        pageSize = Some(50 + rnd.nextInt(150)),
+        sort = Some(SortSpec(fields(rnd.nextInt(fields.length)), rnd.nextBoolean())))
+      val p = new Paginator(orders)
+      var cur = p.cursorOfPage(req)
+      var k = 2
+      while (cur.isDefined && k <= 4) {
+        val seek = p.pageAfter(req, cur.get).collect().map(_.toSeq).toSeq
+        val offs = p.page(req.copy(pageNumber = k)).collect().map(_.toSeq).toSeq
+        assert(seek == offs, s"trial $trial ($req) page $k: seek != offset")
+        cur = p.cursorOfPage(req, cur)
+        k += 1
+      }
+    }
+  }
+
   test("cursorOfPage is None past the end; pageAfter at the tail is the partial page") {
     val p = new Paginator(orders)
     val req = PageRequest(pageSize = Some(1000),

@@ -158,6 +158,49 @@ class SnapshotTableSpec extends AnyFunSuite {
       ._2.exists(_.filesTotal == 16))
   }
 
+  test("model check: random upsert/compact sequences match a driver-side model at every version") {
+    // seeded random command sequence against an independent driver-side
+    // model (key -> payload map with latest-wins semantics): after every
+    // commit the CURRENT read matches the model, and at the end every
+    // HISTORICAL version still matches the model's history — snapshot
+    // isolation as a checked invariant, not a doc claim
+    val rnd = new scala.util.Random(41)
+    val dir = freshDir("snap-model")
+    var model: Map[Long, String] = (0 until 50).map(i => i.toLong -> s"val$i").toMap
+    SnapshotTable.create(spark,
+      model.toSeq.map { case (k, p) => (k, p, 0L) }.toDF("k", "payload", "commit_v")
+        .repartitionByRange(4, col("k")), dir)
+    val history = scala.collection.mutable.Map[Long, Map[Long, String]](1L -> model)
+    var v = 1L
+    for (step <- 1 to 8) {
+      if (rnd.nextInt(3) < 2) {
+        // upsert: random mix of updates, deletes, inserts at a fresh version
+        val chs = (0 until (1 + rnd.nextInt(8))).map { _ =>
+          val key = rnd.nextInt(80).toLong
+          (key, s"p${step}_$key", step.toLong, rnd.nextInt(4) == 0)
+        }.groupBy(_._1).map(_._2.head).toSeq // one change per key per batch
+        val c = SnapshotTable.upsert(spark, dir,
+          chs.toDF("k", "payload", "commit_v", "_deleted"),
+          "k", "commit_v", "payload")
+        chs.foreach { case (k, p, _, del) =>
+          model = if (del) model - k else model + (k -> p)
+        }
+        v = c.version
+      } else {
+        v = SnapshotTable.compact(spark, dir, 20L + rnd.nextInt(50)).version
+      }
+      history(v) = model
+      val got = SnapshotTable.read(spark, dir).select("k", "payload")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == model, s"step $step (version $v) diverged from the model")
+    }
+    history.foreach { case (ver, snap) =>
+      val got = SnapshotTable.read(spark, dir, Some(ver)).select("k", "payload")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == snap, s"historical version $ver no longer matches its model snapshot")
+    }
+  }
+
   test("insert-only upsert (no file intersects) merges over the empty base") {
     val dir = freshDir("snap-insert")
     SnapshotTable.create(spark, mkBase(100).repartitionByRange(4, col("k")), dir)
