@@ -425,6 +425,30 @@ object PipelineQueries {
           abs(aggregate(col("fingerprint"), lit(0L), (a, x) => a.bitwiseXOR(x))).as("fp_xor"))
         .orderBy("doc_id")),
 
+    "dedup_incremental_minhash" -> ((s, dir) => {
+      // incremental NEAR-dup maintenance (operators.NearDupStore): the
+      // corpus arrives in three id-range batches, each banded and checked
+      // against the persisted LSH bucket + signature store — O(batch +
+      // matched buckets), no history rescan. Banding is a pure function
+      // of the text, so the UNION of per-batch pair outputs equals the
+      // one-shot Dedup.minhashLsh result, whose truth is the same
+      // brute-force Jaccard oracle as dedup_minhash (banding recall 1 at
+      // these params). Each pair is emitted exactly once — by the batch
+      // its later member arrives in. Store cleared first: idempotent gate.
+      val store = s"${Scratch.dir}/neardup_store"
+      val p = new org.apache.hadoop.fs.Path(store)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val docs = t(s, dir, "documents")
+      Seq(col("doc_id") < 1000,
+          col("doc_id") >= 1000 && col("doc_id") < 3000,
+          col("doc_id") >= 3000)
+        .map(cond => graft.operators.NearDupStore.ingest(
+          s, docs.filter(cond), "doc_id", "text", store,
+          shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8))
+        .reduce(_ unionByName _)
+        .orderBy("a", "b")
+    }),
+
     "dedup_incremental" -> ((s, dir) => {
       // incremental exact-dedup maintenance, gated end-to-end: the corpus
       // arrives as three id-range batches, each deduped against the
@@ -1445,6 +1469,11 @@ object PipelineQueries {
     // j=0.8 and ≈1 at the j≈1.0 duplicates this corpus actually contains;
     // banding completeness is additionally spec-proven (OperatorSpec)
     "dedup_minhash" -> bruteJaccardSql(3, 0.8),
+
+    // the incremental store's per-batch union must equal the SAME
+    // brute-force truth as the one-shot operator: arrival batching is
+    // provably invisible (deterministic banding + exactly-once emission)
+    "dedup_incremental_minhash" -> bruteJaccardSql(3, 0.8),
 
     // full replay of the portable simhash scheme: per-token md5-derived
     // 64-bit hashes (identical bit pattern to the kernel's md5Hash64),

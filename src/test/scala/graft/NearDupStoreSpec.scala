@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, NearDupStore}
+import graft.sources.Tables
+
+class NearDupStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val docs = Tables.load(spark, TestSpark.sf, "documents")
+
+  private def freshStore(name: String): String = {
+    val d = s"${graft.Scratch.dir}/$name"
+    val p = new org.apache.hadoop.fs.Path(d)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    d
+  }
+
+  test("interleaved arrival equals the one-shot operator, each pair exactly once") {
+    // mod-3 batches interleave ids across the corpus (the gate uses
+    // id ranges) — arrival ORDER must be invisible, because banding is a
+    // pure function of the text and emission is by-later-member
+    val store = freshStore("neardup-interleaved")
+    val batches = (0 until 3).map(b =>
+      NearDupStore.ingest(spark, docs.filter(pmod(col("doc_id"), lit(3)) === b),
+        "doc_id", "text", store))
+    val inc = batches.map(_.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq).reduce(_ ++ _)
+    assert(inc.size == inc.distinct.size, "no pair may be emitted twice")
+    val oneShot = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(oneShot.nonEmpty)
+    assert(inc.toSet == oneShot,
+      s"incremental union diverged: +${(inc.toSet -- oneShot).take(3)} -${(oneShot -- inc.toSet).take(3)}")
+    Dedup.releaseCaches()
+  }
+
+  test("a batch with no near-dups of history emits nothing but still lands in the store") {
+    import spark.implicits._
+    val store = freshStore("neardup-disjoint")
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val p1 = NearDupStore.ingest(spark, b1, "doc_id", "text", store)
+    assert(p1.count() == 1, "the two overlapping docs are near-dups")
+    // disjoint vocabulary: no candidates against history
+    val b2 = Seq((3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    assert(NearDupStore.ingest(spark, b2, "doc_id", "text", store).count() == 0)
+    // a later copy of doc 3 must match it THROUGH the store
+    val b3 = Seq((4L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val p3 = NearDupStore.ingest(spark, b3, "doc_id", "text", store).collect()
+    assert(p3.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((3L, 4L)))
+    assert(p3.head.getDouble(2) == 1.0)
+  }
+}
