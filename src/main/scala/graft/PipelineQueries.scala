@@ -63,6 +63,17 @@ object PipelineQueries {
       Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, threshold = 0.5)),
 
+    "dedup_substring_remove" -> ((s, dir) =>
+      // the REMOVAL face of substring dedup (Lee et al. ACL'22: detect,
+      // then CUT): first global occurrence of each 20-token span keeps —
+      // (doc, pos)-ordered, within-doc repeats included — later
+      // occurrences' windows merge into maximal disjoint spans and their
+      // tokens are removed; dedup_md5 hashes each rebuilt document, so
+      // the cut itself is content-checked against DuckDB's full replay
+      Dedup.substringRemoveDup(t(s, dir, "documents"), "doc_id", "text",
+        window = 20, portableHash = true)
+        .orderBy("doc_id")),
+
     "dedup_substring" -> ((s, dir) =>
       // corpus-level exact-substring duplicate spans (Lee et al. ACL'22,
       // fixed-window form): per doc, the count of 20-token windows that
@@ -1422,6 +1433,48 @@ object PipelineQueries {
          |  CAST(coalesce(m.n_dup, 0) AS BIGINT) AS n_dup_windows,
          |  CAST(coalesce(m.first_pos, -1) AS BIGINT) AS first_dup_pos
          |FROM b LEFT JOIN m ON b.doc_id = m.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
+
+    // removal replay: same md5 windows, then first-occurrence ranking,
+    // gaps-and-islands span merge, covered-position anti-join and an
+    // ordered string_agg rebuild — the rebuilt documents' md5s must
+    // match the kernel's array-lambda rebuild exactly
+    "dedup_substring_remove" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+         |b AS (SELECT doc_id, ts, len(ts) AS n FROM t),
+         |w AS (SELECT doc_id, ts, n, unnest(range(0, n - 20 + 1)) AS pos
+         |      FROM b WHERE n >= 20),
+         |h AS (SELECT doc_id, pos,
+         |        md5(array_to_string(list_slice(ts, pos + 1, pos + 20), ' ')) AS h
+         |      FROM w),
+         |r AS (SELECT doc_id, pos FROM (
+         |        SELECT doc_id, pos,
+         |          row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+         |        FROM h) WHERE rk > 1),
+         |i AS (SELECT doc_id, pos,
+         |        CASE WHEN pos - lag(pos) OVER w2 > 20 THEN 1 ELSE 0 END AS brk
+         |      FROM r WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)),
+         |i2 AS (SELECT doc_id, pos,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isle
+         |       FROM i),
+         |sp AS (SELECT doc_id, isle, min(pos) AS s, max(pos) + 19 AS e
+         |       FROM i2 GROUP BY doc_id, isle),
+         |agg AS (SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS n_removed
+         |        FROM sp GROUP BY doc_id),
+         |cov AS (SELECT DISTINCT doc_id, unnest(range(s, e + 1)) AS tp FROM sp),
+         |tok AS (SELECT doc_id, unnest(ts) AS tk,
+         |          unnest(range(0, len(ts))) AS ti FROM b),
+         |kept AS (SELECT tok.doc_id, tk, ti
+         |         FROM tok LEFT JOIN cov
+         |           ON tok.doc_id = cov.doc_id AND tok.ti = cov.tp
+         |         WHERE cov.tp IS NULL),
+         |txt AS (SELECT doc_id, md5(string_agg(tk, ' ' ORDER BY ti)) AS dedup_md5
+         |        FROM kept GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(agg.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(agg.n_removed, 0) AS BIGINT) AS n_removed,
+         |  coalesce(txt.dedup_md5, md5('')) AS dedup_md5
+         |FROM b LEFT JOIN agg USING (doc_id) LEFT JOIN txt USING (doc_id)
          |ORDER BY b.doc_id""".stripMargin,
 
     // full replay of the SemDeDup gate: recompute the 8-cell k-means in

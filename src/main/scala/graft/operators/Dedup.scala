@@ -523,6 +523,74 @@ object Dedup {
         coalesce(col("first_dup_pos"), lit(-1)).cast("long").as("first_dup_pos"))
   }
 
+  /** Exact-substring duplicate REMOVAL (the action face of
+    * [[substringDupSpans]], completing Lee et al. ACL'22's pipeline:
+    * detect, then CUT): the first global occurrence of every `window`-
+    * token span survives — ordered by (doc id, position), so keep-first
+    * is a total order, within-doc repeats included — and every later
+    * occurrence's windows are merged into maximal disjoint spans
+    * (adjacent/overlapping duplicated windows coalesce: a new span
+    * starts only when the position gap exceeds `window`) whose tokens
+    * are removed from the document.
+    *
+    * Returns one row per doc: (id, n_tokens, n_spans, n_removed,
+    * dedup_md5) where dedup_md5 hashes the space-joined surviving
+    * tokens — the removal is thereby content-checkable cross-engine
+    * without shipping rebuilt documents around.
+    *
+    * Scale shape: same as the detection face — windows shuffle as
+    * (hash, id, pos) rows for the first-occurrence ranking, spans merge
+    * inside a per-doc window, and the rebuild is one narrow projection
+    * (array lambdas over the already-present token array; no extra
+    * shuffle).
+    */
+  def substringRemoveDup(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int = 20, portableHash: Boolean = false): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val base = spread(df, idCol)
+      .select(col(idCol).as("id"), T.tokens(col(textCol)).as("ts"))
+      .withColumn("n", size(col("ts")))
+    val hashed =
+      if (portableHash) expr(
+        s"""CASE WHEN n >= $window THEN
+           |  transform(sequence(0, n - $window),
+           |    i -> md5(concat_ws(' ', slice(ts, i + 1, $window))))
+           |ELSE cast(array() as array<string>) END""".stripMargin)
+      else GraftFunctions.windowHashes(col("ts"), window)
+    val pos = base.filter(col("n") >= window).withColumn("ws", hashed)
+      .select(col("id"), posexplode(col("ws")).as(Seq("pos", "h")))
+    import org.apache.spark.sql.expressions.Window
+    // every occurrence AFTER the first in (id, pos) order is redundant
+    val red = pos.withColumn("rk",
+        row_number().over(Window.partitionBy("h").orderBy(col("id"), col("pos"))))
+      .filter(col("rk") > 1).select("id", "pos")
+    val w2 = Window.partitionBy("id").orderBy("pos")
+    val spans = red
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w2) > window, 1).otherwise(0))
+      .withColumn("isle", sum("brk").over(w2))
+      .groupBy("id", "isle")
+      .agg(min("pos").as("s"), (max("pos") + lit(window - 1)).as("e"))
+    val perDoc = spans.groupBy("id").agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("e") - col("s") + 1).as("n_removed"),
+      sort_array(collect_list(struct(col("s"), col("e")))).as("sp"))
+    base.join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        col("n").cast("long").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).cast("long").as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).cast("long").as("n_removed"),
+        when(col("sp").isNull, md5(concat_ws(" ", col("ts"))))
+          .otherwise(expr(
+            """md5(concat_ws(' ',
+              |  transform(
+              |    filter(transform(ts, (t, i) -> named_struct('t', t, 'i', i)),
+              |           x -> NOT exists(sp, r -> x.i >= r.s AND x.i <= r.e)),
+              |    y -> y.t)))""".stripMargin))
+          .as("dedup_md5"))
+  }
+
   /** Exact Jaccard of two string-array columns via codegen'd set builtins. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -288,6 +288,28 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.simhash(small, "doc_id", "text", maxBucket = 1000).count() == 3)
   }
 
+  test("substring removal: keep-first, span merge, and the rebuilt text, hand-computed") {
+    import java.security.MessageDigest
+    def md5(s: String) = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // d1 owns "a b c d"; d2 repeats it mid-doc; d3 is a within-doc loop
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x a b c d y"),
+      (3L, "p q r p q r p q r")).toDF("doc_id", "text")
+    val got = Dedup.substringRemoveDup(docs, "doc_id", "text", window = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // d1: every window's first occurrence — untouched
+    assert(got(0) == ((1L, 6L, 0L, 0L, md5("a b c d e f"))))
+    // d2: windows (a b c)@1 and (b c d)@2 are redundant -> one merged
+    // span over tokens 1..4 -> "x y" survives
+    assert(got(1) == ((2L, 6L, 1L, 4L, md5("x y"))))
+    // d3: the loop's windows repeat from pos 3 on -> tokens 3..8 cut,
+    // the first "p q r" survives (within-doc dedup)
+    assert(got(2) == ((3L, 9L, 1L, 6L, md5("p q r"))))
+  }
+
   test("onStats reports per-invocation bucket-drop stats") {
     // two invocations with opposite cap outcomes: each callback must see
     // ITS OWN invocation's numbers — a JVM-wide static would be
