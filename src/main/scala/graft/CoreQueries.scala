@@ -277,6 +277,37 @@ object CoreQueries {
         .orderBy("s_suppkey")
     }),
 
+    "q58_codecs" -> ((s, dir) => {
+      // compression-codec control on the WRITE side, verified at the
+      // footer: the same lineitem slice written gzip/snappy/zstd must
+      // (a) record the requested codec in every column chunk's footer
+      // and (b) decode to identical content IN THE OTHER ENGINE — the
+      // oracle re-reads the actual written files with read_parquet and
+      // lists their codecs with parquet_metadata, so both the bytes and
+      // the metadata cross the engine boundary. Codec choice is the
+      // producer-side knob every lakehouse written by this library
+      // exposes (size/CPU trade); the three covered codecs are the ones
+      // both engines decode.
+      val src = t(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      Seq("gzip", "snappy", "zstd").map { codec =>
+        val out = s"${Scratch.dir}/q58_$codec"
+        src.coalesce(1).write.mode("overwrite")
+          .option("compression", codec).parquet(out)
+        val part = new java.io.File(out).listFiles()
+          .map(_.getPath).filter(_.endsWith(".parquet")).sorted.head
+        val footer = graft.query.MetadataInspector.rowGroupMetadata(s, part)
+          .agg(array_join(array_sort(collect_set(col("codec"))), ",")
+            .as("footer_codecs"))
+        s.read.parquet(out)
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .crossJoin(footer)
+          .select(lit(codec).as("codec"), col("footer_codecs"),
+            col("n"), col("sum_qty"))
+      }.reduce(_ unionByName _).orderBy("codec")
+    }),
+
     "meta_rowcount" -> ((s, dir) =>
       // Metadata tab num_rows (reference: backend.ts getMetaData).
       t(s, dir, "lineitem").agg(count(lit(1)).as("num_rows"))),
@@ -506,6 +537,21 @@ object CoreQueries {
     // a registered view, so the driver's verify path (always sf0.01 per
     // the harness contract) is named literally — the same file the Spark
     // gate reads through `dir`.
+    // the oracle reads the gate's ACTUAL written files: read_parquet
+    // proves DuckDB decodes each codec to the same content, and
+    // parquet_metadata proves the footer records what was requested
+    // (literal scratch paths — table functions take paths, and Verify
+    // runs before the oracle, same contract as meta_footer)
+    "q58_codecs" -> Seq("gzip", "snappy", "zstd").map { codec =>
+      val g = s"${Scratch.dir}/q58_$codec/*.parquet"
+      s"""SELECT '$codec' AS codec,
+         |  (SELECT array_to_string(list_sort(list(DISTINCT compression)), ',')
+         |   FROM parquet_metadata('$g')) AS footer_codecs,
+         |  (SELECT count(*) FROM read_parquet('$g')) AS n,
+         |  (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         |   FROM read_parquet('$g')) AS sum_qty""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY codec"),
+
     "meta_footer" ->
       """WITH m AS (SELECT * FROM parquet_file_metadata('/root/testdata/sf0.01/lineitem.parquet'))
         |SELECT key, value FROM (
