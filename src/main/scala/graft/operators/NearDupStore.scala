@@ -35,9 +35,16 @@ import graft.functions.expr.GraftFunctions
   * CURRENT combined size — under incremental arrival a bucket crosses
   * the cap at some batch, so capped runs are arrival-dependent (the cap
   * exists to bound degenerate keys, not for exact parity; the gate runs
-  * uncapped like dedup_simhash's). Single-maintainer batch API; wire a
-  * stream through `foreachBatch(ingest(...))` with an idempotent
-  * pair-sink if at-least-once emission is acceptable.
+  * uncapped like dedup_simhash's).
+  *
+  * Crash contract: the store is written into BATCH-SCOPED partition
+  * directories (`buckets/batch=<tag>/`, `sigs/batch=<tag>/`) with
+  * per-directory overwrite, so a REPLAYED batch rewrites exactly its own
+  * rows — the store can never hold duplicate signature rows (which would
+  * duplicate verify-join output for every later pair). Single
+  * maintainer; [[maintainStream]] is the foreachBatch face with the
+  * checkpointed batch id as the tag, emitting each batch's pairs into a
+  * batch-scoped pairs directory the same overwrite-idempotent way.
   */
 object NearDupStore {
 
@@ -57,21 +64,37 @@ object NearDupStore {
   def ingest(spark: SparkSession, batch: DataFrame, idCol: String,
       textCol: String, storePath: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8, maxBucket: Int = Int.MaxValue): DataFrame = {
+      threshold: Double = 0.8, maxBucket: Int = Int.MaxValue,
+      tag: Long = -1L): DataFrame = {
     val rows = numHashes / bands
     val bucketsDir = s"$storePath/buckets"
     val sigsDir = s"$storePath/sigs"
     val fs = new Path(storePath).getFileSystem(spark.sessionState.newHadoopConf())
     val hasStore = fs.exists(new Path(sigsDir))
+    // batch tag: explicit (streaming batch id) or the next sequential one —
+    // the batch-scoped directory it names is what makes replay idempotent
+    val batchTag =
+      if (tag >= 0L) tag
+      else if (!hasStore) 0L
+      else fs.listStatus(new Path(sigsDir)).toSeq
+        .flatMap(_.getPath.getName match {
+          case s if s.startsWith("batch=") => Some(s.drop(6).toLong)
+          case _ => None
+        }).foldLeft(-1L)(math.max) + 1L
 
     val newDocs = prep(batch, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBuckets = newDocs.select(col("id"),
       explode(H.lshBandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.key").as("key"), col("id"))
-    val allBuckets =
-      if (hasStore) spark.read.parquet(bucketsDir).unionByName(newBuckets)
-      else newBuckets
+    // history EXCLUDES this batch's own partition: a replayed batch may
+    // have written it before crashing, and counting those rows again
+    // would duplicate candidates and verify rows (partition-pruned read)
+    val oldBuckets =
+      if (hasStore) Some(spark.read.parquet(bucketsDir)
+        .filter(col("batch") =!= batchTag).select("band", "key", "id"))
+      else None
+    val allBuckets = oldBuckets.fold(newBuckets)(_ unionByName newBuckets)
     // cap degenerate keys at their current combined size
     val capped =
       if (maxBucket == Int.MaxValue) allBuckets
@@ -92,6 +115,7 @@ object NearDupStore {
       .distinct()
     val allSigs =
       if (hasStore) spark.read.parquet(sigsDir)
+        .filter(col("batch") =!= batchTag)
         .select("id", "sh", "sz").unionByName(newDocs.select("id", "sh", "sz"))
       else newDocs.select("id", "sh", "sz")
     val pairs = cand
@@ -103,12 +127,47 @@ object NearDupStore {
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
       .localCheckpoint(true)
-    // append AFTER the pairs materialized; buckets co-located by (band,key)
+    // store write AFTER the pairs materialized, into the batch-scoped
+    // partition dirs with OVERWRITE (replay rewrites its own rows only);
+    // buckets co-located by (band, key)
     newBuckets.repartition(col("band"), col("key"))
-      .write.mode("append").parquet(bucketsDir)
+      .write.mode("overwrite").parquet(s"$bucketsDir/batch=$batchTag")
     newDocs.select("id", "sh", "sz")
-      .write.mode("append").parquet(sigsDir)
+      .write.mode("overwrite").parquet(s"$sigsDir/batch=$batchTag")
     newDocs.unpersist()
     pairs
   }
+
+  /** Keep the store current from a file-arrival document stream: every
+    * micro-batch runs one [[ingest]] tagged with the checkpointed batch
+    * id, and its verified pairs land in `<storePath>/pairs/batch=<id>/`.
+    * Replay-safe end to end: a re-run batch recomputes against history
+    * that EXCLUDES its own partition and overwrites exactly its own
+    * store and pairs directories — at-least-once execution, exactly-once
+    * store and pair content.
+    */
+  def maintainStream(spark: SparkSession, docsDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      idCol: String, textCol: String, storePath: String, checkpoint: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8,
+      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingest(batch.sparkSession, batch, idCol, textCol, storePath,
+          shingleSize, numHashes, bands, threshold, tag = batchId)
+          .write.mode("overwrite").parquet(s"$storePath/pairs/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** Every verified pair the maintainer has emitted so far. */
+  def pairs(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.parquet(s"$storePath/pairs")
+      .select("a", "b", "jaccard")
 }

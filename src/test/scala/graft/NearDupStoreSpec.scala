@@ -37,6 +37,50 @@ class NearDupStoreSpec extends AnyFunSuite {
     Dedup.releaseCaches()
   }
 
+  test("a replayed batch is idempotent: same pairs, no duplicate store rows") {
+    val store = freshStore("neardup-replay")
+    val b0 = docs.filter(col("doc_id") < 2000)
+    val b1 = docs.filter(col("doc_id") >= 2000)
+    NearDupStore.ingest(spark, b0, "doc_id", "text", store, tag = 0L)
+    val first = NearDupStore.ingest(spark, b1, "doc_id", "text", store, tag = 1L)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val sigsBefore = spark.read.parquet(s"$store/sigs").count()
+    // the crash-replay case: batch 1 runs again with the SAME tag —
+    // history must exclude its own half-written partition, and the
+    // overwrite must leave the store row-identical
+    val again = NearDupStore.ingest(spark, b1, "doc_id", "text", store, tag = 1L)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(again == first, "replay must emit the same pairs")
+    assert(spark.read.parquet(s"$store/sigs").count() == sigsBefore,
+      "replay must not grow the store")
+    val ids = spark.read.parquet(s"$store/sigs").select("id")
+    assert(ids.count() == ids.distinct().count(), "no duplicate signature rows")
+  }
+
+  test("streaming maintainer: chunked arrival reproduces the one-shot pair set") {
+    import org.apache.spark.sql.expressions.Window
+    val store = freshStore("neardup-stream")
+    val chunkDir = freshStore("neardup-stream-chunks")
+    val ranked = docs.withColumn("chunk",
+      ntile(3).over(Window.orderBy("doc_id")))
+    (1 to 3).foreach { c =>
+      ranked.filter(col("chunk") === c).drop("chunk").coalesce(1)
+        .write.mode(if (c == 1) "overwrite" else "append").parquet(chunkDir)
+      Thread.sleep(1100)
+    }
+    val schema = spark.read.parquet(chunkDir).schema
+    val q = NearDupStore.maintainStream(spark, chunkDir, schema,
+      "doc_id", "text", store, freshStore("neardup-stream-ck"))
+    q.awaitTermination(180000)
+    val streamed = NearDupStore.pairs(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oneShot = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(oneShot.nonEmpty && streamed == oneShot)
+    Dedup.releaseCaches()
+  }
+
   test("a batch with no near-dups of history emits nothing but still lands in the store") {
     import spark.implicits._
     val store = freshStore("neardup-disjoint")
