@@ -390,6 +390,26 @@ object ExtraQueries {
       p.pageAfter(req, cur.get) // page 11: rows 1000..1099 (in range at every SF)
     }),
 
+    "q59_page_keyset_multi" -> ((s, dir) => {
+      // MULTI-COLUMN keyset pagination: real grids sort by (colA, colB) —
+      // the cursor is a sort-VALUE VECTOR, the seek filter the
+      // lexicographic "after" disjunction, and the redundant pushed range
+      // conjunct rides the LEADING column (Paginator.atOrAfterCursor).
+      // Gate: a 7-page pure-cursor walk under (o_orderpriority DESC,
+      // o_orderkey ASC), then page 8 — (priority, orderkey) is unique, so
+      // the pure-SQL offset mirror is exact; mixed directions and
+      // duplicate rows are spec-covered in QuerySurfaceSpec.
+      import graft.query.{PageRequest, Paginator, SortSpec}
+      val p = new Paginator(t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice"))
+      val req = PageRequest(pageSize = Some(100), sorts = Seq(
+        SortSpec("o_orderpriority", ascending = false),
+        SortSpec("o_orderkey", ascending = true)))
+      var cur = p.cursorOfPage(req) // end of page 1
+      (0 until 6).foreach { _ => cur = p.cursorOfPage(req, cur) }
+      p.pageAfter(req, cur.get) // page 8: rows 700..799 of the 2-col order
+    }),
+
     "q57_snapshot" -> ((s, dir) => {
       // versioned snapshot table, end-to-end: v1 = orders (key-clustered
       // files), v2 = file-pruned latest-wins upsert (updates for keys
@@ -774,6 +794,13 @@ object ExtraQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey
         |LIMIT 100 OFFSET 1000""".stripMargin,
+
+    // two-column lexicographic order, unique on (priority, orderkey):
+    // the multi-column cursor walk is a pure execution-strategy change
+    "q59_page_keyset_multi" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |ORDER BY o_orderpriority DESC, o_orderkey
+        |LIMIT 100 OFFSET 700""".stripMargin,
 
     "asof_join" ->
       """SELECT p.event_id, p.user_id,

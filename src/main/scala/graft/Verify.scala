@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDirArg) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,12 +16,21 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
     // local-iteration filter (unset on the driver): comma-separated query
     // names; both the parquet dumps and oracle_sql.json honor it so
     // tools/selfcheck.py runs on exactly the filtered set
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a filtered run goes to its OWN directory: writing a subset's
+    // oracle_sql.json next to earlier full parquet dumps would make a
+    // later selfcheck silently validate only the subset while the dir
+    // looks fully populated
+    val outDir = if (only.isDefined) {
+      val d = outDirArg + "_only"
+      System.err.println(s"[verify] SPARK_GRAFT_ONLY set — PARTIAL run, writing to $d")
+      d
+    } else outDirArg
+    new java.io.File(outDir).mkdirs()
     def wanted(name: String) = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

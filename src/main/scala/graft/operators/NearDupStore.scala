@@ -37,6 +37,14 @@ import graft.functions.expr.GraftFunctions
   * exists to bound degenerate keys, not for exact parity; the gate runs
   * uncapped like dedup_simhash's).
   *
+  * Id contract: ids must be unique WITHIN a batch (they are document
+  * keys); across batches the store is FIRST-ARRIVAL-WINS like
+  * [[DedupStore]] — an id already present in history is dropped from the
+  * incoming batch (anti-join against the stored signature ids, an
+  * id-only column-pruned read), so a re-delivered document can neither
+  * store a second signature row nor duplicate verify-join output for
+  * later pairs involving it.
+  *
   * Crash contract: the store is written into BATCH-SCOPED partition
   * directories (`buckets/batch=<tag>/`, `sigs/batch=<tag>/`) with
   * per-directory overwrite, so a REPLAYED batch rewrites exactly its own
@@ -82,7 +90,18 @@ object NearDupStore {
           case _ => None
         }).foldLeft(-1L)(math.max) + 1L
 
-    val newDocs = prep(batch, idCol, textCol, shingleSize, numHashes)
+    // first-arrival-wins: drop ids already in history (own replayed
+    // partition excluded) — a re-delivered document must not add a second
+    // signature row, which would duplicate every later verify join it
+    // participates in. Id-only column-pruned read of the sig store.
+    val fresh =
+      if (hasStore)
+        batch.join(spark.read.parquet(sigsDir)
+            .filter(col("batch") =!= batchTag)
+            .select(col("id").cast("long").as(idCol)),
+          Seq(idCol), "left_anti")
+      else batch
+    val newDocs = prep(fresh, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBuckets = newDocs.select(col("id"),
       explode(H.lshBandKeys(col("sig"), bands, rows)).as("bk"))

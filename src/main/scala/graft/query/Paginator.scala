@@ -10,20 +10,38 @@ final case class SortSpec(field: String, ascending: Boolean = true)
 
 /** One page request. `pageSize=None` means "all" (reference page size
   * `all`); `search` applies the free-text filter before paging.
+  * `sorts` is the multi-column form (lexicographic, e.g. grid sort by
+  * (status, date)); when non-empty it takes precedence over `sort`.
   */
 final case class PageRequest(
     pageNumber: Int = 1,
     pageSize: Option[Int] = Some(20),
     sort: Option[SortSpec] = None,
-    search: Option[String] = None)
+    search: Option[String] = None,
+    sorts: Seq[SortSpec] = Nil) {
+  /** The effective sort vector: `sorts` if given, else `sort` as a 1-vector. */
+  def sortVector: Seq[SortSpec] = if (sorts.nonEmpty) sorts else sort.toSeq
+}
 
-/** Opaque position of the LAST row of a page in its total order:
-  * the user sort value (None when the request had no sort) plus the
-  * synthetic tiebreaker. Produced by [[Paginator.cursorOfPage]], consumed
+/** Opaque position of the LAST row of a page in its total order: the
+  * user sort values (one per sort column, empty when the request had no
+  * sort) plus the synthetic tiebreaker, plus `dupSeen` — how many rows
+  * content-identical to the cursor row (same sort values AND same rid,
+  * i.e. full duplicates) have already been emitted up to and including
+  * it. The tiebreaker is a content hash, so full-duplicate rows share a
+  * rid; `dupSeen` is what lets a page boundary split a duplicate group
+  * without dropping the remaining copies (the next page skips exactly
+  * the emitted ones). Produced by [[Paginator.cursorOfPage]], consumed
   * by [[Paginator.pageAfter]] — the keyset (seek) handle that makes
   * "next page" O(page) at any depth.
   */
-final case class PageCursor(sortValue: Option[Any], rid: Long)
+final case class PageCursor(sortValues: Seq[Any], rid: Long, dupSeen: Int = 1)
+
+object PageCursor {
+  /** Single-sort-column convenience constructor (the q56 shape). */
+  def apply(sortValue: Option[Any], rid: Long): PageCursor =
+    PageCursor(sortValue.toSeq, rid)
+}
 
 /** Scalable pagination over any DataFrame, mirroring the reference's
   * paginator semantics (reference: src/duckdb-paginator.ts:29-60 builds
@@ -92,15 +110,10 @@ final class Paginator(df: DataFrame) {
     // row id can't produce phantom matches
     val searched = normalized(req.search)
       .fold(withRid)(s => withRid.filter(Search.predicate(df, s)))
-    val sorted = req.sort match {
-      case Some(SortSpec(f, asc)) =>
-        val primary = if (asc) col(f).asc else col(f).desc
-        searched.orderBy(primary, col(Paginator.RID).asc)
-      case None =>
-        // no user sort: a deterministic hash total order (NOT the file's
-        // scan order — a distributed engine has no stable natural order)
-        searched.orderBy(col(Paginator.RID).asc)
-    }
+    // user sort columns (lexicographic), then the deterministic hash total
+    // order (NOT the file's scan order — a distributed engine has no
+    // stable natural order)
+    val sorted = ordered(searched, req.sortVector)
     val paged = req.pageSize match {
       case Some(s) => sorted.offset((req.pageNumber - 1) * s).limit(s)
       case None => sorted
@@ -121,84 +134,120 @@ final class Paginator(df: DataFrame) {
   // plan-asserted in PlanSpec.
   //
   // Null sort values are not seekable (a null cursor comparison silently
-  // drops rows): pageAfter requires them absent from the sort column —
-  // the standard keyset contract (make the sort key NOT NULL or coalesce).
+  // drops rows): pageAfter requires them absent from every sort column —
+  // the standard keyset contract (make the sort keys NOT NULL or coalesce).
+  //
+  // Full-duplicate rows share a rid (the tiebreaker is a content hash),
+  // so "strictly after the cursor" alone would drop the remaining copies
+  // whenever a page boundary splits a duplicate group. The cursor
+  // therefore carries `dupSeen`: the seek filter is INCLUSIVE of the
+  // cursor key and the page skips the first `dupSeen` rows — exactly the
+  // already-emitted copies (any order among content-identical rows is
+  // content-identical, so which physical copies are skipped is
+  // unobservable). The skip compiles into the top-k's offset, so the
+  // one-page TakeOrderedAndProject shape is preserved.
 
   private def searched(search: Option[String]): DataFrame =
     normalized(search).fold(withRid)(s => withRid.filter(Search.predicate(df, s)))
 
-  /** Rows strictly after `cursor` in the (sort, rid) total order. The
-    * exact condition is a disjunction involving the derived tiebreaker
-    * (not scannable), so a REDUNDANT range conjunct on the sort column
-    * alone is added — that one pushes into the parquet scan (min/max
-    * row-group pruning + PushedFilters), which is where the
-    * depth-independence actually comes from.
+  /** Rows at or after `cursor` in the (sorts…, rid) lexicographic total
+    * order — inclusive of rows equal to the cursor key (the caller skips
+    * `dupSeen` of them via the top-k offset). The exact condition is a
+    * disjunction involving the derived tiebreaker (not scannable), so a
+    * REDUNDANT range conjunct on the LEADING sort column alone is added —
+    * that one pushes into the parquet scan (min/max row-group pruning +
+    * PushedFilters), which is where the depth-independence actually
+    * comes from.
     */
-  private def afterCursor(search: Option[String], sort: Option[SortSpec],
+  private def atOrAfterCursor(search: Option[String], sorts: Seq[SortSpec],
       cursor: PageCursor): DataFrame = {
     val base = searched(search)
-    sort match {
-      case Some(SortSpec(f, asc)) =>
-        val v = cursor.sortValue.getOrElse(throw new IllegalArgumentException(
-          s"cursor has no sort value but the request sorts by '$f'"))
-        require(v != null, "null sort values are not seekable")
-        val range = if (asc) col(f) >= lit(v) else col(f) <= lit(v)
-        val strict = if (asc) col(f) > lit(v) else col(f) < lit(v)
-        base.filter(range &&
-          (strict || (col(f) === lit(v) && col(Paginator.RID) > lit(cursor.rid))))
-      case None =>
-        base.filter(col(Paginator.RID) > lit(cursor.rid))
+    if (sorts.isEmpty) {
+      base.filter(col(Paginator.RID) >= lit(cursor.rid))
+    } else {
+      require(cursor.sortValues.length == sorts.length, s"cursor has " +
+        s"${cursor.sortValues.length} sort values but the request sorts by " +
+        s"${sorts.length} columns")
+      val sv = sorts.zip(cursor.sortValues)
+      sv.foreach { case (s, v) =>
+        require(v != null, s"null sort values are not seekable ('${s.field}')")
+      }
+      // lexicographic "at or after": fold from the innermost comparator out
+      val cond = sv.foldRight(col(Paginator.RID) >= lit(cursor.rid)) {
+        case ((s, v), inner) =>
+          val strict = if (s.ascending) col(s.field) > lit(v) else col(s.field) < lit(v)
+          strict || (col(s.field) === lit(v) && inner)
+      }
+      val (lead, lv) = sv.head
+      val range =
+        if (lead.ascending) col(lead.field) >= lit(lv) else col(lead.field) <= lit(lv)
+      base.filter(range && cond)
     }
   }
 
-  private def ordered(df0: DataFrame, sort: Option[SortSpec]): DataFrame = sort match {
-    case Some(SortSpec(f, asc)) =>
-      df0.orderBy(if (asc) col(f).asc else col(f).desc, col(Paginator.RID).asc)
-    case None => df0.orderBy(col(Paginator.RID).asc)
-  }
+  private def ordered(df0: DataFrame, sorts: Seq[SortSpec]): DataFrame =
+    df0.orderBy(sorts.map(s => if (s.ascending) col(s.field).asc else col(s.field).desc)
+      :+ col(Paginator.RID).asc: _*)
 
-  /** The page of rows strictly AFTER `cursor` in the request's total
-    * order — `pageNumber` is ignored (the cursor is the position).
-    * Requires a bounded pageSize.
+  /** The page of rows strictly AFTER the `cursor` position in the
+    * request's total order — `pageNumber` is ignored (the cursor is the
+    * position). Requires a bounded pageSize. Exact under full-duplicate
+    * rows: the filter is cursor-key-inclusive and the top-k skips the
+    * `dupSeen` already-emitted copies.
     */
   def pageAfter(req: PageRequest, cursor: PageCursor): DataFrame = {
     val size = req.pageSize.getOrElse(
       throw new IllegalArgumentException("pageAfter requires a bounded pageSize"))
-    ordered(afterCursor(req.search, req.sort, cursor), req.sort)
-      .limit(size).drop(Paginator.RID)
+    ordered(atOrAfterCursor(req.search, req.sortVector, cursor), req.sortVector)
+      .offset(cursor.dupSeen).limit(size).drop(Paginator.RID)
   }
 
   /** Cursor at the last row of the page `req` describes — or, with
     * `after` set, of the page following that cursor (so a deep walk
-    * never pays an offset). One single-row job; None on an empty page.
+    * never pays an offset). Two single-page jobs (last row + its
+    * duplicate count within the page); None on an empty page.
     */
   def cursorOfPage(req: PageRequest, after: Option[PageCursor] = None): Option[PageCursor] = {
     val size = req.pageSize.getOrElse(
       throw new IllegalArgumentException("cursorOfPage requires a bounded pageSize"))
+    val sorts = req.sortVector
     // with a cursor the page starts right at it; without one, the offset
     // is the (paid-once) entry point into the walk
-    val base = after match {
-      case Some(c) => afterCursor(req.search, req.sort, c)
-      case None => searched(req.search)
-    }
-    val inverted = req.sort match {
-      case Some(SortSpec(f, asc)) =>
-        Seq(if (asc) col(f).desc else col(f).asc, col(Paginator.RID).desc)
-      case None => Seq(col(Paginator.RID).desc)
-    }
     val pageFrame = after match {
-      case Some(_) => ordered(base, req.sort).limit(size)
+      case Some(c) =>
+        ordered(atOrAfterCursor(req.search, sorts, c), sorts)
+          .offset(c.dupSeen).limit(size)
       case None =>
-        ordered(base, req.sort).offset((req.pageNumber - 1) * size).limit(size)
+        ordered(searched(req.search), sorts)
+          .offset((req.pageNumber - 1) * size).limit(size)
     }
+    val inverted = sorts.map(s =>
+      if (s.ascending) col(s.field).desc else col(s.field).asc) :+ col(Paginator.RID).desc
     val lastRow = pageFrame.orderBy(inverted: _*).limit(1)
-      .select(req.sort.map(s => Seq(col(s.field))).getOrElse(Seq.empty) :+ col(Paginator.RID): _*)
+      .select(sorts.map(s => col(s.field)) :+ col(Paginator.RID): _*)
       .collect().headOption
     lastRow.map { r =>
-      req.sort match {
-        case Some(_) => PageCursor(Some(r.get(0)), r.getLong(1))
-        case None => PageCursor(None, r.getLong(0))
+      val values = sorts.indices.map(r.get)
+      val rid = r.getLong(sorts.length)
+      // copies of the cursor row emitted within THIS page...
+      val eq = sorts.zip(values).map { case (s, v) => col(s.field) === lit(v) }
+        .foldLeft(col(Paginator.RID) === lit(rid))(_ && _)
+      val inPage = pageFrame.filter(eq).count().toInt
+      // ...plus those the walk had already skipped before this page: the
+      // incoming cursor sitting inside the same duplicate group, or — on
+      // an offset entry past page 1 — group copies consumed by the offset
+      // (equal rows are contiguous in the total order, so counting them in
+      // the pre-page prefix is exact; the prefix scan is part of the
+      // entry's paid-once offset cost)
+      val carried = after match {
+        case Some(c) if c.rid == rid && c.sortValues == values => c.dupSeen
+        case Some(_) => 0
+        case None if req.pageNumber > 1 =>
+          ordered(searched(req.search), sorts)
+            .limit((req.pageNumber - 1) * size).filter(eq).count().toInt
+        case None => 0
       }
+      PageCursor(values, rid, inPage + carried)
     }
   }
 

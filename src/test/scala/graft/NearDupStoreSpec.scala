@@ -98,4 +98,29 @@ class NearDupStoreSpec extends AnyFunSuite {
     assert(p3.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((3L, 4L)))
     assert(p3.head.getDouble(2) == 1.0)
   }
+
+  test("re-ingesting a known id is first-arrival-wins: no duplicate sigs, no pair inflation") {
+    import spark.implicits._
+    val store = freshStore("neardup-redelivery")
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    NearDupStore.ingest(spark, b1, "doc_id", "text", store)
+    // doc 1 is RE-DELIVERED in a later batch (different tag — not the
+    // crash-replay case) alongside a genuinely new near-dup of it: the
+    // stale copy must be dropped, so the pair (1,2) appears exactly once
+    val b2 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val p2 = NearDupStore.ingest(spark, b2, "doc_id", "text", store).collect()
+    assert(p2.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)),
+      s"redelivered id must not duplicate pairs: ${p2.toSeq}")
+    val sigs = spark.read.parquet(s"$store/sigs")
+    assert(sigs.filter(col("id") === 1L).count() == 1, "one signature row per id")
+    // and a THIRD batch matching doc 1 still sees exactly one copy
+    val b3 = Seq((5L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val p3 = NearDupStore.ingest(spark, b3, "doc_id", "text", store).collect()
+    assert(p3.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 5L), (2L, 5L)))
+  }
 }

@@ -224,8 +224,11 @@ class PlanSpec extends AnyFunSuite {
     val plan = executedNoAqe(df)
     val topk = plan.collect { case t: TakeOrderedAndProjectExec => t }
     assert(topk.nonEmpty, s"keyset page must be a per-partition top-K:\n$plan")
-    assert(topk.head.limit == 50 && topk.head.offset == 0,
-      s"top-K must be exactly one page (no offset rows): ${topk.head.limit}/${topk.head.offset}")
+    // the duplicate-exact seek filter is cursor-key-INCLUSIVE and the
+    // dupSeen skip compiles into the top-k's offset: limit = page +
+    // dupSeen, offset = dupSeen — still O(page) at any depth
+    assert(topk.head.limit == 51 && topk.head.offset == 1,
+      s"top-K must be one page + the dupSeen skip: ${topk.head.limit}/${topk.head.offset}")
   }
 
   test("pack shards: no single-task-per-group window over the corpus") {

@@ -36,7 +36,7 @@ class PaginatorSpec extends AnyFunSuite {
     // no user sort: the walk follows the deterministic rid total order
     val unsorted = PageRequest(pageSize = Some(200))
     val c2 = p.cursorOfPage(unsorted)
-    assert(c2.get.sortValue.isEmpty)
+    assert(c2.get.sortValues.isEmpty)
     assert(p.pageAfter(unsorted, c2.get).collect().map(_.toSeq).toSeq ==
       p.page(unsorted.copy(pageNumber = 2)).collect().map(_.toSeq).toSeq)
   }
@@ -58,6 +58,52 @@ class PaginatorSpec extends AnyFunSuite {
         cur = p.cursorOfPage(req, cur)
         k += 1
       }
+    }
+  }
+
+  test("keyset walk is exact under FULL-DUPLICATE rows (dupSeen skip)") {
+    // 15 distinct rows over 1500: every page boundary splits a duplicate
+    // group (~100 copies each, page size 97 < group size), the worst case
+    // for a content-hash tiebreaker — the cursor's dupSeen must skip
+    // exactly the emitted copies, never the whole group
+    val dupes = orders.select("o_orderpriority", "o_orderstatus")
+    val p = new Paginator(dupes)
+    val req = PageRequest(pageSize = Some(97),
+      sort = Some(SortSpec("o_orderpriority", ascending = true)))
+    var cur = p.cursorOfPage(req)
+    var seekRows = p.page(req.copy(pageNumber = 1)).collect().map(_.toSeq).toSeq
+    var k = 2
+    while (cur.isDefined && k <= 16) {
+      val seek = p.pageAfter(req, cur.get).collect().map(_.toSeq).toSeq
+      val offs = p.page(req.copy(pageNumber = k)).collect().map(_.toSeq).toSeq
+      assert(seek == offs, s"page $k differs between seek and offset under duplicates")
+      seekRows ++= seek
+      cur = p.cursorOfPage(req, cur)
+      k += 1
+    }
+    // the walk covered the table exactly: no dropped or repeated copies
+    assert(seekRows.size == 1500)
+    assert(seekRows.groupBy(identity).view.mapValues(_.size).toMap ==
+      dupes.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap)
+    // an offset ENTRY deep into the walk also lands mid-group correctly
+    val entry = p.cursorOfPage(req.copy(pageNumber = 5))
+    assert(p.pageAfter(req, entry.get).collect().map(_.toSeq).toSeq ==
+      p.page(req.copy(pageNumber = 6)).collect().map(_.toSeq).toSeq)
+  }
+
+  test("multi-column keyset cursor: (priority desc, date asc) walk equals offset pages") {
+    val p = new Paginator(orders)
+    val req = PageRequest(pageSize = Some(83), sorts = Seq(
+      SortSpec("o_orderpriority", ascending = false),
+      SortSpec("o_orderdate", ascending = true)))
+    var cur = p.cursorOfPage(req)
+    for (k <- 2 to 7) {
+      assert(cur.isDefined)
+      assert(cur.get.sortValues.length == 2)
+      val seek = p.pageAfter(req, cur.get).collect().map(_.toSeq).toSeq
+      val offs = p.page(req.copy(pageNumber = k)).collect().map(_.toSeq).toSeq
+      assert(seek == offs, s"page $k differs between seek and offset on a 2-column sort")
+      cur = p.cursorOfPage(req, cur)
     }
   }
 
