@@ -447,6 +447,46 @@ object ExtraQueries {
         .orderBy("snap", "o_orderkey")
     }),
 
+    "q60_snapshot_strkey" -> ((s, dir) => {
+      // q57's machinery under a STRING merge key: file pruning rides the
+      // parquet BINARY/UTF8 footer stats (SkippingIndex.statsRowsString,
+      // unsigned-byte order on both sides) instead of the INT64 surface.
+      // Zero-padded keys make lexicographic order == numeric order, so
+      // the key-clustered layout still gives tight per-file bands; the
+      // 'Z' prefix puts inserts past every band (pure-insert path).
+      // Narrow-band prune evidence is spec-asserted (SnapshotTableSpec);
+      // the gate replays v1 and the post-upsert v2 in pure SQL.
+      import graft.operators.SnapshotTable
+      val tdir = s"${Scratch.dir}/q60_table"
+      val p = new org.apache.hadoop.fs.Path(tdir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val o = t(s, dir, "orders")
+      def k(prefix: String) = concat(lit(prefix),
+        lpad(col("o_orderkey").cast("string"), 9, "0"))
+      val base = o.select(k("K").as("okey"), col("o_custkey"), col("o_totalprice"))
+      SnapshotTable.create(s,
+        base.withColumn("commit_v", lit(0L))
+          .repartitionByRange(8, col("okey")), tdir)
+      val m = pmod(col("o_orderkey"), lit(10))
+      val changes = o.filter(m === 3)
+        .select(k("K").as("okey"),
+          (col("o_custkey") + lit(1000000L)).as("o_custkey"), col("o_totalprice"))
+        .withColumn("_deleted", lit(false))
+        .unionByName(o.filter(m === 7)
+          .select(k("K").as("okey"), col("o_custkey"), col("o_totalprice"))
+          .withColumn("_deleted", lit(true)))
+        .unionByName(o.filter(m === 1)
+          .select(k("Z").as("okey"), col("o_custkey"), col("o_totalprice"))
+          .withColumn("_deleted", lit(false)))
+        .withColumn("commit_v", lit(1L))
+      SnapshotTable.upsert(s, tdir, changes, "okey", "commit_v", "o_custkey")
+      val v1 = SnapshotTable.read(s, tdir, Some(1L)).withColumn("snap", lit(1L))
+      val v2 = SnapshotTable.read(s, tdir, Some(2L)).withColumn("snap", lit(2L))
+      v1.unionByName(v2)
+        .select("snap", "okey", "o_custkey", "o_totalprice")
+        .orderBy("snap", "okey")
+    }),
+
     "q48_zorder" -> ((s, dir) => {
       // z-order (Morton) clustered write on (l_partkey, l_suppkey) —
       // the multi-column data-skipping layout (per-file bounding boxes
@@ -794,6 +834,28 @@ object ExtraQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey
         |LIMIT 100 OFFSET 1000""".stripMargin,
+
+    // the string-key snapshot: v1 and the post-upsert v2 replayed from
+    // orders with the same zero-padded key derivation
+    "q60_snapshot_strkey" ->
+      """WITH b AS (
+        |  SELECT 'K' || lpad(CAST(o_orderkey AS VARCHAR), 9, '0') AS okey,
+        |    o_custkey, o_totalprice, o_orderkey
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT okey,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN o_custkey + 1000000
+        |         ELSE o_custkey END AS o_custkey,
+        |    o_totalprice
+        |  FROM b WHERE o_orderkey % 10 != 7
+        |  UNION ALL
+        |  SELECT 'Z' || lpad(CAST(o_orderkey AS VARCHAR), 9, '0') AS okey,
+        |    o_custkey, o_totalprice
+        |  FROM b WHERE o_orderkey % 10 = 1)
+        |SELECT CAST(1 AS BIGINT) AS snap, okey, o_custkey, o_totalprice FROM b
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS snap, okey, o_custkey, o_totalprice FROM v2
+        |ORDER BY snap, okey""".stripMargin,
 
     // two-column lexicographic order, unique on (priority, orderkey):
     // the multi-column cursor walk is a pure execution-strategy change

@@ -117,6 +117,72 @@ object SkippingIndex {
     spark.createDataFrame(rows, statsSchema(cols))
   }
 
+  /** [[statsRows]] for STRING (parquet BINARY/UTF8) columns: min/max are
+    * the footer's unsigned-lexicographic byte-order statistics rendered
+    * as UTF-8 strings. Comparisons against them must happen in Spark
+    * plans (UTF8String compares unsigned byte-wise, matching the footer's
+    * stats order) — driver-side java.lang.String compareTo is UTF-16
+    * code-unit order and disagrees on supplementary characters.
+    */
+  def statsRowsString(spark: SparkSession, files: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    require(files.nonEmpty, "statsRowsString needs at least one file")
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val colsB = cols.toArray
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.length, 64)))
+      .map { p =>
+        val in = HadoopInputFile.fromPath(new Path(p), conf.value)
+        val reader = ParquetFileReader.open(in)
+        try {
+          val f = reader.getFooter
+          val blocks = f.getBlocks.asScala.toSeq
+          val nRows = blocks.map(_.getRowCount).sum
+          val minMax: Seq[(Any, Any)] = colsB.toSeq.map { c =>
+            val chunks = blocks.flatMap(_.getColumns.asScala)
+              .filter(_.getPath.toDotString == c)
+            require(chunks.nonEmpty, s"column $c not found in $p")
+            val stats = chunks.map(_.getStatistics)
+            if (stats.exists(s => s == null || !s.hasNonNullValue)) (null, null)
+            else {
+              def bin(v: Any): Array[Byte] = v match {
+                case b: org.apache.parquet.io.api.Binary => b.getBytes
+                case other => throw new IllegalArgumentException(
+                  s"$c: unsupported stats type ${other.getClass.getName} " +
+                    "(BINARY/UTF8 columns only)")
+              }
+              // fold across row groups in the SAME unsigned byte order the
+              // footer stats are computed in (java String compareTo is
+              // UTF-16 code-unit order and disagrees past the BMP)
+              val ord = new Ordering[Array[Byte]] {
+                def compare(a: Array[Byte], b: Array[Byte]): Int = {
+                  var i = 0
+                  val n = math.min(a.length, b.length)
+                  while (i < n) {
+                    val d = (a(i) & 0xff) - (b(i) & 0xff)
+                    if (d != 0) return d
+                    i += 1
+                  }
+                  a.length - b.length
+                }
+              }
+              (new String(stats.map(s => bin(s.genericGetMin)).min(ord), "UTF-8"),
+                new String(stats.map(s => bin(s.genericGetMax)).max(ord), "UTF-8"))
+            }
+          }
+          Row.fromSeq(p +: nRows +: minMax.flatMap { case (a, b) => Seq(a, b) })
+        } finally reader.close()
+      }
+    val schema = StructType(
+      StructField("file", StringType, nullable = false) +:
+      StructField("n_rows", LongType, nullable = false) +:
+      cols.flatMap(c => Seq(
+        StructField(s"${c}_min", StringType, nullable = true),
+        StructField(s"${c}_max", StringType, nullable = true))))
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Evaluate the interval test over the stats table: keep files whose
     * [min,max] on `column` intersects [lo, hi], plus files with NULL
     * stats (unknown ⇒ cannot skip). The collect is the FILE LIST — the

@@ -12,24 +12,30 @@ import org.apache.spark.sql.functions._
   *
   * Layout:
   * {{{
-  *   <dir>/data/v<N>/part-*.parquet   immutable data files, one subdir per commit
+  *   <dir>/data/v<N>_<nonce>/part-*.parquet  immutable data files, one
+  *                                    writer-unique subdir per commit attempt
   *   <dir>/manifest/v<N>.manifest     newline-separated list of the files
   *                                    that ARE version N (may span many
   *                                    data/v* dirs — upserts reuse
   *                                    untouched files)
   * }}}
   *
-  * Commit protocol (single writer, like every incremental maintainer
-  * here): write the new data files FIRST, then the manifest to a tmp
-  * path, then one atomic rename into `manifest/` — the version exists
-  * exactly when its manifest does. A crash mid-commit leaves orphan data
-  * files (invisible; removed by [[vacuum]]) but never a corrupt or
-  * half-visible version. Readers resolve `currentVersion` = max manifest
-  * and read a FIXED file list, so a concurrent compaction — which only
-  * ADDS files and a new manifest — cannot disturb them; old versions
-  * stay readable until vacuum. (Rename-as-commit assumes an atomic-rename
-  * filesystem — HDFS/local; an object store needs a pointer swap or
-  * catalog on top, the same caveat every lakehouse format documents.)
+  * Commit protocol (OPTIMISTIC concurrency): write the new data files
+  * FIRST into a writer-unique directory, then publish the manifest with
+  * an atomic EXCLUSIVE operation — hard link on POSIX (link(2) fails
+  * with EEXIST), rename on HDFS (the namenode refuses a rename onto an
+  * existing path) — so the version exists exactly when its manifest
+  * does and exactly ONE racer can create it. A losing writer gets
+  * [[CommitConflict]]; [[upsert]]/[[compact]] respond by REBASING:
+  * re-read the new current version, recompute, retry. A crash
+  * mid-commit (or a lost race) leaves orphan data files (invisible;
+  * removed by [[vacuum]]) but never a corrupt, clobbered, or
+  * half-visible version. Readers resolve `currentVersion` = max
+  * manifest and read a FIXED file list, so a concurrent commit — which
+  * only ADDS files and a new manifest — cannot disturb them; old
+  * versions stay readable until vacuum. (An object store without atomic
+  * create-exclusive needs a pointer swap or catalog on top, the same
+  * caveat every lakehouse format documents.)
   *
   * Scale design: the interesting path is [[upsert]] — it does NOT
   * rewrite the table. Per-file key min/max stats (footer-only, via
@@ -49,6 +55,12 @@ object SnapshotTable {
     * copy-on-write evidence — a full rewrite has filesReused == 0).
     */
   final case class Commit(version: Long, files: Seq[String], filesReused: Int)
+
+  /** A writer lost the race for a version number: someone else committed
+    * it first. [[upsert]]/[[compact]] catch this and REBASE — re-read the
+    * new current version, recompute, retry (optimistic concurrency).
+    */
+  final class CommitConflict(msg: String) extends RuntimeException(msg)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
@@ -94,10 +106,18 @@ object SnapshotTable {
   def read(spark: SparkSession, dir: String, version: Option[Long] = None): DataFrame =
     spark.read.parquet(files(spark, dir, version): _*)
 
-  /** Write `df` as the data files of version `v` and return their paths. */
+  private def nonce(): String = java.util.UUID.randomUUID.toString.take(8)
+
+  /** Write `df` as data files for a candidate version `v` and return
+    * their paths. The directory carries a WRITER-UNIQUE nonce: two
+    * writers racing for the same version number land in different
+    * directories, so the loser's files can never clobber the winner's
+    * (they become orphans, removed by [[vacuum]]). Manifests reference
+    * absolute paths, so the suffix is free-form.
+    */
   private def writeData(spark: SparkSession, df: DataFrame, dir: String,
       v: Long): Seq[String] = {
-    val out = s"$dir/data/" + f"v$v%05d"
+    val out = s"$dir/data/" + f"v$v%05d" + s"_${nonce()}"
     df.write.mode("overwrite").parquet(out)
     val f = fs(spark, dir)
     f.listStatus(new Path(out))
@@ -105,19 +125,49 @@ object SnapshotTable {
       .map(_.getPath.toString).sorted.toSeq
   }
 
-  /** Atomically publish `fileList` as version `v`: tmp write + rename. */
+  /** Atomically publish `fileList` as version `v`, or throw
+    * [[CommitConflict]] if another writer committed `v` first.
+    *
+    * The commit must be atomic for readers AND exclusive between
+    * writers. On HDFS, rename-without-replace gives both (the namenode
+    * rejects a rename onto an existing path). POSIX rename REPLACES the
+    * destination — a silent lost update — so on a local filesystem the
+    * tmp manifest is published with a hard LINK instead: link(2) is
+    * atomic and fails with EEXIST when the target already exists,
+    * making exactly one racer win and the other throw.
+    */
   private def commitManifest(spark: SparkSession, dir: String, v: Long,
       fileList: Seq[String]): Unit = {
     val f = fs(spark, dir)
     val target = manifestPath(dir, v)
     f.mkdirs(target.getParent)
-    require(!f.exists(target), s"version $v already committed (single-writer contract)")
-    val tmp = new Path(target.toString + "__tmp")
+    if (f.exists(target))
+      throw new CommitConflict(s"version $v already committed")
+    val tmp = new Path(target.toString + s"__tmp_${nonce()}")
     val out = f.create(tmp, true)
     try out.write((fileList.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    if (!f.rename(tmp, target))
-      throw new java.io.IOException(s"cannot publish manifest for version $v")
+    val local = f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (local) {
+      val won =
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        } finally f.delete(tmp, false)
+      if (!won) throw new CommitConflict(s"version $v already committed (lost the race)")
+    } else {
+      // HDFS contract: rename fails (returns false) when the destination
+      // exists — exclusive and atomic at the namenode
+      if (!f.rename(tmp, target)) {
+        f.delete(tmp, false)
+        throw new CommitConflict(s"version $v already committed (rename refused)")
+      }
+    }
   }
 
   /** Create version 1 from `df`. Pre-shape the frame for later pruning
@@ -144,38 +194,79 @@ object SnapshotTable {
     *  4. manifest n+1 = untouched files ++ new files.
     *
     * Change rows whose keys land in NO existing file (pure inserts) are
-    * in the merge input by construction. `keyCol` must be INT32/INT64
-    * (the footer-stats surface).
+    * in the merge input by construction.
+    *
+    * Key types: INT32/INT64 keys prune via long footer stats, STRING
+    * keys via BINARY/UTF8 footer stats (unsigned-byte order on both
+    * sides — [[SkippingIndex.statsRowsString]]). Any OTHER key type, or
+    * a stats build that fails (missing chunks, exotic physical types),
+    * degrades gracefully to ALL files affected: correctness is
+    * preserved (the merge sees the whole table), only pruning is lost.
+    *
+    * Concurrency: optimistic. The merge is computed against the current
+    * version and committed with the exclusive manifest publish; a
+    * [[CommitConflict]] (another writer took the version number) REBASES
+    * — re-reads the new current version, recomputes the prune+merge, and
+    * retries, up to `maxRetries` times. Losers' data files are orphans
+    * until [[vacuum]]. Concurrent upserts therefore serialize into some
+    * order of commits; latest-wins semantics make the result independent
+    * of that order for disjoint keys (and versionCol-decided for
+    * overlapping ones).
     */
   def upsert(spark: SparkSession, dir: String, changes: DataFrame,
       keyCol: String, versionCol: String, tieCol: String,
-      deleteCol: String = "_deleted"): Commit = {
-    val v = currentVersion(spark, dir).getOrElse(
-      throw new IllegalArgumentException(s"no table under $dir — create() first"))
-    val live = files(spark, dir, Some(v))
-    val stats = SkippingIndex.statsRows(spark, live, Seq(keyCol))
-    val keys = changes.select(col(keyCol).cast("long").as("__k")).distinct()
-    // the STATS side is the small one (a row per file) — broadcast it and
-    // stream the change keys through, so the file selection scales with
-    // changes, not files × keys; distinct file paths are the collected
-    // FILE LIST (the standard driver-side index footprint)
-    val affected = keys.join(broadcast(stats),
-        col(s"${keyCol}_min").isNull || col(s"${keyCol}_max").isNull ||
-          (col("__k") >= col(s"${keyCol}_min") && col("__k") <= col(s"${keyCol}_max")))
-      .select("file").distinct().collect().map(_.getString(0)).toSet
-    val untouched = live.filterNot(affected.contains)
-    val base =
-      if (affected.isEmpty)
-        // no file intersects: inserts only — merge over an empty base
-        // with the table's schema
-        read(spark, dir, Some(v)).limit(0)
-      else spark.read.parquet(affected.toSeq.sorted: _*)
-    val merged = Upsert.latestWins(base, changes, Seq(keyCol),
-      versionCol, tieCol, deleteCol, keepVersionCol = true)
-    val fl = writeData(spark, merged, dir, v + 1)
-    val all = (untouched ++ fl).sorted
-    commitManifest(spark, dir, v + 1, all)
-    Commit(v + 1, all, untouched.length)
+      deleteCol: String = "_deleted", maxRetries: Int = 5): Commit = {
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no table under $dir — create() first"))
+      val live = files(spark, dir, Some(v))
+      val keyType = read(spark, dir, Some(v)).schema(keyCol).dataType
+      // the STATS side is the small one (a row per file) — broadcast it
+      // and stream the change keys through, so the file selection scales
+      // with changes, not files × keys; distinct file paths are the
+      // collected FILE LIST (the standard driver-side index footprint)
+      def pruneWith(stats: DataFrame, keys: DataFrame): Set[String] =
+        keys.join(broadcast(stats),
+            col(s"${keyCol}_min").isNull || col(s"${keyCol}_max").isNull ||
+              (col("__k") >= col(s"${keyCol}_min") && col("__k") <= col(s"${keyCol}_max")))
+          .select("file").distinct().collect().map(_.getString(0)).toSet
+      val affected =
+        try keyType match {
+          case _: org.apache.spark.sql.types.IntegerType
+             | _: org.apache.spark.sql.types.LongType
+             | _: org.apache.spark.sql.types.ShortType
+             | _: org.apache.spark.sql.types.ByteType =>
+            pruneWith(SkippingIndex.statsRows(spark, live, Seq(keyCol)),
+              changes.select(col(keyCol).cast("long").as("__k")).distinct())
+          case _: org.apache.spark.sql.types.StringType =>
+            pruneWith(SkippingIndex.statsRowsString(spark, live, Seq(keyCol)),
+              changes.select(col(keyCol).cast("string").as("__k")).distinct())
+          case _ => live.toSet // no stats surface for this type
+        } catch {
+          case scala.util.control.NonFatal(_) => live.toSet // degrade, stay correct
+        }
+      val untouched = live.filterNot(affected.contains)
+      val base =
+        if (affected.isEmpty)
+          // no file intersects: inserts only — merge over an empty base
+          // with the table's schema
+          read(spark, dir, Some(v)).limit(0)
+        else spark.read.parquet(affected.toSeq.sorted: _*)
+      val merged = Upsert.latestWins(base, changes, Seq(keyCol),
+        versionCol, tieCol, deleteCol, keepVersionCol = true)
+      val fl = writeData(spark, merged, dir, v + 1)
+      val all = (untouched ++ fl).sorted
+      try {
+        commitManifest(spark, dir, v + 1, all)
+        return Commit(v + 1, all, untouched.length)
+      } catch {
+        case e: CommitConflict =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1 // rebase: loop re-reads the new current version
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Rewrite the CURRENT version's rows into ~ceil(n/targetRecords)
@@ -190,29 +281,40 @@ object SnapshotTable {
     * actually skip.
     */
   def compact(spark: SparkSession, dir: String, targetRecords: Long,
-      zOrderOn: Option[(String, String, Int)] = None): Commit = {
-    val v = currentVersion(spark, dir).getOrElse(
-      throw new IllegalArgumentException(s"no table under $dir"))
-    val df = read(spark, dir, Some(v))
-    val n = df.count()
-    val nf = math.max(1L, (n + targetRecords - 1) / targetRecords).toInt
-    val shaped = zOrderOn match {
-      case Some((x, y, bits)) =>
-        Layout.withZValue(df, x, y, bits)
-          .repartitionByRange(nf, col("z"))
-          .sortWithinPartitions("z")
-          .drop("z")
-      case None => df.repartition(nf)
+      zOrderOn: Option[(String, String, Int)] = None,
+      maxRetries: Int = 5): Commit = {
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no table under $dir"))
+      val df = read(spark, dir, Some(v))
+      val n = df.count()
+      val nf = math.max(1L, (n + targetRecords - 1) / targetRecords).toInt
+      val shaped = zOrderOn match {
+        case Some((x, y, bits)) =>
+          Layout.withZValue(df, x, y, bits)
+            .repartitionByRange(nf, col("z"))
+            .sortWithinPartitions("z")
+            .drop("z")
+        case None => df.repartition(nf)
+      }
+      val out = s"$dir/data/" + f"v${v + 1}%05d" + s"_${nonce()}"
+      shaped.write.mode("overwrite")
+        .option("maxRecordsPerFile", targetRecords).parquet(out)
+      val f = fs(spark, dir)
+      val fl = f.listStatus(new Path(out))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).sorted.toSeq
+      try {
+        commitManifest(spark, dir, v + 1, fl)
+        return Commit(v + 1, fl, 0)
+      } catch {
+        case e: CommitConflict =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1 // rebase onto whatever version won
+      }
     }
-    val out = s"$dir/data/" + f"v${v + 1}%05d"
-    shaped.write.mode("overwrite")
-      .option("maxRecordsPerFile", targetRecords).parquet(out)
-    val f = fs(spark, dir)
-    val fl = f.listStatus(new Path(out))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString).sorted.toSeq
-    commitManifest(spark, dir, v + 1, fl)
-    Commit(v + 1, fl, 0)
+    throw new IllegalStateException("unreachable")
   }
 
   private def statsDir(dir: String, v: Long): String =

@@ -201,6 +201,82 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
   }
 
+  test("STRING-key upsert prunes via BINARY/UTF8 footer stats and stays correct") {
+    val dir = freshDir("snap-strkey")
+    // zero-padded string keys: lexicographic order == numeric order, so
+    // repartitionByRange gives tight per-file key bands the footer's
+    // BINARY stats describe exactly
+    val base = (0 until 8000)
+      .map(i => (f"K$i%06d", s"val$i", 0L)).toDF("k", "payload", "commit_v")
+    val c1 = SnapshotTable.create(spark,
+      base.repartitionByRange(8, col("k")), dir)
+    assert(c1.files.size == 8)
+    val changes = (100 until 120)
+      .map(i => (f"K$i%06d", s"upd$i", 1L, false))
+      .toDF("k", "payload", "commit_v", "_deleted")
+    val c2 = SnapshotTable.upsert(spark, dir, changes, "k", "commit_v", "payload")
+    assert(c2.filesReused >= 6,
+      s"string-key upsert must still FILE-PRUNE, reused only ${c2.filesReused} of 8")
+    val got = SnapshotTable.read(spark, dir).select("k", "payload")
+      .as[(String, String)].collect().toMap
+    assert(got.size == 8000)
+    assert(got("K000105") == "upd105" && got("K000500") == "val500")
+  }
+
+  test("an unsupported key type degrades to all-files-affected, never wrong") {
+    val dir = freshDir("snap-dblkey")
+    // DOUBLE keys have no stats surface here: pruning must silently give
+    // up (filesReused == 0) while the merge stays exact
+    val base = (0 until 400)
+      .map(i => (i.toDouble, s"val$i", 0L)).toDF("k", "payload", "commit_v")
+    SnapshotTable.create(spark, base.repartitionByRange(4, col("k")), dir)
+    val changes = Seq((7.0, "upd7", 1L, false), (398.0, "upd398", 1L, false))
+      .toDF("k", "payload", "commit_v", "_deleted")
+    val c2 = SnapshotTable.upsert(spark, dir, changes, "k", "commit_v", "payload")
+    assert(c2.filesReused == 0, "no stats surface => every file is affected")
+    val got = SnapshotTable.read(spark, dir).select("k", "payload")
+      .as[(Double, String)].collect().toMap
+    assert(got.size == 400 && got(7.0) == "upd7" && got(398.0) == "upd398" &&
+      got(100.0) == "val100")
+  }
+
+  test("optimistic concurrency: racing upserts on disjoint keys both commit, result == sequential") {
+    val dir = freshDir("snap-race")
+    SnapshotTable.create(spark,
+      mkBase(2000).repartitionByRange(4, col("k")), dir)
+    val chA = (0 until 50)
+      .map(i => (i.toLong, s"A$i", 1L, false)).toDF("k", "payload", "commit_v", "_deleted")
+    val chB = (1900 until 1950)
+      .map(i => (i.toLong, s"B$i", 1L, false)).toDF("k", "payload", "commit_v", "_deleted")
+    // genuinely concurrent writers: both read v1, race for v2 — the hard
+    // -link publish lets exactly one win; the loser must CommitConflict
+    // internally, rebase onto v2 and commit v3
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    def racer(ch: org.apache.spark.sql.DataFrame) = pool.submit(
+      new java.util.concurrent.Callable[SnapshotTable.Commit] {
+        def call(): SnapshotTable.Commit = {
+          gate.await(30, TimeUnit.SECONDS)
+          SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload")
+        }
+      })
+    val (fa, fb) = (racer(chA), racer(chB))
+    gate.countDown()
+    val (ca, cb) = (fa.get(120, TimeUnit.SECONDS), fb.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(Set(ca.version, cb.version) == Set(2L, 3L),
+      s"both racers must commit distinct versions, got ${ca.version}/${cb.version}")
+    val got = SnapshotTable.read(spark, dir).select("k", "payload")
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 2000)
+    (0 until 50).foreach(i => assert(got(i.toLong) == s"A$i"))
+    (1900 until 1950).foreach(i => assert(got(i.toLong) == s"B$i"))
+    assert(got(1000L) == "val1000")
+    // every committed version stays readable (no clobbered manifests)
+    assert(SnapshotTable.read(spark, dir, Some(2L)).count() == 2000)
+  }
+
   test("insert-only upsert (no file intersects) merges over the empty base") {
     val dir = freshDir("snap-insert")
     SnapshotTable.create(spark, mkBase(100).repartitionByRange(4, col("k")), dir)
