@@ -341,6 +341,22 @@ object PipelineQueries {
       graft.operators.Bpe.train(t(s, dir, "documents"), "text", merges = BpeMerges)
         .orderBy("round")),
 
+    "pipeline_bpe_bytes" -> ((s, dir) =>
+      // BYTE-LEVEL BPE training (the real-LLM-tokenizer symbol model:
+      // GPT-2's bytes_to_unicode alphabet): words split into UTF-8 BYTES
+      // mapped to printable symbols, merges learned over those — a
+      // multi-byte character is several symbols until the data re-merges
+      // it. The corpus is seeded with 2-byte characters (a→ä, e→é) so
+      // this gate provably differs from code-point training. Same
+      // incremental trainer, same full round-by-round DuckDB replay (v0
+      // rendered by a hex walk over encode(word) through the 256-entry
+      // byte→symbol map).
+      graft.operators.Bpe.train(
+        t(s, dir, "documents")
+          .withColumn("text", translate(col("text"), "ae", "äé")),
+        "text", merges = BpeBytesMerges, byteLevel = true)
+        .orderBy("round")),
+
     "pipeline_bpe_apply" -> ((s, dir) => {
       // the inference side of BPE, gated end-to-end: train the 64 merge
       // rules (bit-deterministic, DuckDB-replayable), then ENCODE the
@@ -852,21 +868,48 @@ object PipelineQueries {
     */
   private val BpeMerges = 64
 
+  /** Gate depth of the BYTE-level training replay: shallower than the
+    * code-point gate (the byte chain's v0 rendering walks hex pairs per
+    * word), still deep enough that merges demonstrably reassemble
+    * multi-byte UTF-8 characters from raw bytes.
+    */
+  private val BpeBytesMerges = 32
+
+  /** 256-entry DuckDB list literal: byte value b (1-based index b+1) →
+    * '(' + its [[graft.operators.Bpe.byteToUnicode]] symbol + ')' — the
+    * byte-level counterpart of the '(.)' per-character wrap.
+    */
+  private lazy val BpeByteMapSql: String =
+    graft.operators.Bpe.byteToUnicode
+      .map(s => "'(" + s.replace("'", "''") + ")'").mkString("[", ",", "]")
+
   /** The shared WITH-chain of the BPE oracles: vocab v0 plus, per round
     * r, the pair counts, argmax rule m_r, merged vocab v_r and weighted
     * symbol total cs_r — the full training replay. Both the train oracle
     * (rule table) and the apply oracle (per-doc encode under the learned
-    * rules) compose on top of v8/m_r.
+    * rules) compose on top of v8/m_r. `byteLevel` swaps v0's rendering
+    * from per-code-point parens to the per-UTF-8-BYTE mapped alphabet
+    * (hex walk over encode(word), byte value → mapped symbol via
+    * [[BpeByteMapSql]]); everything after v0 — counts, argmax, replace
+    * merges, symbol totals — is symbol-model-independent and identical.
     */
-  private def bpeChainSql: String = {
+  private def bpeChainSqlFor(merges: Int, textSql: String,
+      byteLevel: Boolean): String = {
     val symRe = BpeSymRe
     val backref = """(\1)"""
+    val toks = ToksSql.replace("\"text\"", textSql)
+    val v0s =
+      if (byteLevel)
+        s"""array_to_string(list_transform(
+           |           range(len(hex(encode(word)))//2),
+           |           i -> ($BpeByteMapSql)[CAST('0x'||substr(hex(encode(word)), CAST(2*i+1 AS INT), 2) AS INT)+1]), '')""".stripMargin
+      else s"regexp_replace(word, '(.)', '$backref', 'g')"
     val sb = new StringBuilder
-    sb ++= s"""WITH btok AS (SELECT unnest($ToksSql) AS word FROM documents),
+    sb ++= s"""WITH btok AS (SELECT unnest($toks) AS word FROM documents),
               |v0 AS MATERIALIZED (SELECT word, count(*) AS n,
-              |         regexp_replace(word, '(.)', '$backref', 'g') AS s
+              |         $v0s AS s
               |       FROM btok GROUP BY word)""".stripMargin
-    for (r <- 1 to BpeMerges) {
+    for (r <- 1 to merges) {
       sb ++= s""",
                 |sy$r AS MATERIALIZED (SELECT n, regexp_extract_all(s, '$symRe', 1) AS syms FROM v${r - 1}),
                 |pp$r AS MATERIALIZED (SELECT n, syms, unnest(range(1, len(syms))) AS i
@@ -883,11 +926,25 @@ object PipelineQueries {
     sb.toString
   }
 
-  private lazy val bpeReplaySql: String =
-    bpeChainSql + (1 to BpeMerges).map { r =>
+  private def bpeChainSql: String =
+    bpeChainSqlFor(BpeMerges, "\"text\"", byteLevel = false)
+
+  private def bpeRulesSql(merges: Int): String =
+    (1 to merges).map { r =>
       s"""SELECT CAST($r AS BIGINT) AS round, lhs, rhs, CAST(cnt AS BIGINT) AS pair_count,
          |  (SELECT CAST(t AS BIGINT) FROM cs$r) AS corpus_symbols FROM m$r""".stripMargin
     }.mkString("\n", "\nUNION ALL\n", "\nORDER BY round")
+
+  private lazy val bpeReplaySql: String = bpeChainSql + bpeRulesSql(BpeMerges)
+
+  // byte-level variant: the corpus is seeded with MULTI-BYTE characters
+  // (a→ä, e→é — U+00E4/U+00E9, two UTF-8 bytes each) so byte-level
+  // training measurably differs from code-point training: 0xC3-prefixed
+  // byte pairs must be re-merged from data before any larger unit forms
+  private val BpeBytesTextSql = """translate("text", 'ae', 'äé')"""
+  private lazy val bpeBytesReplaySql: String =
+    bpeChainSqlFor(BpeBytesMerges, BpeBytesTextSql, byteLevel = true) +
+      bpeRulesSql(BpeBytesMerges)
 
   // apply face: every corpus word's post-merge rendering lives in the
   // final vN (the vocab is built from this same corpus), so the per-doc
@@ -1198,6 +1255,9 @@ object PipelineQueries {
     // rules from scratch — argmax, tie-break and greedy apply all
     // recomputed — so the rule table itself driver-hashes
     "pipeline_bpe" -> bpeReplaySql,
+
+    // byte-level training replay over the multi-byte-seeded corpus
+    "pipeline_bpe_bytes" -> bpeBytesReplaySql,
 
     // training replay up to the final vocab v64, then the per-doc encode
     // as a tokens-to-vocab join (bpeApplySql) — the applied tokenizer's

@@ -23,7 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * and the kernel picks the minimum rank >= its cursor — exactly the
   * rule the sequential fold applies.
   */
-final class BpeTable(rules: Seq[(String, String)]) extends Serializable {
+final class BpeTable(rules: Seq[(String, String)],
+    val byteLevel: Boolean = false) extends Serializable {
   val lhs: Array[String] = rules.map(_._1).toArray
   val rhs: Array[String] = rules.map(_._2).toArray
   @transient lazy val ranks: java.util.HashMap[String, Array[Int]] = {
@@ -92,16 +93,28 @@ object BpeOps {
     Integer.MAX_VALUE
   }
 
-  /** Number of BPE symbols `word` encodes to under `t`'s rules. */
+  /** Number of BPE symbols `word` encodes to under `t`'s rules. The
+    * initial split matches the trainer's symbol model: code points
+    * (the "(.)" per-character wrap of training), or — `t.byteLevel` —
+    * UTF-8 bytes mapped through [[graft.operators.Bpe.byteToUnicode]].
+    */
   def symbolCount(word: UTF8String, t: BpeTable): Int = {
     val w = word.toString
-    // split into code points (the "(.)" per-character wrap of training)
     var syms = new java.util.ArrayList[String](w.length)
-    var i = 0
-    while (i < w.length) {
-      val n = Character.charCount(w.codePointAt(i))
-      syms.add(w.substring(i, i + n))
-      i += n
+    if (t.byteLevel) {
+      val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < bytes.length) {
+        syms.add(graft.operators.Bpe.byteToUnicode(bytes(i) & 0xff))
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        syms.add(w.substring(i, i + n))
+        i += n
+      }
     }
     val ranks = t.ranks
     var cursor = 0

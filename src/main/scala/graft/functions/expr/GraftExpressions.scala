@@ -420,8 +420,9 @@ object GraftFunctions {
   def wordTokens(text: Column): Column =
     col(WordTokens(ColumnBridge.expression(text)))
 
-  def bpeSymbolCount(word: Column, rules: Seq[(String, String)]): Column =
-    col(BpeSymbolCount(ColumnBridge.expression(word), new BpeTable(rules)))
+  def bpeSymbolCount(word: Column, rules: Seq[(String, String)],
+      byteLevel: Boolean = false): Column =
+    col(BpeSymbolCount(ColumnBridge.expression(word), new BpeTable(rules, byteLevel)))
 
   def topTokenCount(tokens: Column): Column =
     col(TopTokenCount(ColumnBridge.expression(tokens)))

@@ -93,6 +93,35 @@ object Bpe {
     out.toArray
   }
 
+  /** The byte-level symbol alphabet (the GPT-2 `bytes_to_unicode` table,
+    * public domain scheme from Radford et al.'s released tokenizer):
+    * every byte maps to ONE printable unicode code point — printable
+    * bytes ('!'..'~', '¡'..'¬', '®'..'ÿ') map to themselves, the rest
+    * (controls, space, 0x7f, 0x80-0xa0, 0xad) to 256+k in table order —
+    * so byte sequences become ordinary strings the same merge machinery
+    * (and the DuckDB replay's paren rendering) handles unchanged. This
+    * is what makes the tokenizer LOSSLESS on arbitrary UTF-8: a
+    * multi-byte character is several symbols, and merges may cross
+    * character (but in practice not word) boundaries exactly like real
+    * byte-level BPE vocabularies.
+    */
+  val byteToUnicode: Array[String] = {
+    val printable = ((0x21 to 0x7e) ++ (0xa1 to 0xac) ++ (0xae to 0xff)).toSet
+    var shifted = 0
+    Array.tabulate(256) { b =>
+      if (printable(b)) new String(Character.toChars(b))
+      else { val s = new String(Character.toChars(256 + shifted)); shifted += 1; s }
+    }
+  }
+
+  private[graft] def splitBytes(w: String): Array[String] = {
+    val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    Array.tabulate(bytes.length)(i => byteToUnicode(bytes(i) & 0xff))
+  }
+
+  private[graft] def splitWord(w: String, byteLevel: Boolean): Array[String] =
+    if (byteLevel) splitBytes(w) else splitCodePoints(w)
+
   private def containsPair(syms: Array[String], l: String, r: String): Boolean = {
     var j = 0
     while (j + 1 < syms.length) {
@@ -126,22 +155,39 @@ object Bpe {
     *
     * `minCount` drops vocabulary words rarer than the floor BEFORE
     * training (0 symbols contributed) — the standard min-frequency knob
-    * every production BPE trainer exposes, and the bound on driver
-    * memory at corpus scale (the distinct-word tail is overwhelmingly
-    * hapax legomena). The default 1 keeps every word.
+    * every production BPE trainer exposes. The default 1 keeps every
+    * word. `maxVocab` is the STRUCTURAL driver-memory bound: a
+    * distributed top-V frequency cut (TakeOrderedAndProject — no full
+    * vocabulary sort, no driver involvement until V rows) under the
+    * deterministic order (n DESC, word ASC in UTF-8 binary order), so
+    * the collect is bounded by V however heavy the hapax tail is —
+    * minCount's bound is data-dependent, this one is not. With
+    * V >= distinct words the cut is a no-op (identical rules,
+    * spec-asserted); the cut's tie order is pinned by spec.
+    *
+    * `byteLevel = true` trains over the [[byteToUnicode]] byte alphabet
+    * instead of code points — the real-LLM-tokenizer symbol model
+    * (GPT-2/LLaMA-style): multi-byte UTF-8 characters are several
+    * symbols and merges reassemble them from data, not from the
+    * decoder's notion of a character.
     */
   def train(df: DataFrame, textCol: String, merges: Int,
       minCount: Long = 1L,
+      maxVocab: Int = Int.MaxValue,
+      byteLevel: Boolean = false,
       onStats: TrainStats => Unit = _ => ()): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(merges >= 1, "merges >= 1")
     // the ONE distributed corpus pass
-    val vocabRows = df
+    val counted = df
       .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
-      .as[(String, Long)].collect()
+    val capped =
+      if (maxVocab == Int.MaxValue) counted
+      else counted.orderBy(col("n").desc, col("word").asc).limit(maxVocab)
+    val vocabRows = capped.as[(String, Long)].collect()
 
     val nWords = vocabRows.length
     val freq = new Array[Long](nWords)
@@ -163,7 +209,7 @@ object Bpe {
     var i = 0
     while (i < nWords) {
       freq(i) = vocabRows(i)._2
-      val syms = splitCodePoints(vocabRows(i)._1)
+      val syms = splitWord(vocabRows(i)._1, byteLevel)
       words(i) = syms
       totalSymbols += freq(i) * syms.length
       var j = 0
@@ -235,9 +281,10 @@ object Bpe {
     * the plain scan is the default.
     */
   def encodeSymbolCounts(df: DataFrame, idCol: String, textCol: String,
-      rules: Seq[(String, String)]): DataFrame =
+      rules: Seq[(String, String)], byteLevel: Boolean = false): DataFrame =
     df.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("word"))
       .select(col(idCol),
-        GraftFunctions.bpeSymbolCount(col("word"), rules).cast("long").as("k"))
+        GraftFunctions.bpeSymbolCount(col("word"), rules, byteLevel)
+          .cast("long").as("k"))
       .groupBy(idCol).agg(sum("k").as("n_bpe_tokens"))
 }

@@ -139,6 +139,15 @@ object ScaleProbe {
         .encodeSymbolCounts(docs, "doc_id", "text", rules1k).count()
       val tEnc = (System.nanoTime() - tE0) / 1e9
       println(f"[scale] bpe_encode 60k words under 1024 rules: $tEnc%.2fs ($encRows rows)")
+      // the STRUCTURAL driver bound: a distributed top-V cut at
+      // V >= vocab must leave all 1024 rules identical (the cut is the
+      // memory bound, not a model change)
+      val rulesCapped = graft.operators.Bpe
+        .train(docs, "text", merges = 1024, maxVocab = 100000)
+        .orderBy("round").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      require(rulesCapped == rules1k,
+        "maxVocab >= vocab changed the learned rules — top-V cut is not a no-op")
+      println(s"[scale] bpe_train maxVocab=100000 (>= 60k vocab): all 1024 rules identical")
       docs.unpersist()
       println(f"[scale] bpe_train 60k-word vocab: 64 merges $t64%.2fs, 1024 merges $t1k%.2fs " +
         f"(marginal ${perRound * 1000}%.2f ms/round); word updates " +
@@ -148,7 +157,7 @@ object ScaleProbe {
         f""""marginal_ms_per_round": ${perRound * 1000}%.3f, "vocab_words": ${s1k.vocabWords}, """ +
         f""""word_updates_1024": ${s1k.wordUpdates}, "symbol_ops_1024": ${s1k.symbolOps}, """ +
         f""""full_rescan_equiv_updates": ${s1k.vocabWords * s1k.rounds}, """ +
-        f""""encode_1024rules_sec": $tEnc%.3f}"""
+        f""""encode_1024rules_sec": $tEnc%.3f, "capped_vocab_rules_identical": true}"""
     }
     val rt = Runtime.getRuntime
     val json = "{\n\"queries\": {\n" + results.mkString(",\n") + "\n},\n" +

@@ -44,6 +44,67 @@ class BpeSpec extends AnyFunSuite {
       "encoding the corpus under the learned rules must give the training total")
   }
 
+  test("byte-level: multi-byte characters are several symbols that merges reassemble") {
+    // "ää" = bytes C3 A4 C3 A4 → symbols Ã ¤ Ã ¤ (0xC3/0xA4 are both in
+    // the printable self-map range); the only pairs are (Ã,¤)×2 and
+    // (¤,Ã)×1, so round 1 must merge the intra-character pair — byte
+    // evidence, not the decoder's notion of a character
+    val docs = Seq((1L, "ää")).toDF("doc_id", "text")
+    val out = Bpe.train(docs, "text", merges = 2, byteLevel = true)
+      .orderBy("round").collect()
+    assert(out(0).getString(1) == "Ã" && out(0).getString(2) == "¤",
+      s"round 1 must merge the UTF-8 byte pair of ä, got ${out(0)}")
+    assert(out(0).getLong(3) == 2L && out(0).getLong(4) == 2L)
+    // round 2 joins the two reassembled characters
+    assert(out(1).getString(1) == "Ã¤" && out(1).getString(2) == "Ã¤")
+    // code-point training on the same corpus starts from 'ä' directly —
+    // the two symbol models provably differ
+    val cp = Bpe.train(docs, "text", merges = 1).collect()(0)
+    assert(cp.getString(1) == "ä" && cp.getString(2) == "ä")
+  }
+
+  test("byte-level alphabet: every byte maps to one distinct printable symbol") {
+    val m = Bpe.byteToUnicode
+    assert(m.length == 256)
+    assert(m.distinct.length == 256, "mapping must be injective (lossless)")
+    assert(m.forall(s => s.codePointCount(0, s.length) == 1))
+    // GPT-2 pins: printable ASCII self-maps, space/controls shift to 256+k
+    assert(m('a'.toInt) == "a" && m('0'.toInt) == "0")
+    assert(m(' '.toInt).codePointAt(0) >= 256)
+    assert(m(0xc3) == "Ã" && m(0xa4) == "¤")
+  }
+
+  test("byte-level encode kernel matches the trainer's symbol totals on non-ASCII") {
+    val docs = Seq((1L, "ärger über ärger"), (2L, "la journée passée"))
+      .toDF("doc_id", "text")
+    val trained = Bpe.train(docs, "text", merges = 6, byteLevel = true)
+      .orderBy("round").collect()
+    val rules = trained.map(r => (r.getString(1), r.getString(2))).toSeq
+    val lastTotal = trained.last.getLong(4)
+    val enc = Bpe.encodeSymbolCounts(docs, "doc_id", "text", rules, byteLevel = true)
+      .agg(org.apache.spark.sql.functions.sum("n_bpe_tokens")).collect()(0).getLong(0)
+    assert(enc == lastTotal,
+      "byte-level encode under the learned rules must give the training total")
+  }
+
+  test("maxVocab: a top-V cut at V >= vocab is a no-op; the cut's tie order is pinned") {
+    val docs = Seq((1L, "foo bar baz foo bar qux quux corge"),
+      (2L, "foo bar grault garply waldo")).toDF("doc_id", "text")
+    val full = Bpe.train(docs, "text", merges = 4).collect().map(_.toSeq).toSeq
+    val capped = Bpe.train(docs, "text", merges = 4, maxVocab = 1000)
+      .collect().map(_.toSeq).toSeq
+    assert(capped == full, "V >= distinct words must not change any rule")
+    // tie order: words at the same frequency cut in UTF-8-binary word
+    // order. Vocab: freq-3 foo/bar, freq-1 the rest; V=4 keeps
+    // foo, bar, then the two lexicographically-smallest singletons
+    // (baz, corge) — so 'qu' can never be learned while 'ba'+'z' can
+    val cut = Bpe.train(docs, "text", merges = 2, maxVocab = 4)
+      .orderBy("round").collect()
+    val cutPairs = cut.map(r => (r.getString(1), r.getString(2))).toSet
+    assert(!cutPairs.exists { case (l, r) => (l + r).contains("qu") },
+      s"qux/quux are past the deterministic cut: $cutPairs")
+  }
+
   // ---- reference implementations the incremental trainer/kernel must
   // equal: a naive full-recount trainer and the sequential replace-chain
   // fold (the old implementation's semantics, also what the DuckDB
