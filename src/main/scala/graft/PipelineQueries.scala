@@ -232,6 +232,32 @@ object PipelineQueries {
         k = 10, nProbe = 4, refine = 4)
     }),
 
+    "ann_ivfpq_delete" -> ((s, dir) => {
+      // the CRUD-closing path at scale: HALF the corpus (odd ids) is
+      // DELETED from the persisted index via the tombstone sidecar
+      // (PqIndex.deleteFromIndex — cell-partitioned (id, cell) masks, no
+      // retrain, no rebuild, no index rewrite), and the served search
+      // must equal one over an index rebuilt from the survivors — which
+      // is exactly what the training-replay oracle computes with its ADC
+      // scan restricted to surviving ids (the model trains on even ids
+      // and is untouched by the delete)
+      val e = t(s, dir, "embeddings")
+      val model = graft.operators.PqIndex.train(
+        e.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding",
+        nCells = 16, m = 8, kCodes = 16, sampleFraction = 1.0)
+      val idx = s"${Scratch.dir}/ivfpq_delete_index"
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      graft.operators.PqIndex.writeIndex(
+        graft.operators.PqIndex.encode(e, "vec_id", "embedding", model), idx)
+      graft.operators.PqIndex.deleteFromIndex(s,
+        e.filter(pmod(col("vec_id"), lit(2)) === 1).select("vec_id"), "vec_id", idx)
+      graft.operators.PqIndex.search(
+        graft.operators.PqIndex.readIndex(s, idx), e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", model,
+        k = 10, nProbe = 4, refine = 4)
+    }),
+
     "text_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -772,7 +798,14 @@ object PipelineQueries {
   //    a zero denominator (the kernel's guard);
   //  - shortlist = top k·refine=40 per query by approx DESC, id ASC;
   //    final = top 10 of the shortlist by exact kernel-order cosine.
-  private lazy val pqReplaySql: String = {
+  private lazy val pqReplaySql: String = pqReplaySqlFor("true")
+
+  /** `survivorPred` (over `fr.id`) restricts the ADC candidate scan to
+    * surviving index rows — the oracle face of a tombstone delete: a
+    * served search over a masked index must equal this replay with the
+    * deleted ids simply absent from the scan.
+    */
+  private def pqReplaySqlFor(survivorPred: String): String = {
     val d = 8; val kCodes = 16
     def distFold(r: String, sub: String, e: String) =
       s"list_reduce(list_prepend(0.0, list_transform(range(1, ${d + 1}), " +
@@ -828,6 +861,7 @@ object PipelineQueries {
       |        FROM probed p JOIN fr ON fr.cell = p.cell
       |        JOIN ea ON ea.id = fr.id
       |        JOIN lut l ON l.qid = p.qid AND l.sub = ea.sub AND l.code = ea.code
+      |        WHERE $survivorPred
       |        GROUP BY p.qid, fr.id, fr.cell),
       |apx AS (SELECT a.qid, a.id,
       |          CASE WHEN qn.qnorm * n.nrm = 0 THEN -1.0
@@ -1449,6 +1483,13 @@ object PipelineQueries {
     // model) hash-mismatches
     "ann_ivfpq_append" ->
       s"""$pqReplaySql
+         |SELECT qid, id, round(cs, 4) AS cosine, CAST(rk AS BIGINT) AS rk
+         |FROM pr WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    // the same full training replay with odd ids absent from the ADC
+    // scan: a tombstoned index must serve exactly the survivors' index
+    "ann_ivfpq_delete" ->
+      s"""${pqReplaySqlFor("fr.id % 2 = 0")}
          |SELECT qid, id, round(cs, 4) AS cosine, CAST(rk AS BIGINT) AS rk
          |FROM pr WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 

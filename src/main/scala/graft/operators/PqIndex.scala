@@ -204,17 +204,48 @@ object PqIndex {
     encode(corpus, idCol, vecCol, model)
       .write.mode("append").partitionBy("cell").parquet(path)
 
+  /** DELETE vectors from a persisted index WITHOUT rewriting it: a
+    * tombstone sidecar (the [[SnapshotTable]] pattern — an
+    * underscore-prefixed subdir every plain reader's file listing
+    * ignores) records the masked (id, cell) rows, and [[readIndex]]
+    * anti-joins them out at serve time. The deleted ids' cells are
+    * resolved by one narrow join against the index itself, so tombstones
+    * land `partitionBy(cell)` NEXT TO the codes they mask — the serve-
+    * time anti-join is cell-co-partitioned and a probed-cell query only
+    * ever reads the probed cells' tombstones. This closes the CRUD loop
+    * (takedowns, dedup survivors) without retrain or rebuild; a periodic
+    * offline re-encode compacts tombstones away like any lakehouse
+    * MERGE. Ids not in the index tombstone nothing (idempotent; a
+    * re-delete is a no-op row).
+    */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, idCol: String, path: String): Unit = {
+    val idx = spark.read.parquet(path).select(col("id"), col("cell"))
+    idx.join(ids.select(col(idCol).cast("long").as("id")).distinct(), Seq("id"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/_tombstones")
+  }
+
   /** Read a persisted index back into the `search` input shape. `cell`
     * returns as a partition column, so joining it against the broadcast
     * probed-cells side dynamic-partition-prunes the unprobed directories
-    * (the on-disk analogue of the in-memory cell filter).
+    * (the on-disk analogue of the in-memory cell filter). Tombstoned
+    * rows ([[deleteFromIndex]]) are anti-joined out on (id, cell) — both
+    * sides cell-partitioned — so a served search equals one over an
+    * index rebuilt from the survivors (gated: ann_ivfpq_delete).
     */
-  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     // no cast on `cell`: partition-type inference already yields int, and
     // keeping the raw partition attribute is what lets the probed-cell
     // join plant a dynamic partition-pruning filter on the scan
-    spark.read.parquet(path)
+    val raw = spark.read.parquet(path)
       .select(col("id"), col("cell"), col("codes"), col("norm"))
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    if (tomb.getFileSystem(spark.sessionState.newHadoopConf()).exists(tomb))
+      raw.join(spark.read.parquet(tomb.toString).select(col("id"), col("cell")),
+        Seq("id", "cell"), "left_anti")
+    else raw
+  }
 
   /** Top-k per query: ADC scan over the `nProbe` best cells' codes, then
     * exact cosine re-rank of the top `k * refine` shortlist against the

@@ -94,6 +94,33 @@ class PqIndexSpec extends AnyFunSuite {
       "append-built index must search byte-identically to a one-shot build")
   }
 
+  test("tombstone delete: served search equals an index rebuilt from survivors") {
+    val model = PqIndex.train(emb, "vec_id", "embedding", nCells = 8, m = 8,
+      kCodes = 16, iters = 1)
+    val dir = TestSpark.scratch("pq_index_del")
+    PqIndex.writeIndex(PqIndex.encode(emb, "vec_id", "embedding", model), dir)
+    // delete the odd half via the tombstone sidecar — no index rewrite
+    PqIndex.deleteFromIndex(spark,
+      emb.filter(col("vec_id") % 2 === 1).select("vec_id"), "vec_id", dir)
+    val q = emb.filter(col("vec_id") < 5)
+    def run(idx: org.apache.spark.sql.DataFrame) =
+      PqIndex.search(idx, emb, "vec_id", "embedding", q, "vec_id", "embedding",
+        model, k = 5).collect().toSeq
+    val served = run(PqIndex.readIndex(spark, dir))
+    val rebuilt = run(PqIndex.encode(
+      emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", model))
+    assert(served == rebuilt,
+      "tombstoned index must search byte-identically to a survivors-only rebuild")
+    assert(served.nonEmpty &&
+      served.forall(r => r.getLong(1) % 2 == 0), "no deleted id may surface")
+    // deleting an already-deleted or unknown id is a no-op
+    PqIndex.deleteFromIndex(spark,
+      spark.range(1, 10, 2).toDF("vec_id"), "vec_id", dir)
+    assert(run(PqIndex.readIndex(spark, dir)) == served, "re-delete is idempotent")
+    // the sidecar is invisible to a plain read of the index directory
+    assert(spark.read.parquet(dir).count() == emb.count())
+  }
+
   test("model save/load round-trip: identical model, identical search") {
     val model = PqIndex.train(emb, "vec_id", "embedding", nCells = 8, m = 8,
       kCodes = 16, iters = 1)
