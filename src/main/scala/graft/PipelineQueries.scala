@@ -1179,21 +1179,6 @@ object PipelineQueries {
        |  WHERE substring(cc, 5, 4) IN ('6463', '6462') AND sz > 0
        |  GROUP BY media_id
        |),
-       |jwalk(media_id, h, off) AS (
-       |  SELECT media_id, h, first_ds + 2 FROM avifr
-       |  WHERE substring(h, 2*first_ds + 1, 4) = 'FFD8'
-       |  UNION ALL
-       |  SELECT media_id, h, off + 2 + ${beSql("h", "off + 2", 2)} FROM jwalk
-       |  WHERE substring(h, 2*off + 1, 2) = 'FF'
-       |    AND substring(h, 2*off + 3, 2) NOT IN ('C0','C1','C2','C3','D8','D9','DA')
-       |),
-       |jsof AS (
-       |  SELECT media_id, ${beSql("h", "off + 5", 2)} AS height,
-       |         ${beSql("h", "off + 7", 2)} AS width
-       |  FROM jwalk
-       |  WHERE substring(h, 2*off + 1, 2) = 'FF'
-       |    AND substring(h, 2*off + 3, 2) IN ('C0','C1','C2','C3')
-       |),
        |bwalk(media_id, h, off, lim) AS (
        |  SELECT media_id, h, CAST(0 AS BIGINT), n FROM kinds WHERE ext = 'mp4'
        |  UNION ALL
@@ -1203,7 +1188,8 @@ object PipelineQueries {
        |    FROM bwalk WHERE off + 8 <= lim
        |  ) t, LATERAL (SELECT unnest(list_filter([
        |        struct_pack(o := t.off + t.sz, l := t.lim),
-       |        CASE WHEN t.bt IN (${ccHex("moov")}, ${ccHex("trak")})
+       |        CASE WHEN t.bt IN (${ccHex("moov")}, ${ccHex("trak")},
+       |                           ${ccHex("mdia")}, ${ccHex("minf")}, ${ccHex("stbl")})
        |             THEN struct_pack(o := t.off + 8, l := t.off + t.sz) END],
        |      x -> x IS NOT NULL AND x.o + 8 <= x.l)) AS nx) s
        |  WHERE t.sz >= 8 AND t.off + t.sz <= t.lim
@@ -1232,6 +1218,41 @@ object PipelineQueries {
        |                      THEN 0 ELSE 1 END, off) AS rk
        |    FROM boxes WHERE bt = ${ccHex("tkhd")}
        |  ) WHERE rk = 1
+       |),
+       |stsd AS ( -- first sample entry's codec fourcc:
+       |          -- ver/flags(4) + entry_count(4) + entry size(4) + fourcc
+       |  SELECT media_id, ${tagSql("h", "ds + 12")} AS codec
+       |  FROM boxes WHERE bt = ${ccHex("stsd")}
+       |),
+       |stsz AS ( -- ver/flags(4) + uniform_size(4) + sample_count(4)
+       |  SELECT media_id, ${beSql("h", "ds + 8", 4)} AS n_samples
+       |  FROM boxes WHERE bt = ${ccHex("stsz")}
+       |),
+       |stco AS ( -- ver/flags(4) + entry_count(4) + first chunk offset:
+       |          -- the FIRST sample starts there under both the fixture's
+       |          -- chunk layouts (kernel walks the full stsc mapping)
+       |  SELECT media_id, h, ${beSql("h", "ds + 8", 4)} AS first_off
+       |  FROM boxes WHERE bt = ${ccHex("stco")}
+       |),
+       |jwalk(media_id, h, off) AS (
+       |  SELECT media_id, h, first_ds + 2 FROM avifr
+       |  WHERE substring(h, 2*first_ds + 1, 4) = 'FFD8'
+       |  UNION ALL
+       |  SELECT c.media_id, c.h, c.first_off + 2
+       |  FROM stco c JOIN stsd d USING (media_id)
+       |  WHERE d.codec = ${ccHex("jpeg")}
+       |    AND substring(c.h, 2*c.first_off + 1, 4) = 'FFD8'
+       |  UNION ALL
+       |  SELECT media_id, h, off + 2 + ${beSql("h", "off + 2", 2)} FROM jwalk
+       |  WHERE substring(h, 2*off + 1, 2) = 'FF'
+       |    AND substring(h, 2*off + 3, 2) NOT IN ('C0','C1','C2','C3','D8','D9','DA')
+       |),
+       |jsof AS (
+       |  SELECT media_id, ${beSql("h", "off + 5", 2)} AS height,
+       |         ${beSql("h", "off + 7", 2)} AS width
+       |  FROM jwalk
+       |  WHERE substring(h, 2*off + 1, 2) = 'FF'
+       |    AND substring(h, 2*off + 3, 2) IN ('C0','C1','C2','C3')
        |)
        |SELECT k.media_id, k.kind, k.n AS n_bytes,
        |  s.byte_mean, s.byte_entropy,

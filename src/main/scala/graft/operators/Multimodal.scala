@@ -11,17 +11,21 @@ import org.apache.spark.sql.functions._
   * a true raster resize. AUDIO decode is REAL for WAV: the JDK ships
   * `javax.sound.sampled` (RIFF/WAVE PCM parsing, no external codecs), so
   * audio rows get true sample rate / channel count / frame-accurate
-  * duration. VIDEO FRAME decode is REAL for AVI/MJPEG: the RIFF walk
-  * (parseAviMjpeg) extracts each `00dc` chunk's JPEG payload and ImageIO
-  * decodes it — Motion-JPEG needs no codec beyond the JPEG decoder every
-  * JDK ships — so those rows carry true per-frame dimensions, frame
-  * counts and decoded-pixel luminance features. MP4 rows get REAL
-  * container METADATA (`moov/mvhd` timescale+duration, `trak/tkhd` track
-  * dimensions — plain big-endian byte parsing, the same class of work as
-  * the parquet thrift footer read) with byte-stat stand-in features:
-  * the JDK has no H.264 codec, a declared limitation — the MJPEG path
-  * is the template a JNI/FFI codec call plugs into (same schema, same
-  * per-partition batch shape; the plan does not change).
+  * duration. VIDEO FRAME decode is REAL for BOTH containers' JPEG
+  * codecs: AVI/MJPEG via the RIFF walk (parseAviMjpeg — each `00dc`
+  * chunk's JPEG payload to ImageIO), and MP4 via the full ISO-BMFF
+  * sample-table walk (parseMp4Samples — `moov/trak/mdia/minf/stbl`,
+  * stsc×stsz×stco locating each sample, JPEG-codec samples to ImageIO).
+  * MP4 container METADATA (`moov/mvhd` timescale+duration, `trak/tkhd`
+  * track dimensions) parses for every MP4 regardless of codec — plain
+  * big-endian byte parsing, the same class of work as the parquet thrift
+  * footer read. The ONE remaining undecodable path is the H.264
+  * BITSTREAM itself (avc1 sample entries): the container walk still
+  * locates its samples, but no pure-JVM H.264 decoder exists on this
+  * dependency-free classpath (and none may be added — won't-fix), so
+  * those rows carry byte-stat stand-in features with
+  * `frames_decoded=false` machine-visible in the schema; a JNI/FFI codec
+  * call plugs into the same per-partition batch shape.
   */
 object Multimodal {
 
@@ -82,6 +86,28 @@ object Multimodal {
         w, h, frames.toArray))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** First child box named `typ` inside [start, end): (contentStart,
+    * boxEnd). 64-bit (size==1) headers handled; malformed sizes stop the
+    * walk. The shared primitive under the metadata parse and the
+    * sample-table walk.
+    */
+  private def findBox(bytes: Array[Byte], start: Int, end: Int,
+      typ: String): Option[(Int, Int)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    var off = start
+    while (off + 8 <= end) {
+      val size32 = bb.getInt(off)
+      val t = new String(bytes, off + 4, 4, "ISO-8859-1")
+      val (size, header) =
+        if (size32 == 1 && off + 16 <= end) (bb.getLong(off + 8), 16)
+        else (size32.toLong & 0xffffffffL, 8)
+      if (size < header || off + size > end) return None
+      if (t == typ) return Some((off + header, off + size.toInt))
+      off += size.toInt
+    }
+    None
+  }
+
   /** Parse MP4 container metadata by walking ISO-BMFF box headers:
     * `moov/mvhd` (version 0 or 1) gives timescale+duration,
     * `moov/trak/tkhd` gives the 16.16-fixed track width/height (always
@@ -95,21 +121,8 @@ object Multimodal {
   def parseMp4Metadata(bytes: Array[Byte]): Option[Mp4Meta] =
     try {
       val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian
-      // first child box named `typ` inside [start, end): (contentStart, boxEnd)
-      def findBox(start: Int, end: Int, typ: String): Option[(Int, Int)] = {
-        var off = start
-        while (off + 8 <= end) {
-          val size32 = bb.getInt(off)
-          val t = new String(bytes, off + 4, 4, "ISO-8859-1")
-          val (size, header) =
-            if (size32 == 1 && off + 16 <= end) (bb.getLong(off + 8), 16)
-            else (size32.toLong & 0xffffffffL, 8)
-          if (size < header || off + size > end) return None
-          if (t == typ) return Some((off + header, off + size.toInt))
-          off += size.toInt
-        }
-        None
-      }
+      def findBoxIn(start: Int, end: Int, typ: String): Option[(Int, Int)] =
+        findBox(bytes, start, end, typ)
       // walk ALL trak boxes and keep the first tkhd with nonzero
       // dimensions: real-world files often carry a non-video (audio/hint)
       // track FIRST, whose tkhd reports 0x0 — stopping at the first trak
@@ -120,10 +133,10 @@ object Multimodal {
         var first: Option[Int] = None
         var sized: Option[Int] = None
         while (off < moovE && sized.isEmpty) {
-          findBox(off, moovE, "trak") match {
+          findBoxIn(off, moovE, "trak") match {
             case None => off = moovE
             case Some((trakS, trakE)) =>
-              findBox(trakS, trakE, "tkhd").foreach { case (_, e) =>
+              findBoxIn(trakS, trakE, "tkhd").foreach { case (_, e) =>
                 if (first.isEmpty) first = Some(e)
                 if ((bb.getInt(e - 8) >>> 16) != 0 &&
                     (bb.getInt(e - 4) >>> 16) != 0) sized = Some(e)
@@ -134,8 +147,8 @@ object Multimodal {
         sized.orElse(first)
       }
       for {
-        (moovS, moovE) <- findBox(0, bytes.length, "moov")
-        (mvhdS, _) <- findBox(moovS, moovE, "mvhd")
+        (moovS, moovE) <- findBoxIn(0, bytes.length, "moov")
+        (mvhdS, _) <- findBoxIn(moovS, moovE, "mvhd")
         tkhdE <- videoTkhdEnd(moovS, moovE)
       } yield {
         val (timescale, duration) =
@@ -147,6 +160,97 @@ object Multimodal {
           if (timescale > 0) math.rint(duration * 1000.0 / timescale).toLong else 0L,
           bb.getInt(tkhdE - 8) >>> 16, bb.getInt(tkhdE - 4) >>> 16)
       }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** A video track's sample table, walked for real: the stsd
+    * sample-entry fourcc plus every sample's raw bytes.
+    */
+  final case class Mp4Samples(codec: String, samples: Array[Array[Byte]])
+
+  /** MP4 sample-entry codecs whose samples the JDK's ImageIO decodes:
+    * QuickTime Motion-JPEG in MP4 ("jpeg", field-coded "mjpa"). H.264
+    * ("avc1") is NOT here — no pure-JVM decoder exists on this
+    * classpath, the one declared-unsupported codec (frames_decoded=false
+    * in the feature schema keeps that machine-visible).
+    */
+  val JpegInMp4Codecs: Set[String] = Set("jpeg", "mjpa")
+
+  /** Extract an MP4's video samples via the FULL ISO-BMFF sample-table
+    * machinery (ISO 14496-12): `moov/trak/mdia/minf/stbl`, then
+    * stsc (chunk→samples-per-chunk runs) × stco/co64 (chunk offsets) ×
+    * stsz (per-sample or uniform sizes) locate each frame's byte range —
+    * the container half of "MP4 frame decode", which needs no codec.
+    * Returns the first trak with a non-empty sample table; None when the
+    * bytes are not an MP4 or no trak carries samples. Whether the
+    * samples then DECODE is the codec's business: [[extractFeatures]]
+    * hands [[JpegInMp4Codecs]] samples to ImageIO and gets real pixels;
+    * avc1/H.264 samples stay undecoded (declared limitation).
+    */
+  def parseMp4Samples(bytes: Array[Byte]): Option[Mp4Samples] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian
+      val moov = findBox(bytes, 0, bytes.length, "moov")
+      if (moov.isEmpty) return None
+      val (moovS, moovE) = moov.get
+      var off = moovS
+      while (off < moovE) {
+        findBox(bytes, off, moovE, "trak") match {
+          case None => return None
+          case Some((trakS, trakE)) =>
+            val parsed = for {
+              (mdiaS, mdiaE) <- findBox(bytes, trakS, trakE, "mdia")
+              (minfS, minfE) <- findBox(bytes, mdiaS, mdiaE, "minf")
+              (stblS, stblE) <- findBox(bytes, minfS, minfE, "stbl")
+              (stsdS, _) <- findBox(bytes, stblS, stblE, "stsd")
+              (stszS, _) <- findBox(bytes, stblS, stblE, "stsz")
+              (stscS, _) <- findBox(bytes, stblS, stblE, "stsc")
+              co <- findBox(bytes, stblS, stblE, "stco").map((_, false))
+                .orElse(findBox(bytes, stblS, stblE, "co64").map((_, true)))
+            } yield {
+              val ((stcoS, _), is64) = co
+              // stsd: ver/flags(4) + entry_count(4) + first entry's
+              // size(4) + fourcc(4)
+              val codec = new String(bytes, stsdS + 12, 4, "ISO-8859-1")
+              // stsz: ver/flags(4) + uniform_size(4) + count(4) [+ sizes]
+              val uniform = bb.getInt(stszS + 4)
+              val nSamples = bb.getInt(stszS + 8)
+              val sizes = Array.tabulate(nSamples)(i =>
+                if (uniform != 0) uniform else bb.getInt(stszS + 12 + 4 * i))
+              val nChunks = bb.getInt(stcoS + 4)
+              val chunkOff = Array.tabulate(nChunks)(i =>
+                if (is64) bb.getLong(stcoS + 8 + 8 * i)
+                else bb.getInt(stcoS + 8 + 4 * i).toLong & 0xffffffffL)
+              // stsc: ver/flags(4) + entry_count(4) + runs of
+              // (first_chunk, samples_per_chunk, desc_index), 1-based;
+              // a run applies until the next run's first_chunk
+              val nRuns = bb.getInt(stscS + 4)
+              val runs = Array.tabulate(nRuns)(i =>
+                (bb.getInt(stscS + 8 + 12 * i), bb.getInt(stscS + 12 + 12 * i)))
+              val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+              var run = 0; var s = 0; var c = 0
+              while (c < nChunks && s < nSamples) {
+                while (run + 1 < nRuns && runs(run + 1)._1 <= c + 1) run += 1
+                var inChunk = 0
+                var pos = chunkOff(c)
+                while (inChunk < runs(run)._2 && s < nSamples) {
+                  val sz = sizes(s)
+                  if (sz > 0 && pos >= 0 && pos + sz <= bytes.length)
+                    out += java.util.Arrays.copyOfRange(
+                      bytes, pos.toInt, (pos + sz).toInt)
+                  pos += sz
+                  inChunk += 1; s += 1
+                }
+                c += 1
+              }
+              Mp4Samples(codec, out.toArray)
+            }
+            parsed match {
+              case Some(m) if m.samples.nonEmpty => return Some(m)
+              case _ => off = trakE
+            }
+        }
+      }
+      None
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Decode an image payload with the JDK's ImageIO; None when the bytes
@@ -186,10 +290,11 @@ object Multimodal {
       sample_rate: Int, channels: Int, audio_ms: Long, video_ms: Long,
       n_frames: Int,
       // TRUE iff `feature` comes from decoded PIXELS (per-frame video
-      // decode succeeded). FALSE rows carry byte-stat stand-in features —
-      // notably MP4/H.264, whose frames the JDK cannot decode: the flag
-      // makes the declared limitation machine-visible in the schema, so
-      // a consumer can never mistake stand-ins for pixel features.
+      // decode succeeded — AVI/MJPEG or jpeg-codec MP4). FALSE rows
+      // carry byte-stat stand-in features — the avc1/H.264 bitstream,
+      // which no pure-JVM decoder can read: the flag makes the declared
+      // limitation machine-visible in the schema, so a consumer can
+      // never mistake stand-ins for pixel features.
       frames_decoded: Boolean,
       feature: Array[Float])
 
@@ -305,22 +410,27 @@ object Multimodal {
   }
 
   /** Deterministic REAL MP4 container for the fixture: a spec-shaped
-    * ISO-BMFF box tree (`ftyp`, `moov[mvhd + trak[tkhd]]`, `mdat` holding
-    * the payload) with timescale/duration/track dimensions pure functions
-    * of the id. Even ids write version-0 boxes, odd ids version-1 — so
-    * the parser's both paths are exercised by every fixture batch. The
-    * mdat payload keeps byte-stat features (mean/entropy) meaningful.
+    * ISO-BMFF tree with a FULL sample table —
+    * `ftyp, moov[mvhd + trak[tkhd + mdia[mdhd + hdlr + minf[vmhd +
+    * dinf[dref[url ]] + stbl[stsd + stts + stsc + stsz + stco]]]]], mdat`
+    * — so the downstream frame-extraction path ([[parseMp4Samples]])
+    * walks the real stsc/stsz/stco chunk-to-sample machinery. All fields
+    * are pure functions of the id: box versions (mvhd/tkhd v0 vs v1)
+    * alternate by (id/12)%2, and the chunk layout alternates by (id/24)%2
+    * between one-chunk-per-sample and one-chunk-holding-all-samples, so
+    * both stsc expansion shapes stay covered at the gate. `codec` is the
+    * stsd sample-entry fourcc: "jpeg" samples are real ImageIO JPEGs
+    * (QuickTime Motion-JPEG in MP4 — decodable by every JDK); "avc1"
+    * samples are NAL-shaped stand-ins (H.264, the declared-unsupported
+    * codec — no pure-JVM decoder on this classpath).
     */
-  private def mp4Bytes(id: Long, payload: Array[Byte]): Array[Byte] = {
+  private[operators] def mp4Bytes(id: Long, codec: String, w: Int, h: Int,
+      samples: Array[Array[Byte]]): Array[Byte] = {
     val a = math.abs(id)
-    // version alternates across the ids the fixture actually routes to
-    // MP4 (id ≡ 2 mod 6 since the AVI split), so both mvhd/tkhd box
-    // versions keep fixture coverage
-    val ver = ((a / 6) % 2).toInt
+    val ver = ((a / 12) % 2).toInt
     val timescale = (600 + (a % 3) * 200).toInt // 600 / 800 / 1000
     val durationUnits = a % 120000 + timescale // >= 1 second
-    val w = (a % 1280 + 16).toInt
-    val h = (a % 720 + 16).toInt
+    val onePerChunk = (a / 24) % 2 == 0
     def box(typ: String, content: Array[Byte]*): Array[Byte] = {
       val total = 8 + content.map(_.length).sum
       val bb = java.nio.ByteBuffer.allocate(total)
@@ -361,10 +471,78 @@ object Multimodal {
       b.putInt(h << 16)
       b.array()
     }
+    def be(i: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(i).array()
+    val mdhd = {
+      val b = java.nio.ByteBuffer.allocate(if (ver == 1) 36 else 24)
+      b.putInt(ver << 24)
+      if (ver == 1) { b.putLong(0L); b.putLong(0L); b.putInt(timescale); b.putLong(durationUnits) }
+      else { b.putInt(0); b.putInt(0); b.putInt(timescale); b.putInt(durationUnits.toInt) }
+      b.putShort(0x55C4.toShort) // packed ISO-639 language: 'und'
+      b.putShort(0)
+      b.array()
+    }
+    val hdlr = box("hdlr", be(0), be(0), "vide".getBytes("ISO-8859-1"),
+      new Array[Byte](12), "GraftVideoHandler".getBytes("ISO-8859-1"), Array[Byte](0))
+    val vmhd = box("vmhd", Array[Byte](0, 0, 0, 1), new Array[Byte](8))
+    val dinf = box("dinf",
+      box("dref", be(0), be(1), box("url ", Array[Byte](0, 0, 0, 1))))
+    val n = samples.length
+    val sizes = samples.map(_.length)
+    // VisualSampleEntry (ISO 14496-12 §12.1.3); avc1 additionally carries
+    // the avcC decoder-configuration box a conformant entry requires
+    // (content inert for this fixture — nothing on the JVM consumes it)
+    val sampleEntry = {
+      val b = java.nio.ByteBuffer.allocate(78 + (if (codec == "avc1") 15 else 0))
+      b.putInt(0); b.putShort(0) // reserved(6)
+      b.putShort(1) // data_reference_index
+      b.putShort(0); b.putShort(0) // pre_defined / reserved
+      (0 until 3).foreach(_ => b.putInt(0)) // pre_defined[3]
+      b.putShort(w.toShort); b.putShort(h.toShort)
+      b.putInt(0x00480000); b.putInt(0x00480000) // 72 dpi
+      b.putInt(0) // reserved
+      b.putShort(1) // frame_count
+      b.put(new Array[Byte](32)) // compressorname
+      b.putShort(0x0018) // depth
+      b.putShort(-1) // pre_defined
+      if (codec == "avc1") {
+        b.putInt(15); b.put("avcC".getBytes("ISO-8859-1"))
+        b.put(Array[Byte](1, 66, 0, 30, -1, -31, 0)) // cfgVer/profile/compat/level...
+      }
+      b.array()
+    }
+    def stbl(chunkOffsets: Seq[Int]): Array[Byte] = {
+      val stsd = box("stsd", be(0), be(1), box(codec, sampleEntry))
+      val stts = box("stts", be(0), be(1), be(n),
+        be(math.max(1, (durationUnits / math.max(1, n)).toInt)))
+      val stsc = box("stsc", be(0), be(1),
+        be(1), be(if (onePerChunk) 1 else n), be(1))
+      val stsz = box("stsz", be(0), be(0), be(n),
+        sizes.flatMap(be).toArray)
+      val stco = box("stco", be(0), be(chunkOffsets.length),
+        chunkOffsets.flatMap(be).toArray)
+      box("stbl", stsd, stts, stsc, stsz, stco)
+    }
+    def moovBytes(chunkOffsets: Seq[Int]): Array[Byte] =
+      box("moov", box("mvhd", mvhd),
+        box("trak", box("tkhd", tkhd),
+          box("mdia", box("mdhd", mdhd), hdlr,
+            box("minf", vmhd, dinf, stbl(chunkOffsets)))))
     val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1"),
       Array[Byte](0, 0, 2, 0), "isomiso2".getBytes("ISO-8859-1"))
-    val moov = box("moov", box("mvhd", mvhd), box("trak", box("tkhd", tkhd)))
-    ftyp ++ moov ++ box("mdat", payload)
+    // stco holds ABSOLUTE file offsets, which depend on moov's own size —
+    // but that size is independent of the offset VALUES (fixed 4-byte
+    // slots), so measure with zeros, then rebuild with the real offsets
+    val nChunks = if (onePerChunk) n else math.min(1, n)
+    val probe = moovBytes(Seq.fill(nChunks)(0))
+    val payloadStart = ftyp.length + probe.length + 8
+    val offsets: Seq[Int] =
+      if (onePerChunk) sizes.scanLeft(payloadStart)(_ + _).init.toSeq
+      else if (n > 0) Seq(payloadStart)
+      else Seq.empty
+    val moov = moovBytes(offsets)
+    require(moov.length == probe.length, "stco offset fill changed moov size")
+    ftyp ++ moov ++ box("mdat", samples.flatten.toArray[Byte])
   }
 
   /** One REAL JPEG-encoded frame of the synthetic video: a gradient
@@ -448,9 +626,9 @@ object Multimodal {
   /** Write a deterministic media-file fixture from a documents frame: one
     * file per row named `media_<id>.<ext>` (extension cycles image/audio/
     * video). Image rows are REAL PNGs, audio rows REAL WAVs, video rows
-    * REAL MP4 containers (spec-shaped box tree with parseable
-    * timescale/duration/dimensions; a seeded pseudo-random byte stream
-    * rides in `mdat` as the stand-in encoded stream). Every file is a
+    * alternate REAL AVI/MJPEG and REAL MP4 containers (full sample
+    * tables; the MP4s alternate jpeg-codec decodable frames and
+    * avc1/H.264 stand-in samples). Every file is a
     * PURE FUNCTION OF ITS ID — byte-identical however often and at
     * whatever scale factor the fixture is rewritten (`textCol` is kept
     * for signature stability but no longer shapes any payload), which is
@@ -471,8 +649,9 @@ object Multimodal {
         rows.foreach { r =>
           val id = r.getLong(0)
           val m = ((id % 3) + 3) % 3
-          // video rows alternate container: MP4 (metadata-only parse) and
-          // AVI/MJPEG (full frame decode) both stay exercised
+          // video rows alternate container: MP4 (full sample-table walk;
+          // frames decode for the jpeg-codec half) and AVI/MJPEG (full
+          // frame decode) both stay exercised
           val ext =
             if (m == 0) "png" else if (m == 1) "wav"
             else if ((id / 3) % 2 == 0) "mp4" else "avi"
@@ -481,17 +660,38 @@ object Multimodal {
             case "wav" => wavBytes(id)
             case "avi" => aviBytes(id)
             case _ =>
-              // mdat payload is a pure function of the id (NOT the doc
+              // every payload is a pure function of the id (NOT the doc
               // text): every fixture file is byte-identical however often
               // and at whatever scale factor the fixture is rewritten, so
               // a later bench/verify run at a different SF clobbering the
               // shared scratch dir cannot invalidate the mm_manifest
-              // oracle's read of the files (the oracle replays bytes)
+              // oracle's read of the files (the oracle replays bytes).
+              // MP4 rows alternate codec by (id/6)%2: Motion-JPEG in MP4
+              // (REAL decodable frames, same growing-square ramp family
+              // as the AVI fixture) vs avc1/H.264 (NAL-shaped stand-in
+              // samples — the declared-unsupported codec path stays
+              // covered, frames_decoded=false)
               val a = math.abs(id)
-              val mdat = Array.tabulate(((a % 2000) + 500).toInt) { i =>
-                ((a * 2654435761L + i.toLong * 104729L) >>> (i % 13)).toByte
+              val n = (a % 5 + 3).toInt
+              if ((a / 6) % 2 == 0) {
+                val fw = (a % 48 + 16).toInt
+                val fh = (a % 32 + 16).toInt
+                mp4Bytes(id, "jpeg", fw, fh,
+                  Array.tabulate(n)(f => jpegFrame(id, f, fw, fh)))
+              } else {
+                val samples = Array.tabulate(n) { f =>
+                  val len = (a % 400 + 80).toInt
+                  val arr = Array.tabulate(len) { i =>
+                    ((a * 2654435761L + f * 7919L + i.toLong * 104729L)
+                      >>> (i % 13)).toByte
+                  }
+                  // Annex-B start code + an IDR NAL header lead each sample
+                  arr(0) = 0; arr(1) = 0; arr(2) = 0; arr(3) = 1; arr(4) = 0x65
+                  arr
+                }
+                mp4Bytes(id, "avc1",
+                  (a % 1280 + 16).toInt, (a % 720 + 16).toInt, samples)
               }
-              mp4Bytes(id, mdat)
           }
           java.nio.file.Files.write(
             new java.io.File(d, s"media_$id.$ext").toPath, payload)
@@ -504,16 +704,22 @@ object Multimodal {
   /** Feature extraction over media payloads. IMAGE rows are REALLY
     * decoded (javax.imageio) and carry true width/height; AUDIO rows are
     * REALLY parsed (javax.sound.sampled) and carry true sample rate /
-    * channels / frame-accurate duration. VIDEO rows: AVI/MJPEG payloads
-    * get REAL FRAME DECODE — the RIFF walk (parseAviMjpeg) hands each
-    * `00dc` JPEG to ImageIO, and width/height/n_frames/duration plus the
-    * 8-dim feature (mean luminance of 8 evenly-sampled decoded frames)
-    * all come from decoded pixels; MP4 payloads get REAL container
-    * metadata (parseMp4Metadata: tkhd dims, mvhd duration) with
-    * byte-stat stand-in features, the JDK having no H.264 codec
-    * (declared limitation — the MJPEG path shows where a codec plugs
-    * in). Runs per-partition over iterator batches — the exact shape a
-    * real codec (which needs per-partition library init) requires.
+    * channels / frame-accurate duration. VIDEO rows get REAL FRAME
+    * DECODE for both containers' JPEG codecs: the RIFF walk
+    * (parseAviMjpeg) hands each AVI `00dc` JPEG to ImageIO, and the
+    * ISO-BMFF sample-table walk (parseMp4Samples: stsc×stsz×stco) hands
+    * each MP4 jpeg-codec sample to ImageIO — width/height/n_frames plus
+    * the 8-dim feature (mean luminance of 8 evenly-sampled decoded
+    * frames) all come from decoded pixels. Durations come from the
+    * container clocks (avih rate × frames; mvhd timescale). The ONE
+    * undecodable path left is the H.264 BITSTREAM (avc1 samples): the
+    * sample table still walks for real, but no pure-JVM decoder exists
+    * on this classpath, so those rows keep container metadata +
+    * byte-stat stand-in features with `frames_decoded=false` in the
+    * schema (machine-visible; a JNI/FFI codec call plugs into the same
+    * per-partition batch shape). Runs per-partition over iterator
+    * batches — the exact shape a real codec (which needs per-partition
+    * library init) requires.
     */
   def extractFeatures(spark: SparkSession, manifest: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -526,11 +732,20 @@ object Multimodal {
             avi.map(_.frames.flatMap(decodeImage)).getOrElse(Array.empty)
           val mp4 =
             if (kind == "video" && avi.isEmpty) parseMp4Metadata(bytes) else None
+          // MP4 frame extraction: the sample-table walk locates every
+          // sample; only JPEG-family codecs then DECODE (avc1/H.264 is
+          // the declared-unsupported bitstream — samples stay undecoded)
+          val mp4Frames: Array[java.awt.image.BufferedImage] =
+            if (kind == "video" && avi.isEmpty)
+              parseMp4Samples(bytes).filter(s => JpegInMp4Codecs(s.codec))
+                .map(_.samples.flatMap(decodeImage)).getOrElse(Array.empty)
+            else Array.empty
+          val decodedFrames = if (aviFrames.nonEmpty) aviFrames else mp4Frames
           val (dw, dh) =
             if (kind == "image")
               decodeImage(bytes).map(i => (i.getWidth, i.getHeight)).getOrElse((0, 0))
-            else if (aviFrames.nonEmpty)
-              (aviFrames(0).getWidth, aviFrames(0).getHeight)
+            else if (decodedFrames.nonEmpty)
+              (decodedFrames(0).getWidth, decodedFrames(0).getHeight)
             else avi.map(v => (v.width, v.height))
               .orElse(mp4.map(m => (m.width, m.height))).getOrElse((0, 0))
           val vms = avi.map(_.durationMs).orElse(mp4.map(_.durationMs)).getOrElse(0L)
@@ -556,10 +771,10 @@ object Multimodal {
             }
           }
           val feat =
-            if (aviFrames.nonEmpty) {
+            if (decodedFrames.nonEmpty) {
               // REAL frame features: mean luminance of 8 evenly-sampled
               // DECODED frames (normalized 0..1) — pixels, not bytes
-              val lumas = aviFrames.map(meanLuma)
+              val lumas = decodedFrames.map(meanLuma)
               Array.tabulate(8) { d =>
                 (lumas(d * (lumas.length - 1) / 7) / 255.0).toFloat
               }
@@ -571,8 +786,8 @@ object Multimodal {
             }
           MediaFeatures(id, kind, n.toLong,
             math.rint(mean * 10000) / 10000, math.rint(entropy * 10000) / 10000,
-            dw, dh, sr, ch, ams, vms, aviFrames.length,
-            frames_decoded = aviFrames.nonEmpty, feat)
+            dw, dh, sr, ch, ams, vms, decodedFrames.length,
+            frames_decoded = decodedFrames.nonEmpty, feat)
         }
       }
   }

@@ -86,6 +86,14 @@ object SnapshotTable {
   def currentVersion(spark: SparkSession, dir: String): Option[Long] =
     versions(spark, dir).lastOption
 
+  /** True iff `path` is a SnapshotTable root (has at least one committed
+    * manifest). One directory listing — cheap enough for open-time
+    * dispatch ([[graft.sources.Tables.open]] routes snapshot dirs here).
+    */
+  def isTable(spark: SparkSession, path: String): Boolean =
+    try versions(spark, path).nonEmpty
+    catch { case scala.util.control.NonFatal(_) => false }
+
   /** The live files of `version` (default: current). */
   def files(spark: SparkSession, dir: String, version: Option[Long] = None): Seq[String] = {
     val v = version.orElse(currentVersion(spark, dir)).getOrElse(

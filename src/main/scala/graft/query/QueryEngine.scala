@@ -24,7 +24,21 @@ import graft.sources.Tables
   */
 final class QueryEngine(val spark: SparkSession, val path: String) {
 
-  val data: DataFrame = Tables.open(spark, path)
+  /** When `path` is a [[graft.operators.SnapshotTable]] root, the version
+    * this engine is PINNED to — fixed at open time, so every query, page
+    * and export sees one consistent snapshot even while upserts or
+    * compactions commit new versions underneath (snapshot isolation).
+    * None for plain files.
+    */
+  val pinnedVersion: Option[Long] =
+    if (graft.operators.SnapshotTable.isTable(spark, path))
+      graft.operators.SnapshotTable.currentVersion(spark, path)
+    else None
+
+  val data: DataFrame = pinnedVersion match {
+    case Some(v) => graft.operators.SnapshotTable.read(spark, path, Some(v))
+    case None => Tables.open(spark, path)
+  }
   data.createOrReplaceTempView("data")
 
   private var cached: Option[DataFrame] = None
@@ -93,7 +107,35 @@ final class QueryEngine(val spark: SparkSession, val path: String) {
 
   def schema: DataFrame = SchemaInspector.describe(queryResult)
 
-  def metadata: DataFrame = MetadataInspector.fileMetadata(spark, path)
+  /** Footer metadata. For a snapshot table: one metadata block per LIVE
+    * file of the pinned version (footers are KB-sized; the file list is
+    * the manifest's — the standard driver-side index footprint).
+    */
+  def metadata: DataFrame = pinnedVersion match {
+    case Some(v) =>
+      graft.operators.SnapshotTable.files(spark, path, Some(v))
+        .map(MetadataInspector.fileMetadata(spark, _))
+        .reduce(_ unionAll _)
+    case None => MetadataInspector.fileMetadata(spark, path)
+  }
+
+  /** Range scan of the opened data, version-pinned and STATS-PRUNED when
+    * the pinned snapshot carries an attached skipping index for `column`
+    * ([[graft.operators.SnapshotTable.scanBetween]]: files whose
+    * [min,max] cannot intersect are never opened; results always equal
+    * `data.filter(column between lo and hi)`). Plain files fall back to
+    * the filtered view — parquet row-group pruning still applies via the
+    * pushed predicate.
+    */
+  def scanBetween(column: String, lo: Long, hi: Long): DataFrame =
+    pinnedVersion match {
+      case Some(v) =>
+        graft.operators.SnapshotTable.scanBetween(
+          spark, path, column, lo, hi, Some(v))._1
+      case None =>
+        import org.apache.spark.sql.functions.col
+        data.filter(col(column).between(lo, hi))
+    }
 
   /** Column-name autocomplete: case-insensitive prefix > substring rank
     * (reference: tabular-document-editor.ts editor completions).

@@ -115,6 +115,13 @@ object Tables {
     * headers, matching DuckDB read_csv's auto-detection defaults.
     */
   def open(spark: SparkSession, path: String): DataFrame = {
+    // a SnapshotTable root opens as its CURRENT version, pinned: the plan
+    // scans the manifest's fixed file list, so commits/compactions that
+    // land after open are invisible to this reader (snapshot isolation —
+    // the lakehouse contract). A plain parquet read of the root would see
+    // data files from EVERY version at once.
+    if (graft.operators.SnapshotTable.isTable(spark, path))
+      return graft.operators.SnapshotTable.read(spark, path)
     val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
     val fmt = ext match {
       case "csv" | "tsv" => ext

@@ -37,6 +37,10 @@ object ScaleProbe {
     // incremental hash-store ingest: 3 arrival batches over 10x docs —
     // cost should track corpus hashing + anti-join, not history size
     "dedup_incremental",
+    // incremental NEAR-dup ingest (NearDupStore): 3 arrival batches,
+    // each banded + joined against the persisted LSH bucket store —
+    // cost should track O(batch + matched buckets), not history size
+    "dedup_incremental_minhash",
     // BPE training: corpus tokenize scan is 10x, the 8 merge rounds run
     // on the cached vocabulary (~10x entries from the digit suffixes)
     "pipeline_bpe")

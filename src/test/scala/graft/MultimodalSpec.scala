@@ -131,29 +131,56 @@ class MultimodalSpec extends AnyFunSuite {
     feats.filter(_.kind == "audio").foreach(f =>
       assert(f.width == 0 && f.height == 0, s"audio rows carry no dims: $f"))
     // video rows split by container. MP4 rows (id ≡ 2 mod 6) parse the
-    // genuine box tree: tkhd 16.16 track dims and mvhd timescale/duration
-    // (generator: w=id%1280+16, h=id%720+16, timescale=600+(id%3)*200,
-    // duration=id%120000+timescale; version alternates by (id/6)%2 —
-    // both parser paths covered). AVI rows (id ≡ 5 mod 6) get REAL FRAME
-    // DECODE below.
+    // genuine box tree: mvhd timescale/duration always
+    // (timescale=600+(id%3)*200, duration=id%120000+timescale; box
+    // version alternates by (id/12)%2). The codec splits them by
+    // (id/6)%2: Motion-JPEG-in-MP4 rows get REAL FRAME DECODE via the
+    // stsc×stsz×stco sample-table walk (both chunk layouts, (id/24)%2);
+    // avc1/H.264 rows keep tkhd dims + byte-stat stand-ins — the
+    // declared-unsupported bitstream. AVI rows (id ≡ 5 mod 6) get REAL
+    // FRAME DECODE below.
     val videos = feats.filter(_.kind == "video")
     assert(videos.nonEmpty)
     val (mp4s, avis) = videos.partition(_.media_id % 6 == 2)
     assert(mp4s.nonEmpty && avis.nonEmpty, "fixture must carry both containers")
-    assert(mp4s.exists(f => (f.media_id / 6) % 2 == 0) &&
-      mp4s.exists(f => (f.media_id / 6) % 2 == 1),
+    assert(mp4s.exists(f => (f.media_id / 12) % 2 == 0) &&
+      mp4s.exists(f => (f.media_id / 12) % 2 == 1),
       "fixture must exercise both mvhd/tkhd versions")
+    val (mjpegMp4s, avcMp4s) = mp4s.partition(f => (f.media_id / 6) % 2 == 0)
+    assert(mjpegMp4s.nonEmpty && avcMp4s.nonEmpty,
+      "fixture must carry both MP4 codecs")
+    assert(mjpegMp4s.exists(f => (f.media_id / 24) % 2 == 0) &&
+      mjpegMp4s.exists(f => (f.media_id / 24) % 2 == 1),
+      "fixture must exercise both stsc chunk layouts")
     mp4s.foreach { f =>
       val ts = 600 + (f.media_id % 3) * 200
       val dur = f.media_id % 120000 + ts
+      assert(f.video_ms == math.rint(dur * 1000.0 / ts).toLong,
+        s"parsed mvhd duration must match the generated MP4: $f")
+    }
+    avcMp4s.foreach { f =>
       assert(f.width == (f.media_id % 1280 + 16).toInt &&
         f.height == (f.media_id % 720 + 16).toInt,
         s"parsed tkhd dims must match the generated MP4: $f")
-      assert(f.video_ms == math.rint(dur * 1000.0 / ts).toLong,
-        s"parsed mvhd duration must match the generated MP4: $f")
-      assert(f.n_frames == 0, s"no JDK H.264 codec: MP4 rows decode no frames: $f")
+      assert(f.n_frames == 0,
+        s"no JVM H.264 codec: avc1 rows decode no frames: $f")
       assert(!f.frames_decoded,
-        s"MP4 stand-in features must be flagged undecoded in the schema: $f")
+        s"avc1 stand-in features must be flagged undecoded in the schema: $f")
+    }
+    // MJPEG-in-MP4: every sample located by the REAL sample-table walk
+    // and decoded by ImageIO — frame count, decoded dims and the
+    // brightness ramp all from pixels, exactly like the AVI path
+    mjpegMp4s.foreach { f =>
+      assert(f.frames_decoded, s"jpeg-codec MP4 features come from decoded pixels: $f")
+      assert(f.n_frames == (f.media_id % 5 + 3).toInt,
+        s"every generated MP4 sample must decode: $f")
+      assert(f.width == (f.media_id % 48 + 16).toInt &&
+        f.height == (f.media_id % 32 + 16).toInt,
+        s"dims must come from DECODED frames: $f")
+      assert(f.feature.length == 8 && f.feature.forall(v => v > 0f && v < 1f),
+        s"luma features are normalized decoded-pixel means: $f")
+      assert(f.feature(7) > f.feature(0) + 0.01f,
+        s"decoded luminance must reproduce the brightness ramp: $f")
     }
     // AVI/MJPEG rows: every 00dc JPEG frame REALLY decoded by ImageIO —
     // frame count, decoded dims and duration match the generator

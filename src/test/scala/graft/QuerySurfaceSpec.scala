@@ -506,3 +506,82 @@ class MetadataInspectorSpec extends AnyFunSuite {
     assert(cols.contains("o_orderkey"))
   }
 }
+
+/** Engine-level snapshot isolation: QueryEngine opened over a
+  * [[graft.operators.SnapshotTable]] root pins the version current at
+  * open time — queries, pages, range scans and metadata all read that
+  * snapshot even while upserts and compactions commit new versions
+  * underneath (the lakehouse reader contract, at the engine API).
+  */
+class QueryEngineSnapshotSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import graft.operators.SnapshotTable
+
+  private def freshDir(name: String): String = {
+    val d = s"${graft.Scratch.dir}/$name"
+    val p = new org.apache.hadoop.fs.Path(d)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    d
+  }
+
+  test("open/query/page stay stable while a compaction commits underneath") {
+    import spark.implicits._
+    val dir = freshDir("qe_snapshot")
+    val base = (0 until 2000).map(i => (i.toLong, s"val$i", 0L))
+      .toDF("k", "payload", "commit_v")
+    SnapshotTable.create(spark, base.repartitionByRange(8, col("k")), dir)
+    SnapshotTable.attachStats(spark, dir, Seq("k"))
+
+    val qe = new QueryEngine(spark, dir)
+    assert(qe.pinnedVersion.contains(1L))
+    assert(qe.query("SELECT k, payload FROM data WHERE k < 100").count() == 100)
+    val pageReq = PageRequest(pageSize = Some(25),
+      sort = Some(SortSpec("k", ascending = false)), pageNumber = 3)
+    val pageBefore = qe.dataPaginator.page(pageReq).collect().map(_.toSeq).toSeq
+
+    // an upsert AND a z-order compaction commit underneath the open engine
+    val ch = Seq((5L, "overwritten", 1L, false), (9999L, "new", 1L, false))
+      .toDF("k", "payload", "commit_v", "_deleted")
+    SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload")
+    SnapshotTable.compact(spark, dir, targetRecords = 500L)
+    assert(SnapshotTable.currentVersion(spark, dir).contains(3L))
+
+    // pinned reader: same page bytes, same query answers, old payloads
+    val pageAfter = qe.dataPaginator.page(pageReq).collect().map(_.toSeq).toSeq
+    assert(pageAfter == pageBefore,
+      "page content changed under the pinned reader after a compaction")
+    assert(qe.query("SELECT payload FROM data WHERE k = 5")
+      .first().getString(0) == "val5")
+    assert(qe.query("SELECT count(*) AS n FROM data").first().getLong(0) == 2000)
+
+    // stats-pruned range scan serves the PINNED version (v1 stats exist;
+    // the result equals the plain filtered view)
+    val scanned = qe.scanBetween("k", 100, 180)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(scanned == (100L to 180L).toSeq)
+
+    // a NEW engine opens the new current version and sees the upsert
+    val qe2 = new QueryEngine(spark, dir)
+    assert(qe2.pinnedVersion.contains(3L))
+    assert(qe2.query("SELECT payload FROM data WHERE k = 5")
+      .first().getString(0) == "overwritten")
+    assert(qe2.query("SELECT count(*) AS n FROM data").first().getLong(0) == 2001)
+
+    // metadata: one footer block per LIVE file of the pinned version
+    val fileRows = qe2.metadata.filter(col("key") === "file_name")
+      .select("value").collect().map(_.getString(0)).toSet
+    assert(fileRows == SnapshotTable.files(spark, dir, Some(3L)).toSet)
+    qe.close(); qe2.close()
+  }
+
+  test("Tables.open routes a snapshot root to the pinned current version") {
+    import spark.implicits._
+    val dir = freshDir("qe_snapshot_open")
+    SnapshotTable.create(spark,
+      (0 until 50).map(i => (i.toLong, s"v$i", 0L)).toDF("k", "payload", "commit_v"), dir)
+    val opened = Tables.open(spark, dir)
+    assert(opened.count() == 50)
+    // plain files still open by extension
+    assert(Tables.open(spark, s"${TestSpark.sf}/region.parquet").count() == 5)
+  }
+}
