@@ -1267,8 +1267,15 @@ object PipelineQueries {
        |    WHEN 'avi' THEN coalesce(round_even(a.us_per_frame * a.total_frames / 1000.0, 0), 0)
        |    WHEN 'mp4' THEN coalesce(round_even(m.duration * 1000.0 / m.timescale, 0), 0)
        |    ELSE 0 END AS BIGINT) AS video_ms,
-       |  CAST(coalesce(fr.n_frames, 0) AS INT) AS n_frames,
-       |  (k.ext = 'avi' AND coalesce(fr.n_frames, 0) > 0) AS frames_decoded
+       |  CAST(CASE k.ext
+       |    WHEN 'avi' THEN coalesce(fr.n_frames, 0)
+       |    WHEN 'mp4' THEN CASE WHEN d.codec = ${ccHex("jpeg")}
+       |                         THEN coalesce(z.n_samples, 0) ELSE 0 END
+       |    ELSE 0 END AS INT) AS n_frames,
+       |  (CASE k.ext
+       |    WHEN 'avi' THEN coalesce(fr.n_frames, 0) > 0
+       |    WHEN 'mp4' THEN d.codec = ${ccHex("jpeg")} AND coalesce(z.n_samples, 0) > 0
+       |    ELSE false END) AS frames_decoded
        |FROM kinds k
        |JOIN stats s USING (media_id)
        |LEFT JOIN png p USING (media_id)
@@ -1278,6 +1285,8 @@ object PipelineQueries {
        |LEFT JOIN jsof j USING (media_id)
        |LEFT JOIN mvhd m USING (media_id)
        |LEFT JOIN tkhd t USING (media_id)
+       |LEFT JOIN stsd d USING (media_id)
+       |LEFT JOIN stsz z USING (media_id)
        |ORDER BY k.media_id""".stripMargin
   }
 
