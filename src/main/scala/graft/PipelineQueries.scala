@@ -1240,7 +1240,7 @@ object PipelineQueries {
        |  UNION ALL
        |  SELECT c.media_id, c.h, c.first_off + 2
        |  FROM stco c JOIN stsd d USING (media_id)
-       |  WHERE d.codec = ${ccHex("jpeg")}
+       |  WHERE d.codec IN (${ccHex("jpeg")}, ${ccHex("mjpa")})
        |    AND substring(c.h, 2*c.first_off + 1, 4) = 'FFD8'
        |  UNION ALL
        |  SELECT media_id, h, off + 2 + ${beSql("h", "off + 2", 2)} FROM jwalk
@@ -1269,12 +1269,13 @@ object PipelineQueries {
        |    ELSE 0 END AS BIGINT) AS video_ms,
        |  CAST(CASE k.ext
        |    WHEN 'avi' THEN coalesce(fr.n_frames, 0)
-       |    WHEN 'mp4' THEN CASE WHEN d.codec = ${ccHex("jpeg")}
+       |    WHEN 'mp4' THEN CASE WHEN d.codec IN (${ccHex("jpeg")}, ${ccHex("mjpa")})
        |                         THEN coalesce(z.n_samples, 0) ELSE 0 END
        |    ELSE 0 END AS INT) AS n_frames,
        |  (CASE k.ext
        |    WHEN 'avi' THEN coalesce(fr.n_frames, 0) > 0
-       |    WHEN 'mp4' THEN d.codec = ${ccHex("jpeg")} AND coalesce(z.n_samples, 0) > 0
+       |    WHEN 'mp4' THEN d.codec IN (${ccHex("jpeg")}, ${ccHex("mjpa")})
+       |                    AND coalesce(z.n_samples, 0) > 0
        |    ELSE false END) AS frames_decoded
        |FROM kinds k
        |JOIN stats s USING (media_id)

@@ -676,7 +676,10 @@ object Multimodal {
               if ((a / 6) % 2 == 0) {
                 val fw = (a % 48 + 16).toInt
                 val fh = (a % 32 + 16).toInt
-                mp4Bytes(id, "jpeg", fw, fh,
+                // alternate the two JPEG-family fourccs the kernel
+                // claims (JpegInMp4Codecs) so BOTH stay gate-exercised
+                val cc = if ((a / 12) % 2 == 0) "jpeg" else "mjpa"
+                mp4Bytes(id, cc, fw, fh,
                   Array.tabulate(n)(f => jpegFrame(id, f, fw, fh)))
               } else {
                 val samples = Array.tabulate(n) { f =>

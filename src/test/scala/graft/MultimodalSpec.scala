@@ -152,6 +152,9 @@ class MultimodalSpec extends AnyFunSuite {
     assert(mjpegMp4s.exists(f => (f.media_id / 24) % 2 == 0) &&
       mjpegMp4s.exists(f => (f.media_id / 24) % 2 == 1),
       "fixture must exercise both stsc chunk layouts")
+    assert(mjpegMp4s.exists(f => (f.media_id / 12) % 2 == 0) &&
+      mjpegMp4s.exists(f => (f.media_id / 12) % 2 == 1),
+      "fixture must exercise BOTH JPEG-family fourccs (jpeg AND mjpa)")
     mp4s.foreach { f =>
       val ts = 600 + (f.media_id % 3) * 200
       val dur = f.media_id % 120000 + ts
