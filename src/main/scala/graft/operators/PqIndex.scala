@@ -198,11 +198,115 @@ object PqIndex {
     * centroids and codebooks stay fixed between offline retrains, so
     * appends are one narrow encode scan; quality for drifting
     * distributions degrades gracefully until the next retrain.
+    *
+    * An append SUPERSEDES any earlier delete of the same id: before the
+    * new rows land, the superseded tombstones' (id, cell) rows are
+    * PHYSICALLY purged from their cell directories (a mini-compaction
+    * scoped to the affected cells) and their tombstone rows dropped —
+    * so delete-then-reinsert, the usual update path, serves exactly the
+    * new row instead of either staying masked or reviving the old copy
+    * next to it. Appends with no superseded delete (the common case)
+    * detect that with one small sidecar-side semi-join and skip the
+    * rewrite entirely. Like compaction, the cell/sidecar swaps are a
+    * maintenance-window op: not atomic vs a concurrently-planning reader.
     */
   def appendToIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      model: Model, path: String): Unit =
-    encode(corpus, idCol, vecCol, model)
-      .write.mode("append").partitionBy("cell").parquet(path)
+      model: Model, path: String): Unit = {
+    val spark = corpus.sparkSession
+    val enc = encode(corpus, idCol, vecCol, model)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val fs = fsOf(spark, path)
+      val tomb = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+      if (fs.exists(tomb)) {
+        val masked = spark.read.parquet(tomb.toString)
+          .select(col("id"), col("cell"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val superseded = masked.join(enc.select(col("id"), col("cell")),
+            Seq("id", "cell"), "left_semi")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            // bounded by nCells, a model constant
+            val cells = superseded.select("cell").distinct().collect().map(_.getInt(0))
+            if (cells.nonEmpty) {
+              rewriteCells(spark, fs, path, cells, superseded)
+              swapSidecar(spark, fs, path, tomb,
+                masked.join(enc.select(col("id"), col("cell")),
+                  Seq("id", "cell"), "left_anti"))
+            }
+          } finally { superseded.unpersist(); () }
+        } finally { masked.unpersist(); () }
+      }
+      enc.write.mode("append").partitionBy("cell").parquet(path)
+    } finally { enc.unpersist(); () }
+  }
+
+  /** Rewrite `cells`' directories keeping only rows NOT matching `drop`
+    * on (id, cell): stage survivors to an underscore-prefixed dir
+    * (invisible to plain readers), then per-cell delete+rename swap. A
+    * cell whose every row dropped stages nothing and simply disappears
+    * from the partition listing.
+    */
+  private def rewriteCells(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      cells: Array[Int], drop: DataFrame): Unit = {
+    val raw = spark.read.parquet(path)
+      .select(col("id"), col("cell"), col("codes"), col("norm"))
+    val survivors = raw.filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+      .join(drop, Seq("id", "cell"), "left_anti")
+    val staging = new org.apache.hadoop.fs.Path(s"$path/_compact_staging")
+    survivors.write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+    cells.foreach { c =>
+      val live = new org.apache.hadoop.fs.Path(s"$path/cell=$c")
+      val staged = new org.apache.hadoop.fs.Path(s"$staging/cell=$c")
+      fs.delete(live, true)
+      if (fs.exists(staged)) { fs.rename(staged, live); () }
+    }
+    fs.delete(staging, true)
+    ()
+  }
+
+  /** Rewrite the tombstone sidecar to hold exactly `kept`, via an
+    * underscore-prefixed staging dir (invisible to plain readers) and a
+    * delete+rename swap; an empty `kept` just drops the sidecar.
+    */
+  private def swapSidecar(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      tomb: org.apache.hadoop.fs.Path, kept: DataFrame): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_tombstones_staging")
+    kept.write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    val anyKept = fs.listStatus(tmp).exists(_.getPath.getName.startsWith("cell="))
+    fs.delete(tomb, true)
+    if (anyKept) { fs.rename(tmp, tomb); () } else { fs.delete(tmp, true); () }
+  }
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Compact tombstones away — the "periodic re-encode" the delete path
+    * promises, made a real operator. Only the cells that actually carry
+    * tombstones are rewritten (survivor rows staged to an underscore-
+    * prefixed dir, then swapped in per cell-directory), and the sidecar
+    * is cleared, so a compacted index serves identical results through a
+    * plan with NO anti-join and no per-query tombstone cost. The
+    * affected-cell collect is bounded by nCells (a model constant).
+    * Directory swaps are per-cell delete+rename — run compaction in a
+    * maintenance window, not concurrently with serving (the lakehouse
+    * MERGE/OPTIMIZE contract; same caveat as [[SnapshotTable]] vacuum).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    if (!fs.exists(tomb)) return
+    val masked = spark.read.parquet(tomb.toString).select(col("id"), col("cell"))
+    val cells = masked.select("cell").distinct().collect().map(_.getInt(0))
+    if (cells.nonEmpty) rewriteCells(spark, fs, path, cells, masked)
+    fs.delete(tomb, true)
+    ()
+  }
 
   /** DELETE vectors from a persisted index WITHOUT rewriting it: a
     * tombstone sidecar (the [[SnapshotTable]] pattern — an
@@ -213,10 +317,12 @@ object PqIndex {
     * land `partitionBy(cell)` NEXT TO the codes they mask — the serve-
     * time anti-join is cell-co-partitioned and a probed-cell query only
     * ever reads the probed cells' tombstones. This closes the CRUD loop
-    * (takedowns, dedup survivors) without retrain or rebuild; a periodic
-    * offline re-encode compacts tombstones away like any lakehouse
-    * MERGE. Ids not in the index tombstone nothing (idempotent; a
-    * re-delete is a no-op row).
+    * (takedowns, dedup survivors) without retrain or rebuild;
+    * [[compactIndex]] periodically rewrites the affected cells and
+    * clears the sidecar like any lakehouse MERGE, and a later
+    * [[appendToIndex]] of a deleted id drops its tombstone (re-insert
+    * serves the new row). Ids not in the index tombstone nothing
+    * (idempotent; a re-delete is a no-op row).
     */
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
       ids: DataFrame, idCol: String, path: String): Unit = {

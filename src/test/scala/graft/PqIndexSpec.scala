@@ -121,6 +121,73 @@ class PqIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == emb.count())
   }
 
+  test("compactIndex: identical search, empty sidecar, no anti-join in the plan") {
+    val model = PqIndex.train(emb, "vec_id", "embedding", nCells = 8, m = 8,
+      kCodes = 16, iters = 1)
+    val dir = TestSpark.scratch("pq_index_compact")
+    PqIndex.writeIndex(PqIndex.encode(emb, "vec_id", "embedding", model), dir)
+    PqIndex.deleteFromIndex(spark,
+      emb.filter(col("vec_id") % 2 === 1).select("vec_id"), "vec_id", dir)
+    val q = emb.filter(col("vec_id") < 5)
+    def run() =
+      PqIndex.search(PqIndex.readIndex(spark, dir), emb, "vec_id", "embedding",
+        q, "vec_id", "embedding", model, k = 5).collect().toSeq
+    val before = run()
+    PqIndex.compactIndex(spark, dir)
+    assert(run() == before,
+      "compaction must not change served results, row for row")
+    // sidecar cleared, no staging leftovers, plain row count = survivors
+    val root = new java.io.File(dir)
+    assert(!root.listFiles().exists(_.getName.startsWith("_tombstones")),
+      "compaction must clear the tombstone sidecar")
+    assert(!root.listFiles().exists(_.getName.startsWith("_compact")),
+      "compaction must clean up its staging dir")
+    assert(spark.read.parquet(dir).count() == emb.filter(col("vec_id") % 2 === 0).count(),
+      "tombstoned rows are physically gone after compaction")
+    // and the serve plan carries no anti-join any more
+    val plan = PqIndex.readIndex(spark, dir).queryExecution.executedPlan
+    assert(!plan.toString.toLowerCase.contains("anti"),
+      s"compacted index must serve without a tombstone anti-join:\n$plan")
+    // compacting an already-compacted index is a no-op
+    PqIndex.compactIndex(spark, dir)
+    assert(run() == before)
+  }
+
+  test("append after delete unmasks the id (delete-then-reinsert update path)") {
+    val model = PqIndex.train(emb, "vec_id", "embedding", nCells = 8, m = 8,
+      kCodes = 16, iters = 1)
+    val dir = TestSpark.scratch("pq_index_reins")
+    PqIndex.writeIndex(PqIndex.encode(emb, "vec_id", "embedding", model), dir)
+    val victim = emb.filter(col("vec_id") === 3)
+    PqIndex.deleteFromIndex(spark, victim.select("vec_id"), "vec_id", dir)
+    assert(PqIndex.readIndex(spark, dir).filter(col("id") === 3).count() == 0,
+      "deleted id must be masked")
+    // re-insert the same id (same vector → same cell): must serve again,
+    // EXACTLY ONCE — the superseded tombstone's old row is purged, not
+    // revived next to the new copy
+    PqIndex.appendToIndex(victim, "vec_id", "embedding", model, dir)
+    assert(PqIndex.readIndex(spark, dir).filter(col("id") === 3).count() == 1,
+      "re-appended id must be served once, not masked and not duplicated")
+    // other tombstones survive the append untouched
+    PqIndex.deleteFromIndex(spark,
+      emb.filter(col("vec_id").isin(5, 7)).select("vec_id"), "vec_id", dir)
+    PqIndex.appendToIndex(emb.filter(col("vec_id") === 5), "vec_id", "embedding",
+      model, dir)
+    val ids = PqIndex.readIndex(spark, dir).filter(col("id").isin(5, 7))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(5L), s"append of 5 must unmask only 5, kept 7 masked: $ids")
+    // when the last tombstone is superseded the sidecar disappears
+    PqIndex.appendToIndex(emb.filter(col("vec_id") === 7), "vec_id", "embedding",
+      model, dir)
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_tombstones")),
+      "an all-superseded sidecar must be dropped, not left as an empty dir")
+    // every id is live exactly once: the three delete→reinsert round
+    // trips net out to the original corpus
+    assert(PqIndex.readIndex(spark, dir).count() == emb.count())
+    assert(PqIndex.readIndex(spark, dir).groupBy("id").count()
+      .filter(col("count") > 1).count() == 0, "no id may be duplicated")
+  }
+
   test("model save/load round-trip: identical model, identical search") {
     val model = PqIndex.train(emb, "vec_id", "embedding", nCells = 8, m = 8,
       kCodes = 16, iters = 1)
