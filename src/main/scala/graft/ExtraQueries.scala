@@ -487,6 +487,46 @@ object ExtraQueries {
         .orderBy("snap", "okey")
     }),
 
+    "q61_snapshot_datekey" -> ((s, dir) => {
+      // q57's machinery under a DATE merge key: parquet stores DATE as
+      // INT32 days-since-epoch, so file pruning rides the SAME long
+      // footer-stats fold as integer keys — only the change keys get
+      // day-encoded (SnapshotTable.upsert's DateType branch). Unique
+      // consecutive dates keep range clustering == key order; inserts
+      // land a million days past every band (pure-insert path).
+      // Narrow-band prune evidence is spec-asserted (SnapshotTableSpec
+      // DATE-key test); the gate replays v1 and post-upsert v2 in SQL.
+      import graft.operators.SnapshotTable
+      val tdir = s"${Scratch.dir}/q61_table"
+      val p = new org.apache.hadoop.fs.Path(tdir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val o = t(s, dir, "orders")
+      def k(off: Long) = date_add(to_date(lit("1990-01-01")),
+        (col("o_orderkey") + lit(off)).cast("int"))
+      val base = o.select(k(0).as("dkey"), col("o_custkey"), col("o_totalprice"))
+      SnapshotTable.create(s,
+        base.withColumn("commit_v", lit(0L))
+          .repartitionByRange(8, col("dkey")), tdir)
+      val m = pmod(col("o_orderkey"), lit(10))
+      val changes = o.filter(m === 3)
+        .select(k(0).as("dkey"),
+          (col("o_custkey") + lit(1000000L)).as("o_custkey"), col("o_totalprice"))
+        .withColumn("_deleted", lit(false))
+        .unionByName(o.filter(m === 7)
+          .select(k(0).as("dkey"), col("o_custkey"), col("o_totalprice"))
+          .withColumn("_deleted", lit(true)))
+        .unionByName(o.filter(m === 1)
+          .select(k(1000000L).as("dkey"), col("o_custkey"), col("o_totalprice"))
+          .withColumn("_deleted", lit(false)))
+        .withColumn("commit_v", lit(1L))
+      SnapshotTable.upsert(s, tdir, changes, "dkey", "commit_v", "o_custkey")
+      val v1 = SnapshotTable.read(s, tdir, Some(1L)).withColumn("snap", lit(1L))
+      val v2 = SnapshotTable.read(s, tdir, Some(2L)).withColumn("snap", lit(2L))
+      v1.unionByName(v2)
+        .select("snap", "dkey", "o_custkey", "o_totalprice")
+        .orderBy("snap", "dkey")
+    }),
+
     "q48_zorder" -> ((s, dir) => {
       // z-order (Morton) clustered write on (l_partkey, l_suppkey) —
       // the multi-column data-skipping layout (per-file bounding boxes
@@ -856,6 +896,26 @@ object ExtraQueries {
         |UNION ALL
         |SELECT CAST(2 AS BIGINT) AS snap, okey, o_custkey, o_totalprice FROM v2
         |ORDER BY snap, okey""".stripMargin,
+
+    "q61_snapshot_datekey" ->
+      """WITH b AS (
+        |  SELECT DATE '1990-01-01' + CAST(o_orderkey AS INT) AS dkey,
+        |    o_custkey, o_totalprice, o_orderkey
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT dkey,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN o_custkey + 1000000
+        |         ELSE o_custkey END AS o_custkey,
+        |    o_totalprice
+        |  FROM b WHERE o_orderkey % 10 != 7
+        |  UNION ALL
+        |  SELECT DATE '1990-01-01' + CAST(o_orderkey + 1000000 AS INT) AS dkey,
+        |    o_custkey, o_totalprice
+        |  FROM b WHERE o_orderkey % 10 = 1)
+        |SELECT CAST(1 AS BIGINT) AS snap, dkey, o_custkey, o_totalprice FROM b
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS snap, dkey, o_custkey, o_totalprice FROM v2
+        |ORDER BY snap, dkey""".stripMargin,
 
     // two-column lexicographic order, unique on (priority, orderkey):
     // the multi-column cursor walk is a pure execution-strategy change

@@ -183,6 +183,68 @@ object SkippingIndex {
     spark.createDataFrame(rows, schema)
   }
 
+  /** [[statsRows]] for TIMESTAMP (parquet INT64 with a Timestamp logical
+    * annotation) columns: min/max normalized to EPOCH MICROS whatever
+    * unit the writer annotated (MILLIS×1000; MICROS as-is; NANOS
+    * floor-divided for min and ceil-divided for max, so the interval can
+    * only widen — conservative). INT96 timestamps (Spark's legacy
+    * default output) carry no usable ordered statistics and THROW —
+    * [[SnapshotTable.upsert]] catches that and degrades to
+    * all-files-affected; writers who want timestamp-key pruning set
+    * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`.
+    */
+  def statsRowsMicros(spark: SparkSession, files: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    require(files.nonEmpty, "statsRowsMicros needs at least one file")
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val colsB = cols.toArray
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.length, 64)))
+      .map { p =>
+        val in = HadoopInputFile.fromPath(new Path(p), conf.value)
+        val reader = ParquetFileReader.open(in)
+        try {
+          val f = reader.getFooter
+          val blocks = f.getBlocks.asScala.toSeq
+          val nRows = blocks.map(_.getRowCount).sum
+          val minMax: Seq[(Any, Any)] = colsB.toSeq.map { c =>
+            val chunks = blocks.flatMap(_.getColumns.asScala)
+              .filter(_.getPath.toDotString == c)
+            require(chunks.nonEmpty, s"column $c not found in $p")
+            val unit = chunks.head.getPrimitiveType.getLogicalTypeAnnotation match {
+              case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit
+              case other => throw new IllegalArgumentException(
+                s"$c: not a Timestamp-annotated column (annotation=$other; " +
+                  "INT96 legacy timestamps have no usable ordered stats)")
+            }
+            import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+            def toMicros(v: Long, ceil: Boolean): Long = unit match {
+              case TimeUnit.MILLIS => Math.multiplyExact(v, 1000L)
+              case TimeUnit.MICROS => v
+              case TimeUnit.NANOS =>
+                if (ceil) Math.floorDiv(v + 999L, 1000L) else Math.floorDiv(v, 1000L)
+            }
+            val stats = chunks.map(_.getStatistics)
+            if (stats.exists(s => s == null || !s.hasNonNullValue)) (null, null)
+            else {
+              def asLong(v: Any): Long = v match {
+                case l: java.lang.Long => l.longValue
+                case other => throw new IllegalArgumentException(
+                  s"$c: unsupported stats type ${other.getClass.getName} " +
+                    "(INT64 timestamp columns only)")
+              }
+              (stats.map(s => toMicros(asLong(s.genericGetMin), ceil = false)).min,
+                stats.map(s => toMicros(asLong(s.genericGetMax), ceil = true)).max)
+            }
+          }
+          Row.fromSeq(p +: nRows +: minMax.flatMap { case (a, b) => Seq(a, b) })
+        } finally reader.close()
+      }
+    spark.createDataFrame(rows, statsSchema(cols))
+  }
+
   /** Evaluate the interval test over the stats table: keep files whose
     * [min,max] on `column` intersects [lo, hi], plus files with NULL
     * stats (unknown ⇒ cannot skip). The collect is the FILE LIST — the

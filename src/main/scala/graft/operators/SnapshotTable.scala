@@ -170,10 +170,17 @@ object SnapshotTable {
       if (!won) throw new CommitConflict(s"version $v already committed (lost the race)")
     } else {
       // HDFS contract: rename fails (returns false) when the destination
-      // exists — exclusive and atomic at the namenode
+      // exists — exclusive and atomic at the namenode. But rename also
+      // returns false for missing source/parent and other IO conditions:
+      // only a NOW-EXISTING target is a lost race; anything else is an
+      // IO failure that must surface as such, not burn rebase retries.
       if (!f.rename(tmp, target)) {
         f.delete(tmp, false)
-        throw new CommitConflict(s"version $v already committed (rename refused)")
+        if (f.exists(target))
+          throw new CommitConflict(s"version $v already committed (lost the race)")
+        throw new java.io.IOException(
+          s"manifest publish rename failed for version $v and the target " +
+            s"does not exist — filesystem error, not a commit conflict ($target)")
       }
     }
   }
@@ -250,6 +257,21 @@ object SnapshotTable {
           case _: org.apache.spark.sql.types.StringType =>
             pruneWith(SkippingIndex.statsRowsString(spark, live, Seq(keyCol)),
               changes.select(col(keyCol).cast("string").as("__k")).distinct())
+          case _: org.apache.spark.sql.types.DateType =>
+            // parquet stores DATE as INT32 days-since-epoch: the long
+            // footer-stats fold applies unchanged, the change keys just
+            // need the same day encoding
+            pruneWith(SkippingIndex.statsRows(spark, live, Seq(keyCol)),
+              changes.select(datediff(col(keyCol).cast("date"),
+                to_date(lit("1970-01-01"))).cast("long").as("__k")).distinct())
+          case _: org.apache.spark.sql.types.TimestampType =>
+            // INT64 MILLIS/MICROS/NANOS annotations normalize to epoch
+            // micros; legacy INT96 output (Spark's default — set
+            // spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS to
+            // prune) throws inside statsRowsMicros and lands in the
+            // all-files-affected catch below
+            pruneWith(SkippingIndex.statsRowsMicros(spark, live, Seq(keyCol)),
+              changes.select(unix_micros(col(keyCol)).as("__k")).distinct())
           case _ => live.toSet // no stats surface for this type
         } catch {
           case scala.util.control.NonFatal(_) => live.toSet // degrade, stay correct
@@ -400,24 +422,42 @@ object SnapshotTable {
       }
       .start()
 
+  /** Default [[vacuum]] grace: unreferenced files younger than this are
+    * kept — they may belong to an OPTIMISTIC writer that has written its
+    * data files but not yet published its manifest (the commit protocol
+    * writes data first). 24h, mirroring the safety margin every
+    * lakehouse vacuum documents (Delta's retention check is 7 days by
+    * default for time travel; the in-flight-writer hazard only needs to
+    * cover a commit's write duration).
+    */
+  val DefaultVacuumGraceMs: Long = 24L * 60 * 60 * 1000
+
   /** Drop every version but the last `keepLast`, and delete data files no
     * retained manifest references (orphans from crashed commits
-    * included). Returns the deleted file paths. Run only when no reader
-    * is pinned below the retention horizon — the same contract as every
-    * lakehouse VACUUM.
+    * included) — EXCEPT files modified within the last `graceMs`: a
+    * concurrent optimistic writer writes its data files BEFORE its
+    * exclusive manifest publish, so a zero-grace vacuum racing it would
+    * delete files its about-to-commit manifest references (an unreadable
+    * version). Young orphans are left for the next vacuum. Returns the
+    * deleted file paths. Run only when no reader is pinned below the
+    * retention horizon — the same contract as every lakehouse VACUUM;
+    * pass `graceMs = 0` only when provably no writer is in flight.
     */
-  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1): Seq[String] = {
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1,
+      graceMs: Long = DefaultVacuumGraceMs): Seq[String] = {
     require(keepLast >= 1, "keepLast >= 1")
     val vs = versions(spark, dir)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepLast))
     val referenced = keep.flatMap(k => files(spark, dir, Some(k))).toSet
     val f = fs(spark, dir)
     val dataDir = new Path(s"$dir/data")
+    val horizon = System.currentTimeMillis() - graceMs
     val onDisk =
       if (!f.exists(dataDir)) Seq.empty[String]
       else f.listStatus(dataDir).filter(_.isDirectory).toSeq
         .flatMap(d => f.listStatus(d.getPath).toSeq)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")
+          && s.getModificationTime <= horizon)
         .map(_.getPath.toString)
     val doomed = onDisk.filterNot(referenced.contains).sorted
     doomed.foreach(p => f.delete(new Path(p), false))

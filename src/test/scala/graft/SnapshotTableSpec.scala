@@ -73,7 +73,8 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, dir, Some(2L)).orderBy("k").collect().toSeq ==
       SnapshotTable.read(spark, dir, Some(3L)).orderBy("k").collect().toSeq)
     // vacuum to the latest: old manifests and their unshared files go
-    val deleted = SnapshotTable.vacuum(spark, dir, keepLast = 1)
+    // (graceMs = 0: this test IS the no-writer-in-flight case)
+    val deleted = SnapshotTable.vacuum(spark, dir, keepLast = 1, graceMs = 0L)
     assert(deleted.nonEmpty)
     assert(SnapshotTable.versions(spark, dir) == Seq(3L))
     assertThrows[IllegalArgumentException](SnapshotTable.files(spark, dir, Some(1L)))
@@ -88,7 +89,15 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.versions(spark, dir) == Seq(1L),
       "a data dir without a manifest must not be a version")
     assert(SnapshotTable.read(spark, dir).count() == 50)
-    val deleted = SnapshotTable.vacuum(spark, dir, keepLast = 1)
+    // default grace: the just-written orphans look like an IN-FLIGHT
+    // writer's pre-publish data files — vacuum must leave them alone
+    val spared = SnapshotTable.vacuum(spark, dir, keepLast = 1)
+    assert(!spared.exists(_.contains("v00099")),
+      "files younger than the grace period must survive vacuum " +
+        "(an optimistic writer writes data BEFORE publishing its manifest)")
+    assert(SnapshotTable.read(spark, dir).count() == 50)
+    // grace elapsed (simulated with graceMs = 0): now they are orphans
+    val deleted = SnapshotTable.vacuum(spark, dir, keepLast = 1, graceMs = 0L)
     assert(deleted.exists(_.contains("v00099")), "orphan files must be vacuumed")
     assert(SnapshotTable.read(spark, dir).count() == 50)
   }
@@ -221,6 +230,67 @@ class SnapshotTableSpec extends AnyFunSuite {
       .as[(String, String)].collect().toMap
     assert(got.size == 8000)
     assert(got("K000105") == "upd105" && got("K000500") == "val500")
+  }
+
+  test("DATE-key upsert prunes via INT32-days footer stats and stays correct") {
+    val dir = freshDir("snap-datekey")
+    // unique consecutive dates: range order == day order, tight bands
+    val base = spark.range(8000)
+      .select(date_add(to_date(lit("1990-01-01")), col("id").cast("int")).as("k"),
+        concat(lit("val"), col("id")).as("payload"), lit(0L).as("commit_v"))
+    val c1 = SnapshotTable.create(spark,
+      base.repartitionByRange(8, col("k")), dir)
+    assert(c1.files.size == 8)
+    val changes = spark.range(100, 120)
+      .select(date_add(to_date(lit("1990-01-01")), col("id").cast("int")).as("k"),
+        concat(lit("upd"), col("id")).as("payload"), lit(1L).as("commit_v"),
+        lit(false).as("_deleted"))
+    val c2 = SnapshotTable.upsert(spark, dir, changes, "k", "commit_v", "payload")
+    assert(c2.filesReused >= 6,
+      s"date-key upsert must still FILE-PRUNE, reused only ${c2.filesReused} of 8")
+    val got = SnapshotTable.read(spark, dir).select("k", "payload")
+      .as[(java.sql.Date, String)].collect().toMap
+    assert(got.size == 8000)
+    assert(got(java.sql.Date.valueOf("1990-04-16")) == "upd105" &&
+      got(java.sql.Date.valueOf("1991-05-16")) == "val500")
+  }
+
+  test("TIMESTAMP-key upsert prunes under MICROS output; INT96 degrades, never wrong") {
+    def base = spark.range(8000)
+      .select(timestamp_seconds(lit(1600000000L) + col("id") * 60L).as("k"),
+        concat(lit("val"), col("id")).as("payload"), lit(0L).as("commit_v"))
+    def changes = spark.range(100, 120)
+      .select(timestamp_seconds(lit(1600000000L) + col("id") * 60L).as("k"),
+        concat(lit("upd"), col("id")).as("payload"), lit(1L).as("commit_v"),
+        lit(false).as("_deleted"))
+    def verify(dir: String): Unit = {
+      val got = SnapshotTable.read(spark, dir).select("k", "payload")
+        .as[(java.sql.Timestamp, String)].collect().toMap
+      assert(got.size == 8000)
+      assert(got(new java.sql.Timestamp((1600000000L + 105 * 60) * 1000L)) == "upd105")
+      assert(got(new java.sql.Timestamp((1600000000L + 500 * 60) * 1000L)) == "val500")
+    }
+    // MICROS output: INT64 footer stats carry the timestamp annotation
+    // and the prune path engages
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    val dirM = freshDir("snap-tskey-micros")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      SnapshotTable.create(spark, base.repartitionByRange(8, col("k")), dirM)
+      val c2 = SnapshotTable.upsert(spark, dirM, changes, "k", "commit_v", "payload")
+      assert(c2.filesReused >= 6,
+        s"timestamp-key upsert under MICROS output must FILE-PRUNE, " +
+          s"reused only ${c2.filesReused} of 8")
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    verify(dirM)
+    // legacy INT96 output (the session default): no usable ordered
+    // stats — pruning degrades to all-files-affected, result identical
+    val dirI = freshDir("snap-tskey-int96")
+    SnapshotTable.create(spark, base.repartitionByRange(8, col("k")), dirI)
+    val cI = SnapshotTable.upsert(spark, dirI, changes, "k", "commit_v", "payload")
+    assert(cI.filesReused == 0,
+      "INT96 timestamps have no stats surface => every file is affected")
+    verify(dirI)
   }
 
   test("an unsupported key type degrades to all-files-affected, never wrong") {
