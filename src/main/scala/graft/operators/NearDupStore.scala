@@ -93,13 +93,16 @@ object NearDupStore {
     // first-arrival-wins: drop ids already in history (own replayed
     // partition excluded) — a re-delivered document must not add a second
     // signature row, which would duplicate every later verify join it
-    // participates in. Id-only column-pruned read of the sig store.
+    // participates in. Id-only column-pruned read of the sig store. The
+    // join key is the EXPLICIT long cast on BOTH sides (prep's id
+    // normalization): a raw string idCol against the store's bigint
+    // would coerce to double and silently collide ids above 2^53.
     val fresh =
       if (hasStore)
         batch.join(spark.read.parquet(sigsDir)
             .filter(col("batch") =!= batchTag)
-            .select(col("id").cast("long").as(idCol)),
-          Seq(idCol), "left_anti")
+            .select(col("id").cast("long").as("__seen_id")),
+          batch(idCol).cast("long") === col("__seen_id"), "left_anti")
       else batch
     val newDocs = prep(fresh, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -123,4 +123,22 @@ class NearDupStoreSpec extends AnyFunSuite {
     val p3 = NearDupStore.ingest(spark, b3, "doc_id", "text", store).collect()
     assert(p3.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 5L), (2L, 5L)))
   }
+
+  test("string ids above 2^53 don't collide in the first-arrival anti-join") {
+    import spark.implicits._
+    // 2^53 = 9007199254740992: the two ids below are DISTINCT longs but
+    // EQUAL as doubles — a string-vs-bigint join key would coerce both
+    // sides to double and silently drop the second document as 'seen'
+    val store = freshStore("neardup-bigid")
+    val b1 = Seq(("9007199254740992", "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    NearDupStore.ingest(spark, b1, "doc_id", "text", store)
+    val b2 = Seq(("9007199254740993", "completely different words here now"))
+      .toDF("doc_id", "text")
+    NearDupStore.ingest(spark, b2, "doc_id", "text", store)
+    val ids = spark.read.parquet(s"$store/sigs")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(9007199254740992L, 9007199254740993L),
+      s"double-coerced join keys collapsed adjacent >2^53 ids: $ids")
+  }
 }
