@@ -39,8 +39,11 @@ object MetadataInspector {
     * itself: tail 8 bytes = little-endian footer length + "PAR1" magic,
     * then the thrift-compact FileMetaData just before them.
     */
-  def rawFooter(spark: SparkSession, path: String): org.apache.parquet.format.FileMetaData = {
-    val conf = spark.sessionState.newHadoopConf()
+  def rawFooter(spark: SparkSession, path: String): org.apache.parquet.format.FileMetaData =
+    readRawFooter(spark.sessionState.newHadoopConf(), path)
+
+  private def readRawFooter(conf: Configuration,
+      path: String): org.apache.parquet.format.FileMetaData = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val len = fs.getFileStatus(p).getLen
@@ -103,24 +106,46 @@ object MetadataInspector {
     * parquet_file_metadata's output: version as written (1 or 2), NULL
     * encryption fields for unencrypted files.
     */
-  def fileMetadata(spark: SparkSession, path: String): DataFrame = {
-    val raw = rawFooter(spark, path)
-    val rows = Seq(
-      Row("file_name", path),
-      Row("created_by", raw.getCreated_by),
-      Row("num_rows", raw.getNum_rows.toString),
-      Row("num_row_groups", raw.getRow_groupsSize.toString),
-      Row("format_version", raw.getVersion.toString),
-      Row("encryption_algorithm",
-        if (raw.isSetEncryption_algorithm)
-          raw.getEncryption_algorithm.getSetField.getFieldName
-        else null),
-      Row("footer_signing_key_metadata",
-        if (raw.isSetFooter_signing_key_metadata)
-          java.util.Base64.getEncoder.encodeToString(raw.getFooter_signing_key_metadata)
-        else null))
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
-  }
+  private def footerKvRows(path: String,
+      raw: org.apache.parquet.format.FileMetaData): Seq[Row] = Seq(
+    Row("file_name", path),
+    Row("created_by", raw.getCreated_by),
+    Row("num_rows", raw.getNum_rows.toString),
+    Row("num_row_groups", raw.getRow_groupsSize.toString),
+    Row("format_version", raw.getVersion.toString),
+    Row("encryption_algorithm",
+      if (raw.isSetEncryption_algorithm)
+        raw.getEncryption_algorithm.getSetField.getFieldName
+      else null),
+    Row("footer_signing_key_metadata",
+      if (raw.isSetFooter_signing_key_metadata)
+        java.util.Base64.getEncoder.encodeToString(raw.getFooter_signing_key_metadata)
+      else null))
+
+  def fileMetadata(spark: SparkSession, path: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(footerKvRows(path, rawFooter(spark, path)), 1),
+      schema)
+
+  /** [[fileMetadata]] for an EXPLICIT file list — one key/value block per
+    * file, concatenated in list order, with every thrift footer read in
+    * a SINGLE distributed job over a paths RDD (the
+    * [[directoryMetadata]] shape). This is the form a manifest-based
+    * table ([[graft.operators.SnapshotTable]]) consumes: a snapshot with
+    * thousands of live files gets one flat scan plan and O(1) driver
+    * work, not a reduce(unionAll) tree with a plan branch (and a
+    * driver-side footer read) per file.
+    */
+  def filesMetadata(spark: SparkSession, paths: Seq[String]): DataFrame =
+    if (paths.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
+      val rows = spark.sparkContext
+        .parallelize(paths, math.max(1, math.min(paths.length, 64)))
+        .flatMap(p => footerKvRows(p, readRawFooter(conf.value, p)))
+      spark.createDataFrame(rows, schema)
+    }
 
   /** Per-row-group, per-column chunk detail: compression, sizes, value
     * counts and min/max statistics — the drill-down level DuckDB's

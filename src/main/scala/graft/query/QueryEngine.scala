@@ -108,14 +108,15 @@ final class QueryEngine(val spark: SparkSession, val path: String) {
   def schema: DataFrame = SchemaInspector.describe(queryResult)
 
   /** Footer metadata. For a snapshot table: one metadata block per LIVE
-    * file of the pinned version (footers are KB-sized; the file list is
-    * the manifest's — the standard driver-side index footprint).
+    * file of the pinned version, ALL footers read in one distributed
+    * job over the manifest's file list
+    * ([[MetadataInspector.filesMetadata]]) — a thousands-of-files
+    * snapshot gets one flat scan plan, not a per-file unionAll tree.
     */
   def metadata: DataFrame = pinnedVersion match {
     case Some(v) =>
-      graft.operators.SnapshotTable.files(spark, path, Some(v))
-        .map(MetadataInspector.fileMetadata(spark, _))
-        .reduce(_ unionAll _)
+      MetadataInspector.filesMetadata(spark,
+        graft.operators.SnapshotTable.files(spark, path, Some(v)))
     case None => MetadataInspector.fileMetadata(spark, path)
   }
 

@@ -567,10 +567,26 @@ class QueryEngineSnapshotSpec extends AnyFunSuite {
       .first().getString(0) == "overwritten")
     assert(qe2.query("SELECT count(*) AS n FROM data").first().getLong(0) == 2001)
 
-    // metadata: one footer block per LIVE file of the pinned version
-    val fileRows = qe2.metadata.filter(col("key") === "file_name")
+    // metadata: one footer block per LIVE file of the pinned version,
+    // built as ONE flat distributed footer scan — no per-file unionAll
+    // tree in the plan (a thousands-of-files snapshot would otherwise
+    // build a thousands-deep driver-side plan per metadata call)
+    val md = qe2.metadata
+    val fileRows = md.filter(col("key") === "file_name")
       .select("value").collect().map(_.getString(0)).toSet
     assert(fileRows == SnapshotTable.files(spark, dir, Some(3L)).toSet)
+    assert(md.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.isEmpty, "snapshot metadata must be one flat scan, not a union tree")
+    assert(md.queryExecution.optimizedPlan.collectLeaves().size == 1,
+      "snapshot metadata must have exactly one leaf scan")
+    // content parity with the per-file form, block for block
+    val perFile = SnapshotTable.files(spark, dir, Some(3L))
+      .flatMap(f => graft.query.MetadataInspector.fileMetadata(spark, f)
+        .collect().map(_.toSeq))
+    assert(md.collect().map(_.toSeq).toSeq.sortBy(_.toString) ==
+      perFile.sortBy(_.toString),
+      "filesMetadata must emit exactly the per-file footer blocks")
     qe.close(); qe2.close()
   }
 
