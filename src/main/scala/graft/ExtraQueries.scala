@@ -398,15 +398,18 @@ object ExtraQueries {
       // Gate: a 7-page pure-cursor walk under (o_orderpriority DESC,
       // o_orderkey ASC), then page 8 — (priority, orderkey) is unique, so
       // the pure-SQL offset mirror is exact; mixed directions and
-      // duplicate rows are spec-covered in QuerySurfaceSpec.
+      // duplicate rows are spec-covered in QuerySurfaceSpec. The walk
+      // rides the fused SERVING path (pageWithCursor: page + next cursor
+      // from one top-k job each — spec-asserted one-job-per-page and
+      // cursor-identical to cursorOfPage), so the 7 steps cost 7 jobs.
       import graft.query.{PageRequest, Paginator, SortSpec}
       val p = new Paginator(t(s, dir, "orders")
         .select("o_orderkey", "o_orderpriority", "o_totalprice"))
       val req = PageRequest(pageSize = Some(100), sorts = Seq(
         SortSpec("o_orderpriority", ascending = false),
         SortSpec("o_orderkey", ascending = true)))
-      var cur = p.cursorOfPage(req) // end of page 1
-      (0 until 6).foreach { _ => cur = p.cursorOfPage(req, cur) }
+      var cur = p.pageWithCursor(req)._2 // end of page 1
+      (0 until 6).foreach { _ => cur = p.pageWithCursor(req, cur)._2 }
       p.pageAfter(req, cur.get) // page 8: rows 700..799 of the 2-col order
     }),
 

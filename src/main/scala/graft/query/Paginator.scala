@@ -251,6 +251,60 @@ final class Paginator(df: DataFrame) {
     }
   }
 
+  /** The SERVING path for a cursor walk: one bounded top-k job returns
+    * the page's rows (tiebreaker stripped) AND the cursor for the next
+    * page, derived driver-side from the page's own last row and its
+    * in-page duplicate count — [[pageAfter]] + [[cursorOfPage]] fused,
+    * removing cursorOfPage's two extra jobs per step (a sequential
+    * N-page walk costs N jobs instead of 3N). The page must materialize
+    * anyway to be served; the cursor is free once it has. Parity with
+    * the cursorOfPage walk is spec-asserted page-for-page. The only
+    * extra job left is the offset-entry prefix count when entering the
+    * walk at pageNumber > 1 — the same paid-once entry cost
+    * cursorOfPage documents.
+    */
+  def pageWithCursor(req: PageRequest, after: Option[PageCursor] = None)
+      : (Seq[org.apache.spark.sql.Row], Option[PageCursor]) = {
+    val size = req.pageSize.getOrElse(
+      throw new IllegalArgumentException("pageWithCursor requires a bounded pageSize"))
+    val sorts = req.sortVector
+    val frame = after match {
+      case Some(c) =>
+        ordered(atOrAfterCursor(req.search, sorts, c), sorts)
+          .offset(c.dupSeen).limit(size)
+      case None =>
+        ordered(searched(req.search), sorts)
+          .offset((req.pageNumber - 1) * size).limit(size)
+    }
+    val rows = frame.collect().toSeq // ONE job; rows arrive in page order
+    if (rows.isEmpty) (Seq.empty, None)
+    else {
+      val schema = frame.schema
+      val ridIdx = schema.fieldIndex(Paginator.RID)
+      val sortIdxs = sorts.map(s => schema.fieldIndex(s.field))
+      val last = rows.last
+      val rid = last.getLong(ridIdx)
+      val values = sortIdxs.map(last.get)
+      // same duplicate arithmetic as cursorOfPage, off the in-hand rows
+      val inPage = rows.count(r => r.getLong(ridIdx) == rid &&
+        sortIdxs.forall(i => r.get(i) == last.get(i)))
+      val carried = after match {
+        case Some(c) if c.rid == rid && c.sortValues == values => c.dupSeen
+        case Some(_) => 0
+        case None if req.pageNumber > 1 =>
+          val eq = sorts.zip(values).map { case (s, v) => col(s.field) === lit(v) }
+            .foldLeft(col(Paginator.RID) === lit(rid))(_ && _)
+          ordered(searched(req.search), sorts)
+            .limit((req.pageNumber - 1) * size).filter(eq).count().toInt
+        case None => 0
+      }
+      val keep = schema.fields.indices.filterNot(_ == ridIdx)
+      val served = rows.map(r =>
+        org.apache.spark.sql.Row.fromSeq(keep.map(r.get)))
+      (served, Some(PageCursor(values, rid, inPage + carried)))
+    }
+  }
+
   def firstPage(req: PageRequest): DataFrame = page(req.copy(pageNumber = 1))
   def lastPage(req: PageRequest): DataFrame =
     page(req.copy(pageNumber = totalPages(req.pageSize, req.search).toInt.max(1)))

@@ -107,6 +107,71 @@ class PaginatorSpec extends AnyFunSuite {
     }
   }
 
+  test("pageWithCursor: one job per page, cursor parity, exact under duplicates") {
+    // the fused serving path must (a) return the same pages AND the same
+    // cursors as the pageAfter+cursorOfPage walk, including across
+    // duplicate-group-splitting boundaries, and (b) cost exactly ONE
+    // Spark job per steady-state page instead of three
+    val dupes = orders.select("o_orderpriority", "o_orderstatus")
+    val p = new Paginator(dupes)
+    val req = PageRequest(pageSize = Some(97),
+      sort = Some(SortSpec("o_orderpriority", ascending = true)))
+    // reference walk: cursorOfPage + pageAfter
+    var refCur = p.cursorOfPage(req)
+    var refPages = List(p.page(req.copy(pageNumber = 1)).collect().map(_.toSeq).toSeq)
+    while (refCur.isDefined) {
+      val pg = p.pageAfter(req, refCur.get).collect().map(_.toSeq).toSeq
+      if (pg.nonEmpty) refPages :+= pg
+      refCur = p.cursorOfPage(req, refCur)
+    }
+    // fused walk, with a job counter around the steady state
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    var (rows, cur) = p.pageWithCursor(req)
+    var gotPages = List(rows.map(_.toSeq))
+    var gotCursors = List(cur)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      var steps = 0
+      while (cur.isDefined && rows.nonEmpty) {
+        val (r2, c2) = p.pageWithCursor(req, cur)
+        rows = r2; cur = c2
+        if (rows.nonEmpty) { gotPages :+= rows.map(_.toSeq); gotCursors :+= cur }
+        steps += 1
+      }
+      // listener delivery is async: wait until the count stabilizes
+      var last = -1
+      var spins = 0
+      while (jobs.get() != last && spins < 50) {
+        last = jobs.get(); Thread.sleep(100); spins += 1
+      }
+      assert(jobs.get() == steps,
+        s"fused walk must cost exactly one job per page: ${jobs.get()} jobs for $steps steps")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(gotPages == refPages.take(gotPages.length) && gotPages.flatten.size == 1500,
+      "fused pages must equal the cursorOfPage walk and cover the table")
+    // cursor parity step-for-step with cursorOfPage
+    var c = p.cursorOfPage(req)
+    gotCursors.dropRight(if (gotCursors.last.isEmpty) 1 else 0)
+      .zipWithIndex.foreach { case (gc, i) =>
+        assert(gc == c, s"cursor $i diverged: $gc vs $c")
+        c = p.cursorOfPage(req, c)
+      }
+    // offset ENTRY at depth carries the pre-page duplicate prefix
+    val (r5, c5) = p.pageWithCursor(req.copy(pageNumber = 5))
+    assert(r5.map(_.toSeq) == p.page(req.copy(pageNumber = 5)).collect().map(_.toSeq).toSeq)
+    assert(c5 == p.cursorOfPage(req.copy(pageNumber = 5)),
+      "deep-entry cursor must match cursorOfPage's (dupSeen prefix carried)")
+    // and an empty tail returns no cursor
+    val end = p.cursorOfPage(PageRequest(pageSize = Some(1500),
+      sort = Some(SortSpec("o_orderpriority", ascending = true))))
+    assert(p.pageWithCursor(req, end) == ((Seq.empty, None)))
+  }
+
   test("cursorOfPage is None past the end; pageAfter at the tail is the partial page") {
     val p = new Paginator(orders)
     val req = PageRequest(pageSize = Some(1000),
