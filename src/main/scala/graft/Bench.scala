@@ -129,10 +129,23 @@ object Bench {
       .mkString("{", ",", "}")
     val total = r3(results.values.filter(_ >= 0).sum)
     val rt = Runtime.getRuntime
+    // self-labeling contention flag: a loadavg above ~2 BEFORE the run
+    // means something else was burning cores while we measured — the
+    // artifact says so itself instead of leaving a reader to cross-check
+    // env blocks (the r10 bench ran at loadavg 4.3 and carried a 2.9x
+    // phantom on dedup_minhash that an idle re-run didn't reproduce)
+    val contended =
+      try loadBefore.split(",")(0).toDouble > 2.0
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (contended)
+      System.err.println(s"[bench] WARNING: loadavg_before=$loadBefore — " +
+        "host was contended at start; numbers may carry interference " +
+        "(artifact flagged contended:true); re-run idle to confirm regressions")
     val env = s"""{"available_processors":${rt.availableProcessors},""" +
       s""""spark_cpus":"$cpus","max_heap_mb":${rt.maxMemory / (1 << 20)},""" +
       s""""free_heap_mb":${rt.freeMemory / (1 << 20)},""" +
-      s""""loadavg_before":"${esc(loadBefore)}","loadavg_after":"${esc(loadAfter)}","timing":"min_of_2_interleaved_sweeps_plus_tiebreak"}"""
+      s""""loadavg_before":"${esc(loadBefore)}","loadavg_after":"${esc(loadAfter)}",""" +
+      s""""contended":$contended,"timing":"min_of_2_interleaved_sweeps_plus_tiebreak"}"""
     // queries that time a WRITTEN layout inside the query (gating a
     // round trip is the point of those entries): their numbers include
     // the one-time write/index-build cost, not just the read path

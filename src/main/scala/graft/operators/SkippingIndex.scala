@@ -280,6 +280,71 @@ object SkippingIndex {
     (df, p)
   }
 
+  /** One keyset page over a KEY-CLUSTERED table with an attached stats
+    * index: the `size` smallest `column` values STRICTLY ABOVE `after`
+    * (unique-key cursor contract — the serving layout clusters by a
+    * unique key), reading ONLY the file prefix that provably holds them.
+    *
+    * Why this exists: [[graft.query.Paginator.pageWithCursor]]'s seek
+    * filter (`column >= cursor`) row-group-prunes everything BELOW the
+    * cursor, but the top-k still scans the whole suffix above it — a
+    * per-page cost that grows with table size even though the page
+    * doesn't. With per-file [min, max, n_rows] the page becomes
+    * file-bounded: walk candidate files in min order and stop as soon
+    * as the included set PROVABLY contains `size` rows in
+    * `(after, nextMin)` — every excluded file has min ≥ nextMin, so no
+    * excluded file can hold any of the page's rows (they are the
+    * smallest keys above the cursor, all < nextMin once enough rows
+    * certainly precede it). Files without usable stats always qualify
+    * (unknown ⇒ cannot skip). Per-page cost is then
+    * O(page ÷ rows-per-file) FILES at any table size — the probe
+    * evidence for flat pages across a 10× corpus (tools/ScaleProbe).
+    *
+    * The residual `column > after` filter and the final
+    * `orderBy limit size` make the result exactly the full-sort page
+    * whatever the stats said; returns the pruning decision as evidence.
+    */
+  def keysetPage(spark: SparkSession, dir: String, column: String,
+      after: Long, size: Int): (DataFrame, Prune) = {
+    require(size > 0, "page size must be positive")
+    val stats = spark.read.parquet(statsPathFor(dir))
+      .select(col("file"), col("n_rows"),
+        col(s"${column}_min"), col(s"${column}_max"))
+      .collect()
+    def unknown(r: Row) = r.isNullAt(2) || r.isNullAt(3)
+    // candidates: could contain a key above the cursor
+    val cand = stats.filter(r => unknown(r) || r.getLong(3) > after)
+    val (blind, known) = cand.partition(unknown)
+    val sorted = known.sortBy(_.getLong(2))
+    val included = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var i = 0
+    var done = sorted.isEmpty
+    while (!done) {
+      included += sorted(i)
+      i += 1
+      if (i >= sorted.length) done = true
+      else {
+        val nextMin = sorted(i).getLong(2)
+        // rows certainly in (after, nextMin): files entirely inside it
+        // contribute all their rows (a lower bound — boundary-straddling
+        // files contribute an unknown share and count as zero)
+        val certain = included.iterator
+          .filter(r => r.getLong(2) > after && r.getLong(3) < nextMin)
+          .map(_.getLong(1)).sum
+        if (certain >= size) done = true
+      }
+    }
+    val kept = (included ++ blind).map(_.getString(0)).sorted.toSeq
+    val p = Prune(stats.length, kept.length, kept)
+    if (kept.isEmpty)
+      // nothing above the cursor: the correctly-empty page, schema kept
+      (spark.read.parquet(dir).filter(col(column) > after)
+        .orderBy(col(column).asc).limit(size), p)
+    else
+      (spark.read.parquet(kept: _*).filter(col(column) > after)
+        .orderBy(col(column).asc).limit(size), p)
+  }
+
   /** Conventional in-table location of the stats index: an
     * underscore-prefixed subdirectory, which Spark's file listing (like
     * every parquet reader's) IGNORES — so a plain
