@@ -155,7 +155,8 @@ object Bench {
       "q52_quantile_rollup", "q53_topk_rollup", "stream_sketch_rollup",
       "stream_quantile_rollup", "stream_topk_rollup",
       "dedup_incremental", "mm_manifest", "ann_ivfpq_append",
-      "q57_snapshot", "dedup_incremental_minhash")
+      "q57_snapshot", "dedup_incremental_minhash",
+      "q60_snapshot_strkey", "q61_snapshot_datekey", "ann_ivfpq_delete")
       .filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =

@@ -224,7 +224,13 @@ object SkippingIndex {
               case TimeUnit.MILLIS => Math.multiplyExact(v, 1000L)
               case TimeUnit.MICROS => v
               case TimeUnit.NANOS =>
-                if (ceil) Math.floorDiv(v + 999L, 1000L) else Math.floorDiv(v, 1000L)
+                // addExact: a max stat within 999ns of Long.MaxValue must
+                // throw (landing in the caller's all-files-affected
+                // degrade) rather than wrap negative and shrink the
+                // interval into a wrong prune — same contract as the
+                // MILLIS path's multiplyExact
+                if (ceil) Math.floorDiv(Math.addExact(v, 999L), 1000L)
+                else Math.floorDiv(v, 1000L)
             }
             val stats = chunks.map(_.getStatistics)
             if (stats.exists(s => s == null || !s.hasNonNullValue)) (null, null)

@@ -185,6 +185,29 @@ final class Paginator(df: DataFrame) {
     }
   }
 
+  /** Driver-side value equality matching Catalyst `===` semantics for the
+    * types a sort column can carry: Array[Byte] (BinaryType collects as a
+    * JVM array — reference equality under `==`) compares element-wise;
+    * -0.0 equals 0.0 and NaN equals NaN for float/double, as in Spark SQL.
+    * Boxed-primitive `equals` gets BOTH float cases wrong in opposite
+    * directions (-0.0 != 0.0, NaN == NaN is its only correct one), so the
+    * duplicate arithmetic below must never use plain `==` on sort values:
+    * an undercounted `inPage` under-skips and RE-SERVES rows on the next
+    * page — the parity with cursorOfPage's Catalyst-side count breaks.
+    */
+  private def valEq(a: Any, b: Any): Boolean = (a, b) match {
+    case (null, null) => true
+    case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+    case (x: java.lang.Double, y: java.lang.Double) =>
+      (x.isNaN && y.isNaN) || x.doubleValue == y.doubleValue
+    case (x: java.lang.Float, y: java.lang.Float) =>
+      (x.isNaN && y.isNaN) || x.floatValue == y.floatValue
+    case (x, y) => x == y
+  }
+
+  private def valsEq(a: Seq[Any], b: Seq[Any]): Boolean =
+    a.length == b.length && a.zip(b).forall { case (x, y) => valEq(x, y) }
+
   private def ordered(df0: DataFrame, sorts: Seq[SortSpec]): DataFrame =
     df0.orderBy(sorts.map(s => if (s.ascending) col(s.field).asc else col(s.field).desc)
       :+ col(Paginator.RID).asc: _*)
@@ -240,7 +263,7 @@ final class Paginator(df: DataFrame) {
       // the pre-page prefix is exact; the prefix scan is part of the
       // entry's paid-once offset cost)
       val carried = after match {
-        case Some(c) if c.rid == rid && c.sortValues == values => c.dupSeen
+        case Some(c) if c.rid == rid && valsEq(c.sortValues, values) => c.dupSeen
         case Some(_) => 0
         case None if req.pageNumber > 1 =>
           ordered(searched(req.search), sorts)
@@ -286,10 +309,12 @@ final class Paginator(df: DataFrame) {
       val rid = last.getLong(ridIdx)
       val values = sortIdxs.map(last.get)
       // same duplicate arithmetic as cursorOfPage, off the in-hand rows
+      // (valEq, not ==: binary sort values collect as reference-compared
+      // arrays and boxed -0.0 != 0.0 — both would under-skip)
       val inPage = rows.count(r => r.getLong(ridIdx) == rid &&
-        sortIdxs.forall(i => r.get(i) == last.get(i)))
+        sortIdxs.forall(i => valEq(r.get(i), last.get(i))))
       val carried = after match {
-        case Some(c) if c.rid == rid && c.sortValues == values => c.dupSeen
+        case Some(c) if c.rid == rid && valsEq(c.sortValues, values) => c.dupSeen
         case Some(_) => 0
         case None if req.pageNumber > 1 =>
           val eq = sorts.zip(values).map { case (s, v) => col(s.field) === lit(v) }

@@ -172,6 +172,55 @@ class PaginatorSpec extends AnyFunSuite {
     assert(p.pageWithCursor(req, end) == ((Seq.empty, None)))
   }
 
+  test("pageWithCursor duplicate arithmetic survives binary and -0.0 sort values") {
+    // BinaryType sort values collect as Array[Byte] (reference-compared
+    // under ==) and -0.0 vs 0.0 boxed doubles compare unequal — either
+    // would collapse the driver-side inPage count to 1, under-skip, and
+    // re-serve rows on the next page. The Catalyst-side cursorOfPage
+    // count has neither problem, so the walk must stay page-identical.
+    // binary: 7 distinct 2-byte keys over 1500 rows, single column ⇒
+    // every group is FULL duplicates and every boundary splits one
+    val bin = orders.select(
+      unhex(lpad(hex(pmod(col("o_orderkey"), lit(7))), 4, "0")).as("bkey"))
+    val pb = new Paginator(bin)
+    val reqB = PageRequest(pageSize = Some(100),
+      sort = Some(SortSpec("bkey", ascending = true)))
+    var (rows, cur) = pb.pageWithCursor(reqB)
+    var walked = rows.map(_.getAs[Array[Byte]](0).toSeq)
+    var guard = 0
+    while (cur.isDefined && rows.nonEmpty && guard < 40) {
+      val (r2, c2) = pb.pageWithCursor(reqB, cur)
+      rows = r2; cur = c2
+      walked ++= rows.map(_.getAs[Array[Byte]](0).toSeq)
+      guard += 1
+    }
+    val truth = bin.orderBy("bkey").collect().map(_.getAs[Array[Byte]](0).toSeq).toSeq
+    assert(walked.size == 1500 && walked == truth,
+      s"binary-key walk re-served or dropped rows (got ${walked.size} of 1500)")
+    // -0.0 vs 0.0: same rid (hash normalizes), Catalyst === equal — the
+    // group of zeros is one duplicate group the driver must count whole
+    val dbl = orders.select(
+      when(pmod(col("o_orderkey"), lit(5)) === 0, lit(0.0))
+        .when(pmod(col("o_orderkey"), lit(5)) === 1, lit(-0.0))
+        .otherwise(pmod(col("o_orderkey"), lit(5)).cast("double")).as("dkey"))
+    val pd = new Paginator(dbl)
+    val reqD = PageRequest(pageSize = Some(100),
+      sort = Some(SortSpec("dkey", ascending = true)))
+    def norm(v: Double): Double = if (v == 0.0) 0.0 else v
+    var (rd, cd) = pd.pageWithCursor(reqD)
+    var walkedD = rd.map(r => norm(r.getDouble(0)))
+    guard = 0
+    while (cd.isDefined && rd.nonEmpty && guard < 40) {
+      val (r2, c2) = pd.pageWithCursor(reqD, cd)
+      rd = r2; cd = c2
+      walkedD ++= rd.map(r => norm(r.getDouble(0)))
+      guard += 1
+    }
+    val truthD = dbl.orderBy("dkey").collect().map(r => norm(r.getDouble(0))).toSeq
+    assert(walkedD.size == 1500 && walkedD == truthD,
+      s"-0.0 walk re-served or dropped rows (got ${walkedD.size} of 1500)")
+  }
+
   test("cursorOfPage is None past the end; pageAfter at the tail is the partial page") {
     val p = new Paginator(orders)
     val req = PageRequest(pageSize = Some(1000),
