@@ -156,7 +156,8 @@ object Bench {
       "stream_quantile_rollup", "stream_topk_rollup",
       "dedup_incremental", "mm_manifest", "ann_ivfpq_append",
       "q57_snapshot", "dedup_incremental_minhash",
-      "q60_snapshot_strkey", "q61_snapshot_datekey", "ann_ivfpq_delete")
+      "q60_snapshot_strkey", "q61_snapshot_datekey", "ann_ivfpq_delete",
+      "q63_page_keyset_stats")
       .filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =

@@ -413,6 +413,46 @@ object ExtraQueries {
       p.pageAfter(req, cur.get) // page 8: rows 700..799 of the 2-col order
     }),
 
+    "q63_page_keyset_stats" -> ((s, dir) => {
+      // FILE-BOUNDED keyset pagination: q56/q59's cursor walk still top-ks
+      // the whole remainder past the cursor every page; on a key-clustered
+      // snapshot table with per-file [min,max,n_rows,nulls] stats the page
+      // becomes file-bounded — the walk reads only the 2-3 files that
+      // provably contain it, at ANY table size (SkippingIndex.KeysetWalk;
+      // flatness across a 10x corpus probed by ScaleProbe's keyset row).
+      // Gate: an 11-page ascending walk and a 3-page descending walk over
+      // a snapshot of orders; both final pages mirror pure-SQL offsets on
+      // the unique key. Stats collect once per walk; each page is one
+      // bounded job.
+      import graft.operators.SnapshotTable
+      val tdir = s"${Scratch.dir}/q63_table"
+      val p = new org.apache.hadoop.fs.Path(tdir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotTable.create(s,
+        base.withColumn("commit_v", lit(0L))
+          .repartitionByRange(12, col("o_orderkey")), tdir)
+      SnapshotTable.attachStats(s, tdir, Seq("o_orderkey"))
+      val walk = SnapshotTable.keysetWalk(s, tdir, "o_orderkey")
+      def walkTo(pages: Int, ascending: Boolean): org.apache.spark.sql.DataFrame = {
+        var after = if (ascending) Long.MinValue else Long.MaxValue
+        var page: org.apache.spark.sql.DataFrame = null
+        (0 until pages).foreach { _ =>
+          val (df, _) = walk.page(after, 100, ascending)
+          page = df
+          val keys = df.select("o_orderkey").collect()
+          if (keys.nonEmpty) after = keys.last.getLong(0)
+        }
+        page
+      }
+      val asc = walkTo(11, ascending = true).withColumn("dirn", lit("asc"))
+      val desc = walkTo(3, ascending = false).withColumn("dirn", lit("desc"))
+      asc.unionByName(desc)
+        .select("dirn", "o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("dirn", "o_orderkey")
+    }),
+
     "q57_snapshot" -> ((s, dir) => {
       // versioned snapshot table, end-to-end: v1 = orders (key-clustered
       // files), v2 = file-pruned latest-wins upsert (updates for keys
@@ -926,6 +966,20 @@ object ExtraQueries {
       """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
         |ORDER BY o_orderpriority DESC, o_orderkey
         |LIMIT 100 OFFSET 700""".stripMargin,
+
+    // the stats-bounded walk serves the same pages as plain offsets on
+    // the unique key — file pruning is an I/O bound, not a semantics one
+    "q63_page_keyset_stats" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  ORDER BY o_orderkey LIMIT 100 OFFSET 1000),
+        |d AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  ORDER BY o_orderkey DESC LIMIT 100 OFFSET 200)
+        |SELECT 'asc' AS dirn, * FROM a
+        |UNION ALL
+        |SELECT 'desc' AS dirn, * FROM d
+        |ORDER BY dirn, o_orderkey""".stripMargin,
 
     "asof_join" ->
       """SELECT p.event_id, p.user_id,

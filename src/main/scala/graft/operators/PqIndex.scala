@@ -185,42 +185,167 @@ object PqIndex {
     Model(vecs("centroid"), vecs("codebook").map(_._2), m, kCodes)
   }
 
-  /** Persist an encoded index `partitionBy(cell)` — the one-time write at
-    * scale: each coarse cell becomes a directory, so a query batch's
-    * probed-cell join touches nProbe/nCells of the files, not the corpus.
+  // ---- persisted index: manifest-versioned commits ---------------------
+  //
+  // The on-disk index is a mini snapshot table (the [[SnapshotTable]]
+  // commit pattern over IMMUTABLE cell-partitioned filesets):
+  //
+  //   <path>/data/vNNNNN_<nonce>/cell=K/part-*.parquet   encoded rows
+  //   <path>/tomb/vNNNNN_<nonce>/cell=K/part-*.parquet   (id, cell) masks
+  //   <path>/manifest/vNNNNN.manifest                    "D <file>" and
+  //                                                      "T <file>" lines
+  //
+  // Every maintenance op (append, delete, compact) writes NEW filesets
+  // first and then publishes the next manifest with the atomic exclusive
+  // [[ManifestCommit]] — so a reader that planned against version v keeps
+  // serving v's immutable files however many maintenance ops land after
+  // it; there is NO delete+rename window in which the live index is
+  // missing files. A crash mid-op leaves orphan filesets (invisible;
+  // removed by [[vacuumIndex]]), never a half-rewritten index.
+  // Maintenance is SINGLE-WRITER (an orchestrated pipeline step): a lost
+  // manifest race surfaces as [[SnapshotTable.CommitConflict]] to the
+  // maintainer instead of rebasing.
+
+  private val ManifestRe = """v(\d+)\.manifest""".r
+
+  private def manifestPath(path: String, v: Long) =
+    new org.apache.hadoop.fs.Path(s"$path/manifest/" + f"v$v%05d.manifest")
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def nonce(): String = java.util.UUID.randomUUID.toString.take(8)
+
+  /** All committed index versions, ascending (a fileset without a
+    * manifest — a crashed maintenance op — is not a version).
     */
-  def writeIndex(encoded: DataFrame, path: String): Unit =
-    encoded.write.mode("overwrite").partitionBy("cell").parquet(path)
+  def versions(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Long] = {
+    val f = fsOf(spark, path)
+    val md = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    if (!f.exists(md)) Seq.empty
+    else f.listStatus(md).toSeq.flatMap(_.getPath.getName match {
+      case ManifestRe(n) => Some(n.toLong)
+      case _ => None
+    }).sorted
+  }
+
+  def currentVersion(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Long] = versions(spark, path).lastOption
+
+  /** A version's live file lists: encoded data files and tombstone files. */
+  private case class IndexFiles(data: Seq[String], tomb: Seq[String])
+
+  private def filesOf(spark: org.apache.spark.sql.SparkSession, path: String,
+      v: Long): IndexFiles = {
+    val f = fsOf(spark, path)
+    val p = manifestPath(path, v)
+    require(f.exists(p), s"index version $v does not exist under $path")
+    val len = f.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = f.open(p)
+    try in.readFully(0, buf) finally in.close()
+    val lines = new String(buf, "UTF-8").split("\n").map(_.trim).filter(_.nonEmpty)
+    IndexFiles(
+      lines.filter(_.startsWith("D ")).map(_.drop(2)).toSeq,
+      lines.filter(_.startsWith("T ")).map(_.drop(2)).toSeq)
+  }
+
+  private def commit(spark: org.apache.spark.sql.SparkSession, path: String,
+      v: Long, data: Seq[String], tomb: Seq[String]): Unit =
+    ManifestCommit.publish(fsOf(spark, path), manifestPath(path, v),
+      (data.sorted.map("D " + _) ++ tomb.sorted.map("T " + _)).mkString("\n") + "\n")
+
+  /** Write `df` cell-partitioned under `dest` and return the written
+    * files (possibly empty — partitionBy writes nothing for an empty
+    * frame). Filesets are immutable once a manifest references them.
+    */
+  private def writeFileset(df: DataFrame, dest: String): Seq[String] = {
+    df.write.mode("overwrite").partitionBy("cell").parquet(dest)
+    val f = fsOf(df.sparkSession, dest)
+    val root = new org.apache.hadoop.fs.Path(dest)
+    f.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .flatMap(d => f.listStatus(d.getPath).toSeq)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted
+  }
+
+  private val CellRe = """.*/cell=(\d+)/[^/]*$""".r
+  private def cellOfPath(p: String): Int = p match {
+    case CellRe(c) => c.toInt
+    case _ => throw new IllegalArgumentException(s"not a cell-partitioned file: $p")
+  }
+
+  /** Read a manifest file list so `cell` comes back as a PARTITION
+    * column — which is what lets the probed-cell join plant a dynamic
+    * partition-pruning filter on the scan, exactly as a plain
+    * partitioned read would. Partition inference cannot span several
+    * fileset roots under one basePath (conflicting-directory error), so
+    * the files are grouped by fileset and each group reads with ITS root
+    * as basePath; the groups union. After [[writeIndex]] or
+    * [[compactIndex]] the manifest holds one data fileset, so the common
+    * serving read is a single partitioned scan.
+    */
+  private def readFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String, files: Seq[String], cols: Seq[String]): DataFrame = {
+    val byFileset = files.groupBy(p => p.substring(0, p.lastIndexOf("/cell=")))
+      .toSeq.sortBy(_._1)
+    byFileset.map { case (root, fs) =>
+      spark.read.option("basePath", root).parquet(fs: _*)
+        .select(cols.map(col): _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Persist an encoded index as version 1 — `partitionBy(cell)`, the
+    * one-time write at scale: each coarse cell becomes a directory per
+    * fileset, so a query batch's probed-cell join touches nProbe/nCells
+    * of the files, not the corpus. Replaces any existing index at `path`
+    * (the old overwrite semantics).
+    */
+  def writeIndex(encoded: DataFrame, path: String): Unit = {
+    val spark = encoded.sparkSession
+    val f = fsOf(spark, path)
+    f.delete(new org.apache.hadoop.fs.Path(path), true)
+    val files = writeFileset(encoded, s"$path/data/" + f"v${1L}%05d" + s"_${nonce()}")
+    commit(spark, path, 1L, files, Nil)
+  }
 
   /** Append newly-ingested vectors to a persisted index WITHOUT
-    * retraining: encode under the same model, append into the cell
-    * directories. This is the daily-ingest path at scale — the coarse
-    * centroids and codebooks stay fixed between offline retrains, so
-    * appends are one narrow encode scan; quality for drifting
-    * distributions degrades gracefully until the next retrain.
+    * retraining: encode under the same model, write the batch as a new
+    * fileset, commit version n+1 = (old files) ++ (batch files). This is
+    * the daily-ingest path at scale — the coarse centroids and codebooks
+    * stay fixed between offline retrains, so appends are one narrow
+    * encode scan; quality for drifting distributions degrades gracefully
+    * until the next retrain.
     *
-    * An append SUPERSEDES any earlier delete of the same id: before the
-    * new rows land, the superseded tombstones' (id, cell) rows are
-    * PHYSICALLY purged from their cell directories (a mini-compaction
-    * scoped to the affected cells) and their tombstone rows dropped —
-    * so delete-then-reinsert, the usual update path, serves exactly the
-    * new row instead of either staying masked or reviving the old copy
-    * next to it. Appends with no superseded delete (the common case)
-    * detect that with one small sidecar-side semi-join and skip the
-    * rewrite entirely. Like compaction, the cell/sidecar swaps are a
-    * maintenance-window op: not atomic vs a concurrently-planning reader.
+    * An append SUPERSEDES any earlier delete of the same id: the
+    * superseded tombstones' cells are rewritten copy-on-write (survivor
+    * rows into a fresh fileset, superseded rows dropped) and the
+    * tombstone set is rewritten without them — so delete-then-reinsert,
+    * the usual update path, serves exactly the new row instead of either
+    * staying masked or reviving the old copy next to it. Appends with no
+    * superseded delete (the common case) detect that with one small
+    * manifest-side semi-join and skip the rewrite. Everything lands in
+    * new filesets before the single manifest publish: concurrent readers
+    * keep their pinned version throughout, and a crash leaves orphans
+    * for [[vacuumIndex]], never a half-rewritten index.
     */
   def appendToIndex(corpus: DataFrame, idCol: String, vecCol: String,
       model: Model, path: String): Unit = {
     val spark = corpus.sparkSession
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no index under $path — writeIndex first"))
+    val fl = filesOf(spark, path, v)
     val enc = encode(corpus, idCol, vecCol, model)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val fs = fsOf(spark, path)
-      val tomb = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
-      if (fs.exists(tomb)) {
-        val masked = spark.read.parquet(tomb.toString)
-          .select(col("id"), col("cell"))
+      val encFiles = writeFileset(enc, s"$path/data/" + f"v${v + 1}%05d" + s"_${nonce()}")
+      var dataFiles = fl.data ++ encFiles
+      var tombFiles = fl.tomb
+      if (fl.tomb.nonEmpty) {
+        val masked = readFiles(spark, path, fl.tomb, Seq("id", "cell"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val superseded = masked.join(enc.select(col("id"), col("cell")),
@@ -228,129 +353,141 @@ object PqIndex {
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             // bounded by nCells, a model constant
-            val cells = superseded.select("cell").distinct().collect().map(_.getInt(0))
+            val cells = superseded.select("cell").distinct().collect()
+              .map(_.getInt(0)).toSet
             if (cells.nonEmpty) {
-              rewriteCells(spark, fs, path, cells, superseded)
-              swapSidecar(spark, fs, path, tomb,
+              // copy-on-write rewrite of the affected cells' OLD files
+              val affected = fl.data.filter(p => cells.contains(cellOfPath(p)))
+              val survivors = readFiles(spark, path, affected,
+                  Seq("id", "cell", "codes", "norm"))
+                .join(superseded, Seq("id", "cell"), "left_anti")
+              val survFiles = writeFileset(survivors,
+                s"$path/data/" + f"v${v + 1}%05d" + s"_${nonce()}")
+              dataFiles = fl.data.filterNot(affected.toSet) ++ survFiles ++ encFiles
+              tombFiles = writeFileset(
                 masked.join(enc.select(col("id"), col("cell")),
-                  Seq("id", "cell"), "left_anti"))
+                  Seq("id", "cell"), "left_anti"),
+                s"$path/tomb/" + f"v${v + 1}%05d" + s"_${nonce()}")
             }
           } finally { superseded.unpersist(); () }
         } finally { masked.unpersist(); () }
       }
-      enc.write.mode("append").partitionBy("cell").parquet(path)
+      commit(spark, path, v + 1, dataFiles, tombFiles)
     } finally { enc.unpersist(); () }
   }
 
-  /** Rewrite `cells`' directories keeping only rows NOT matching `drop`
-    * on (id, cell): stage survivors to an underscore-prefixed dir
-    * (invisible to plain readers), then per-cell delete+rename swap. A
-    * cell whose every row dropped stages nothing and simply disappears
-    * from the partition listing.
-    */
-  private def rewriteCells(spark: org.apache.spark.sql.SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, path: String,
-      cells: Array[Int], drop: DataFrame): Unit = {
-    val raw = spark.read.parquet(path)
-      .select(col("id"), col("cell"), col("codes"), col("norm"))
-    val survivors = raw.filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
-      .join(drop, Seq("id", "cell"), "left_anti")
-    val staging = new org.apache.hadoop.fs.Path(s"$path/_compact_staging")
-    survivors.write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
-    cells.foreach { c =>
-      val live = new org.apache.hadoop.fs.Path(s"$path/cell=$c")
-      val staged = new org.apache.hadoop.fs.Path(s"$staging/cell=$c")
-      fs.delete(live, true)
-      if (fs.exists(staged)) { fs.rename(staged, live); () }
-    }
-    fs.delete(staging, true)
-    ()
-  }
-
-  /** Rewrite the tombstone sidecar to hold exactly `kept`, via an
-    * underscore-prefixed staging dir (invisible to plain readers) and a
-    * delete+rename swap; an empty `kept` just drops the sidecar.
-    */
-  private def swapSidecar(spark: org.apache.spark.sql.SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, path: String,
-      tomb: org.apache.hadoop.fs.Path, kept: DataFrame): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/_tombstones_staging")
-    kept.write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
-    val anyKept = fs.listStatus(tmp).exists(_.getPath.getName.startsWith("cell="))
-    fs.delete(tomb, true)
-    if (anyKept) { fs.rename(tmp, tomb); () } else { fs.delete(tmp, true); () }
-  }
-
-  private def fsOf(spark: org.apache.spark.sql.SparkSession,
-      path: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-
   /** Compact tombstones away — the "periodic re-encode" the delete path
     * promises, made a real operator. Only the cells that actually carry
-    * tombstones are rewritten (survivor rows staged to an underscore-
-    * prefixed dir, then swapped in per cell-directory), and the sidecar
-    * is cleared, so a compacted index serves identical results through a
-    * plan with NO anti-join and no per-query tombstone cost. The
-    * affected-cell collect is bounded by nCells (a model constant).
-    * Directory swaps are per-cell delete+rename — run compaction in a
-    * maintenance window, not concurrently with serving (the lakehouse
-    * MERGE/OPTIMIZE contract; same caveat as [[SnapshotTable]] vacuum).
+    * tombstones are rewritten (survivors into a fresh fileset), and
+    * version n+1 references no tombstone files, so a compacted index
+    * serves identical results through a plan with NO anti-join and no
+    * per-query tombstone cost. The affected-cell collect is bounded by
+    * nCells (a model constant). The commit is the atomic manifest
+    * publish: a reader pinned to version n keeps its files (immutable
+    * until [[vacuumIndex]]) — compaction is safe against concurrent
+    * readers, unlike the pre-manifest delete+rename design.
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val fs = fsOf(spark, path)
-    val tomb = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
-    if (!fs.exists(tomb)) return
-    val masked = spark.read.parquet(tomb.toString).select(col("id"), col("cell"))
-    val cells = masked.select("cell").distinct().collect().map(_.getInt(0))
-    if (cells.nonEmpty) rewriteCells(spark, fs, path, cells, masked)
-    fs.delete(tomb, true)
-    ()
+    val vOpt = currentVersion(spark, path)
+    if (vOpt.isEmpty) return
+    val v = vOpt.get
+    val fl = filesOf(spark, path, v)
+    if (fl.tomb.isEmpty) return // nothing masked: compaction is a no-op
+    val masked = readFiles(spark, path, fl.tomb, Seq("id", "cell"))
+    val cells = masked.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    val affected = fl.data.filter(p => cells.contains(cellOfPath(p)))
+    val survivors = readFiles(spark, path, affected, Seq("id", "cell", "codes", "norm"))
+      .join(masked, Seq("id", "cell"), "left_anti")
+    val survFiles = writeFileset(survivors,
+      s"$path/data/" + f"v${v + 1}%05d" + s"_${nonce()}")
+    commit(spark, path, v + 1, fl.data.filterNot(affected.toSet) ++ survFiles, Nil)
   }
 
-  /** DELETE vectors from a persisted index WITHOUT rewriting it: a
-    * tombstone sidecar (the [[SnapshotTable]] pattern — an
-    * underscore-prefixed subdir every plain reader's file listing
-    * ignores) records the masked (id, cell) rows, and [[readIndex]]
-    * anti-joins them out at serve time. The deleted ids' cells are
-    * resolved by one narrow join against the index itself, so tombstones
-    * land `partitionBy(cell)` NEXT TO the codes they mask — the serve-
-    * time anti-join is cell-co-partitioned and a probed-cell query only
-    * ever reads the probed cells' tombstones. This closes the CRUD loop
-    * (takedowns, dedup survivors) without retrain or rebuild;
-    * [[compactIndex]] periodically rewrites the affected cells and
-    * clears the sidecar like any lakehouse MERGE, and a later
-    * [[appendToIndex]] of a deleted id drops its tombstone (re-insert
-    * serves the new row). Ids not in the index tombstone nothing
-    * (idempotent; a re-delete is a no-op row).
+  /** DELETE vectors from a persisted index WITHOUT rewriting it: the
+    * deleted ids' cells are resolved by one narrow join against the
+    * index itself, and the resulting (id, cell) masks are written as a
+    * cell-partitioned tombstone fileset referenced by version n+1 —
+    * [[readIndex]] anti-joins them out at serve time, cell-co-partitioned
+    * on both sides, so a probed-cell query only ever reads the probed
+    * cells' tombstones. This closes the CRUD loop (takedowns, dedup
+    * survivors) without retrain or rebuild; [[compactIndex]] periodically
+    * rewrites the affected cells, and a later [[appendToIndex]] of a
+    * deleted id supersedes its tombstone (re-insert serves the new row).
+    * Ids not in the index tombstone nothing (idempotent; a re-delete
+    * masks rows already masked and changes nothing served).
     */
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
       ids: DataFrame, idCol: String, path: String): Unit = {
-    val idx = spark.read.parquet(path).select(col("id"), col("cell"))
-    idx.join(ids.select(col(idCol).cast("long").as("id")).distinct(), Seq("id"))
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"$path/_tombstones")
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no index under $path — writeIndex first"))
+    val fl = filesOf(spark, path, v)
+    val idx = readFiles(spark, path, fl.data, Seq("id", "cell"))
+    val dest = s"$path/tomb/" + f"v${v + 1}%05d" + s"_${nonce()}"
+    val newTomb = writeFileset(
+      idx.join(ids.select(col(idCol).cast("long").as("id")).distinct(), Seq("id")),
+      dest)
+    if (newTomb.isEmpty) {
+      // nothing resolved to an index row: no-op, drop the empty fileset
+      fsOf(spark, path).delete(new org.apache.hadoop.fs.Path(dest), true)
+      ()
+    } else commit(spark, path, v + 1, fl.data, fl.tomb ++ newTomb)
   }
 
-  /** Read a persisted index back into the `search` input shape. `cell`
-    * returns as a partition column, so joining it against the broadcast
-    * probed-cells side dynamic-partition-prunes the unprobed directories
-    * (the on-disk analogue of the in-memory cell filter). Tombstoned
-    * rows ([[deleteFromIndex]]) are anti-joined out on (id, cell) — both
+  /** Read a persisted index version (default: current) into the `search`
+    * input shape. The version's file list is PINNED here — concurrent
+    * appends/deletes/compactions commit new manifests over immutable
+    * files and cannot disturb this frame (read what you pinned, the
+    * [[SnapshotTable.read]] contract). `cell` returns as a partition
+    * column, so joining it against the broadcast probed-cells side
+    * dynamic-partition-prunes the unprobed files. Tombstoned rows
+    * ([[deleteFromIndex]]) are anti-joined out on (id, cell) — both
     * sides cell-partitioned — so a served search equals one over an
     * index rebuilt from the survivors (gated: ann_ivfpq_delete).
     */
-  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    // no cast on `cell`: partition-type inference already yields int, and
-    // keeping the raw partition attribute is what lets the probed-cell
-    // join plant a dynamic partition-pruning filter on the scan
-    val raw = spark.read.parquet(path)
-      .select(col("id"), col("cell"), col("codes"), col("norm"))
-    val tomb = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
-    if (tomb.getFileSystem(spark.sessionState.newHadoopConf()).exists(tomb))
-      raw.join(spark.read.parquet(tomb.toString).select(col("id"), col("cell")),
-        Seq("id", "cell"), "left_anti")
-    else raw
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"no index under $path"))
+    val fl = filesOf(spark, path, v)
+    val raw = readFiles(spark, path, fl.data, Seq("id", "cell", "codes", "norm"))
+    if (fl.tomb.isEmpty) raw
+    else raw.join(readFiles(spark, path, fl.tomb, Seq("id", "cell")),
+      Seq("id", "cell"), "left_anti")
+  }
+
+  /** Drop every index version but the last `keepLast` and delete data /
+    * tombstone files no retained manifest references — except files
+    * younger than `graceMs` (an in-flight maintenance op writes its
+    * filesets BEFORE its manifest publish; the same hazard and default
+    * as [[SnapshotTable.vacuum]]). Returns the deleted file paths. Run
+    * only when no reader is pinned below the retention horizon.
+    */
+  def vacuumIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      keepLast: Int = 1,
+      graceMs: Long = SnapshotTable.DefaultVacuumGraceMs): Seq[String] = {
+    require(keepLast >= 1, "keepLast >= 1")
+    val f = fsOf(spark, path)
+    val vs = versions(spark, path)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepLast))
+    val referenced = keep.flatMap { k =>
+      val fl = filesOf(spark, path, k); fl.data ++ fl.tomb
+    }.toSet
+    val horizon = System.currentTimeMillis() - graceMs
+    def filesUnder(sub: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val root = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      if (!f.exists(root)) Seq.empty
+      else f.listStatus(root).toSeq.filter(_.isDirectory)
+        .flatMap(d => f.listStatus(d.getPath).toSeq.filter(_.isDirectory)
+          .flatMap(c => f.listStatus(c.getPath).toSeq))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+    val doomed = (filesUnder("data") ++ filesUnder("tomb"))
+      .filter(_.getModificationTime <= horizon)
+      .map(_.getPath.toString)
+      .filterNot(referenced.contains).sorted
+    doomed.foreach(p => f.delete(new org.apache.hadoop.fs.Path(p), false))
+    drop.foreach(v => f.delete(manifestPath(path, v), false))
+    doomed
   }
 
   /** Top-k per query: ADC scan over the `nProbe` best cells' codes, then

@@ -44,7 +44,20 @@ object SkippingIndex {
       StructField("n_rows", LongType, nullable = false) +:
       cols.flatMap(c => Seq(
         StructField(s"${c}_min", LongType, nullable = true),
-        StructField(s"${c}_max", LongType, nullable = true))))
+        StructField(s"${c}_max", LongType, nullable = true),
+        StructField(s"${c}_nulls", LongType, nullable = true))))
+
+  /** Per-column null count folded across a file's row groups: parquet
+    * min/max stats IGNORE nulls while n_rows counts them, so any bound
+    * of the form "this file certainly holds k rows in [min,max]" must
+    * subtract the nulls ([[KeysetWalk]]'s certain-row arithmetic). NULL
+    * when any chunk did not record num_nulls — consumers treat unknown
+    * as "no certainty from this file", conservative like unknown min/max.
+    */
+  private def nullCount(
+      stats: Seq[org.apache.parquet.column.statistics.Statistics[_]]): Any =
+    if (stats.exists(s => s == null || !s.isNumNullsSet)) null
+    else stats.map(_.getNumNulls).sum
 
   /** Build the stats table for integer-typed `cols` over every
     * `*.parquet` file under `dir`, and write it to `statsOut` (one small
@@ -88,12 +101,13 @@ object SkippingIndex {
           val f = reader.getFooter
           val blocks = f.getBlocks.asScala.toSeq
           val nRows = blocks.map(_.getRowCount).sum
-          val minMax: Seq[(Any, Any)] = colsB.toSeq.map { c =>
+          val minMax: Seq[(Any, Any, Any)] = colsB.toSeq.map { c =>
             val chunks = blocks.flatMap(_.getColumns.asScala)
               .filter(_.getPath.toDotString == c)
             require(chunks.nonEmpty, s"column $c not found in $p")
             val stats = chunks.map(_.getStatistics)
-            if (stats.exists(s => s == null || !s.hasNonNullValue)) (null, null)
+            val nulls = nullCount(stats)
+            if (stats.exists(s => s == null || !s.hasNonNullValue)) (null, null, nulls)
             else {
               val mins = stats.map(s => (s.genericGetMin: Any) match {
                 case i: java.lang.Integer => i.longValue
@@ -108,10 +122,10 @@ object SkippingIndex {
                 case other => throw new IllegalArgumentException(
                   s"$c: unsupported stats type ${other.getClass.getName}")
               })
-              (mins.min, maxs.max)
+              (mins.min, maxs.max, nulls)
             }
           }
-          Row.fromSeq(p +: nRows +: minMax.flatMap { case (a, b) => Seq(a, b) })
+          Row.fromSeq(p +: nRows +: minMax.flatMap { case (a, b, n) => Seq(a, b, n) })
         } finally reader.close()
       }
     spark.createDataFrame(rows, statsSchema(cols))
@@ -139,12 +153,13 @@ object SkippingIndex {
           val f = reader.getFooter
           val blocks = f.getBlocks.asScala.toSeq
           val nRows = blocks.map(_.getRowCount).sum
-          val minMax: Seq[(Any, Any)] = colsB.toSeq.map { c =>
+          val minMax: Seq[(Any, Any, Any)] = colsB.toSeq.map { c =>
             val chunks = blocks.flatMap(_.getColumns.asScala)
               .filter(_.getPath.toDotString == c)
             require(chunks.nonEmpty, s"column $c not found in $p")
             val stats = chunks.map(_.getStatistics)
-            if (stats.exists(s => s == null || !s.hasNonNullValue)) (null, null)
+            val nulls = nullCount(stats)
+            if (stats.exists(s => s == null || !s.hasNonNullValue)) (null, null, nulls)
             else {
               def bin(v: Any): Array[Byte] = v match {
                 case b: org.apache.parquet.io.api.Binary => b.getBytes
@@ -168,10 +183,11 @@ object SkippingIndex {
                 }
               }
               (new String(stats.map(s => bin(s.genericGetMin)).min(ord), "UTF-8"),
-                new String(stats.map(s => bin(s.genericGetMax)).max(ord), "UTF-8"))
+                new String(stats.map(s => bin(s.genericGetMax)).max(ord), "UTF-8"),
+                nulls)
             }
           }
-          Row.fromSeq(p +: nRows +: minMax.flatMap { case (a, b) => Seq(a, b) })
+          Row.fromSeq(p +: nRows +: minMax.flatMap { case (a, b, n) => Seq(a, b, n) })
         } finally reader.close()
       }
     val schema = StructType(
@@ -179,7 +195,8 @@ object SkippingIndex {
       StructField("n_rows", LongType, nullable = false) +:
       cols.flatMap(c => Seq(
         StructField(s"${c}_min", StringType, nullable = true),
-        StructField(s"${c}_max", StringType, nullable = true))))
+        StructField(s"${c}_max", StringType, nullable = true),
+        StructField(s"${c}_nulls", LongType, nullable = true))))
     spark.createDataFrame(rows, schema)
   }
 
@@ -208,7 +225,7 @@ object SkippingIndex {
           val f = reader.getFooter
           val blocks = f.getBlocks.asScala.toSeq
           val nRows = blocks.map(_.getRowCount).sum
-          val minMax: Seq[(Any, Any)] = colsB.toSeq.map { c =>
+          val minMax: Seq[(Any, Any, Any)] = colsB.toSeq.map { c =>
             val chunks = blocks.flatMap(_.getColumns.asScala)
               .filter(_.getPath.toDotString == c)
             require(chunks.nonEmpty, s"column $c not found in $p")
@@ -233,7 +250,8 @@ object SkippingIndex {
                 else Math.floorDiv(v, 1000L)
             }
             val stats = chunks.map(_.getStatistics)
-            if (stats.exists(s => s == null || !s.hasNonNullValue)) (null, null)
+            val nulls = nullCount(stats)
+            if (stats.exists(s => s == null || !s.hasNonNullValue)) (null, null, nulls)
             else {
               def asLong(v: Any): Long = v match {
                 case l: java.lang.Long => l.longValue
@@ -242,10 +260,11 @@ object SkippingIndex {
                     "(INT64 timestamp columns only)")
               }
               (stats.map(s => toMicros(asLong(s.genericGetMin), ceil = false)).min,
-                stats.map(s => toMicros(asLong(s.genericGetMax), ceil = true)).max)
+                stats.map(s => toMicros(asLong(s.genericGetMax), ceil = true)).max,
+                nulls)
             }
           }
-          Row.fromSeq(p +: nRows +: minMax.flatMap { case (a, b) => Seq(a, b) })
+          Row.fromSeq(p +: nRows +: minMax.flatMap { case (a, b, n) => Seq(a, b, n) })
         } finally reader.close()
       }
     spark.createDataFrame(rows, statsSchema(cols))
@@ -286,70 +305,165 @@ object SkippingIndex {
     (df, p)
   }
 
-  /** One keyset page over a KEY-CLUSTERED table with an attached stats
-    * index: the `size` smallest `column` values STRICTLY ABOVE `after`
-    * (unique-key cursor contract — the serving layout clusters by a
-    * unique key), reading ONLY the file prefix that provably holds them.
+  /** One file's keyset-relevant stats: row count, [min, max] of the key
+    * column (None = unknown ⇒ the file can never be skipped), and the
+    * key column's null count (None = unknown ⇒ the file contributes no
+    * CERTAINTY to the stop bound, though it still serves rows).
+    */
+  final case class FileStat(file: String, nRows: Long,
+      min: Option[Long], max: Option[Long], nulls: Option[Long])
+
+  /** File-bounded keyset pagination over a KEY-CLUSTERED table — the
+    * serving-side complement of [[graft.query.Paginator.pageWithCursor]]
+    * for tables too large for its per-page top-k:
     *
-    * Why this exists: [[graft.query.Paginator.pageWithCursor]]'s seek
-    * filter (`column >= cursor`) row-group-prunes everything BELOW the
-    * cursor, but the top-k still scans the whole suffix above it — a
-    * per-page cost that grows with table size even though the page
-    * doesn't. With per-file [min, max, n_rows] the page becomes
-    * file-bounded: walk candidate files in min order and stop as soon
-    * as the included set PROVABLY contains `size` rows in
-    * `(after, nextMin)` — every excluded file has min ≥ nextMin, so no
-    * excluded file can hold any of the page's rows (they are the
-    * smallest keys above the cursor, all < nextMin once enough rows
-    * certainly precede it). Files without usable stats always qualify
-    * (unknown ⇒ cannot skip). Per-page cost is then
-    * O(page ÷ rows-per-file) FILES at any table size — the probe
-    * evidence for flat pages across a 10× corpus (tools/ScaleProbe).
+    * pageWithCursor's seek filter (`column >= cursor`) row-group-prunes
+    * everything BEFORE the cursor, but the top-k still scans the whole
+    * remainder beyond it — a per-page cost that grows with table size
+    * even though the page doesn't. With per-file [min, max, n_rows,
+    * nulls] the page becomes file-bounded: walk candidate files in key
+    * order and stop as soon as the included set PROVABLY contains `size`
+    * rows strictly between the cursor and the next file's boundary —
+    * every excluded file lies entirely beyond that boundary, so none can
+    * hold any of the page's rows. Per-page cost is then
+    * O(page ÷ rows-per-file) FILES at ANY table size (flat across a 10×
+    * corpus — the `keyset_page` row of tools/ScaleProbe's sf1 probe).
     *
-    * The residual `column > after` filter and the final
-    * `orderBy limit size` make the result exactly the full-sort page
-    * whatever the stats said; returns the pruning decision as evidence.
+    * Contracts and caveats:
+    *  - the key column is INT32/INT64 (the long stats surface) and the
+    *    CURSOR is a strict bound: `page(after, size)` serves the `size`
+    *    smallest keys > `after` (ascending) or largest keys < `after`
+    *    (descending). A deep walk feeds each page's last served key back
+    *    as the next `after` — exact when the key is UNIQUE (the serving
+    *    layout clusters by a unique key); under duplicate keys the
+    *    strict cursor skips remaining copies of the boundary key, the
+    *    standard keyset contract. Each PAGE is exact for any data.
+    *  - NULL keys are never served (strict comparisons drop them), and
+    *    never corrupt the stop bound: a file's certain-row contribution
+    *    is n_rows MINUS the key's null count, because parquet min/max
+    *    stats ignore nulls while n_rows counts them — a null-bearing
+    *    file inside the walk interval would otherwise overcount, stop
+    *    the walk early, and DROP rows from a later file. Files with
+    *    unknown null counts contribute zero certainty (conservative).
+    *  - files without usable min/max stats always qualify (unknown ⇒
+    *    cannot skip) and are read into every page.
+    *  - the residual filter + `orderBy limit size` make every page
+    *    exactly the full-sort page whatever the stats said; pruning is
+    *    an I/O bound, never a semantics change.
+    *
+    * The stats are collected ONCE at construction (the same driver-side
+    * file-list footprint every file index carries) and reused by every
+    * page of the walk; a cursor provably past the data returns the
+    * correctly-empty page from the stats alone — an empty relation, no
+    * table scan. Build via [[SkippingIndex.keysetWalk]] (attached-stats
+    * dirs) or [[SnapshotTable.keysetWalk]] (pinned snapshot versions).
+    */
+  final class KeysetWalk private[operators] (spark: SparkSession,
+      column: String, stats: Array[FileStat]) {
+    require(stats.nonEmpty, "keyset walk needs at least one file")
+
+    /** The `size` smallest keys strictly above `after` (ascending) or
+      * largest strictly below it (descending), with the pruning decision
+      * as evidence. Start a walk from `Long.MinValue` / `Long.MaxValue`.
+      */
+    def page(after: Long, size: Int, ascending: Boolean = true): (DataFrame, Prune) = {
+      require(size > 0, "page size must be positive")
+      val (blind, known0) = stats.partition(s => s.min.isEmpty || s.max.isEmpty)
+      // candidates: could hold a key strictly beyond the cursor
+      val known = known0.filter(s =>
+        if (ascending) s.max.get > after else s.min.get < after)
+      // walk in key order: nearest-to-cursor file first
+      val sorted =
+        if (ascending) known.sortBy(_.min.get) else known.sortBy(s => -s.max.get)
+      val included = scala.collection.mutable.ArrayBuffer.empty[FileStat]
+      var i = 0
+      var done = sorted.isEmpty
+      while (!done) {
+        included += sorted(i)
+        i += 1
+        if (i >= sorted.length) done = true
+        else {
+          // rows CERTAINLY between the cursor and the next file's
+          // boundary: files entirely inside the open interval contribute
+          // their non-null rows (boundary-straddling files contribute an
+          // unknown share and count as zero — a lower bound)
+          val bound = if (ascending) sorted(i).min.get else sorted(i).max.get
+          val certain = included.iterator
+            .filter(s =>
+              if (ascending) s.min.get > after && s.max.get < bound
+              else s.max.get < after && s.min.get > bound)
+            .map(s => s.nRows - s.nulls.getOrElse(s.nRows))
+            .sum
+          if (certain >= size) done = true
+        }
+      }
+      val kept = (included.map(_.file) ++ blind.map(_.file)).sorted.toSeq
+      val p = Prune(stats.length, kept.length, kept)
+      val base =
+        if (kept.isEmpty)
+          // provably nothing beyond the cursor: the empty page served
+          // from the stats alone — a false predicate on one file's
+          // schema folds to an empty LocalRelation (zero scan jobs)
+          spark.read.parquet(stats.head.file).where(lit(false))
+        else spark.read.parquet(kept: _*)
+      val pred = if (ascending) col(column) > after else col(column) < after
+      val ord = if (ascending) col(column).asc else col(column).desc
+      (base.filter(pred).orderBy(ord).limit(size), p)
+    }
+  }
+
+  /** A [[KeysetWalk]] over `dir`: consults the attached stats index
+    * ([[attachStats]]) when it covers `column`, otherwise builds the
+    * stats in memory from the files' footers (footer-only distributed
+    * read, nothing written).
+    */
+  def keysetWalk(spark: SparkSession, dir: String, column: String): KeysetWalk = {
+    val statsPath = new Path(statsPathFor(dir))
+    val covered = statsPath
+      .getFileSystem(spark.sessionState.newHadoopConf()).exists(statsPath) && {
+        val s = spark.read.parquet(statsPath.toString)
+        s.columns.contains(s"${column}_min") && s.columns.contains(s"${column}_max")
+      }
+    val df =
+      if (covered) spark.read.parquet(statsPath.toString)
+      else {
+        val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+        val files = fs.listStatus(new Path(dir))
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString).sorted.toSeq
+        require(files.nonEmpty, s"no parquet files under $dir")
+        statsRows(spark, files, Seq(column))
+      }
+    keysetWalkFromStats(spark, df, column)
+  }
+
+  /** Build a [[KeysetWalk]] from a stats frame in [[statsRows]]' shape
+    * (the one collect of the walk). A frame without the `_nulls` column
+    * (an index attached before null counts existed) degrades to
+    * zero-certainty contributions — more files per page, never a wrong
+    * one.
+    */
+  private[operators] def keysetWalkFromStats(spark: SparkSession,
+      statsDf: DataFrame, column: String): KeysetWalk = {
+    val withNulls =
+      if (statsDf.columns.contains(s"${column}_nulls")) statsDf
+      else statsDf.withColumn(s"${column}_nulls", lit(null).cast("long"))
+    val rows = withNulls.select(col("file"), col("n_rows"),
+      col(s"${column}_min"), col(s"${column}_max"), col(s"${column}_nulls"))
+      .collect()
+    val stats = rows.map(r => FileStat(r.getString(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)),
+      if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    new KeysetWalk(spark, column, stats)
+  }
+
+  /** One-shot ascending keyset page (see [[KeysetWalk.page]]); a multi-
+    * page walk should hold a [[keysetWalk]] so the stats collect once.
     */
   def keysetPage(spark: SparkSession, dir: String, column: String,
-      after: Long, size: Int): (DataFrame, Prune) = {
-    require(size > 0, "page size must be positive")
-    val stats = spark.read.parquet(statsPathFor(dir))
-      .select(col("file"), col("n_rows"),
-        col(s"${column}_min"), col(s"${column}_max"))
-      .collect()
-    def unknown(r: Row) = r.isNullAt(2) || r.isNullAt(3)
-    // candidates: could contain a key above the cursor
-    val cand = stats.filter(r => unknown(r) || r.getLong(3) > after)
-    val (blind, known) = cand.partition(unknown)
-    val sorted = known.sortBy(_.getLong(2))
-    val included = scala.collection.mutable.ArrayBuffer.empty[Row]
-    var i = 0
-    var done = sorted.isEmpty
-    while (!done) {
-      included += sorted(i)
-      i += 1
-      if (i >= sorted.length) done = true
-      else {
-        val nextMin = sorted(i).getLong(2)
-        // rows certainly in (after, nextMin): files entirely inside it
-        // contribute all their rows (a lower bound — boundary-straddling
-        // files contribute an unknown share and count as zero)
-        val certain = included.iterator
-          .filter(r => r.getLong(2) > after && r.getLong(3) < nextMin)
-          .map(_.getLong(1)).sum
-        if (certain >= size) done = true
-      }
-    }
-    val kept = (included ++ blind).map(_.getString(0)).sorted.toSeq
-    val p = Prune(stats.length, kept.length, kept)
-    if (kept.isEmpty)
-      // nothing above the cursor: the correctly-empty page, schema kept
-      (spark.read.parquet(dir).filter(col(column) > after)
-        .orderBy(col(column).asc).limit(size), p)
-    else
-      (spark.read.parquet(kept: _*).filter(col(column) > after)
-        .orderBy(col(column).asc).limit(size), p)
-  }
+      after: Long, size: Int): (DataFrame, Prune) =
+    keysetWalk(spark, dir, column).page(after, size)
 
   /** Conventional in-table location of the stats index: an
     * underscore-prefixed subdirectory, which Spark's file listing (like

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Versioned snapshot table: the manifest layer that unifies
   * [[Upsert]] (CDC merge), [[Layout]] (compaction) and [[SkippingIndex]]
@@ -94,10 +95,7 @@ object SnapshotTable {
     try versions(spark, path).nonEmpty
     catch { case scala.util.control.NonFatal(_) => false }
 
-  /** The live files of `version` (default: current). */
-  def files(spark: SparkSession, dir: String, version: Option[Long] = None): Seq[String] = {
-    val v = version.orElse(currentVersion(spark, dir)).getOrElse(
-      throw new IllegalArgumentException(s"no committed version under $dir"))
+  private def manifestLines(spark: SparkSession, dir: String, v: Long): Seq[String] = {
     val p = manifestPath(dir, v)
     val f = fs(spark, dir)
     require(f.exists(p), s"version $v does not exist under $dir")
@@ -108,11 +106,45 @@ object SnapshotTable {
     new String(buf, "UTF-8").split("\n").map(_.trim).filter(_.nonEmpty).toSeq
   }
 
-  /** Read a PINNED snapshot (default: current). The plan scans a fixed
-    * file list, so later commits/compactions are invisible to it.
+  /** The live files of `version` (default: current). `#`-prefixed
+    * manifest header lines (the version's schema) are not files.
     */
-  def read(spark: SparkSession, dir: String, version: Option[Long] = None): DataFrame =
-    spark.read.parquet(files(spark, dir, version): _*)
+  def files(spark: SparkSession, dir: String, version: Option[Long] = None): Seq[String] = {
+    val v = version.orElse(currentVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version under $dir"))
+    manifestLines(spark, dir, v).filterNot(_.startsWith("#"))
+  }
+
+  /** The schema committed WITH `version` — what makes ADD COLUMN work:
+    * version n+1's manifest carries the evolved schema, and [[read]]
+    * scans n+1's files (old files included, REUSED not rewritten) under
+    * it, NULL-backfilling the columns an old file predates. None for a
+    * manifest from before schema headers existed (read then infers).
+    */
+  def schemaOf(spark: SparkSession, dir: String,
+      version: Option[Long] = None): Option[StructType] = {
+    val v = version.orElse(currentVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version under $dir"))
+    manifestLines(spark, dir, v).find(_.startsWith(SchemaHeader))
+      .map(l => org.apache.spark.sql.types.DataType.fromJson(
+        l.drop(SchemaHeader.length)).asInstanceOf[StructType])
+  }
+
+  private val SchemaHeader = "#schema:"
+
+  /** Read a PINNED snapshot (default: current). The plan scans a fixed
+    * file list, so later commits/compactions are invisible to it; the
+    * version's committed schema applies, so files written before an ADD
+    * COLUMN serve NULL for the columns they predate (by-name resolution
+    * — no mergeSchema footer sweep needed at plan time).
+    */
+  def read(spark: SparkSession, dir: String, version: Option[Long] = None): DataFrame = {
+    val fl = files(spark, dir, version)
+    schemaOf(spark, dir, version) match {
+      case Some(s) => spark.read.schema(s).parquet(fl: _*)
+      case None => spark.read.parquet(fl: _*)
+    }
+  }
 
   private def nonce(): String = java.util.UUID.randomUUID.toString.take(8)
 
@@ -134,56 +166,16 @@ object SnapshotTable {
   }
 
   /** Atomically publish `fileList` as version `v`, or throw
-    * [[CommitConflict]] if another writer committed `v` first.
-    *
-    * The commit must be atomic for readers AND exclusive between
-    * writers. On HDFS, rename-without-replace gives both (the namenode
-    * rejects a rename onto an existing path). POSIX rename REPLACES the
-    * destination — a silent lost update — so on a local filesystem the
-    * tmp manifest is published with a hard LINK instead: link(2) is
-    * atomic and fails with EEXIST when the target already exists,
-    * making exactly one racer win and the other throw.
+    * [[CommitConflict]] if another writer committed `v` first — the
+    * [[ManifestCommit]] exclusive-publish primitive (hard link on POSIX,
+    * rename-without-replace on HDFS; IO failures surface as IOException,
+    * never as a conflict).
     */
   private def commitManifest(spark: SparkSession, dir: String, v: Long,
-      fileList: Seq[String]): Unit = {
-    val f = fs(spark, dir)
-    val target = manifestPath(dir, v)
-    f.mkdirs(target.getParent)
-    if (f.exists(target))
-      throw new CommitConflict(s"version $v already committed")
-    val tmp = new Path(target.toString + s"__tmp_${nonce()}")
-    val out = f.create(tmp, true)
-    try out.write((fileList.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    val local = f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
-      f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
-    if (local) {
-      val won =
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(target.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        } finally f.delete(tmp, false)
-      if (!won) throw new CommitConflict(s"version $v already committed (lost the race)")
-    } else {
-      // HDFS contract: rename fails (returns false) when the destination
-      // exists — exclusive and atomic at the namenode. But rename also
-      // returns false for missing source/parent and other IO conditions:
-      // only a NOW-EXISTING target is a lost race; anything else is an
-      // IO failure that must surface as such, not burn rebase retries.
-      if (!f.rename(tmp, target)) {
-        f.delete(tmp, false)
-        if (f.exists(target))
-          throw new CommitConflict(s"version $v already committed (lost the race)")
-        throw new java.io.IOException(
-          s"manifest publish rename failed for version $v and the target " +
-            s"does not exist — filesystem error, not a commit conflict ($target)")
-      }
-    }
-  }
+      fileList: Seq[String], schema: Option[StructType]): Unit =
+    ManifestCommit.publish(fs(spark, dir), manifestPath(dir, v),
+      (schema.map(s => SchemaHeader + s.json).toSeq ++ fileList)
+        .mkString("\n") + "\n")
 
   /** Create version 1 from `df`. Pre-shape the frame for later pruning
     * (e.g. `df.repartitionByRange(n, col(key))` for tight per-file key
@@ -192,7 +184,7 @@ object SnapshotTable {
   def create(spark: SparkSession, df: DataFrame, dir: String): Commit = {
     require(currentVersion(spark, dir).isEmpty, s"table already exists under $dir")
     val fl = writeData(spark, df, dir, 1L)
-    commitManifest(spark, dir, 1L, fl)
+    commitManifest(spark, dir, 1L, fl, Some(df.schema))
     Commit(1L, fl, 0)
   }
 
@@ -218,6 +210,15 @@ object SnapshotTable {
     * degrades gracefully to ALL files affected: correctness is
     * preserved (the merge sees the whole table), only pruning is lost.
     *
+    * Schema evolution (ADD COLUMN): changes may carry columns the table
+    * lacks — they become part of version n+1's committed schema
+    * (manifest header), NULL on every row an old file serves and on
+    * every merged base row; untouched files are REUSED, never rewritten.
+    * A change column whose type differs from the table's is rejected
+    * with IllegalArgumentException (no silent coercion); changes missing
+    * an existing table column fail the merge's column resolution loudly.
+    * Pinned reads of older versions keep their own committed schema.
+    *
     * Concurrency: optimistic. The merge is computed against the current
     * version and committed with the exclusive manifest publish; a
     * [[CommitConflict]] (another writer took the version number) REBASES
@@ -236,7 +237,26 @@ object SnapshotTable {
       val v = currentVersion(spark, dir).getOrElse(
         throw new IllegalArgumentException(s"no table under $dir — create() first"))
       val live = files(spark, dir, Some(v))
-      val keyType = read(spark, dir, Some(v)).schema(keyCol).dataType
+      val tableSchema = schemaOf(spark, dir, Some(v))
+        .getOrElse(read(spark, dir, Some(v)).schema)
+      val keyType = tableSchema(keyCol).dataType
+      // SCHEMA EVOLUTION (ADD COLUMN): change columns the table lacks
+      // evolve the schema — the merge output carries them, version n+1's
+      // manifest commits the evolved schema, and the UNTOUCHED files
+      // (reused, never rewritten) NULL-backfill them at read. A column
+      // whose TYPE differs from the table's is rejected loudly — silent
+      // coercion would corrupt the key/file-stat pruning contract and
+      // every pinned reader's expectations.
+      val changeFields = changes.schema.fields.filterNot(_.name == deleteCol)
+      val baseByName = tableSchema.fields.map(f => f.name -> f).toMap
+      val mismatched = changeFields.filter(f =>
+        baseByName.get(f.name).exists(_.dataType != f.dataType))
+      require(mismatched.isEmpty,
+        "schema evolution accepts NEW nullable columns only; type changes rejected: " +
+          mismatched.map(f => s"${f.name} (table " +
+            s"${baseByName(f.name).dataType.simpleString}, changes " +
+            s"${f.dataType.simpleString})").mkString(", "))
+      val newFields = changeFields.filterNot(f => baseByName.contains(f.name))
       // the STATS side is the small one (a row per file) — broadcast it
       // and stream the change keys through, so the file selection scales
       // with changes, not files × keys; distinct file paths are the
@@ -277,18 +297,23 @@ object SnapshotTable {
           case scala.util.control.NonFatal(_) => live.toSet // degrade, stay correct
         }
       val untouched = live.filterNot(affected.contains)
-      val base =
+      val baseRaw =
         if (affected.isEmpty)
           // no file intersects: inserts only — merge over an empty base
           // with the table's schema
           read(spark, dir, Some(v)).limit(0)
-        else spark.read.parquet(affected.toSeq.sorted: _*)
+        else spark.read.schema(tableSchema).parquet(affected.toSeq.sorted: _*)
+      // evolved columns join the base side as NULLs so latest-wins sees
+      // one uniform schema; only the AFFECTED files' rows pay this —
+      // untouched files backfill lazily at read via the committed schema
+      val base = newFields.foldLeft(baseRaw)((df, f) =>
+        df.withColumn(f.name, lit(null).cast(f.dataType)))
       val merged = Upsert.latestWins(base, changes, Seq(keyCol),
         versionCol, tieCol, deleteCol, keepVersionCol = true)
       val fl = writeData(spark, merged, dir, v + 1)
       val all = (untouched ++ fl).sorted
       try {
-        commitManifest(spark, dir, v + 1, all)
+        commitManifest(spark, dir, v + 1, all, Some(merged.schema))
         return Commit(v + 1, all, untouched.length)
       } catch {
         case e: CommitConflict =>
@@ -336,7 +361,7 @@ object SnapshotTable {
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .map(_.getPath.toString).sorted.toSeq
       try {
-        commitManifest(spark, dir, v + 1, fl)
+        commitManifest(spark, dir, v + 1, fl, Some(df.schema))
         return Commit(v + 1, fl, 0)
       } catch {
         case e: CommitConflict =>
@@ -387,6 +412,32 @@ object SnapshotTable {
       else
         (spark.read.parquet(p.kept: _*).filter(col(column).between(lo, hi)), Some(p))
     }
+  }
+
+  /** A [[SkippingIndex.KeysetWalk]] over a PINNED snapshot version — the
+    * serving path for deep keyset pagination of a key-clustered snapshot
+    * table: per-page cost is file-bounded at any table size (see
+    * [[SkippingIndex.KeysetWalk]] for the contract and the sf1 flat-page
+    * probe evidence). Uses the version's attached stats index when
+    * [[attachStats]] covered `column`; otherwise builds the stats in
+    * memory from the manifest's files (footer-only, nothing written).
+    * The walk pins the version's FILE LIST at construction, so later
+    * commits/compactions never disturb an in-flight walk — the same
+    * snapshot-isolation contract as [[read]].
+    */
+  def keysetWalk(spark: SparkSession, dir: String, column: String,
+      version: Option[Long] = None): SkippingIndex.KeysetWalk = {
+    val v = version.orElse(currentVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no table under $dir"))
+    val sp = new Path(statsDir(dir, v))
+    val covered = fs(spark, dir).exists(sp) && {
+      val s = spark.read.parquet(sp.toString)
+      s.columns.contains(s"${column}_min") && s.columns.contains(s"${column}_max")
+    }
+    val df =
+      if (covered) spark.read.parquet(sp.toString)
+      else SkippingIndex.statsRows(spark, files(spark, dir, Some(v)), Seq(column))
+    SkippingIndex.keysetWalkFromStats(spark, df, column)
   }
 
   /** Keep the table current from a CDC change stream: every micro-batch

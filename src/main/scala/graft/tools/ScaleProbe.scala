@@ -103,6 +103,52 @@ object ScaleProbe {
       results += f"""  "$name": {"sf01_sec": $tSmall%.3f, "sf1_sec": $tBig%.3f, """ +
         f""""sf01_rows": $rowsSmall, "sf1_rows": $rowsBig, "ratio": ${tBig / tSmall}%.2f}"""
     }
+    // keyset-paging probe: SkippingIndex.KeysetWalk's claim is that a
+    // page over a key-clustered table costs O(page / rows-per-file)
+    // FILES whatever the table size — so per-page wall time must be
+    // ~FLAT from sf0.1 to sf1 when rows-per-file is held constant (files
+    // scale 10x with the corpus, the 100 TB model). Contrast: the plain
+    // seek top-k (Paginator.pageAfter) scans the whole remainder past
+    // the cursor, which grows 10x.
+    locally {
+      def buildKeyset(docsDir: String, outDir: String, nFiles: Int): Unit =
+        if (!new java.io.File(s"$outDir/_graft_stats").exists()) {
+          spark.read.parquet(docsDir).select(col("doc_id"), col("text"))
+            .repartitionByRange(nFiles, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(outDir)
+          graft.operators.SkippingIndex.attachStats(spark, outDir, Seq("doc_id"))
+        }
+      val small = "/root/repo/target/keyset_sf01"
+      val big = "/root/repo/target/keyset_sf1"
+      buildKeyset(s"$src/documents.parquet", small, 32)
+      buildKeyset(s"$out/documents.parquet", big, 320)
+      def perPage(dir: String): (Double, Int) = {
+        val walk = graft.operators.SkippingIndex.keysetWalk(spark, dir, "doc_id")
+        walk.page(Long.MinValue, 1000)._1.collect() // warm codegen/scan init
+        var cur = Long.MinValue
+        var maxKept = 0
+        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+        (0 until 20).foreach { _ =>
+          val t0 = System.nanoTime()
+          val (df, p) = walk.page(cur, 1000)
+          val keys = df.select("doc_id").collect()
+          times += (System.nanoTime() - t0) / 1e6
+          maxKept = math.max(maxKept, p.filesKept)
+          if (keys.nonEmpty) cur = keys.last.getLong(0)
+        }
+        (times.sorted.apply(times.length / 2), maxKept) // median ms/page
+      }
+      val (msSmall, keptS) = perPage(small)
+      val (msBig, keptB) = perPage(big)
+      println(f"[scale] keyset_page sf0.1=$msSmall%6.1f ms/page (files_kept<=$keptS)  " +
+        f"sf1=$msBig%6.1f ms/page (files_kept<=$keptB)  ratio=${msBig / msSmall}%5.2fx")
+      results += f"""  "keyset_page": {"sf01_ms_per_page": $msSmall%.1f, """ +
+        f""""sf1_ms_per_page": $msBig%.1f, "ratio": ${msBig / msSmall}%.2f, """ +
+        f""""files_kept_max_sf01": $keptS, "files_kept_max_sf1": $keptB, """ +
+        f""""page_rows": 1000, "pages_walked": 20, "timing": "median_ms_per_page"}"""
+    }
+
     // deep-merge BPE probe: 1024 merge rounds. The sf1 documents
     // vocabulary EXHAUSTS at ~368 merges (every distinct word collapses
     // to one symbol — it is replica-structured synthetic text), so the

@@ -117,8 +117,9 @@ class PqIndexSpec extends AnyFunSuite {
     PqIndex.deleteFromIndex(spark,
       spark.range(1, 10, 2).toDF("vec_id"), "vec_id", dir)
     assert(run(PqIndex.readIndex(spark, dir)) == served, "re-delete is idempotent")
-    // the sidecar is invisible to a plain read of the index directory
-    assert(spark.read.parquet(dir).count() == emb.count())
+    // the delete committed NEW versions; version 1 still serves the full
+    // pre-delete index (pinned time travel, files immutable until vacuum)
+    assert(PqIndex.readIndex(spark, dir, Some(1L)).count() == emb.count())
   }
 
   test("compactIndex: identical search, empty sidecar, no anti-join in the plan") {
@@ -133,24 +134,44 @@ class PqIndexSpec extends AnyFunSuite {
       PqIndex.search(PqIndex.readIndex(spark, dir), emb, "vec_id", "embedding",
         q, "vec_id", "embedding", model, k = 5).collect().toSeq
     val before = run()
+    // RACING READER: pin the pre-compaction versions before compacting —
+    // v1 = full index, v2 = tombstoned. The manifest commit over
+    // immutable filesets must leave both serving exactly what they
+    // pinned, however the compaction rewrites cells (the concurrent-
+    // reader guarantee the old delete+rename design could not give).
+    val pinnedFull = PqIndex.readIndex(spark, dir, Some(1L))
+    val pinnedMasked = PqIndex.readIndex(spark, dir, Some(2L))
     PqIndex.compactIndex(spark, dir)
     assert(run() == before,
       "compaction must not change served results, row for row")
-    // sidecar cleared, no staging leftovers, plain row count = survivors
-    val root = new java.io.File(dir)
-    assert(!root.listFiles().exists(_.getName.startsWith("_tombstones")),
-      "compaction must clear the tombstone sidecar")
-    assert(!root.listFiles().exists(_.getName.startsWith("_compact")),
-      "compaction must clean up its staging dir")
-    assert(spark.read.parquet(dir).count() == emb.filter(col("vec_id") % 2 === 0).count(),
-      "tombstoned rows are physically gone after compaction")
-    // and the serve plan carries no anti-join any more
+    assert(pinnedFull.count() == emb.count(),
+      "a reader pinned to v1 during compaction must still see the full index")
+    assert(PqIndex.search(pinnedMasked, emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", model, k = 5).collect().toSeq == before,
+      "a reader pinned to the tombstoned v2 must serve identically through the compaction")
+    // physical state: current version holds exactly the survivors and
+    // references no tombstone files — the serve plan has no anti-join
+    assert(PqIndex.readIndex(spark, dir).count() ==
+      emb.filter(col("vec_id") % 2 === 0).count(),
+      "tombstoned rows are physically gone from the compacted version")
     val plan = PqIndex.readIndex(spark, dir).queryExecution.executedPlan
     assert(!plan.toString.toLowerCase.contains("anti"),
       s"compacted index must serve without a tombstone anti-join:\n$plan")
     // compacting an already-compacted index is a no-op
     PqIndex.compactIndex(spark, dir)
     assert(run() == before)
+    // vacuum drops the old versions' now-unreferenced files (grace 0:
+    // provably no writer in flight here) — the tomb tree empties and
+    // only the compacted version remains readable
+    val deleted = PqIndex.vacuumIndex(spark, dir, keepLast = 1, graceMs = 0L)
+    assert(deleted.nonEmpty, "vacuum must reap the pre-compaction files")
+    assert(PqIndex.versions(spark, dir).length == 1)
+    val tombRoot = new java.io.File(dir, "tomb")
+    assert(!tombRoot.exists() ||
+      tombRoot.listFiles().forall(d => d.listFiles().forall(c =>
+        c.listFiles() == null || c.listFiles().isEmpty)),
+      "after compact+vacuum no tombstone parquet may remain on disk")
+    assert(run() == before, "the retained version serves on after vacuum")
   }
 
   test("append after delete unmasks the id (delete-then-reinsert update path)") {
@@ -176,11 +197,13 @@ class PqIndexSpec extends AnyFunSuite {
     val ids = PqIndex.readIndex(spark, dir).filter(col("id").isin(5, 7))
       .select("id").collect().map(_.getLong(0)).toSeq
     assert(ids == Seq(5L), s"append of 5 must unmask only 5, kept 7 masked: $ids")
-    // when the last tombstone is superseded the sidecar disappears
+    // when the last tombstone is superseded the current version carries
+    // no tombstone files at all — the serve plan loses its anti-join
     PqIndex.appendToIndex(emb.filter(col("vec_id") === 7), "vec_id", "embedding",
       model, dir)
-    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_tombstones")),
-      "an all-superseded sidecar must be dropped, not left as an empty dir")
+    assert(!PqIndex.readIndex(spark, dir).queryExecution.executedPlan
+      .toString.toLowerCase.contains("anti"),
+      "an all-superseded tombstone set must vanish from the manifest, not linger empty")
     // every id is live exactly once: the three delete→reinsert round
     // trips net out to the original corpus
     assert(PqIndex.readIndex(spark, dir).count() == emb.count())

@@ -115,4 +115,134 @@ class SkippingIndexSpec extends AnyFunSuite {
     assert(p.filesKept == p.filesTotal,
       "hash-partitioned files all span the whole domain - nothing can be skipped")
   }
+
+  // ---- keyset pagination over the stats (KeysetWalk) -------------------
+
+  private lazy val keysetDir: String = {
+    // unique key, key-clustered: the serving layout KeysetWalk is for
+    val o = Tables.load(spark, TestSpark.sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val d = TestSpark.scratch("keyset_orders")
+    o.repartitionByRange(12, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(d)
+    SkippingIndex.attachStats(spark, d, Seq("o_orderkey"))
+    d
+  }
+
+  test("keyset walk: asc and desc page walks equal the offset pages, file-bounded") {
+    val full = spark.read.parquet(keysetDir)
+      .orderBy("o_orderkey").collect().map(_.getLong(0)).toSeq
+    val walk = SkippingIndex.keysetWalk(spark, keysetDir, "o_orderkey")
+    val size = 100
+    // ascending
+    var after = Long.MinValue
+    var got = Seq.empty[Long]
+    var maxKept = 0
+    for (k <- 0 until 15) {
+      val (df, p) = walk.page(after, size)
+      val keys = df.collect().map(_.getAs[Long]("o_orderkey")).toSeq
+      assert(keys == full.drop(k * size).take(size),
+        s"asc page $k diverged from the offset slice")
+      // the scan touches only the kept files, and few of them
+      assert(df.inputFiles.map(norm).toSet.subsetOf(p.kept.map(norm).toSet))
+      if (keys.nonEmpty) { after = keys.last; maxKept = math.max(maxKept, p.filesKept) }
+      got ++= keys
+    }
+    assert(got == full, "asc walk must cover the table exactly")
+    // ~125 rows/file: a 100-row page is provably inside 2-3 files
+    assert(maxKept <= 4, s"pages must stay file-bounded, saw $maxKept/12 kept")
+    // past-the-end cursor: the empty page from the stats alone
+    val (tail, pTail) = walk.page(full.last, size)
+    assert(tail.isEmpty && pTail.filesKept == 0,
+      "a cursor past the data must serve the empty page without keeping files")
+    // descending mirror
+    after = Long.MaxValue
+    got = Seq.empty
+    val fullDesc = full.reverse
+    for (k <- 0 until 15) {
+      val (df, p) = walk.page(after, size, ascending = false)
+      val keys = df.collect().map(_.getAs[Long]("o_orderkey")).toSeq
+      assert(keys == fullDesc.drop(k * size).take(size),
+        s"desc page $k diverged from the offset slice")
+      assert(p.filesKept <= 4 || keys.isEmpty)
+      if (keys.nonEmpty) after = keys.last
+      got ++= keys
+    }
+    assert(got == fullDesc, "desc walk must cover the table exactly")
+  }
+
+  test("keyset page is exact under duplicate keys at any cursor (pruning never drops rows)") {
+    // non-unique key: each page() is still exactly the full-sort page
+    // above the cursor — the strict-cursor WALK contract needs a unique
+    // key, but per-page pruning must be exact for any data
+    val o = Tables.load(spark, TestSpark.sf, "orders")
+      .select(pmod(col("o_orderkey"), lit(50)).as("k"), col("o_custkey"))
+    val d = TestSpark.scratch("keyset_dupes")
+    o.repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(d)
+    val walk = SkippingIndex.keysetWalk(spark, d, "k") // no attached index: footer build
+    val all = spark.read.parquet(d)
+    for (after <- Seq(Long.MinValue, 0L, 17L, 24L, 25L, 48L, 49L)) {
+      val (df, _) = walk.page(after, 60)
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val want = all.filter(col("k") > after).orderBy("k").limit(60)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // duplicate keys make row order within a tie nondeterministic;
+      // compare as sorted multisets (same keys, same rows)
+      assert(got.sorted == want.sorted, s"page after=$after diverged")
+    }
+  }
+
+  test("keyset walk: blind files (no usable stats) are read into every page; nulls never overcount") {
+    import spark.implicits._
+    val d = TestSpark.scratch("keyset_nulls")
+    val p0 = new org.apache.hadoop.fs.Path(d)
+    p0.getFileSystem(spark.sessionState.newHadoopConf()).delete(p0, true)
+    // file A: keys 1..50 plus 100 NULL keys — min/max (1,50) but only 50
+    // real rows: the certain-row bound must use n_rows - nulls, or the
+    // walk stops at file A for a 120-row page and DROPS rows from B/C
+    val fileA = ((1L to 50L).map(k => (Some(k), s"a$k")) ++
+      (1 to 100).map(i => (None: Option[Long], s"n$i"))).toDF("k", "v")
+    val fileB = (51L to 100L).map(k => (Some(k), s"b$k")).toDF("k", "v")
+    // file C: ALL-null key column — no usable min/max, a blind file that
+    // must be kept in every page (it can never be ruled out)
+    val fileC = (1 to 20).map(i => (None: Option[Long], s"c$i")).toDF("k", "v")
+    val fileD = (101L to 150L).map(k => (Some(k), s"d$k")).toDF("k", "v")
+    Seq(fileA, fileB, fileC, fileD).foreach(
+      _.coalesce(1).write.mode("append").parquet(d))
+    val walk = SkippingIndex.keysetWalk(spark, d, "k")
+    val (df, p) = walk.page(0L, 120)
+    val got = df.collect().map(_.getLong(0)).toSeq
+    assert(got == (1L to 120L), s"null-aware walk must serve keys 1..120, got ${got.size} rows")
+    assert(p.filesKept == 4, s"A,B,D needed for certainty plus blind C: kept ${p.filesKept}")
+    // a page fully answered by A+B still carries the blind file
+    val (df2, p2) = walk.page(0L, 30)
+    assert(df2.collect().map(_.getLong(0)).toSeq == (1L to 30L))
+    assert(p2.kept.exists(f => spark.read.parquet(f).filter(col("k").isNull).count() == 20),
+      "the blind all-null file must be kept in every page")
+  }
+
+  test("SnapshotTable.keysetWalk serves pinned-version pages that survive a compaction") {
+    import graft.operators.SnapshotTable
+    val d = TestSpark.scratch("keyset_snap")
+    val p0 = new org.apache.hadoop.fs.Path(d)
+    p0.getFileSystem(spark.sessionState.newHadoopConf()).delete(p0, true)
+    val o = Tables.load(spark, TestSpark.sf, "orders")
+      .select("o_orderkey", "o_totalprice").withColumn("commit_v", lit(0L))
+    SnapshotTable.create(spark, o.repartitionByRange(10, col("o_orderkey")), d)
+    SnapshotTable.attachStats(spark, d, Seq("o_orderkey"))
+    val walk = SnapshotTable.keysetWalk(spark, d, "o_orderkey")
+    val full = SnapshotTable.read(spark, d, Some(1L))
+      .orderBy("o_orderkey").collect().map(_.getLong(0)).toSeq
+    val (pg1, pr1) = walk.page(Long.MinValue, 200)
+    assert(pg1.collect().map(_.getLong(0)).toSeq == full.take(200))
+    assert(pr1.filesKept <= 4, s"snapshot page must be file-bounded, kept ${pr1.filesKept}/10")
+    // rewrite the table; the in-flight walk still serves version-1 pages
+    // (its file list was pinned at construction, files live until vacuum)
+    SnapshotTable.compact(spark, d, targetRecords = 100000L)
+    val (pg5, _) = walk.page(full(799), 200)
+    assert(pg5.collect().map(_.getLong(0)).toSeq == full.slice(800, 1000),
+      "a walk pinned before the compaction must still serve the old version")
+  }
 }
