@@ -347,6 +347,32 @@ case class PqEncode(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** nearest_cells(vector) -> array<int>: the nProbe centroid indices with
+  * the highest cosine, best-first — the coarse-quantizer probe as ONE
+  * kernel over a centroid reference object instead of an nCells-wide
+  * struct-array expression (see [[VectorOps.nearestCells]] for the exact
+  * tie/NaN parity contract with the formulation it replaces).
+  */
+case class NearestCells(child: Expression, centroids: Array[Array[Double]],
+    nProbe: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_cells"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprUtil.checkVector(prettyName, child)
+  private lazy val isFloat = ExprUtil.isFloatArray(child)
+
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.nearestCells(v.asInstanceOf[ArrayData], centroids, nProbe, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.expr.VectorOps.nearestCells($v, $ref, $nProbe, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** pq_lut(query_vector) -> array<double> of m*k ADC partial dot products. */
 case class PqLut(child: Expression, codebooks: Array[Array[Double]], m: Int, k: Int)
     extends UnaryExpression {
@@ -434,6 +460,9 @@ object GraftFunctions {
       m: Int, k: Int): Column =
     col(PqEncode(ColumnBridge.expression(v), ColumnBridge.expression(centroid),
       codebooks, m, k))
+
+  def nearestCells(v: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    col(NearestCells(ColumnBridge.expression(v), centroids, nProbe))
 
   def pqLut(q: Column, codebooks: Array[Array[Double]], m: Int, k: Int): Column =
     col(PqLut(ColumnBridge.expression(q), codebooks, m, k))

@@ -370,6 +370,62 @@ object VectorOps {
     best
   }
 
+  /** The `nProbe` centroid indices with the highest cosine(v, centroid),
+    * ranked best-first — ONE kernel call replacing the nCells-wide
+    * struct-array expression (`greatest(struct(score, cell)...)` /
+    * `slice(reverse(array_sort(...)))`) whose plan size grows with the
+    * cell count: at FAISS-scale √n cells the expression tree becomes the
+    * bottleneck, the kernel stays one reference object + one loop.
+    *
+    * Exact drop-in for the expression formulation it replaces: the
+    * per-cell score is the [[cosine]] loop verbatim (bit-identical
+    * accumulation), ranking is (score desc, cell desc) — greatest() and
+    * reversed array_sort both break score ties toward the HIGHER cell
+    * id — and Double.compare ranks NaN greatest like Spark's ordering.
+    */
+  def nearestCells(v: ArrayData, centroids: Array[Array[Double]], nProbe: Int,
+      isFloat: Boolean): ArrayData = {
+    val nc = centroids.length
+    val scores = new Array[Double](nc)
+    var ci = 0
+    while (ci < nc) {
+      val c = centroids(ci)
+      val n = v.numElements()
+      require(n == c.length,
+        s"graft_nearest_cells: vector length $n != centroid length ${c.length}")
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        val y = c(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val nn = math.sqrt(na) * math.sqrt(nb)
+      scores(ci) = if (nn == 0.0) 0.0 else dot / nn
+      ci += 1
+    }
+    val k = math.min(nProbe, nc)
+    val out = new Array[Int](k)
+    val used = new Array[Boolean](nc)
+    var r = 0
+    while (r < k) {
+      var best = -1
+      var j = 0
+      while (j < nc) {
+        if (!used(j) && (best < 0 || {
+          val cmp = java.lang.Double.compare(scores(j), scores(best))
+          cmp > 0 || (cmp == 0 && j > best)
+        })) best = j
+        j += 1
+      }
+      used(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // ---- Product quantization (PQ) kernels (Jégou et al., TPAMI 2011) ----
   // `codebooks` is flat: codebooks(sub*k + c) is centroid c of subspace sub,
   // each of length d = dim/m. All three kernels are one tight loop per row.

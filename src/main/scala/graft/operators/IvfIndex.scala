@@ -84,19 +84,34 @@ object IvfIndex {
     centroids
   }
 
-  /** Assign each vector to its nearest centroid (max cosine). The
-    * centroid set rides into codegen as plan literals — no shuffle.
+  /** The centroid MATRIX (cell == array index) a [[GraftFunctions
+    * .nearestCells]] kernel consumes as one codegen reference object —
+    * requires the dense 0..n-1 cell ids [[train]] produces, so the
+    * kernel's returned array index IS the cell id.
+    */
+  private[operators] def denseCentroids(
+      centroids: Array[(Int, Array[Double])]): Array[Array[Double]] = {
+    val sorted = centroids.sortBy(_._1)
+    require(sorted.iterator.map(_._1).zipWithIndex.forall(p => p._1 == p._2),
+      s"cell ids must be dense 0..n-1: ${sorted.map(_._1).mkString(",")}")
+    sorted.map(_._2)
+  }
+
+  /** Assign each vector to its nearest centroid (max cosine) — ONE
+    * [[GraftFunctions.nearestCells]] kernel call per row over the
+    * centroid matrix as a codegen reference object. The struct-array
+    * formulation this replaces (`greatest(struct(cosine, cell), …)`)
+    * built an nCells-wide expression tree — fine at 16-256 cells, a
+    * plan-size bottleneck at FAISS-scale √n cells; the kernel is
+    * bit-identical in scores and score-tie behavior (higher cell wins,
+    * NaN greatest — see the kernel's parity contract). No shuffle.
     */
   def assign(vectors: DataFrame, centroids: Array[(Int, Array[Double])]): DataFrame = {
     require(centroids.nonEmpty,
       "no centroids: corpus (or its training sample) is empty — " +
         "check the input frame / raise sampleFraction")
-    val scored = centroids.map { case (cellId, c) =>
-      struct(GraftFunctions.cosine(col("v"), lit(c)).as("score"), lit(cellId).as("cell"))
-    }
-    // greatest() needs >= 2 args; a single cell is a constant assignment
-    val best = if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
-    vectors.withColumn("cell", best.getField("cell"))
+    vectors.withColumn("cell",
+      GraftFunctions.nearestCells(col("v"), denseCentroids(centroids), 1)(0))
   }
 
   /** Build the index: corpus annotated with its cell. At scale this is
@@ -112,14 +127,11 @@ object IvfIndex {
       centroids: Array[(Int, Array[Double])], k: Int = 10, nProbe: Int = 4): DataFrame = {
     val q = queries.select(col(qidCol).as("qid"),
       transform(col(qvecCol), x => x.cast("double")).as("qv"))
-    // rank cells per query, keep nProbe best
-    val cellScores = centroids.map { case (cellId, c) =>
-      struct(GraftFunctions.cosine(col("qv"), lit(c)).as("score"), lit(cellId).as("cell"))
-    }
-    val probed = q.withColumn("cells",
-      slice(reverse(array_sort(array(cellScores.toSeq: _*))), 1, nProbe))
-      .withColumn("cell", explode(transform(col("cells"), _.getField("cell"))))
-      .drop("cells")
+    // rank cells per query, keep nProbe best — one kernel call, not an
+    // nCells-wide sorted struct array (same ranking, see assign)
+    val probed = q.withColumn("cell",
+      explode(GraftFunctions.nearestCells(col("qv"),
+        denseCentroids(centroids), nProbe)))
     val scored = indexed.join(broadcast(probed), Seq("cell"))
       .withColumn("cosine", GraftFunctions.cosine(col("v"), col("qv")))
     TopK.perKey(scored, "qid", Seq(col("cosine").desc, col("id").asc), k, "rk")

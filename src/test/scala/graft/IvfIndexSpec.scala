@@ -56,4 +56,42 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"sampled-train recall=$recall")
     assert((0L until 10L).forall(i => approx.contains((i, i))))
   }
+
+  test("nearestCells kernel == the struct-array formulation it replaced (ties, zero vectors, order)") {
+    import spark.implicits._
+    import graft.functions.expr.GraftFunctions
+    // adversarial fixture: a DUPLICATED centroid forces exact score ties
+    // (rule: higher cell id wins, greatest()'s struct order), and a zero
+    // vector scores 0.0 against every cell (all-tie)
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val cents: Array[(Int, Array[Double])] = Array.tabulate(6)(i =>
+      (i, Array.fill(dim)(rnd.nextDouble() - 0.5)))
+    cents(4) = (4, cents(2)._2.clone())
+    val vecs = ((0 until 200).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextDouble() - 0.5))) :+
+      (999L, Seq.fill(dim)(0.0)))
+      .toDF("id", "v")
+    // legacy single-best: greatest over (score, cell) structs
+    val scored = cents.map { case (cellId, c) =>
+      struct(GraftFunctions.cosine(col("v"), lit(c)).as("score"),
+        lit(cellId).as("cell"))
+    }
+    val legacy1 = vecs.withColumn("cell", greatest(scored.toSeq: _*).getField("cell"))
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kernel1 = IvfIndex.assign(vecs, cents)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kernel1 == legacy1, "single-best assignment must match greatest()")
+    assert(kernel1(999L) == 5, "all-tie (zero vector) resolves to the highest cell")
+    // legacy nProbe ranking: reversed ascending struct sort
+    val legacyN = vecs.withColumn("cells",
+        slice(reverse(array_sort(array(scored.toSeq: _*))), 1, 3))
+      .select(col("id"), expr("transform(cells, x -> x.cell)").as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val kernelN = vecs.withColumn("cs",
+        GraftFunctions.nearestCells(col("v"), cents.sortBy(_._1).map(_._2), 3))
+      .select("id", "cs")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(kernelN == legacyN, "nProbe ranking must match the sorted-struct order")
+  }
 }
