@@ -490,6 +490,49 @@ object ExtraQueries {
         .orderBy("snap", "o_orderkey")
     }),
 
+    "q62_snapshot_evolve" -> ((s, dir) => {
+      // SCHEMA EVOLUTION (ADD COLUMN) end-to-end: the upsert's change set
+      // carries a column the table lacks (`o_flag`) — it joins version
+      // 2's committed schema (manifest header), untouched files are
+      // REUSED (never rewritten) and NULL-backfill it at read, and the
+      // pinned v1 read keeps the OLD schema (spec-asserted in
+      // SnapshotTableSpec; the gate reads v1 through an explicit NULL
+      // column so both versions union and hash). Change mix: updates
+      // (keys ≡3 mod 10, flagged 'upd'), tombstones (≡7), inserts at
+      // key+10M (≡1, flagged 'ins'); every surviving base row — merged
+      // or reused — must serve o_flag = NULL.
+      import graft.operators.SnapshotTable
+      val tdir = s"${Scratch.dir}/q62_table"
+      val p = new org.apache.hadoop.fs.Path(tdir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotTable.create(s,
+        base.withColumn("commit_v", lit(0L))
+          .repartitionByRange(8, col("o_orderkey")), tdir)
+      val m = pmod(col("o_orderkey"), lit(10))
+      val changes = base.filter(m === 3)
+        .withColumn("o_custkey", col("o_custkey") + lit(1000000L))
+        .withColumn("o_flag", lit("upd"))
+        .withColumn("_deleted", lit(false))
+        .unionByName(base.filter(m === 7)
+          .withColumn("o_flag", lit(null).cast("string"))
+          .withColumn("_deleted", lit(true)))
+        .unionByName(base.filter(m === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+          .withColumn("o_flag", lit("ins"))
+          .withColumn("_deleted", lit(false)))
+        .withColumn("commit_v", lit(1L))
+      SnapshotTable.upsert(s, tdir, changes, "o_orderkey", "commit_v", "o_custkey")
+      val v1 = SnapshotTable.read(s, tdir, Some(1L)).withColumn("snap", lit(1L))
+        .withColumn("o_flag", lit(null).cast("string"))
+      val v2 = SnapshotTable.read(s, tdir, Some(2L)).withColumn("snap", lit(2L))
+      v1.select("snap", "o_orderkey", "o_custkey", "o_totalprice", "o_flag")
+        .unionByName(
+          v2.select("snap", "o_orderkey", "o_custkey", "o_totalprice", "o_flag"))
+        .orderBy("snap", "o_orderkey")
+    }),
+
     "q60_snapshot_strkey" -> ((s, dir) => {
       // q57's machinery under a STRING merge key: file pruning rides the
       // parquet BINARY/UTF8 footer stats (SkippingIndex.statsRowsString,
@@ -917,6 +960,29 @@ object ExtraQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey
         |LIMIT 100 OFFSET 1000""".stripMargin,
+
+    // schema evolution: v1 (old schema, read through an explicit NULL
+    // column) and the evolved v2 replayed from orders — changed rows
+    // carry the new column's values, every surviving base row NULL
+    "q62_snapshot_evolve" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |v2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN o_custkey + 1000000
+        |         ELSE o_custkey END AS o_custkey,
+        |    o_totalprice,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN 'upd'
+        |         ELSE CAST(NULL AS VARCHAR) END AS o_flag
+        |  FROM b WHERE o_orderkey % 10 != 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+        |    o_totalprice, 'ins' AS o_flag
+        |  FROM b WHERE o_orderkey % 10 = 1)
+        |SELECT CAST(1 AS BIGINT) AS snap, o_orderkey, o_custkey,
+        |  o_totalprice, CAST(NULL AS VARCHAR) AS o_flag FROM b
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS snap, * FROM v2
+        |ORDER BY snap, o_orderkey""".stripMargin,
 
     // the string-key snapshot: v1 and the post-upsert v2 replayed from
     // orders with the same zero-padded key derivation

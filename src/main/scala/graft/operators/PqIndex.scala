@@ -290,6 +290,10 @@ object PqIndex {
     */
   private def readFiles(spark: org.apache.spark.sql.SparkSession,
       path: String, files: Seq[String], cols: Seq[String]): DataFrame = {
+    require(files.nonEmpty,
+      s"index at $path: this version references no data files " +
+        "(writeIndex of an empty frame commits no files) — " +
+        "reduceLeft over zero filesets would crash opaquely")
     val byFileset = files.groupBy(p => p.substring(0, p.lastIndexOf("/cell=")))
       .toSeq.sortBy(_._1)
     byFileset.map { case (root, fs) =>
@@ -415,22 +419,43 @@ object PqIndex {
     * deleted id supersedes its tombstone (re-insert serves the new row).
     * Ids not in the index tombstone nothing (idempotent; a re-delete
     * masks rows already masked and changes nothing served).
+    *
+    * The cell resolution is FOOTER-PRUNED: per-file id [min, max] from
+    * the filesets' parquet footers ([[SkippingIndex.statsRows]], KB-sized
+    * reads) keep only the files whose id range intersects a deleted id,
+    * so a delete batch against an id-clustered index costs
+    * O(files) footer reads + a scan of the intersecting files — not the
+    * O(index) full (id, cell) scan. Files without usable stats are
+    * conservatively read; a stats build failure degrades to reading all
+    * files (correct, unpruned). Returns the pruning decision as evidence.
     */
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
-      ids: DataFrame, idCol: String, path: String): Unit = {
+      ids: DataFrame, idCol: String, path: String): SkippingIndex.Prune = {
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no index under $path — writeIndex first"))
     val fl = filesOf(spark, path, v)
-    val idx = readFiles(spark, path, fl.data, Seq("id", "cell"))
+    val del = ids.select(col(idCol).cast("long").as("__k")).distinct()
+    val kept =
+      try {
+        val stats = SkippingIndex.statsRows(spark, fl.data, Seq("id"))
+        del.join(broadcast(stats),
+            col("id_min").isNull || col("id_max").isNull ||
+              (col("__k") >= col("id_min") && col("__k") <= col("id_max")))
+          .select("file").distinct().collect().map(_.getString(0)).toSeq.sorted
+      } catch {
+        case scala.util.control.NonFatal(_) => fl.data // degrade, stay correct
+      }
+    val prune = SkippingIndex.Prune(fl.data.length, kept.length, kept)
+    if (kept.isEmpty) return prune // no file can hold a deleted id: no-op
+    val idx = readFiles(spark, path, kept, Seq("id", "cell"))
     val dest = s"$path/tomb/" + f"v${v + 1}%05d" + s"_${nonce()}"
     val newTomb = writeFileset(
-      idx.join(ids.select(col(idCol).cast("long").as("id")).distinct(), Seq("id")),
-      dest)
+      idx.join(del.select(col("__k").as("id")), Seq("id")), dest)
     if (newTomb.isEmpty) {
       // nothing resolved to an index row: no-op, drop the empty fileset
       fsOf(spark, path).delete(new org.apache.hadoop.fs.Path(dest), true)
-      ()
     } else commit(spark, path, v + 1, fl.data, fl.tomb ++ newTomb)
+    prune
   }
 
   /** Read a persisted index version (default: current) into the `search`
@@ -501,14 +526,12 @@ object PqIndex {
     val q = asDouble(queries, qidCol, qvecCol, "qid", "qv")
       .withColumn("qnorm", sqrt(GraftFunctions.dot(col("qv"), col("qv"))))
       .withColumn("lut", GraftFunctions.pqLut(col("qv"), model.codebooks, model.m, model.kCodes))
-    val cellScores = model.centroids.map { case (cellId, c) =>
-      struct(GraftFunctions.cosine(col("qv"), lit(c)).as("score"), lit(cellId).as("cell"))
-    }
     // per probed cell the query carries only (lut, qnorm, qdotc) — the
-    // broadcast side never ships query vectors into the ADC scan
-    val probed = q.withColumn("cells",
-      slice(reverse(array_sort(array(cellScores.toSeq: _*))), 1, nProbe))
-      .withColumn("cell", explode(transform(col("cells"), _.getField("cell"))))
+    // broadcast side never ships query vectors into the ADC scan; cell
+    // ranking is one nearestCells kernel call (see IvfIndex.assign)
+    val probed = q.withColumn("cell",
+      explode(GraftFunctions.nearestCells(col("qv"),
+        IvfIndex.denseCentroids(model.centroids), nProbe)))
       .withColumn("qdotc", GraftFunctions.dot(col("qv"), element_at(centLit, col("cell") + 1)))
       .select("qid", "qnorm", "lut", "cell", "qdotc")
     val denom = col("qnorm") * col("norm")

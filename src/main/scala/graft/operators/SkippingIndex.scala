@@ -313,6 +313,33 @@ object SkippingIndex {
   final case class FileStat(file: String, nRows: Long,
       min: Option[Long], max: Option[Long], nulls: Option[Long])
 
+  /** [[FileStat]] for any key type `K` — the typed walk's stats row. */
+  final case class FileStatOf[K](file: String, nRows: Long,
+      min: Option[K], max: Option[K], nulls: Option[Long])
+
+  /** The footer-stats order of STRING keys: unsigned UTF-8 byte
+    * comparison, which is also UTF8String's (Spark plan) order — NOT
+    * java.lang.String compareTo, whose UTF-16 code-unit order disagrees
+    * on supplementary characters (an emoji sorts BELOW U+FFFF in UTF-16
+    * but ABOVE it in UTF-8 bytes). The driver-side walk must rank files
+    * in the same order the plans and footers use, or a cursor between
+    * such keys includes/excludes the wrong files.
+    */
+  private[operators] val Utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
   /** File-bounded keyset pagination over a KEY-CLUSTERED table — the
     * serving-side complement of [[graft.query.Paginator.pageWithCursor]]
     * for tables too large for its per-page top-k:
@@ -358,24 +385,55 @@ object SkippingIndex {
     * table scan. Build via [[SkippingIndex.keysetWalk]] (attached-stats
     * dirs) or [[SnapshotTable.keysetWalk]] (pinned snapshot versions).
     */
-  final class KeysetWalk private[operators] (spark: SparkSession,
-      column: String, stats: Array[FileStat]) {
-    require(stats.nonEmpty, "keyset walk needs at least one file")
+  final class KeysetWalk private[operators] (typed: TypedKeysetWalk[Long]) {
 
     /** The `size` smallest keys strictly above `after` (ascending) or
       * largest strictly below it (descending), with the pruning decision
       * as evidence. Start a walk from `Long.MinValue` / `Long.MaxValue`.
       */
-    def page(after: Long, size: Int, ascending: Boolean = true): (DataFrame, Prune) = {
+    def page(after: Long, size: Int, ascending: Boolean = true): (DataFrame, Prune) =
+      typed.page(Some(after), size, ascending)
+  }
+
+  /** The [[KeysetWalk]] machinery generalized over the key type: the
+    * walk logic is ORDER arithmetic (candidate filter, key-order file
+    * ranking, certain-row stop bound) plus one plan predicate, so a key
+    * type needs only (a) a driver-side `Ordering[K]` that MATCHES the
+    * footer-stats and Spark-plan order, and (b) the strict cursor
+    * predicate as a Column. Instances: long keys ([[keysetWalk]],
+    * `Ordering.Long`), string keys ([[keysetWalkString]],
+    * [[Utf8Ordering]] — unsigned UTF-8 bytes, the BINARY footer-stat and
+    * UTF8String order), timestamp keys ([[keysetWalkMicros]], epoch
+    * micros from the normalized INT64 footer stats).
+    *
+    * `page(None, ...)` starts a walk with no cursor bound (the form key
+    * types without a MinValue sentinel need); NULL keys are still never
+    * served (explicit IsNotNull residual).
+    */
+  final class TypedKeysetWalk[K] private[operators] (spark: SparkSession,
+      column: String, stats: Array[FileStatOf[K]], ord: Ordering[K],
+      cursorPred: (K, Boolean) => org.apache.spark.sql.Column) {
+    require(stats.nonEmpty, "keyset walk needs at least one file")
+
+    /** The `size` smallest keys strictly above `after` (ascending) or
+      * largest strictly below it (descending); `None` = unbounded start.
+      */
+    def page(after: Option[K], size: Int, ascending: Boolean = true): (DataFrame, Prune) = {
       require(size > 0, "page size must be positive")
       val (blind, known0) = stats.partition(s => s.min.isEmpty || s.max.isEmpty)
       // candidates: could hold a key strictly beyond the cursor
-      val known = known0.filter(s =>
-        if (ascending) s.max.get > after else s.min.get < after)
-      // walk in key order: nearest-to-cursor file first
+      val known = after match {
+        case None => known0
+        case Some(a) => known0.filter(s =>
+          if (ascending) ord.gt(s.max.get, a) else ord.lt(s.min.get, a))
+      }
+      // walk in key order: nearest-to-cursor file first (Ordering.reverse,
+      // not negation — negating Long.MinValue wraps and mis-ranks that
+      // degenerate file first)
       val sorted =
-        if (ascending) known.sortBy(_.min.get) else known.sortBy(s => -s.max.get)
-      val included = scala.collection.mutable.ArrayBuffer.empty[FileStat]
+        if (ascending) known.sortBy(_.min.get)(ord)
+        else known.sortBy(_.max.get)(ord.reverse)
+      val included = scala.collection.mutable.ArrayBuffer.empty[FileStatOf[K]]
       var i = 0
       var done = sorted.isEmpty
       while (!done) {
@@ -389,9 +447,12 @@ object SkippingIndex {
           // unknown share and count as zero — a lower bound)
           val bound = if (ascending) sorted(i).min.get else sorted(i).max.get
           val certain = included.iterator
-            .filter(s =>
-              if (ascending) s.min.get > after && s.max.get < bound
-              else s.max.get < after && s.min.get > bound)
+            .filter { s =>
+              val pastCursor = after.forall(a =>
+                if (ascending) ord.gt(s.min.get, a) else ord.lt(s.max.get, a))
+              pastCursor && (if (ascending) ord.lt(s.max.get, bound)
+                             else ord.gt(s.min.get, bound))
+            }
             .map(s => s.nRows - s.nulls.getOrElse(s.nRows))
             .sum
           if (certain >= size) done = true
@@ -406,9 +467,11 @@ object SkippingIndex {
           // schema folds to an empty LocalRelation (zero scan jobs)
           spark.read.parquet(stats.head.file).where(lit(false))
         else spark.read.parquet(kept: _*)
-      val pred = if (ascending) col(column) > after else col(column) < after
-      val ord = if (ascending) col(column).asc else col(column).desc
-      (base.filter(pred).orderBy(ord).limit(size), p)
+      // NULL keys are never served: the strict cursor predicate drops
+      // them; an unbounded start needs the explicit IsNotNull
+      val pred = after.map(cursorPred(_, ascending)).getOrElse(col(column).isNotNull)
+      val ordCol = if (ascending) col(column).asc else col(column).desc
+      (base.filter(pred).orderBy(ordCol).limit(size), p)
     }
   }
 
@@ -419,10 +482,16 @@ object SkippingIndex {
     */
   def keysetWalk(spark: SparkSession, dir: String, column: String): KeysetWalk = {
     val statsPath = new Path(statsPathFor(dir))
+    // coverage includes the stats TYPE: a stats table attached for the
+    // same column via statsRowsString passes the name check but would
+    // ClassCastException inside the walk — a non-long index falls back
+    // to the footer build, which throws its own clear error when the
+    // column genuinely isn't INT32/INT64
     val covered = statsPath
       .getFileSystem(spark.sessionState.newHadoopConf()).exists(statsPath) && {
         val s = spark.read.parquet(statsPath.toString)
-        s.columns.contains(s"${column}_min") && s.columns.contains(s"${column}_max")
+        s.columns.contains(s"${column}_min") && s.columns.contains(s"${column}_max") &&
+          s.schema(s"${column}_min").dataType == LongType
       }
     val df =
       if (covered) spark.read.parquet(statsPath.toString)
@@ -437,25 +506,110 @@ object SkippingIndex {
     keysetWalkFromStats(spark, df, column)
   }
 
-  /** Build a [[KeysetWalk]] from a stats frame in [[statsRows]]' shape
-    * (the one collect of the walk). A frame without the `_nulls` column
-    * (an index attached before null counts existed) degrades to
-    * zero-certainty contributions — more files per page, never a wrong
-    * one.
+  /** A [[TypedKeysetWalk]] for a STRING-keyed clustered table (string
+    * doc_ids, URL keys): per-file bounds from the parquet BINARY/UTF8
+    * footer stats ([[statsRowsString]]), file ranking and cursor
+    * candidacy in unsigned UTF-8 byte order ([[Utf8Ordering]]) — the
+    * same order the footers and Spark's UTF8String comparisons use, so
+    * the walk is exact across supplementary characters where UTF-16
+    * compareTo would mis-rank files. Start a walk with `page(None, …)`.
+    * Consults an attached stats index when it covers `column` with
+    * STRING min/max; otherwise builds footer stats in memory.
     */
-  private[operators] def keysetWalkFromStats(spark: SparkSession,
-      statsDf: DataFrame, column: String): KeysetWalk = {
+  def keysetWalkString(spark: SparkSession, dir: String,
+      column: String): TypedKeysetWalk[String] = {
+    val statsPath = new Path(statsPathFor(dir))
+    val covered = statsPath
+      .getFileSystem(spark.sessionState.newHadoopConf()).exists(statsPath) && {
+        val s = spark.read.parquet(statsPath.toString)
+        s.columns.contains(s"${column}_min") && s.columns.contains(s"${column}_max") &&
+          s.schema(s"${column}_min").dataType == StringType
+      }
+    val df =
+      if (covered) spark.read.parquet(statsPath.toString)
+      else statsRowsString(spark, listParquet(spark, dir), Seq(column))
+    keysetWalkStringFromStats(spark, df, column)
+  }
+
+  /** A [[TypedKeysetWalk]] for a TIMESTAMP-keyed clustered table (event
+    * time, ingestion time): cursors are EPOCH MICROS, per-file bounds
+    * come from the normalized INT64 timestamp footer stats
+    * ([[statsRowsMicros]] — MILLIS/MICROS/NANOS all normalize; NANOS
+    * bounds only widen, so pages stay exact while certainty is
+    * conservative). INT96 legacy output has no usable ordered stats and
+    * throws there. Always footer-built: an attached long-stats index is
+    * unit-ambiguous for timestamps. Start with `page(None, …)`; the
+    * plan predicate is `column > timestamp_micros(cursor)`, which pushes
+    * down to the scan like any timestamp comparison.
+    */
+  def keysetWalkMicros(spark: SparkSession, dir: String,
+      column: String): TypedKeysetWalk[Long] = {
+    val df = statsRowsMicros(spark, listParquet(spark, dir), Seq(column))
+    new TypedKeysetWalk[Long](spark, column,
+      typedStats(df, column, (r, i) => r.getLong(i)), Ordering.Long,
+      (a, asc) => {
+        val c = timestamp_micros(lit(a))
+        if (asc) col(column) > c else col(column) < c
+      })
+  }
+
+  private def listParquet(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(new Path(dir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted.toSeq
+    require(files.nonEmpty, s"no parquet files under $dir")
+    files
+  }
+
+  /** Collect a stats frame into [[FileStatOf]] rows (the one collect of
+    * a walk). A frame without the `_nulls` column (an index attached
+    * before null counts existed) degrades to zero-certainty
+    * contributions — more files per page, never a wrong one.
+    */
+  private def typedStats[K](statsDf: DataFrame, column: String,
+      get: (Row, Int) => K): Array[FileStatOf[K]] = {
     val withNulls =
       if (statsDf.columns.contains(s"${column}_nulls")) statsDf
       else statsDf.withColumn(s"${column}_nulls", lit(null).cast("long"))
-    val rows = withNulls.select(col("file"), col("n_rows"),
+    withNulls.select(col("file"), col("n_rows"),
       col(s"${column}_min"), col(s"${column}_max"), col(s"${column}_nulls"))
       .collect()
-    val stats = rows.map(r => FileStat(r.getString(0), r.getLong(1),
-      if (r.isNullAt(2)) None else Some(r.getLong(2)),
-      if (r.isNullAt(3)) None else Some(r.getLong(3)),
-      if (r.isNullAt(4)) None else Some(r.getLong(4))))
-    new KeysetWalk(spark, column, stats)
+      .map(r => FileStatOf[K](r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(get(r, 2)),
+        if (r.isNullAt(3)) None else Some(get(r, 3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+  }
+
+  /** Build a long-key [[KeysetWalk]] from a stats frame in [[statsRows]]'
+    * shape. Rejects a stats frame whose min/max aren't LongType with a
+    * clear error (e.g. one built by [[statsRowsString]] for the same
+    * column name) instead of an opaque ClassCastException mid-walk.
+    */
+  private[operators] def keysetWalkFromStats(spark: SparkSession,
+      statsDf: DataFrame, column: String): KeysetWalk = {
+    val mt = statsDf.schema(s"${column}_min").dataType
+    require(mt == LongType,
+      s"long keyset walk needs LongType ${column}_min/_max stats, got " +
+        s"${mt.simpleString} — string-keyed stats walk via keysetWalkString")
+    new KeysetWalk(new TypedKeysetWalk[Long](spark, column,
+      typedStats(statsDf, column, (r, i) => r.getLong(i)), Ordering.Long,
+      (a, asc) => if (asc) col(column) > a else col(column) < a))
+  }
+
+  /** [[keysetWalkFromStats]] for STRING-key stats frames
+    * ([[statsRowsString]]' shape) — [[SnapshotTable.keysetWalkString]]'s
+    * entry point for pinned snapshot versions.
+    */
+  private[operators] def keysetWalkStringFromStats(spark: SparkSession,
+      statsDf: DataFrame, column: String): TypedKeysetWalk[String] = {
+    val mt = statsDf.schema(s"${column}_min").dataType
+    require(mt == StringType,
+      s"string keyset walk needs StringType ${column}_min/_max stats, got " +
+        s"${mt.simpleString} — long-keyed stats walk via keysetWalk")
+    new TypedKeysetWalk[String](spark, column,
+      typedStats(statsDf, column, (r, i) => r.getString(i)), Utf8Ordering,
+      (a, asc) => if (asc) col(column) > a else col(column) < a)
   }
 
   /** One-shot ascending keyset page (see [[KeysetWalk.page]]); a multi-

@@ -430,14 +430,34 @@ object SnapshotTable {
     val v = version.orElse(currentVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"no table under $dir"))
     val sp = new Path(statsDir(dir, v))
+    // coverage includes the stats TYPE (LongType min/max): an index
+    // attached for the same column with string stats falls back to the
+    // footer build rather than ClassCastException inside the walk
     val covered = fs(spark, dir).exists(sp) && {
       val s = spark.read.parquet(sp.toString)
-      s.columns.contains(s"${column}_min") && s.columns.contains(s"${column}_max")
+      s.columns.contains(s"${column}_min") && s.columns.contains(s"${column}_max") &&
+        s.schema(s"${column}_min").dataType ==
+          org.apache.spark.sql.types.LongType
     }
     val df =
       if (covered) spark.read.parquet(sp.toString)
       else SkippingIndex.statsRows(spark, files(spark, dir, Some(v)), Seq(column))
     SkippingIndex.keysetWalkFromStats(spark, df, column)
+  }
+
+  /** [[keysetWalk]] for a STRING-keyed clustered snapshot (string
+    * doc_ids — the shape a real paging user hits first): per-file bounds
+    * from the BINARY/UTF8 footer stats of the PINNED version's files,
+    * walked in unsigned UTF-8 byte order (see
+    * [[SkippingIndex.keysetWalkString]]). Start with `page(None, …)`.
+    */
+  def keysetWalkString(spark: SparkSession, dir: String, column: String,
+      version: Option[Long] = None): SkippingIndex.TypedKeysetWalk[String] = {
+    val v = version.orElse(currentVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no table under $dir"))
+    SkippingIndex.keysetWalkStringFromStats(spark,
+      SkippingIndex.statsRowsString(spark, files(spark, dir, Some(v)), Seq(column)),
+      column)
   }
 
   /** Keep the table current from a CDC change stream: every micro-batch

@@ -211,6 +211,38 @@ class PqIndexSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() == 0, "no id may be duplicated")
   }
 
+  test("delete resolves cells via footer-pruned files on an id-clustered index") {
+    val model = PqIndex.train(emb, "vec_id", "embedding", nCells = 8, m = 8,
+      kCodes = 16, iters = 1)
+    val dir = TestSpark.scratch("pq_index_del_prune")
+    // id-clustered filesets: range-partition the encode output by id, so
+    // each cell directory holds files with narrow id bands — the layout
+    // an ingest-ordered corpus produces naturally
+    PqIndex.writeIndex(
+      PqIndex.encode(emb, "vec_id", "embedding", model)
+        .repartitionByRange(8, col("id")), dir)
+    val n = emb.count()
+    // a narrow id band: the footer stats must rule out every file whose
+    // id range misses it — far fewer than the full file list
+    val prune = PqIndex.deleteFromIndex(spark,
+      emb.filter(col("vec_id") < 20).select("vec_id"), "vec_id", dir)
+    assert(prune.filesKept < prune.filesTotal / 2,
+      s"id-clustered delete must footer-prune: read ${prune.filesKept}/${prune.filesTotal}")
+    // tombstones identical to the unpruned contract: exactly the batch's
+    // ids are masked, everything else serves
+    val served = PqIndex.readIndex(spark, dir).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(served.size.toLong == n - 20 && !served.exists(_ < 20L),
+      "pruned delete must mask exactly the deleted ids")
+    // a batch provably outside every file's id range is a stats-only
+    // no-op: zero files read, no version committed
+    val vBefore = PqIndex.versions(spark, dir).last
+    val miss = PqIndex.deleteFromIndex(spark,
+      spark.range(10000000L, 10000005L).toDF("vec_id"), "vec_id", dir)
+    assert(miss.filesKept == 0, s"out-of-range delete must prune everything: $miss")
+    assert(PqIndex.versions(spark, dir).last == vBefore, "no-op must not commit")
+  }
+
   test("model save/load round-trip: identical model, identical search") {
     val model = PqIndex.train(emb, "vec_id", "embedding", nCells = 8, m = 8,
       kCodes = 16, iters = 1)

@@ -223,6 +223,135 @@ class SkippingIndexSpec extends AnyFunSuite {
       "the blind all-null file must be kept in every page")
   }
 
+  test("string keyset walk: exact across the UTF-16/UTF-8 order divergence, file-bounded") {
+    import spark.implicits._
+    val d = TestSpark.scratch("keyset_str")
+    val p0 = new org.apache.hadoop.fs.Path(d)
+    p0.getFileSystem(spark.sessionState.newHadoopConf()).delete(p0, true)
+    // three files that straddle the divergence: an emoji (U+1F600,
+    // UTF-8 F0 9F 98 80) sorts ABOVE U+FFFD in UTF-8 byte order (the
+    // footer-stat and Spark-plan order) but BELOW it in java String
+    // UTF-16 order — a walk ranking files with compareTo would judge the
+    // emoji file "before the cursor" at a U+FFFD cursor and DROP its rows
+    val fileA = (0 until 20).map(i => (f"a$i%02d", i.toLong)).toDF("k", "v")
+    val fileC = (0 until 20).map(i => (f"z�$i%02d", 100L + i)).toDF("k", "v")
+    val fileB = (0 until 20).map(i => (f"z😀$i%02d", 200L + i)).toDF("k", "v")
+    Seq(fileA, fileC, fileB).foreach(_.coalesce(1).write.mode("append").parquet(d))
+    val full = spark.read.parquet(d).orderBy("k").collect()
+      .map(_.getString(0)).toSeq
+    // sanity: Spark's own sort puts the emoji file LAST (UTF-8 order)
+    assert(full.last.startsWith("z😀") && full(20).startsWith("z�"))
+    val walk = SkippingIndex.keysetWalkString(spark, d, "k")
+    var after: Option[String] = None
+    var got = Seq.empty[String]
+    for (p <- 0 until 4) {
+      val (df, pr) = walk.page(after, 20)
+      val keys = df.collect().map(_.getString(0)).toSeq
+      assert(keys == full.drop(p * 20).take(20), s"asc page $p diverged")
+      assert(pr.filesKept <= 2 || keys.isEmpty,
+        s"20-row pages over 20-row files must stay file-bounded: ${pr.filesKept}")
+      if (keys.nonEmpty) after = Some(keys.last)
+      got ++= keys
+    }
+    assert(got == full, "asc walk must cover the table exactly")
+    // descending from the open start: emoji file first
+    val fullDesc = full.reverse
+    after = None
+    got = Seq.empty
+    for (p <- 0 until 4) {
+      val (df, _) = walk.page(after, 20, ascending = false)
+      val keys = df.collect().map(_.getString(0)).toSeq
+      assert(keys == fullDesc.drop(p * 20).take(20), s"desc page $p diverged")
+      if (keys.nonEmpty) after = Some(keys.last)
+      got ++= keys
+    }
+    assert(got == fullDesc, "desc walk must cover the table exactly")
+  }
+
+  test("long walk over string-typed attached stats falls back and fails clearly, not with a CCE") {
+    import spark.implicits._
+    val d = TestSpark.scratch("keyset_str_stats")
+    val p0 = new org.apache.hadoop.fs.Path(d)
+    p0.getFileSystem(spark.sessionState.newHadoopConf()).delete(p0, true)
+    (0 until 100).map(i => (f"K$i%03d", i.toLong)).toDF("k", "v")
+      .repartitionByRange(4, col("k")).write.mode("overwrite").parquet(d)
+    // attach a STRING stats index for k at the conventional location
+    val files = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted.toSeq
+    SkippingIndex.statsRowsString(spark, files, Seq("k"))
+      .coalesce(1).write.mode("overwrite").parquet(SkippingIndex.statsPathFor(d))
+    // the string walk consumes the attached index and pages exactly
+    val walk = SkippingIndex.keysetWalkString(spark, d, "k")
+    val full = spark.read.parquet(d).orderBy("k").collect().map(_.getString(0)).toSeq
+    assert(walk.page(None, 30)._1.collect().map(_.getString(0)).toSeq == full.take(30))
+    // the LONG walk must not ClassCastException on the string stats: the
+    // covered check rejects the type, the footer fallback names the
+    // unsupported column type clearly
+    val e = intercept[Exception](
+      SkippingIndex.keysetWalk(spark, d, "k").page(Long.MinValue, 10)._1.collect())
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("INT32/INT64")),
+      s"expected the statsRows type error, got: $messages")
+  }
+
+  test("timestamp keyset walk (micros cursors): pages equal the offset slices, file-bounded") {
+    val d = TestSpark.scratch("keyset_ts")
+    val p0 = new org.apache.hadoop.fs.Path(d)
+    p0.getFileSystem(spark.sessionState.newHadoopConf()).delete(p0, true)
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      // MICROS output: the INT64 footer stats carry the annotation the
+      // normalized micros fold needs (INT96 legacy throws there)
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      spark.range(1200)
+        .select(timestamp_seconds(lit(1600000000L) + col("id") * 60L).as("ts"),
+          col("id").as("v"))
+        .repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(d)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    val walk = SkippingIndex.keysetWalkMicros(spark, d, "ts")
+    val full = spark.read.parquet(d).select(unix_micros(col("ts")).as("us"))
+      .orderBy("us").collect().map(_.getLong(0)).toSeq
+    var after: Option[Long] = None
+    var got = Seq.empty[Long]
+    var maxKept = 0
+    for (p <- 0 until 13) {
+      val (df, pr) = walk.page(after, 100)
+      val keys = df.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).toSeq
+      assert(keys == full.drop(p * 100).take(100), s"asc page $p diverged")
+      if (keys.nonEmpty) { after = Some(keys.last); maxKept = math.max(maxKept, pr.filesKept) }
+      got ++= keys
+    }
+    assert(got == full, "asc walk must cover the table exactly")
+    // 150 rows/file: a 100-row page is provably inside 2-3 files
+    assert(maxKept <= 3, s"pages must stay file-bounded, saw $maxKept/8 kept")
+    // descending mirror over the same cursor type
+    after = None
+    val (dd, _) = walk.page(after, 100, ascending = false)
+    assert(dd.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).toSeq ==
+      full.reverse.take(100), "desc first page diverged")
+  }
+
+  test("SnapshotTable.keysetWalkString pages a string-keyed pinned snapshot") {
+    import graft.operators.SnapshotTable
+    import spark.implicits._
+    val d = TestSpark.scratch("keyset_snap_str")
+    val p0 = new org.apache.hadoop.fs.Path(d)
+    p0.getFileSystem(spark.sessionState.newHadoopConf()).delete(p0, true)
+    val base = (0 until 2000).map(i => (f"K$i%06d", i.toLong, 0L))
+      .toDF("k", "v", "commit_v")
+    SnapshotTable.create(spark, base.repartitionByRange(10, col("k")), d)
+    val walk = SnapshotTable.keysetWalkString(spark, d, "k")
+    val full = SnapshotTable.read(spark, d).orderBy("k").collect()
+      .map(_.getString(0)).toSeq
+    val (pg1, pr1) = walk.page(None, 200)
+    assert(pg1.collect().map(_.getString(0)).toSeq == full.take(200))
+    assert(pr1.filesKept <= 3, s"string snapshot page must be file-bounded: ${pr1.filesKept}/10")
+    val (pg2, _) = walk.page(Some(full(199)), 200)
+    assert(pg2.collect().map(_.getString(0)).toSeq == full.slice(200, 400))
+  }
+
   test("SnapshotTable.keysetWalk serves pinned-version pages that survive a compaction") {
     import graft.operators.SnapshotTable
     val d = TestSpark.scratch("keyset_snap")

@@ -347,6 +347,68 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, dir, Some(2L)).count() == 2000)
   }
 
+  test("ADD COLUMN evolution: v2 NULL-backfills, pinned v1 keeps the OLD schema, pruning survives") {
+    val dir = freshDir("snap-evolve")
+    SnapshotTable.create(spark, mkBase(8000).repartitionByRange(8, col("k")), dir)
+    // change set carries `tag`, a column the table lacks — narrow key band
+    val changes = (100 until 120)
+      .map(i => (i.toLong, s"upd$i", s"t$i", 1L, false))
+      .toDF("k", "payload", "tag", "commit_v", "_deleted")
+    val c2 = SnapshotTable.upsert(spark, dir, changes, "k", "commit_v", "payload")
+    // evolution must not cost file pruning: only the intersecting band
+    // rewrites, the rest is REUSED (and therefore never rewritten to
+    // carry the new column physically)
+    assert(c2.filesReused >= 6,
+      s"evolving upsert must still FILE-PRUNE, reused only ${c2.filesReused} of 8")
+    // v2: evolved committed schema; changed rows carry tag, every base
+    // row — merged (k=500, same file as the band) or lazily backfilled
+    // from a REUSED file (k=5000) — serves NULL
+    val v2 = SnapshotTable.read(spark, dir)
+    assert(v2.columns.contains("tag"), s"v2 schema must carry tag: ${v2.columns.toSeq}")
+    val got = v2.select("k", "payload", "tag").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.getString(2))))).toMap
+    assert(got.size == 8000)
+    assert(got(105L) == (("upd105", Some("t105"))))
+    assert(got(500L) == (("val500", None)), "merged base row must serve NULL tag")
+    assert(got(5000L) == (("val5000", None)), "reused-file row must NULL-backfill tag")
+    // the PINNED v1 read keeps its own committed schema — no tag column
+    assert(!SnapshotTable.read(spark, dir, Some(1L)).columns.contains("tag"),
+      "pinned v1 must keep the pre-evolution schema")
+    assert(SnapshotTable.schemaOf(spark, dir, Some(1L)) !=
+      SnapshotTable.schemaOf(spark, dir, Some(2L)))
+    // a later upsert on the evolved table (change set carries tag) merges
+    // against the evolved schema; v1 STILL reads the old schema after it
+    val ch3 = Seq((5000L, "again", "t5000", 2L, false))
+      .toDF("k", "payload", "tag", "commit_v", "_deleted")
+    SnapshotTable.upsert(spark, dir, ch3, "k", "commit_v", "payload")
+    val v3 = SnapshotTable.read(spark, dir).select("k", "payload", "tag")
+      .filter(col("k").isin(105L, 5000L)).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.getString(2))))).toMap
+    assert(v3(5000L) == (("again", Some("t5000"))) && v3(105L) == (("upd105", Some("t105"))))
+    assert(!SnapshotTable.read(spark, dir, Some(1L)).columns.contains("tag"))
+  }
+
+  test("evolution rejects type changes loudly; change sets missing an existing column fail") {
+    val dir = freshDir("snap-evolve-reject")
+    SnapshotTable.create(spark, mkBase(100).repartitionByRange(4, col("k")), dir)
+    // payload exists as STRING: an INT change column must throw the
+    // documented IllegalArgumentException, not silently coerce
+    val typeChange = Seq((5L, 99, 1L, false))
+      .toDF("k", "payload", "commit_v", "_deleted")
+    val e = intercept[IllegalArgumentException](
+      SnapshotTable.upsert(spark, dir, typeChange, "k", "commit_v", "payload"))
+    assert(e.getMessage.contains("type changes rejected") &&
+      e.getMessage.contains("payload"))
+    // a change set MISSING an existing table column (payload) must fail
+    // the merge's column resolution, never silently NULL existing data
+    val missing = Seq((5L, 1L, false)).toDF("k", "commit_v", "_deleted")
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      SnapshotTable.upsert(spark, dir, missing, "k", "commit_v", "payload"))
+    // both rejected upserts left the table untouched at v1
+    assert(SnapshotTable.versions(spark, dir) == Seq(1L))
+    assert(SnapshotTable.read(spark, dir).count() == 100)
+  }
+
   test("insert-only upsert (no file intersects) merges over the empty base") {
     val dir = freshDir("snap-insert")
     SnapshotTable.create(spark, mkBase(100).repartitionByRange(4, col("k")), dir)
