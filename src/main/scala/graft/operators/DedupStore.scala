@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,60 +10,85 @@ import org.apache.spark.sql.functions._
   * deduplicated against everything seen so far WITHOUT ever rescanning
   * history.
   *
-  * The store is a parquet table of (content_hash, keep_id,
-  * arrival_batch): one row per distinct content hash ever seen, its
-  * keeper (first arrival wins; lowest id within the arriving batch),
-  * and the batch that first contributed it. Each ingest costs one
-  * anti-join of the NEW batch's hashes against the store plus an append
-  * of the genuinely-new rows — O(batch + store-join), never O(history)
-  * raw-text rescans, and the store is never rewritten (append-only, so
-  * a crash between job attempts leaves at worst a committed prefix).
+  * The store is a MANIFEST-VERSIONED parquet table ([[FilesetLog]] — the
+  * [[ManifestCommit]] pattern [[SnapshotTable]] and [[PqIndex]] use) of
+  * (content_hash, keep_id, arrival_batch): one row per distinct content
+  * hash ever seen, its keeper (first arrival wins; lowest id within the
+  * arriving batch), and the batch that first contributed it. Each ingest
+  * costs one anti-join of the NEW batch's hashes against the store plus
+  * one new fileset + manifest commit — O(batch + store-join), never
+  * O(history) raw-text rescans, and committed filesets are immutable
+  * (a crash before the manifest publish leaves an invisible orphan for
+  * [[vacuumStore]], never a half-visible append).
   *
   * Scale notes (100 TB): the store carries 40-byte hash rows, ~1/1000th
-  * of the raw corpus; the per-batch anti-join is hash-keyed, so writing
-  * the store bucketed by content_hash (the q44 `writeBucketed` layout)
-  * and pre-partitioning the batch the same way makes it shuffle-free on
-  * the store side. Single-maintainer (one writer at a time), like every
-  * incremental-view maintainer; a streaming source plugs in through
-  * `foreachBatch(ingest(_, _, tag = batchId))` exactly as
-  * SketchRollup.maintainStream does for sketches.
+  * of the raw corpus; the per-batch anti-join is hash-keyed, so each
+  * fileset is written hash-partitioned by content_hash and the batch
+  * pre-partitions the same way. One fileset lands per ingest, so a
+  * long-lived store accumulates small files — [[compactStore]] rewrites
+  * the CURRENT version into ceil(n/target) hash-partitioned files as a
+  * new commit (readers pinned to older versions undisturbed; old
+  * filesets reclaimed by [[vacuumStore]]). Single-maintainer (one writer
+  * at a time), like every incremental-view maintainer; a streaming
+  * source plugs in through `foreachBatch(ingest(_, _, tag = batchId))`
+  * exactly as SketchRollup.maintainStream does for sketches.
   */
 object DedupStore {
 
+  private val Kind = "D"
+
   /** Ingest one arrival batch: survivors are the rows whose content hash
     * has never been seen (first-arrival-wins; within the batch the
-    * lowest id wins), appended to the store tagged with `tag`. Returns
-    * the batch's survivor rows (content_hash, keep_id, arrival_batch),
-    * MATERIALIZED (localCheckpoint) before the store append so the
-    * returned frame cannot observe its own write.
+    * lowest id wins), committed to the store as a new version tagged
+    * with `tag`. Returns the batch's survivor rows (content_hash,
+    * keep_id, arrival_batch), MATERIALIZED (localCheckpoint) before the
+    * store commit so the returned frame cannot observe its own write.
+    *
+    * Replay contract (crash-recovery at-least-once): history EXCLUDES
+    * any fileset already committed under this `tag`, and the commit
+    * supersedes those lines — so a replayed batch recomputes the same
+    * survivors and the store content stays exactly-once, whatever the
+    * crash point (the superseded fileset becomes a vacuumable orphan).
     */
   def ingest(spark: SparkSession, batch: DataFrame, idCol: String,
       textCol: String, storePath: String, tag: Long): DataFrame = {
+    require(tag >= 0, s"ingest tags are >= 0 (got $tag); " +
+      s"${FilesetLog.CompactedTag} is reserved for compaction")
     val intra = batch
       .select(col(idCol).cast("long").as("keep_id"),
         sha2(col(textCol), 256).as("content_hash"))
       .groupBy("content_hash").agg(min("keep_id").as("keep_id"))
-    val live = new Path(storePath)
-    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = FilesetLog.current(spark, storePath)
+    val all = cur.map(FilesetLog.entries(spark, storePath, _)).getOrElse(Seq.empty)
+    val hist = all.filterNot(_.tag == tag) // replay: own earlier commit superseded
     val fresh =
-      (if (fs.exists(live))
-         intra.join(spark.read.parquet(storePath).select("content_hash"),
+      (if (hist.nonEmpty)
+         intra.join(FilesetLog.read(spark, hist.map(_.file)).select("content_hash"),
            Seq("content_hash"), "left_anti")
        else intra)
         .withColumn("arrival_batch", lit(tag))
         .localCheckpoint(true)
-    // hash-partitioned append: at scale this is the bucketed-by-hash
+    // hash-partitioned fileset: at scale this is the bucketed-by-hash
     // layout that keeps the next ingest's anti-join co-located
-    fresh.repartition(col("content_hash"))
-      .write.mode("append").parquet(storePath)
+    val v = cur.getOrElse(0L)
+    val files = FilesetLog.writeFileset(
+      fresh.repartition(col("content_hash")),
+      s"$storePath/data/" + f"v${v + 1}%05d" + s"_${FilesetLog.nonce()}")
+    if (files.nonEmpty || hist.length != all.length)
+      FilesetLog.commit(spark, storePath, v + 1,
+        hist ++ files.map(FilesetLog.Entry(Kind, tag, _)))
     fresh
   }
 
   /** The store as a frame: one (content_hash, keep_id, arrival_batch)
-    * row per distinct content ever ingested.
+    * row per distinct content ever ingested — the CURRENT committed
+    * version's fixed file list (later commits invisible to this frame).
     */
-  def read(spark: SparkSession, storePath: String): DataFrame =
-    spark.read.parquet(storePath)
+  def read(spark: SparkSession, storePath: String): DataFrame = {
+    val es = FilesetLog.currentEntries(spark, storePath)
+    require(es.nonEmpty, s"no committed store under $storePath — ingest first")
+    FilesetLog.read(spark, es.map(_.file))
+  }
 
   /** Survivor view of a full corpus against the store: rows whose id is
     * a keeper. The serving-side join is hash-keyed and narrow.
@@ -73,12 +97,45 @@ object DedupStore {
       storePath: String): DataFrame =
     corpus.join(read(spark, storePath).select(col("keep_id").as(idCol)), idCol)
 
+  /** Rewrite the CURRENT version's rows into ceil(n/targetRecords)
+    * files, still hash-partitioned by content_hash (the next ingest's
+    * anti-join stays co-located), committed as a new version — the
+    * small-file maintenance a per-batch-fileset store needs after ~10³
+    * ingests. Content-invisible (spec'd: identical store rows and
+    * survivors); crash-safe like every commit here (new fileset first,
+    * atomic manifest publish second, old files live until
+    * [[vacuumStore]]). Run by the single maintainer between ingests.
+    */
+  def compactStore(spark: SparkSession, storePath: String,
+      targetRecords: Long): Long = {
+    val v = FilesetLog.current(spark, storePath).getOrElse(
+      throw new IllegalArgumentException(s"no store under $storePath"))
+    val df = FilesetLog.read(spark,
+      FilesetLog.entries(spark, storePath, v).map(_.file))
+    val n = df.count()
+    val nf = math.max(1L, (n + targetRecords - 1) / targetRecords).toInt
+    val files = FilesetLog.writeFileset(
+      df.repartition(nf, col("content_hash")),
+      s"$storePath/data/" + f"v${v + 1}%05d" + s"_${FilesetLog.nonce()}")
+    FilesetLog.commit(spark, storePath, v + 1,
+      files.map(FilesetLog.Entry(Kind, FilesetLog.CompactedTag, _)))
+    v + 1
+  }
+
+  /** Drop old store versions and their unreferenced filesets (crashed or
+    * superseded ingests included) — [[FilesetLog.vacuum]]'s grace-period
+    * contract. Returns deleted paths.
+    */
+  def vacuumStore(spark: SparkSession, storePath: String, keepLast: Int = 1,
+      graceMs: Long = SnapshotTable.DefaultVacuumGraceMs): Seq[String] =
+    FilesetLog.vacuum(spark, storePath, Seq("data"), keepLast, graceMs)
+
   /** Keep the store current from a file-arrival document stream: every
-    * micro-batch dedups against the store and appends its genuinely-new
+    * micro-batch dedups against the store and commits its genuinely-new
     * hashes, tagged with the checkpointed batch id (arrival order is
-    * recorded in the store). Replay-safe: a re-run batch finds its
-    * hashes already present and the anti-join appends nothing, so a
-    * committed batch is never double-recorded — the relational sibling
+    * recorded in the store). Replay-safe: a re-run batch's history
+    * excludes and supersedes its own earlier commit (see [[ingest]]), so
+    * a committed batch is never double-recorded — the relational sibling
     * of SketchRollup.maintainStream's crash contract.
     */
   def maintainStream(spark: SparkSession, docsDir: String,

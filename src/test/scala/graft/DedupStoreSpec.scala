@@ -117,6 +117,46 @@ class DedupStoreSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("compactStore: ceil(n/target) files, identical content and survivors, ingest continues") {
+    val store = freshStore("dedupstore-compact")
+    // 900 distinct texts over 3 ingests: each ingest commits its own
+    // hash-partitioned fileset (up to shuffle-partitions files apiece) —
+    // the small-file shape compaction exists to fix
+    val corpus = (0 until 900).map(i => (i.toLong, s"unique text $i"))
+      .toDF("doc_id", "text")
+    (0 until 3).foreach { b =>
+      DedupStore.ingest(spark,
+        corpus.filter(col("doc_id") >= b * 300 && col("doc_id") < (b + 1) * 300),
+        "doc_id", "text", store, b.toLong)
+      ()
+    }
+    val before = DedupStore.read(spark, store)
+      .orderBy("content_hash").collect().map(_.toSeq).toSeq
+    // one fileset PER BATCH (AQE coalesces each tiny batch to one file
+    // here; at scale each is shuffle-partitions files) — compaction's
+    // job is collapsing the per-batch filesets into ceil(n/target)
+    val filesBefore = DedupStore.read(spark, store).inputFiles.length
+    assert(filesBefore >= 3, s"3 per-batch filesets must hold >=3 files: $filesBefore")
+    DedupStore.compactStore(spark, store, targetRecords = 450L)
+    // ceil(900/450) = 2 hash-partitioned files
+    assert(DedupStore.read(spark, store).inputFiles.length == 2,
+      s"compaction must land ceil(n/target) files")
+    assert(DedupStore.read(spark, store)
+      .orderBy("content_hash").collect().map(_.toSeq).toSeq == before,
+      "compaction must be content-invisible")
+    // vacuum reclaims the superseded per-batch filesets; content holds
+    val deleted = DedupStore.vacuumStore(spark, store, keepLast = 1, graceMs = 0L)
+    assert(deleted.nonEmpty)
+    assert(DedupStore.read(spark, store).count() == 900)
+    // the next ingest anti-joins the COMPACTED store: re-delivered
+    // content contributes nothing, genuinely-new content lands
+    val b3 = ((0 until 10).map(i => (1000L + i, s"unique text $i")) ++ // dups of batch 0
+      (0 until 5).map(i => (2000L + i, s"fresh text $i"))).toDF("doc_id", "text")
+    val fresh = DedupStore.ingest(spark, b3, "doc_id", "text", store, 3L)
+    assert(fresh.count() == 5, "only genuinely-new content survives the compacted store")
+    assert(DedupStore.read(spark, store).count() == 905)
+  }
+
   test("survivors view joins keepers back to the corpus") {
     val store = freshStore("dedupstore-surv")
     DedupStore.ingest(spark, docs, "doc_id", "text", store, 0)

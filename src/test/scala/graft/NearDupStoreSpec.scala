@@ -44,16 +44,16 @@ class NearDupStoreSpec extends AnyFunSuite {
     NearDupStore.ingest(spark, b0, "doc_id", "text", store, tag = 0L)
     val first = NearDupStore.ingest(spark, b1, "doc_id", "text", store, tag = 1L)
       .collect().map(_.toSeq).toSeq.sortBy(_.toString)
-    val sigsBefore = spark.read.parquet(s"$store/sigs").count()
+    val sigsBefore = NearDupStore.sigs(spark, store).count()
     // the crash-replay case: batch 1 runs again with the SAME tag —
-    // history must exclude its own half-written partition, and the
-    // overwrite must leave the store row-identical
+    // history must exclude its own earlier commit, which the replay's
+    // commit then supersedes, leaving the store content-identical
     val again = NearDupStore.ingest(spark, b1, "doc_id", "text", store, tag = 1L)
       .collect().map(_.toSeq).toSeq.sortBy(_.toString)
     assert(again == first, "replay must emit the same pairs")
-    assert(spark.read.parquet(s"$store/sigs").count() == sigsBefore,
+    assert(NearDupStore.sigs(spark, store).count() == sigsBefore,
       "replay must not grow the store")
-    val ids = spark.read.parquet(s"$store/sigs").select("id")
+    val ids = NearDupStore.sigs(spark, store).select("id")
     assert(ids.count() == ids.distinct().count(), "no duplicate signature rows")
   }
 
@@ -115,13 +115,62 @@ class NearDupStoreSpec extends AnyFunSuite {
     val p2 = NearDupStore.ingest(spark, b2, "doc_id", "text", store).collect()
     assert(p2.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)),
       s"redelivered id must not duplicate pairs: ${p2.toSeq}")
-    val sigs = spark.read.parquet(s"$store/sigs")
+    val sigs = NearDupStore.sigs(spark, store)
     assert(sigs.filter(col("id") === 1L).count() == 1, "one signature row per id")
     // and a THIRD batch matching doc 1 still sees exactly one copy
     val b3 = Seq((5L, "alpha beta gamma delta epsilon zeta eta theta"))
       .toDF("doc_id", "text")
     val p3 = NearDupStore.ingest(spark, b3, "doc_id", "text", store).collect()
     assert(p3.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 5L), (2L, 5L)))
+  }
+
+  test("compactStore: fewer files, identical content, post-compaction ingests emit the same pairs") {
+    val store = freshStore("neardup-compact")
+    val reference = freshStore("neardup-compact-ref")
+    // the post-compaction batch must PROVABLY emit pairs (a pair is
+    // emitted by its LATER member's batch): cut at the median later
+    // member of the one-shot truth, so half the pairs land in b2
+    val later = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .collect().map(_.getLong(1)).sorted
+    assert(later.nonEmpty, "fixture needs near-dup pairs in the corpus")
+    val cut = later(later.length / 2)
+    val b0 = docs.filter(col("doc_id") < cut && pmod(col("doc_id"), lit(2)) === 0)
+    val b1 = docs.filter(col("doc_id") < cut && pmod(col("doc_id"), lit(2)) === 1)
+    val b2 = docs.filter(col("doc_id") >= cut)
+    Seq(store, reference).foreach { st =>
+      NearDupStore.ingest(spark, b0, "doc_id", "text", st, tag = 0L)
+      NearDupStore.ingest(spark, b1, "doc_id", "text", st, tag = 1L)
+      ()
+    }
+    val sigsBefore = NearDupStore.sigs(spark, store).orderBy("id")
+      .select("id", "sz").collect().toSeq
+    val bucketRowsBefore = NearDupStore.buckets(spark, store).count()
+    val filesBefore = NearDupStore.sigs(spark, store).inputFiles.length +
+      NearDupStore.buckets(spark, store).inputFiles.length
+    NearDupStore.compactStore(spark, store, targetRecords = 1L << 20)
+    // one file per table at this size: ceil(n/target) with a huge target
+    assert(NearDupStore.sigs(spark, store).inputFiles.length == 1 &&
+      NearDupStore.buckets(spark, store).inputFiles.length == 1,
+      s"compaction must collapse the per-batch filesets (before: $filesBefore)")
+    // content-invisible: identical signature rows and bucket cardinality
+    assert(NearDupStore.sigs(spark, store).orderBy("id")
+      .select("id", "sz").collect().toSeq == sigsBefore)
+    assert(NearDupStore.buckets(spark, store).count() == bucketRowsBefore)
+    // old filesets reclaim after the grace window; content unchanged
+    val deleted = NearDupStore.vacuumStore(spark, store, keepLast = 1, graceMs = 0L)
+    assert(deleted.nonEmpty, "superseded per-batch filesets must vacuum")
+    assert(NearDupStore.sigs(spark, store).orderBy("id")
+      .select("id", "sz").collect().toSeq == sigsBefore)
+    // a post-compaction ingest joins the compacted history and emits
+    // EXACTLY the pairs the uncompacted store would have
+    val got = NearDupStore.ingest(spark, b2, "doc_id", "text", store, tag = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = NearDupStore.ingest(spark, b2, "doc_id", "text", reference, tag = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.nonEmpty && got == want,
+      s"compaction changed pair emission: +${(got -- want).take(3)} -${(want -- got).take(3)}")
+    Dedup.releaseCaches()
   }
 
   test("string ids above 2^53 don't collide in the first-arrival anti-join") {
@@ -136,7 +185,7 @@ class NearDupStoreSpec extends AnyFunSuite {
     val b2 = Seq(("9007199254740993", "completely different words here now"))
       .toDF("doc_id", "text")
     NearDupStore.ingest(spark, b2, "doc_id", "text", store)
-    val ids = spark.read.parquet(s"$store/sigs")
+    val ids = NearDupStore.sigs(spark, store)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(ids == Set(9007199254740992L, 9007199254740993L),
       s"double-coerced join keys collapsed adjacent >2^53 ids: $ids")
