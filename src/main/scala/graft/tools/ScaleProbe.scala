@@ -111,16 +111,19 @@ object ScaleProbe {
     // seek top-k (Paginator.pageAfter) scans the whole remainder past
     // the cursor, which grows 10x.
     locally {
-      def buildKeyset(docsDir: String, outDir: String, nFiles: Int): Unit =
-        if (!new java.io.File(s"$outDir/_graft_stats").exists()) {
-          spark.read.parquet(docsDir).select(col("doc_id"), col("text"))
-            .repartitionByRange(nFiles, col("doc_id"))
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite").parquet(outDir)
-          graft.operators.SkippingIndex.attachStats(spark, outDir, Seq("doc_id"))
-        }
-      val small = "/root/repo/target/keyset_sf01"
-      val big = "/root/repo/target/keyset_sf1"
+      // layouts derive from the probe's out arg (no hardcoded checkout
+      // path) and ALWAYS rebuild — a stale layout from an earlier corpus
+      // or nFiles choice would silently skew the flatness measurement,
+      // and the rebuild is two bounded writes in a dev tool
+      def buildKeyset(docsDir: String, outDir: String, nFiles: Int): Unit = {
+        spark.read.parquet(docsDir).select(col("doc_id"), col("text"))
+          .repartitionByRange(nFiles, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(outDir)
+        graft.operators.SkippingIndex.attachStats(spark, outDir, Seq("doc_id"))
+      }
+      val small = s"${out}_keyset01"
+      val big = s"${out}_keyset1"
       buildKeyset(s"$src/documents.parquet", small, 32)
       buildKeyset(s"$out/documents.parquet", big, 320)
       def perPage(dir: String): (Double, Int) = {
@@ -216,9 +219,9 @@ object ScaleProbe {
       s""""loadavg_before": "$loadBefore", "loadavg_after": "${loadavg()}", """ +
       s""""timing": "min_of_2_cache_cleared_forced_evaluation"},\n""" +
       s""""src": "$src", "replicas": $Reps\n}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench_sf1.json"), json)
-    println("[scale] wrote target/bench_sf1.json")
+    val artifact = new java.io.File(out).getAbsoluteFile.getParent + "/bench_sf1.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), json)
+    println(s"[scale] wrote $artifact")
     spark.stop()
   }
 

@@ -6,17 +6,20 @@
 # end-of-round snapshot commit shipped unverified src/main changes (a red
 # gate once, dead untested code once).
 #
+# The hash covers WORKTREE CONTENT ONLY (every file under src/main, bytes
+# as they sit on disk) — staging state is irrelevant, so stamping before
+# or after `git add` yields the same hash and `check` agrees with a
+# just-made commit of the same content.
+#
 # Usage:
 #   tools/gate.sh stamp    # record the current src/main tree as verified
 #   tools/gate.sh check    # exit 1 if src/main differs from the stamp
 set -e
-cd /root/repo
+cd "$(git rev-parse --show-toplevel)"
 MARK=.git/verified-src-tree
 tree_hash() {
-  # content hash of src/main as it would be committed (worktree state)
-  git ls-files -s src/main | git hash-object --stdin
-  # include unstaged modifications: hash the file contents themselves
-  find src/main -type f -name '*.scala' -print0 | sort -z | xargs -0 cat | git hash-object --stdin
+  find src/main -type f -print0 | LC_ALL=C sort -z \
+    | xargs -0 sha256sum | git hash-object --stdin
 }
 case "${1:-check}" in
   stamp)

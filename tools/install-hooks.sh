@@ -3,7 +3,7 @@
 # have not been verified (tools/gate.sh). Bypass for a genuinely non-code
 # commit: GRAFT_ALLOW_UNVERIFIED=1 git commit ...
 set -e
-cd /root/repo
+cd "$(git rev-parse --show-toplevel)"
 cat > .git/hooks/pre-commit <<'EOF'
 #!/bin/bash
 # Refuse a commit whose src/main tree was not stamped verified — the
