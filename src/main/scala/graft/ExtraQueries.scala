@@ -453,6 +453,46 @@ object ExtraQueries {
         .orderBy("dirn", "o_orderkey")
     }),
 
+    "q64_page_keyset_str" -> ((s, dir) => {
+      // q63's FILE-BOUNDED keyset pagination under a STRING key — the
+      // shape a real paging user (string doc_ids) hits first: per-file
+      // bounds from the BINARY/UTF8 footer stats of the pinned snapshot
+      // (SnapshotTable.attachStatsString), walked in unsigned UTF-8 byte
+      // order (TypedKeysetWalk[String]; exactness across the
+      // UTF-16/UTF-8 supplementary-character divergence is
+      // spec-asserted). Zero-padded keys make lexicographic order ==
+      // numeric order, so the range-clustered layout gives tight
+      // per-file bands and both final pages mirror pure-SQL offsets.
+      import graft.operators.SnapshotTable
+      val tdir = s"${Scratch.dir}/q64_table"
+      val p = new org.apache.hadoop.fs.Path(tdir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val base = t(s, dir, "orders")
+        .select(concat(lit("K"), lpad(col("o_orderkey").cast("string"), 9, "0")).as("okey"),
+          col("o_custkey"), col("o_totalprice"))
+      SnapshotTable.create(s,
+        base.withColumn("commit_v", lit(0L))
+          .repartitionByRange(12, col("okey")), tdir)
+      SnapshotTable.attachStatsString(s, tdir, Seq("okey"))
+      val walk = SnapshotTable.keysetWalkString(s, tdir, "okey")
+      def walkTo(pages: Int, ascending: Boolean): org.apache.spark.sql.DataFrame = {
+        var after: Option[String] = None
+        var page: org.apache.spark.sql.DataFrame = null
+        (0 until pages).foreach { _ =>
+          val (df, _) = walk.page(after, 100, ascending)
+          page = df
+          val keys = df.select("okey").collect()
+          if (keys.nonEmpty) after = Some(keys.last.getString(0))
+        }
+        page
+      }
+      val asc = walkTo(11, ascending = true).withColumn("dirn", lit("asc"))
+      val desc = walkTo(3, ascending = false).withColumn("dirn", lit("desc"))
+      asc.unionByName(desc)
+        .select("dirn", "okey", "o_custkey", "o_totalprice")
+        .orderBy("dirn", "okey")
+    }),
+
     "q57_snapshot" -> ((s, dir) => {
       // versioned snapshot table, end-to-end: v1 = orders (key-clustered
       // files), v2 = file-pruned latest-wins upsert (updates for keys
@@ -1046,6 +1086,20 @@ object ExtraQueries {
         |UNION ALL
         |SELECT 'desc' AS dirn, * FROM d
         |ORDER BY dirn, o_orderkey""".stripMargin,
+
+    // the string-key stats-bounded walk serves the same pages as plain
+    // offsets on the zero-padded unique key
+    "q64_page_keyset_str" ->
+      """WITH b AS (
+        |  SELECT 'K' || lpad(CAST(o_orderkey AS VARCHAR), 9, '0') AS okey,
+        |    o_custkey, o_totalprice
+        |  FROM orders),
+        |a AS (SELECT * FROM b ORDER BY okey LIMIT 100 OFFSET 1000),
+        |d AS (SELECT * FROM b ORDER BY okey DESC LIMIT 100 OFFSET 200)
+        |SELECT 'asc' AS dirn, * FROM a
+        |UNION ALL
+        |SELECT 'desc' AS dirn, * FROM d
+        |ORDER BY dirn, okey""".stripMargin,
 
     "asof_join" ->
       """SELECT p.event_id, p.user_id,

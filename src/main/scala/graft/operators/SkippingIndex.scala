@@ -353,8 +353,13 @@ object SkippingIndex {
     * rows strictly between the cursor and the next file's boundary —
     * every excluded file lies entirely beyond that boundary, so none can
     * hold any of the page's rows. Per-page cost is then
-    * O(page ÷ rows-per-file) FILES at ANY table size (flat across a 10×
-    * corpus — the `keyset_page` row of tools/ScaleProbe's sf1 probe).
+    * O(page ÷ rows-per-file) FILES at ANY table size — measured: the
+    * `keyset_page` row of BENCH_sf1_r13.json (tools/ScaleProbe) shows
+    * files_kept ≤ 8 per 1000-row page at BOTH sf0.1 and the 10× sf1
+    * corpus (rows-per-file held constant, file count 32→320), with
+    * median wall 69→107 ms/page — the residual growth is driver-side
+    * planning over the larger file list, not data scanned; a
+    * remainder-scanning top-k would have grown ~10×.
     *
     * Contracts and caveats:
     *  - the key column is INT32/INT64 (the long stats surface) and the
@@ -634,6 +639,17 @@ object SkippingIndex {
   def attachStats(spark: SparkSession, dir: String, cols: Seq[String]): Unit =
     buildStats(spark, dir, cols, statsPathFor(dir))
 
+  /** [[attachStats]] for STRING columns: BINARY/UTF8 footer stats at the
+    * conventional in-table location, consulted automatically by
+    * [[keysetWalkString]]. A table has ONE attached index (long or
+    * string — the stats column types decide which consumers engage;
+    * every consumer validates the type and falls back rather than
+    * miscompare).
+    */
+  def attachStatsString(spark: SparkSession, dir: String, cols: Seq[String]): Unit =
+    statsRowsString(spark, listParquet(spark, dir), cols)
+      .coalesce(1).write.mode("overwrite").parquet(statsPathFor(dir))
+
   /** Scan `dir` for `column BETWEEN lo AND hi`, consulting an attached
     * stats index AUTOMATICALLY when one exists and covers `column`:
     * pruned file list + residual filter (the q51 machinery with the
@@ -649,9 +665,13 @@ object SkippingIndex {
     val statsPath = new Path(statsPathFor(dir))
     val hasStats = statsPath.getFileSystem(spark.sessionState.newHadoopConf())
       .exists(statsPath)
+    // covered includes the stats TYPE: long bounds against a string
+    // index (attachStatsString for the same column name) must fall back
+    // to the plain scan, not numerically compare strings
     val covered = hasStats && {
       val s = spark.read.parquet(statsPath.toString)
-      s.columns.contains(s"${column}_min") && s.columns.contains(s"${column}_max")
+      s.columns.contains(s"${column}_min") && s.columns.contains(s"${column}_max") &&
+        s.schema(s"${column}_min").dataType == LongType
     }
     if (!covered)
       (spark.read.parquet(dir).filter(col(column).between(lo, hi)), None)

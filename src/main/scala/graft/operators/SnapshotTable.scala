@@ -399,9 +399,13 @@ object SnapshotTable {
       throw new IllegalArgumentException(s"no table under $dir"))
     val sp = new Path(statsDir(dir, v))
     val f = fs(spark, dir)
+    // type-validated coverage, like SkippingIndex.scanBetween: long
+    // bounds never compare against a string-typed attached index
     val covered = f.exists(sp) && {
       val s = spark.read.parquet(sp.toString)
-      s.columns.contains(s"${column}_min") && s.columns.contains(s"${column}_max")
+      s.columns.contains(s"${column}_min") && s.columns.contains(s"${column}_max") &&
+        s.schema(s"${column}_min").dataType ==
+          org.apache.spark.sql.types.LongType
     }
     if (!covered)
       (read(spark, dir, Some(v)).filter(col(column).between(lo, hi)), None)
@@ -445,19 +449,42 @@ object SnapshotTable {
     SkippingIndex.keysetWalkFromStats(spark, df, column)
   }
 
+  /** [[attachStats]] for STRING key columns: the version-scoped
+    * BINARY/UTF8 footer-stats index [[keysetWalkString]] consults
+    * automatically (a version has ONE attached index — long or string,
+    * the column types decide which consumers engage).
+    */
+  def attachStatsString(spark: SparkSession, dir: String, cols: Seq[String],
+      version: Option[Long] = None): Unit = {
+    val v = version.orElse(currentVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no table under $dir"))
+    SkippingIndex.statsRowsString(spark, files(spark, dir, Some(v)), cols)
+      .coalesce(1).write.mode("overwrite").parquet(statsDir(dir, v))
+  }
+
   /** [[keysetWalk]] for a STRING-keyed clustered snapshot (string
     * doc_ids — the shape a real paging user hits first): per-file bounds
     * from the BINARY/UTF8 footer stats of the PINNED version's files,
     * walked in unsigned UTF-8 byte order (see
-    * [[SkippingIndex.keysetWalkString]]). Start with `page(None, …)`.
+    * [[SkippingIndex.keysetWalkString]]). Uses the version's attached
+    * index when [[attachStatsString]] covered `column`; otherwise builds
+    * the stats in memory (footer-only). Start with `page(None, …)`.
     */
   def keysetWalkString(spark: SparkSession, dir: String, column: String,
       version: Option[Long] = None): SkippingIndex.TypedKeysetWalk[String] = {
     val v = version.orElse(currentVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"no table under $dir"))
-    SkippingIndex.keysetWalkStringFromStats(spark,
-      SkippingIndex.statsRowsString(spark, files(spark, dir, Some(v)), Seq(column)),
-      column)
+    val sp = new Path(statsDir(dir, v))
+    val covered = fs(spark, dir).exists(sp) && {
+      val s = spark.read.parquet(sp.toString)
+      s.columns.contains(s"${column}_min") && s.columns.contains(s"${column}_max") &&
+        s.schema(s"${column}_min").dataType ==
+          org.apache.spark.sql.types.StringType
+    }
+    val df =
+      if (covered) spark.read.parquet(sp.toString)
+      else SkippingIndex.statsRowsString(spark, files(spark, dir, Some(v)), Seq(column))
+    SkippingIndex.keysetWalkStringFromStats(spark, df, column)
   }
 
   /** Keep the table current from a CDC change stream: every micro-batch

@@ -276,14 +276,15 @@ class SkippingIndexSpec extends AnyFunSuite {
     (0 until 100).map(i => (f"K$i%03d", i.toLong)).toDF("k", "v")
       .repartitionByRange(4, col("k")).write.mode("overwrite").parquet(d)
     // attach a STRING stats index for k at the conventional location
-    val files = new java.io.File(d).listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted.toSeq
-    SkippingIndex.statsRowsString(spark, files, Seq("k"))
-      .coalesce(1).write.mode("overwrite").parquet(SkippingIndex.statsPathFor(d))
+    SkippingIndex.attachStatsString(spark, d, Seq("k"))
     // the string walk consumes the attached index and pages exactly
     val walk = SkippingIndex.keysetWalkString(spark, d, "k")
     val full = spark.read.parquet(d).orderBy("k").collect().map(_.getString(0)).toSeq
     assert(walk.page(None, 30)._1.collect().map(_.getString(0)).toSeq == full.take(30))
+    // a LONG range scan must not numerically compare the string index:
+    // type-validated coverage falls back to the plain scan (no Prune)
+    assert(SkippingIndex.scanBetween(spark, d, "k", 0L, 10L)._2.isEmpty,
+      "long scanBetween over a string index must fall back, not consult it")
     // the LONG walk must not ClassCastException on the string stats: the
     // covered check rejects the type, the footer fallback names the
     // unsupported column type clearly
@@ -342,6 +343,9 @@ class SkippingIndexSpec extends AnyFunSuite {
     val base = (0 until 2000).map(i => (f"K$i%06d", i.toLong, 0L))
       .toDF("k", "v", "commit_v")
     SnapshotTable.create(spark, base.repartitionByRange(10, col("k")), d)
+    // version-scoped string index: the walk consults it instead of
+    // re-reading footers (same pages either way — spec'd by paging)
+    SnapshotTable.attachStatsString(spark, d, Seq("k"))
     val walk = SnapshotTable.keysetWalkString(spark, d, "k")
     val full = SnapshotTable.read(spark, d).orderBy("k").collect()
       .map(_.getString(0)).toSeq
