@@ -157,7 +157,8 @@ object Bench {
       "dedup_incremental", "mm_manifest", "ann_ivfpq_append",
       "q57_snapshot", "dedup_incremental_minhash",
       "q60_snapshot_strkey", "q61_snapshot_datekey", "ann_ivfpq_delete",
-      "q62_snapshot_evolve", "q63_page_keyset_stats", "q64_page_keyset_str")
+      "q62_snapshot_evolve", "q63_page_keyset_stats", "q64_page_keyset_str",
+      "q65_snapshot_changes", "q66_page_keyset_micros", "stream_snapshot_cdc")
       .filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =

@@ -573,6 +573,82 @@ object ExtraQueries {
         .orderBy("snap", "o_orderkey")
     }),
 
+    "q66_page_keyset_micros" -> ((s, dir) => {
+      // q63/q64's FILE-BOUNDED keyset pagination under a TIMESTAMP key —
+      // the event-time paging shape (live dashboards walking an
+      // ingestion-time-clustered table): cursors are epoch micros,
+      // per-file bounds come from the pinned version's normalized INT64
+      // timestamp footer stats (SnapshotTable.keysetWalkMicros), and the
+      // plan predicate `ts > timestamp_micros(cursor)` pushes down like
+      // any timestamp comparison. events.ts is unique at every SF, so
+      // both final pages mirror pure-SQL offsets exactly. MICROS output
+      // is required for ordered footer stats (INT96 has none) — set for
+      // the snapshot write, restored after.
+      import graft.operators.SnapshotTable
+      val tdir = s"${Scratch.dir}/q66_table"
+      val p = new org.apache.hadoop.fs.Path(tdir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val base = t(s, dir, "events").select("ts", "event_id", "value")
+      val prev = s.conf.get("spark.sql.parquet.outputTimestampType")
+      try {
+        s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        SnapshotTable.create(s, base.repartitionByRange(12, col("ts")), tdir)
+      } finally s.conf.set("spark.sql.parquet.outputTimestampType", prev)
+      val walk = SnapshotTable.keysetWalkMicros(s, tdir, "ts")
+      def walkTo(pages: Int, ascending: Boolean): org.apache.spark.sql.DataFrame = {
+        var after: Option[Long] = None
+        var page: org.apache.spark.sql.DataFrame = null
+        (0 until pages).foreach { _ =>
+          val (df, _) = walk.page(after, 100, ascending)
+          page = df
+          val keys = df.select(unix_micros(col("ts"))).collect()
+          if (keys.nonEmpty) after = Some(keys.last.getLong(0))
+        }
+        page
+      }
+      val asc = walkTo(11, ascending = true).withColumn("dirn", lit("asc"))
+      val desc = walkTo(3, ascending = false).withColumn("dirn", lit("desc"))
+      asc.unionByName(desc)
+        .select("dirn", "ts", "event_id", "value")
+        .orderBy("dirn", "ts")
+    }),
+
+    "q65_snapshot_changes" -> ((s, dir) => {
+      // CDC READ end-to-end: the q57 change mix (updates ≡3 mod 10,
+      // tombstones ≡7, inserts at key+10M for ≡1) committed as v2, then
+      // SnapshotTable.changes(v1→v2) — the Delta-CDF-style feed derived
+      // from the manifests' file-level symmetric difference alone (no
+      // change log). The rewritten band files carry ~90% UNCHANGED
+      // carry-over rows; the content diff must emit none of them, and
+      // the oracle (the change mix replayed directly from orders) has
+      // exactly the true changes, so the hash enforces that silence.
+      // commit_v is ignoreCols: the merge bumps it on every winning row,
+      // which is version churn, not a content change.
+      import graft.operators.SnapshotTable
+      val tdir = s"${Scratch.dir}/q65_table"
+      val p = new org.apache.hadoop.fs.Path(tdir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotTable.create(s,
+        base.withColumn("commit_v", lit(0L))
+          .repartitionByRange(8, col("o_orderkey")), tdir)
+      val m = pmod(col("o_orderkey"), lit(10))
+      val changes = base.filter(m === 3)
+        .withColumn("o_custkey", col("o_custkey") + lit(1000000L))
+        .withColumn("_deleted", lit(false))
+        .unionByName(base.filter(m === 7).withColumn("_deleted", lit(true)))
+        .unionByName(base.filter(m === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+          .withColumn("_deleted", lit(false)))
+        .withColumn("commit_v", lit(1L))
+      SnapshotTable.upsert(s, tdir, changes, "o_orderkey", "commit_v", "o_custkey")
+      SnapshotTable.changes(s, tdir, "o_orderkey", 1L, 2L,
+          ignoreCols = Seq("commit_v"))
+        .select("_change_type", "o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey", "_change_type")
+    }),
+
     "q60_snapshot_strkey" -> ((s, dir) => {
       // q57's machinery under a STRING merge key: file pruning rides the
       // parquet BINARY/UTF8 footer stats (SkippingIndex.statsRowsString,
@@ -1023,6 +1099,38 @@ object ExtraQueries {
         |UNION ALL
         |SELECT CAST(2 AS BIGINT) AS snap, * FROM v2
         |ORDER BY snap, o_orderkey""".stripMargin,
+
+    // the timestamp keyset walk's final pages must equal the offset
+    // pages exactly — seek is a pure execution-strategy change
+    "q66_page_keyset_micros" ->
+      """WITH b AS (SELECT ts, event_id, "value" FROM events),
+        |a AS (SELECT * FROM b ORDER BY ts LIMIT 100 OFFSET 1000),
+        |d AS (SELECT * FROM b ORDER BY ts DESC LIMIT 100 OFFSET 200)
+        |SELECT 'asc' AS dirn, * FROM a
+        |UNION ALL
+        |SELECT 'desc' AS dirn, * FROM d
+        |ORDER BY dirn, ts""".stripMargin,
+
+    // the CDC feed replayed directly from orders: the oracle contains
+    // ONLY the true changes, so every carry-over row the copy-on-write
+    // rewrite moved into new files must be absent from the Spark side
+    "q65_snapshot_changes" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
+        |SELECT 'insert' AS _change_type, o_orderkey + 10000000 AS o_orderkey,
+        |  o_custkey, o_totalprice
+        |FROM b WHERE o_orderkey % 10 = 1
+        |UNION ALL
+        |SELECT 'delete' AS _change_type, o_orderkey, o_custkey, o_totalprice
+        |FROM b WHERE o_orderkey % 10 = 7
+        |UNION ALL
+        |SELECT 'update_preimage' AS _change_type, o_orderkey, o_custkey,
+        |  o_totalprice
+        |FROM b WHERE o_orderkey % 10 = 3
+        |UNION ALL
+        |SELECT 'update_postimage' AS _change_type, o_orderkey,
+        |  o_custkey + 1000000 AS o_custkey, o_totalprice
+        |FROM b WHERE o_orderkey % 10 = 3
+        |ORDER BY o_orderkey, _change_type""".stripMargin,
 
     // the string-key snapshot: v1 and the post-upsert v2 replayed from
     // orders with the same zero-padded key derivation

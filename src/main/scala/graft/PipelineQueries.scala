@@ -63,6 +63,16 @@ object PipelineQueries {
       Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, threshold = 0.5)),
 
+    "dedup_containment" -> ((s, dir) =>
+      // the ASYMMETRIC near-dup face: directed |A∩B|/|A| >= 0.8 —
+      // doc-in-doc containment symmetric Jaccard caps at |A|/|B|. The
+      // corpus's planted containments sit >= 0.9 with nothing between
+      // 0.3 and 0.9, so 0.8 is threshold-robust; the probe-side-only
+      // prefix filter is lossless (exact verify), so the operator equals
+      // the all-directed-pairs truth the oracle computes
+      Dedup.ngramContainment(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.8)),
+
     "dedup_substring_remove" -> ((s, dir) =>
       // the REMOVAL face of substring dedup (Lee et al. ACL'22: detect,
       // then CUT): first global occurrence of each 20-token span keeps —
@@ -157,6 +167,27 @@ object PipelineQueries {
         nCells = 16, sampleFraction = 1.0)
       val indexed = graft.operators.IvfIndex.index(e, "vec_id", "embedding", centroids)
       graft.operators.IvfIndex.search(indexed,
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        centroids, k = 10, nProbe = 4)
+    }),
+
+    "ann_ivf_filtered" -> ((s, dir) => {
+      // FILTERED vector search — the metadata-predicate face every
+      // production retrieval system needs (search only rows passing a
+      // filter): the predicate applies to the INDEXED rows before
+      // ranking (pre-filtering), so the candidate generation stays
+      // cell-bucketed (probed-cells join) and the top-k ranks only
+      // survivors — recall over the filtered set is exactly IVF's recall
+      // (no post-filter k-starvation). Same replayable model as ann_ivf;
+      // the oracle repeats the full training replay with the predicate
+      // on the candidate scan.
+      val e = t(s, dir, "embeddings")
+      val centroids = graft.operators.IvfIndex.train(
+        e.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding",
+        nCells = 16, sampleFraction = 1.0)
+      val indexed = graft.operators.IvfIndex.index(e, "vec_id", "embedding", centroids)
+      graft.operators.IvfIndex.search(
+        indexed.filter(pmod(col("vec_id"), lit(3)) === 1),
         e.filter(col("vec_id") < 5), "vec_id", "embedding",
         centroids, k = 10, nProbe = 4)
     }),
@@ -278,6 +309,16 @@ object PipelineQueries {
       // score (word tiebreak) so ln()'s last ulp cannot flip the order
       // across engines — see tfidfKeywords
       TextAnalysis.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", k = 3)),
+
+    "text_bm25" -> ((s, dir) =>
+      // BM25 ranked retrieval over the corpus (Lucene idf variant,
+      // k1=1.2, b=0.75): query mixes the corpus's one rare term ('dup',
+      // df≈25 of 500) with two common ones, so the idf weighting is
+      // actually exercised — rare-term docs must outrank
+      // high-tf-common-term docs. Rank compares the ROUNDED score with
+      // id tiebreak (the tfidf/lm_score cross-engine contract)
+      TextAnalysis.bm25Search(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("dup", "vector", "batch"), k = 20)),
 
     "pipeline_quality_filter" -> ((s, dir) =>
       graft.operators.Curation.qualityFilter(t(s, dir, "documents"), "doc_id", "text")
@@ -769,14 +810,21 @@ object PipelineQueries {
   // iters=3, seed 42, train half = even ids, nProbe=4, k=10): training
   // via ivfTrainSql, probing via probeSql, then top-10 per query by
   // kernel-order cosine DESC, id ASC over the probed cells' members.
-  private lazy val ivfReplaySql: String =
+  // `candPred` (over `a.id`) restricts the candidate scan — the oracle
+  // face of FILTERED vector search: a served search over a
+  // predicate-filtered index must equal this replay with the filtered
+  // rows simply absent from the probed cells' members.
+  private def ivfReplaySqlFor(candPred: String): String =
     ivfTrainSql(16, "id % 2 = 0") + probeSql + s""",
-      |cand AS (SELECT p.qid, a.id, a.v FROM probed p JOIN asg a USING (cell)),
+      |cand AS (SELECT p.qid, a.id, a.v FROM probed p JOIN asg a USING (cell)
+      |         WHERE $candPred),
       |csc AS (SELECT cand.qid, cand.id, ${cosFoldSql("cand.v", "q.qv")} AS cs
       |        FROM cand JOIN q USING (qid)),
       |r AS (SELECT qid, id, cs,
       |        row_number() OVER (PARTITION BY qid ORDER BY cs DESC, id) AS rk
       |      FROM csc)""".stripMargin
+
+  private lazy val ivfReplaySql: String = ivfReplaySqlFor("true")
 
   // Full replay of PqIndex train+encode+search (gate params: coarse =
   // ann_ivf's 16-cell k-means on the even-id half; m=8 subspaces of d=8,
@@ -1488,6 +1536,14 @@ object PipelineQueries {
          |SELECT qid, id, round(cs, 4) AS cosine, CAST(rk AS BIGINT) AS rk
          |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
+    // the same full training replay with the metadata predicate on the
+    // candidate scan: pre-filtered search must equal "the filtered rows
+    // were never in the probed cells"
+    "ann_ivf_filtered" ->
+      s"""${ivfReplaySqlFor("a.id % 3 = 1")}
+         |SELECT qid, id, round(cs, 4) AS cosine, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
     // full replay of IVF-PQ training (coarse k-means + residual
     // codebooks) + encode + ADC search + exact re-rank in SQL
     // (pqReplaySql) — DuckDB recomputes the entire trained model from
@@ -1648,6 +1704,22 @@ object PipelineQueries {
     // exact: PPJoin prefix filtering is lossless, so the LSH-free
     // brute-force all-pairs Jaccard is the complete truth
     "dedup_ngram_jaccard" -> bruteJaccardSql(3, 0.5),
+
+    // directed containment truth: every ordered pair, |A∩B|/|A| — the
+    // prefix-filtered operator must be lossless against it
+    "dedup_containment" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${ngramsSql(3)} AS sh
+         |  FROM (SELECT doc_id, $ToksSql AS ts FROM documents)
+         |), nz AS (SELECT doc_id, sh, len(sh) AS sz FROM sh WHERE len(sh) > 0),
+         |p AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b,
+         |    len(list_intersect(x.sh, y.sh))::DOUBLE AS inter,
+         |    x.sz::DOUBLE AS asz
+         |  FROM nz x JOIN nz y ON x.doc_id != y.doc_id
+         |)
+         |SELECT a, b, round(inter / asz, 4) AS containment
+         |FROM p WHERE inter / asz >= 0.8 ORDER BY a, b""".stripMargin,
 
     // the MinHash gate entry equals the exact all-pairs result because
     // banding recall at (16 bands x 4 rows) is 1-(1-j^4)^16 ≈ 0.9998 at
@@ -1829,6 +1901,27 @@ object PipelineQueries {
          |      FROM sc)
          |SELECT doc_id, CAST(rk AS BIGINT) AS rk, w AS word, tfidf
          |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    // BM25 replay: same Lucene idf, same saturation arithmetic, N and
+    // avgdl over ALL docs (zero-match docs count in the stats, score no
+    // row) — the rank compares the rounded score with id tiebreak
+    "text_bm25" ->
+      s"""WITH d AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+         |st AS (SELECT count(*)::DOUBLE AS nd, avg(len(ts))::DOUBLE AS avgdl FROM d),
+         |tf AS (SELECT doc_id, w, count(*)::DOUBLE AS tf, max(dl)::DOUBLE AS dl
+         |       FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS w FROM d)
+         |       WHERE w IN ('dup', 'vector', 'batch') GROUP BY doc_id, w),
+         |dfr AS (SELECT w, count(*)::DOUBLE AS df FROM tf GROUP BY w),
+         |sc AS (SELECT doc_id,
+         |         round(sum(ln(1.0 + (st.nd - dfr.df + 0.5) / (dfr.df + 0.5))
+         |           * tf.tf * 2.2
+         |           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))), 4) AS score
+         |       FROM tf JOIN dfr USING (w) CROSS JOIN st GROUP BY doc_id),
+         |r AS (SELECT doc_id, score,
+         |        row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+         |      FROM sc)
+         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, score
+         |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
 
     // duplicate-n-gram fractions + top-word share; short docs (<= n words)
     // are 0 by definition on both sides

@@ -114,6 +114,60 @@ object StreamQueries {
         .orderBy("rank")
     }),
 
+    "stream_snapshot_cdc" -> ((s, dir) => {
+      // END-TO-END CDC replication through REAL structured streaming:
+      // source snapshot upserted (the q57 change mix), its
+      // SnapshotTable.changes(v1→v2) feed written as files, a replica
+      // bootstrapped from the v1 read and tailed by maintainStream
+      // (readStream + foreachBatch upsert, maxFilesPerTrigger=1 — each
+      // feed file is its own micro-batch commit). The replica's final
+      // content must equal the source's v2 HOWEVER the feed was
+      // batched: per-key latest-wins makes arrival slicing invisible,
+      // and the oracle replays v2 directly from orders.
+      import graft.operators.SnapshotTable
+      val srcDir = s"${Scratch.dir}/stream_cdc_src"
+      val repDir = s"${Scratch.dir}/stream_cdc_rep"
+      val feedDir = s"${Scratch.dir}/stream_cdc_feed"
+      val ckpt = s"${Scratch.dir}/stream_cdc_ckpt"
+      Seq(srcDir, repDir, feedDir, ckpt).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      }
+      val base = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotTable.create(s,
+        base.withColumn("commit_v", lit(0L))
+          .repartitionByRange(8, col("o_orderkey")), srcDir)
+      val m = pmod(col("o_orderkey"), lit(10))
+      val ch = base.filter(m === 3)
+        .withColumn("o_custkey", col("o_custkey") + lit(1000000L))
+        .withColumn("_deleted", lit(false))
+        .unionByName(base.filter(m === 7).withColumn("_deleted", lit(true)))
+        .unionByName(base.filter(m === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+          .withColumn("_deleted", lit(false)))
+        .withColumn("commit_v", lit(1L))
+      SnapshotTable.upsert(s, srcDir, ch, "o_orderkey", "commit_v", "o_custkey")
+      // CDC feed → maintainStream's change-row shape (tombstones from
+      // deletes, post-images upsert, pre-images drop)
+      val feed = SnapshotTable.changes(s, srcDir, "o_orderkey", 1L, 2L,
+          ignoreCols = Seq("commit_v"))
+        .filter(col("_change_type") =!= "update_preimage")
+        .withColumn("_deleted", col("_change_type") === "delete")
+        .drop("_change_type")
+        .withColumn("commit_v", lit(1L))
+      feed.repartition(4).write.parquet(feedDir)
+      SnapshotTable.create(s,
+        SnapshotTable.read(s, srcDir, Some(1L))
+          .repartitionByRange(8, col("o_orderkey")), repDir)
+      val q = SnapshotTable.maintainStream(s, feedDir, feed.schema,
+        repDir, "o_orderkey", "commit_v", "o_custkey", ckpt)
+      q.awaitTermination()
+      SnapshotTable.read(s, repDir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     "stream_sketch_rollup" -> ((s, dir) => {
       // incremental sketch-store maintenance (streaming.SketchRollup):
       // the corpus ARRIVES in 3 batches (event_id mod 3 — deterministic),
@@ -156,6 +210,20 @@ object StreamQueries {
     .mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    // the replicated table replayed directly from orders: whatever the
+    // feed's micro-batch slicing, the replica must land on exactly v2
+    "stream_snapshot_cdc" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
+        |SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 3 THEN o_custkey + 1000000
+        |       ELSE o_custkey END AS o_custkey,
+        |  o_totalprice
+        |FROM b WHERE o_orderkey % 10 != 7
+        |UNION ALL
+        |SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_totalprice
+        |FROM b WHERE o_orderkey % 10 = 1
+        |ORDER BY o_orderkey""".stripMargin,
+
     // exact counts cross-engine; `ok` follows the q50 scheme (each engine
     // inside its own sketch's 5% band). The one-shot DuckDB truth is
     // exactly what the 3-batch incremental store must reproduce.

@@ -322,6 +322,93 @@ object Dedup {
     verifyJaccard(candidates, docs, threshold)
   }
 
+  /** Exact n-gram CONTAINMENT join — the ASYMMETRIC near-dup face
+    * Jaccard misses: C(A→B) = |A∩B| / |A| >= t finds documents mostly
+    * CONTAINED in another (quote-heavy posts, boilerplate-wrapped
+    * copies, doc-in-doc training leaks) even when the containing
+    * document is far larger, which caps symmetric Jaccard at
+    * |A|/|B| → 0. Emits DIRECTED pairs (a, b, containment): a's shingle
+    * set is >= t-contained in b's.
+    *
+    * Scale shape, adapted from the [[ngramJaccard]] PPJoin machinery
+    * under the same global rarity order: containment lower-bounds the
+    * overlap by ceil(t·|A|) using |A| ALONE, so only the PROBE side
+    * carries a prefix (first |A| - ceil(t·|A|) + 1 rarity-sorted
+    * tokens); the index side must serve every token (no |B|-side prefix
+    * exists — that asymmetry is inherent to containment, and is why the
+    * length filter below is one-sided too). Candidates still collapse on
+    * rare tokens (both sides drop docfreq-1 tokens, which can never
+    * produce a pair), the positional filter bounds the remaining overlap
+    * from the probe prefix position, and one exact sorted-intersect
+    * verify per candidate makes the join lossless. Hash tokens (8-byte
+    * xxhash64) keep every shuffle narrow; a collision only ADDS
+    * candidates, exactness lives in the verify.
+    */
+  def ngramContainment(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.8,
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold in (0,1], got $threshold")
+    val session = df.sparkSession.sessionState.conf.numShufflePartitions
+    val docs = tracked(spread(df, idCol).select(col(idCol).as("id"),
+      H.shingles(col(textCol), shingleSize).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val width = adaptiveWidth(df, numPartitions,
+      rowCount = if (numPartitions.isEmpty) Some(docs.count()) else None)
+    val inv = docs.select(col("id"), col("sz"), explode(col("sh")).as("shs"))
+      .select(col("id"), col("sz"), xxhash64(col("shs")).as("shingle"))
+    // docfreq-1 tokens can never co-occur in two documents: dropping them
+    // from BOTH sides only removes never-matching index rows, and moves
+    // shared tokens EARLIER in the probe's rarity order (the prefix bound
+    // over the full list stays valid over the survivor list)
+    val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("docfreq"))
+      .filter(col("docfreq") >= 2)
+    val survivors = tracked(inv.join(dfreq, "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // probe prefix: C >= t forces overlap >= ceil(t*|A|), so a match must
+    // share a token within A's first |A| - ceil(t*|A|) + 1 rarity-sorted
+    // tokens (1e-9 slack: ceil of the rounded product must not
+    // over-require by 1 at exact-integer thresholds)
+    val prefix = survivors
+      .groupBy("id").agg(any_value(col("sz")).as("sz"),
+        collect_list(struct(col("docfreq"), col("shingle"))).as("byRarity"))
+      .withColumn("pref", slice(array_sort(col("byRarity")), lit(1),
+        (col("sz") - ceil(col("sz") * threshold - lit(1e-9)) + 1).cast("int")))
+      .select(col("id").as("a"), col("sz").as("a_sz"),
+        posexplode(col("pref.shingle")).as(Seq("a_pos", "shingle")))
+    // index side: ALL surviving tokens — containment has no index-side
+    // prefix bound, so the inverted index serves the full sets
+    val full = survivors.select(col("shingle"), col("id").as("b"),
+      col("sz").as("b_sz"))
+    val (probeW, fullW) =
+      if (width > session)
+        (prefix.repartition(width, col("shingle")),
+          full.repartition(width, col("shingle")))
+      else (prefix, full)
+    val candidates = probeW.join(fullW, Seq("shingle"))
+      .filter(col("a") =!= col("b"))
+      // |A∩B| <= |B|, so t*|A| <= |B| — the one-sided length filter
+      .filter(col("b_sz") >= col("a_sz") * threshold - lit(1e-9))
+      // positional: overlap <= 1 + tokens of A after this prefix position
+      // (full-size remainder over the survivor position — an upper bound)
+      .filter(lit(1) + (col("a_sz") - col("a_pos") - 1) >=
+        ceil(col("a_sz") * threshold - lit(1e-9)))
+      .select("a", "b").distinct()
+    candidates
+      .join(docs.select(col("id").as("a"), col("sh").as("a_sh"),
+        col("sz").as("a_sz")), "a")
+      .join(docs.select(col("id").as("b"), col("sh").as("b_sh")), "b")
+      .withColumn("inter",
+        GraftFunctions.sortedIntersectSize(col("a_sh"), col("b_sh")).cast("double"))
+      .withColumn("containment", col("inter") / col("a_sz"))
+      .filter(col("containment") >= threshold)
+      .select(col("a"), col("b"), round(col("containment"), 4).as("containment"))
+      .orderBy("a", "b")
+  }
+
   /** Shared verification: join candidate (a,b) id pairs back to their
     * sorted shingle arrays once, compute exact Jaccard with the
     * linear-merge intersect kernel.

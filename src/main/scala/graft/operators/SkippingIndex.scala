@@ -548,15 +548,22 @@ object SkippingIndex {
     * down to the scan like any timestamp comparison.
     */
   def keysetWalkMicros(spark: SparkSession, dir: String,
-      column: String): TypedKeysetWalk[Long] = {
-    val df = statsRowsMicros(spark, listParquet(spark, dir), Seq(column))
+      column: String): TypedKeysetWalk[Long] =
+    keysetWalkMicrosFromStats(spark,
+      statsRowsMicros(spark, listParquet(spark, dir), Seq(column)), column)
+
+  /** [[keysetWalkMicros]] from an already-built [[statsRowsMicros]]
+    * frame — [[SnapshotTable.keysetWalkMicros]]'s entry point for pinned
+    * snapshot versions (the file list comes from the manifest there).
+    */
+  private[operators] def keysetWalkMicrosFromStats(spark: SparkSession,
+      statsDf: DataFrame, column: String): TypedKeysetWalk[Long] =
     new TypedKeysetWalk[Long](spark, column,
-      typedStats(df, column, (r, i) => r.getLong(i)), Ordering.Long,
+      typedStats(statsDf, column, (r, i) => r.getLong(i)), Ordering.Long,
       (a, asc) => {
         val c = timestamp_micros(lit(a))
         if (asc) col(column) > c else col(column) < c
       })
-  }
 
   private def listParquet(spark: SparkSession, dir: String): Seq[String] = {
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())

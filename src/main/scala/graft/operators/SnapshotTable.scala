@@ -372,6 +372,104 @@ object SnapshotTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** The file-level symmetric difference between two versions' manifests:
+    * `removed` = files live at `fromV` but not `toV` (their rows are the
+    * PRE-image candidates), `added` = files live at `toV` but not `fromV`
+    * (POST-image candidates). Every file both versions share is
+    * untouched by definition (immutable files) and contributes nothing
+    * to the diff — this is what makes [[changes]] O(touched data), not
+    * O(table).
+    */
+  final case class ChangedFiles(removed: Seq[String], added: Seq[String])
+
+  def changedFiles(spark: SparkSession, dir: String,
+      fromV: Long, toV: Long): ChangedFiles = {
+    val from = files(spark, dir, Some(fromV)).toSet
+    val to = files(spark, dir, Some(toV)).toSet
+    ChangedFiles((from -- to).toSeq.sorted, (to -- from).toSeq.sorted)
+  }
+
+  /** CDC READ: the row-level changes between two committed versions, as
+    * a change feed a downstream consumer (or [[maintainStream]] on
+    * another table) can apply — the `table_changes` face of the
+    * snapshot format, derived ENTIRELY from the manifests + immutable
+    * files, with no change log to maintain.
+    *
+    * One row per changed key per image, Delta-CDF-style `_change_type`:
+    *  - `insert`            — key absent at `fromV`, present at `toV`
+    *    (post-image values)
+    *  - `delete`            — key present at `fromV`, absent at `toV`
+    *    (pre-image values)
+    *  - `update_preimage` / `update_postimage` — key present in both
+    *    with any non-`ignoreCols` column changed (one row each)
+    *
+    * Unchanged rows — including the unchanged rows a copy-on-write
+    * rewrite carried into new files, and everything a pure layout
+    * change (compact / z-order) rewrote — are NOT emitted: the diff is
+    * over CONTENT, so `changes` across a compaction-only commit is
+    * empty.
+    *
+    * Scale shape: reads ONLY the manifests' symmetric difference
+    * ([[changedFiles]]) — on a key-clustered table an upsert touches the
+    * files its keys intersect, so the diff cost is O(touched files),
+    * never O(table). One key-shuffle full-outer join between the two
+    * sides, a null-safe struct comparison, one explode — no window, no
+    * driver-side rows. Across MANY commits the endpoint diff yields the
+    * NET change (intermediate flip-flops cancel); call per adjacent pair
+    * for per-commit granularity. A diff spanning a compaction reads the
+    * rewritten files but still emits only true changes.
+    *
+    * Schema evolution: the output carries `toV`'s committed columns
+    * (minus `ignoreCols`); pre-images from files that predate an ADD
+    * COLUMN serve NULL for it, exactly as a pinned read of `fromV`
+    * would through an explicit NULL column. `ignoreCols` is for columns
+    * whose churn is not a content change (e.g. the upsert's versionCol,
+    * which rewrites bump on every winning change row).
+    */
+  def changes(spark: SparkSession, dir: String, keyCol: String,
+      fromV: Long, toV: Long, ignoreCols: Seq[String] = Nil): DataFrame = {
+    require(fromV < toV, s"changes needs fromV < toV, got $fromV >= $toV")
+    val cf = changedFiles(spark, dir, fromV, toV)
+    val toSchema = schemaOf(spark, dir, Some(toV))
+      .getOrElse(read(spark, dir, Some(toV)).schema)
+    val fromSchema = schemaOf(spark, dir, Some(fromV))
+      .getOrElse(read(spark, dir, Some(fromV)).schema)
+    val outCols = toSchema.fieldNames.toSeq
+      .filterNot(c => ignoreCols.contains(c) && c != keyCol)
+    require(outCols.contains(keyCol), s"key column $keyCol not in table schema")
+    val valueCols = outCols.filterNot(_ == keyCol)
+    def side(fl: Seq[String], schema: StructType): DataFrame = {
+      val raw =
+        if (fl.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            schema)
+        else spark.read.schema(schema).parquet(fl: _*)
+      // pre-images predate any ADD COLUMN: serve NULL for columns the
+      // from-side schema lacks, exactly like a pinned old-version read
+      outCols.foldLeft(raw)((df, c) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast(toSchema(c).dataType)))
+        .select(outCols.map(col): _*)
+    }
+    val pre = side(cf.removed, fromSchema).alias("a")
+    val post = side(cf.added, toSchema).alias("b")
+    val joined = pre.join(post, col(s"a.$keyCol") === col(s"b.$keyCol"), "full_outer")
+    def img(sideName: String, tpe: String) = struct(
+      lit(tpe).as("_change_type") +:
+        outCols.map(c => col(s"$sideName.$c").as(c)): _*)
+    val aVals = struct(valueCols.map(c => col(s"a.$c")): _*)
+    val bVals = struct(valueCols.map(c => col(s"b.$c")): _*)
+    joined.select(explode(
+      when(col(s"a.$keyCol").isNull, array(img("b", "insert")))
+        .when(col(s"b.$keyCol").isNull, array(img("a", "delete")))
+        .when(!(aVals <=> bVals),
+          array(img("a", "update_preimage"), img("b", "update_postimage")))
+        // unchanged row (copy-on-write carry-over): NULL array —
+        // explode(NULL) emits zero rows, so it simply disappears
+        .otherwise(lit(null))).as("_ch"))
+      .select(col("_ch.*"))
+  }
+
   private def statsDir(dir: String, v: Long): String =
     s"$dir/stats/" + f"v$v%05d"
 
@@ -485,6 +583,25 @@ object SnapshotTable {
       if (covered) spark.read.parquet(sp.toString)
       else SkippingIndex.statsRowsString(spark, files(spark, dir, Some(v)), Seq(column))
     SkippingIndex.keysetWalkStringFromStats(spark, df, column)
+  }
+
+  /** [[keysetWalk]] for a TIMESTAMP-keyed clustered snapshot (event
+    * time, ingestion time): cursors are EPOCH MICROS, per-file bounds
+    * from the normalized INT64 timestamp footer stats of the PINNED
+    * version's files ([[SkippingIndex.statsRowsMicros]] — MILLIS/MICROS/
+    * NANOS all normalize; legacy INT96 output has no ordered stats and
+    * throws there, so write with
+    * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`). Always
+    * footer-built: an attached LONG stats index is unit-ambiguous for a
+    * timestamp column, so none is consulted. Start with `page(None, …)`.
+    */
+  def keysetWalkMicros(spark: SparkSession, dir: String, column: String,
+      version: Option[Long] = None): SkippingIndex.TypedKeysetWalk[Long] = {
+    val v = version.orElse(currentVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no table under $dir"))
+    SkippingIndex.keysetWalkMicrosFromStats(spark,
+      SkippingIndex.statsRowsMicros(spark, files(spark, dir, Some(v)),
+        Seq(column)), column)
   }
 
   /** Keep the table current from a CDC change stream: every micro-batch

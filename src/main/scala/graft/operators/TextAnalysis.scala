@@ -168,6 +168,52 @@ object TextAnalysis {
       .orderBy(idCol, "rk")
   }
 
+  /** BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene
+    * `1 + (N - df + 0.5)/(df + 0.5)` idf variant): score every document
+    * against `terms`, return the global top `k` with ranks.
+    *
+    * Scale shape — an inverted-index probe expressed as a Spark plan:
+    * tokens are FILTERED TO THE QUERY TERMS before any shuffle (at
+    * corpus scale only matching postings leave the scan stage), term
+    * frequencies groupBy (doc, term) on that filtered stream, document
+    * frequencies reduce the tf rows again (tiny — one row per matched
+    * doc-term), and both df and the corpus stats (N, avgdl — one
+    * aggregate row) join back as broadcasts. The global top-k is
+    * orderBy+limit (TakeOrdered — no full sort materialization); the
+    * rank window then runs over k rows only, so its single partition is
+    * bounded by construction, never by data size.
+    *
+    * Determinism: the per-doc score sums at most `terms.length` doubles;
+    * round(4) absorbs ulp-order variation (the text_lm_score precedent),
+    * and the rank orders by (rounded score, id) so ties are stable
+    * cross-engine.
+    */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Search needs at least one query term")
+    val withDl = docs.select(col(idCol).as("id"), T.tokens(col(textCol)).as("ts"))
+      .select(col("id"), col("ts"), size(col("ts")).cast("double").as("dl"))
+    val st = withDl.agg(count(lit(1)).cast("double").as("nd"),
+      avg(col("dl")).as("avgdl"))
+    val tf = withDl.select(col("id"), col("dl"), explode(col("ts")).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy("id", "w").agg(count(lit(1)).cast("double").as("tf"),
+        any_value(col("dl")).as("dl"))
+    val dfr = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(broadcast(dfr), "w").crossJoin(broadcast(st))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("id").agg(round(sum(col("contrib")), 4).as("score"))
+    scored.orderBy(col("score").desc, col("id")).limit(k)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("id"))))
+      .select(col("id").as(idCol), col("rk").cast("long").as("rk"), col("score"))
+  }
+
   /** Within-document repetition signals (the Gopher/MassiveText rule
     * inputs, Rae et al. 2021): duplicate word-n-gram fractions and the
     * top word's frequency share. `dup_ngram_frac` = 1 - distinct/total

@@ -152,6 +152,47 @@ object ScaleProbe {
         f""""page_rows": 1000, "pages_walked": 20, "timing": "median_ms_per_page"}"""
     }
 
+    // snapshot-CDC probe: SnapshotTable.changes' claim is that the diff
+    // reads ONLY the manifests' symmetric difference, so a fixed-width
+    // change band costs the same whatever the table size — per-diff
+    // wall time must be ~FLAT from sf0.1 to sf1 when rows-per-file is
+    // held constant (files scale 10x, the touched band does not).
+    locally {
+      import graft.operators.SnapshotTable
+      def buildSnap(docsDir: String, outDir: String, nFiles: Int): Unit = {
+        val p = new org.apache.hadoop.fs.Path(outDir)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        SnapshotTable.create(spark, spark.read.parquet(docsDir)
+          .select(col("doc_id"), col("text")).withColumn("commit_v", lit(0L))
+          .repartitionByRange(nFiles, col("doc_id")), outDir)
+      }
+      def probe(dir: String): (Double, Int, Long) = {
+        // fixed 500-key update band (present at both scales)
+        val ch = SnapshotTable.read(spark, dir, Some(1L))
+          .filter(col("doc_id").between(1000, 1499))
+          .withColumn("text", concat(col("text"), lit(" upd")))
+          .withColumn("commit_v", lit(1L)).withColumn("_deleted", lit(false))
+        SnapshotTable.upsert(spark, dir, ch, "doc_id", "commit_v", "text")
+        val cf = SnapshotTable.changedFiles(spark, dir, 1L, 2L)
+        val t0 = System.nanoTime()
+        val n = SnapshotTable.changes(spark, dir, "doc_id", 1L, 2L,
+          ignoreCols = Seq("commit_v")).count()
+        ((System.nanoTime() - t0) / 1e9, cf.removed.size + cf.added.size, n)
+      }
+      val small = s"${out}_cdc01"
+      val big = s"${out}_cdc1"
+      buildSnap(s"$src/documents.parquet", small, 32)
+      buildSnap(s"$out/documents.parquet", big, 320)
+      val (tS, filesS, nS) = probe(small)
+      val (tB, filesB, nB) = probe(big)
+      println(f"[scale] snapshot_changes sf0.1=$tS%6.2fs ($filesS files, $nS rows)  " +
+        f"sf1=$tB%6.2fs ($filesB files, $nB rows)  ratio=${tB / tS}%5.2fx")
+      results += f"""  "snapshot_changes": {"sf01_sec": $tS%.3f, "sf1_sec": $tB%.3f, """ +
+        f""""ratio": ${tB / tS}%.2f, "files_touched_sf01": $filesS, """ +
+        f""""files_touched_sf1": $filesB, "change_rows_sf01": $nS, """ +
+        f""""change_rows_sf1": $nB, "band_keys": 500}"""
+    }
+
     // deep-merge BPE probe: 1024 merge rounds. The sf1 documents
     // vocabulary EXHAUSTS at ~368 merges (every distinct word collapses
     // to one symbol — it is replica-structured synthetic text), so the

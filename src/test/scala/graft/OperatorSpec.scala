@@ -126,6 +126,42 @@ class DedupSpec extends AnyFunSuite {
     assert(got == oracle)
   }
 
+  test("ngram containment agrees with the directed brute-force oracle") {
+    val sample = docs.filter(col("doc_id") < 150)
+    val sh = sample.select(col("doc_id").as("id"), H.shingles(col("text"), 3).as("sh"))
+      .withColumn("sz", size(col("sh"))).filter(col("sz") > 0)
+    val a = sh.select(col("id").as("a"), col("sh").as("a_sh"), col("sz").as("a_sz"))
+    val b = sh.select(col("id").as("b"), col("sh").as("b_sh"))
+    val oracle = a.crossJoin(b).filter(col("a") =!= col("b"))
+      .withColumn("inter", graft.functions.expr.GraftFunctions
+        .sortedIntersectSize(col("a_sh"), col("b_sh")).cast("double"))
+      .filter(col("inter") / col("a_sz") >= 0.6)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.ngramContainment(sample, "doc_id", "text",
+      shingleSize = 3, threshold = 0.6)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == oracle, s"missed=${oracle -- got} extra=${got -- oracle}")
+  }
+
+  test("containment finds doc-in-doc pairs symmetric Jaccard structurally misses") {
+    import spark.implicits._
+    // A = 12 words fully inside B's 60: containment(A→B) == 1.0 but
+    // J = |A|/|B| ≈ 0.17 — invisible to any useful Jaccard threshold
+    val small = (1 to 12).map(i => s"w$i").mkString(" ")
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, small), (2L, big),
+      (3L, (100 to 140).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.ngramContainment(corpus, "doc_id", "text",
+      shingleSize = 3, threshold = 0.9)
+      .select("a", "b", "containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0)), s"got $got")
+    // the directed pair is one-way: B is NOT contained in A, and Jaccard
+    // at 0.5 sees nothing at all
+    assert(Dedup.ngramJaccard(corpus, "doc_id", "text",
+      shingleSize = 3, threshold = 0.5).isEmpty)
+  }
+
   test("releaseCaches drops every operator-internal persisted frame") {
     spark.catalog.clearCache()
     val sample = docs.filter(col("doc_id") < 200)
@@ -440,6 +476,34 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
     // junk full of rare tokens must score above average prose
     assert(got.nonEmpty)
+  }
+
+  test("bm25: exact hand-computed score; idf ranks rare-term docs over common-term tf") {
+    // corpus of 4 docs, query {rare, common}: 'rare' df=1, 'common' df=3.
+    // doc 1 has the rare term once; doc 2 repeats 'common' heavily — idf
+    // must put doc 1 first despite doc 2's tf
+    val df = Seq(
+      (1L, "rare alpha beta gamma"),
+      (2L, "common common common common"),
+      (3L, "common delta epsilon zeta"),
+      (4L, "common eta theta iota")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Search(df, "doc_id", "text",
+      terms = Seq("rare", "common"), k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L), s"rank order wrong: $got")
+    // hand-compute doc 1: tf=1, df=1, N=4, dl=4, avgdl=4
+    // idf = ln(1 + (4-1+0.5)/(1+0.5)) = ln(1 + 7/3)
+    // sat = 1*2.2 / (1 + 1.2*(0.25 + 0.75*1)) = 2.2/2.2 = 1
+    val exp1 = math.rint(math.log(1.0 + 3.5 / 1.5) * 10000) / 10000
+    assert(math.abs(got.head._3 - exp1) < 1e-9)
+    // ranks are 1..n, dense, and k truncates
+    assert(got.map(_._2) == Seq(1L, 2L, 3L, 4L))
+    assert(TextAnalysis.bm25Search(df, "doc_id", "text",
+      terms = Seq("common"), k = 2).count() == 2)
+    // docs matching no term are absent
+    assert(!TextAnalysis.bm25Search(df, "doc_id", "text",
+      terms = Seq("rare"), k = 10).as[(Long, Long, Double)]
+      .collect().exists(_._1 != 1L))
   }
 
   test("bigram LM: exact hand-computed value; interpolation bounds hold") {

@@ -418,4 +418,162 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(c2.filesReused == 4, "no existing file covers the new keys — all reused")
     assert(SnapshotTable.read(spark, dir).count() == 102)
   }
+
+  test("keysetWalkMicros pages a pinned TIMESTAMP-keyed snapshot in file-bounded steps") {
+    val dir = freshDir("snap-keyset-micros")
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      val base = spark.range(4000)
+        .select(timestamp_seconds(lit(1600000000L) + col("id") * 60L).as("ts"),
+          col("id").as("payload"), lit(0L).as("commit_v"))
+      SnapshotTable.create(spark,
+        base.repartitionByRange(8, col("ts")), dir)
+      // v2 rewrites a band — the v1-pinned walk must not see it
+      val ch = spark.range(100, 110)
+        .select(timestamp_seconds(lit(1600000000L) + col("id") * 60L).as("ts"),
+          (col("id") + 100000L).as("payload"), lit(1L).as("commit_v"),
+          lit(false).as("_deleted"))
+      SnapshotTable.upsert(spark, dir, ch, "ts", "commit_v", "payload")
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    val walk = SnapshotTable.keysetWalkMicros(spark, dir, "ts", version = Some(1L))
+    var after: Option[Long] = None
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    (0 until 3).foreach { _ =>
+      val (df, prune) = walk.page(after, 50, ascending = true)
+      // 8 clustered files, 50-row pages: each page provably needs few files
+      assert(prune.filesKept <= 2,
+        s"file-bounded page read ${prune.filesKept} of ${prune.filesTotal}")
+      val rows = df.select(unix_micros(col("ts")), col("payload"))
+        .as[(Long, Long)].collect()
+      assert(rows.length == 50)
+      seen ++= rows.map(_._2)
+      after = Some(rows.last._1)
+    }
+    // the v1-pinned walk serves ORIGINAL payloads straight through the
+    // band v2 rewrote (rows 100..109)
+    assert(seen.toSeq == (0L until 150L).toSeq)
+  }
+
+  test("changes: upsert classifies insert/delete/update; carry-over rows silent") {
+    val dir = freshDir("snap-cdc")
+    // 8 key-clustered files over 0..7999
+    SnapshotTable.create(spark,
+      mkBase(8000).repartitionByRange(8, col("k")), dir)
+    // narrow band: update 100..104, delete 105..109, insert 9000..9001
+    val ch = ((100 until 105).map(i => (i.toLong, s"upd$i", 1L, false)) ++
+      (105 until 110).map(i => (i.toLong, s"x", 1L, true)) ++
+      Seq((9000L, "n0", 1L, false), (9001L, "n1", 1L, false)))
+      .toDF("k", "payload", "commit_v", "_deleted")
+    val c2 = SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload")
+    // the diff must read ONLY the touched files: removed = the rewritten
+    // band files, added = the new commit's files; untouched files in
+    // neither list
+    val cf = SnapshotTable.changedFiles(spark, dir, 1L, 2L)
+    assert(cf.removed.size == 8 - c2.filesReused && cf.removed.size <= 2,
+      s"narrow-band diff should touch <=2 of 8 files, removed=${cf.removed.size}")
+    assert(cf.added.nonEmpty &&
+      cf.added.forall(f => !SnapshotTable.files(spark, dir, Some(1L)).contains(f)))
+    val got = SnapshotTable.changes(spark, dir, "k", 1L, 2L,
+      ignoreCols = Seq("commit_v"))
+      .select("_change_type", "k", "payload")
+      .as[(String, Long, String)].collect().sortBy(r => (r._2, r._1))
+    // ~1000 carry-over rows were rewritten with the band — none emitted
+    assert(got.length == 5 * 2 + 5 + 2)
+    assert(got.filter(_._1 == "insert").map(_._2).toSeq == Seq(9000L, 9001L))
+    assert(got.filter(_._1 == "delete").map(_._2).toSeq ==
+      (105L until 110L).toSeq)
+    val pre = got.filter(_._1 == "update_preimage")
+    val post = got.filter(_._1 == "update_postimage")
+    assert(pre.map(_._2).toSeq == (100L until 105L).toSeq &&
+      pre.forall(r => r._3 == s"val${r._2}"))
+    assert(post.map(_._2).toSeq == (100L until 105L).toSeq &&
+      post.forall(r => r._3 == s"upd${r._2}"))
+  }
+
+  test("changes across a compaction-only commit is empty (content diff)") {
+    val dir = freshDir("snap-cdc-compact")
+    SnapshotTable.create(spark,
+      mkBase(2000).repartitionByRange(8, col("k")), dir)
+    SnapshotTable.compact(spark, dir, targetRecords = 1000L)
+    assert(SnapshotTable.versions(spark, dir) == Seq(1L, 2L))
+    // every file was rewritten, yet no CONTENT changed
+    val cf = SnapshotTable.changedFiles(spark, dir, 1L, 2L)
+    assert(cf.removed.size == 8 && cf.added.nonEmpty)
+    assert(SnapshotTable.changes(spark, dir, "k", 1L, 2L,
+      ignoreCols = Seq("commit_v")).isEmpty)
+  }
+
+  test("changes spanning an ADD COLUMN: post-images carry it, pre-images NULL") {
+    val dir = freshDir("snap-cdc-evolve")
+    SnapshotTable.create(spark, mkBase(100).repartitionByRange(2, col("k")), dir)
+    val ch = Seq((5L, "upd5", "F", 1L, false), (200L, "n", "G", 1L, false))
+      .toDF("k", "payload", "flag", "commit_v", "_deleted")
+    SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload")
+    val got = SnapshotTable.changes(spark, dir, "k", 1L, 2L,
+      ignoreCols = Seq("commit_v"))
+      .select("_change_type", "k", "payload", "flag")
+      .as[(String, Long, String, Option[String])].collect()
+      .sortBy(r => (r._2, r._1)).toSeq
+    assert(got == Seq(
+      ("update_preimage", 5L, "val5", None),
+      ("update_postimage", 5L, "upd5", Some("F")),
+      ("insert", 200L, "n", Some("G"))).sortBy(r => (r._2, r._1)))
+  }
+
+  test("CDC round trip: the changes() feed applied by maintainStream reproduces the source") {
+    val srcDir = freshDir("snap-cdc-src")
+    val repDir = freshDir("snap-cdc-replica")
+    val feedDir = freshDir("snap-cdc-feed")
+    val ckpt = freshDir("snap-cdc-ckpt")
+    SnapshotTable.create(spark,
+      mkBase(2000).repartitionByRange(4, col("k")), srcDir)
+    // replica bootstraps from the v1 snapshot read — the standard
+    // initial-load + CDC-tail replication shape
+    SnapshotTable.create(spark,
+      SnapshotTable.read(spark, srcDir, Some(1L))
+        .repartitionByRange(4, col("k")), repDir)
+    val ch = ((100 until 110).map(i => (i.toLong, s"upd$i", 1L, false)) ++
+      (110 until 115).map(i => (i.toLong, "x", 1L, true)) ++
+      Seq((9000L, "n0", 1L, false)))
+      .toDF("k", "payload", "commit_v", "_deleted")
+    SnapshotTable.upsert(spark, srcDir, ch, "k", "commit_v", "payload")
+    // CDC feed → change rows maintainStream understands: post-images
+    // upsert, deletes become tombstones, pre-images drop
+    val feed = SnapshotTable.changes(spark, srcDir, "k", 1L, 2L)
+      .filter(col("_change_type") =!= "update_preimage")
+      .withColumn("_deleted", col("_change_type") === "delete")
+      .drop("_change_type")
+      .withColumn("commit_v", lit(2L))
+    feed.write.mode("overwrite").parquet(feedDir)
+    val q = SnapshotTable.maintainStream(spark, feedDir, feed.schema,
+      repDir, "k", "commit_v", "payload", ckpt)
+    q.awaitTermination()
+    val src = SnapshotTable.read(spark, srcDir).select("k", "payload")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val rep = SnapshotTable.read(spark, repDir).select("k", "payload")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(rep == src, s"replica diverged: src=${src.length} rep=${rep.length}")
+  }
+
+  test("multi-commit changes is the NET diff (flip-flops cancel)") {
+    val dir = freshDir("snap-cdc-net")
+    SnapshotTable.create(spark, mkBase(100).repartitionByRange(2, col("k")), dir)
+    // v2: delete 5; v3: resurrect 5 with its ORIGINAL payload + update 6
+    SnapshotTable.upsert(spark, dir,
+      Seq((5L, "x", 1L, true)).toDF("k", "payload", "commit_v", "_deleted"),
+      "k", "commit_v", "payload")
+    SnapshotTable.upsert(spark, dir,
+      Seq((5L, "val5", 2L, false), (6L, "upd6", 2L, false))
+        .toDF("k", "payload", "commit_v", "_deleted"),
+      "k", "commit_v", "payload")
+    val got = SnapshotTable.changes(spark, dir, "k", 1L, 3L,
+      ignoreCols = Seq("commit_v"))
+      .select("_change_type", "k", "payload")
+      .as[(String, Long, String)].collect().sortBy(r => (r._2, r._1)).toSeq
+    // key 5's delete+reinsert at identical content nets to NOTHING;
+    // only key 6's update survives the endpoint diff
+    assert(got == Seq(
+      ("update_postimage", 6L, "upd6"), ("update_preimage", 6L, "val6")))
+  }
 }
