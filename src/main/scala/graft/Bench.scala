@@ -158,7 +158,9 @@ object Bench {
       "q57_snapshot", "dedup_incremental_minhash",
       "q60_snapshot_strkey", "q61_snapshot_datekey", "ann_ivfpq_delete",
       "q62_snapshot_evolve", "q63_page_keyset_stats", "q64_page_keyset_str",
-      "q65_snapshot_changes", "q66_page_keyset_micros", "stream_snapshot_cdc")
+      "q65_snapshot_changes", "q66_page_keyset_micros", "stream_snapshot_cdc",
+      "q67_snapshot_zorder", "q68_snapshot_delete", "q69_snapshot_restore",
+      "q70_snapshot_stats_inc")
       .filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =

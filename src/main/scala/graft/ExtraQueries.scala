@@ -573,6 +573,171 @@ object ExtraQueries {
         .orderBy("snap", "o_orderkey")
     }),
 
+    "q67_snapshot_zorder" -> ((s, dir) => {
+      // LAYOUT MAINTENANCE on the snapshot path, end to end: a lineitem
+      // snapshot re-clustered by z-order compaction
+      // (SnapshotTable.compact(zOrderOn) — the OPTIMIZE ZORDER BY face),
+      // then range-scanned through the version's attached stats
+      // (attachStats + scanBetween). The clustering pass must be
+      // CONTENT-INVISIBLE (the scan equals the plain filter however the
+      // files were rewritten — the oracle is the plain filter over
+      // lineitem) while the rewrite makes per-file l_partkey bands tight
+      // enough to skip; the skip itself is an I/O property
+      // (spec-asserted for Layout + SnapshotTable stats), never a
+      // semantic one.
+      import graft.operators.SnapshotTable
+      val tdir = s"${Scratch.dir}/q67_table"
+      val p = new org.apache.hadoop.fs.Path(tdir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      // created UNCLUSTERED in the key (orderkey ranges): the z-order
+      // compaction is what makes partkey scans skippable
+      SnapshotTable.create(s,
+        li.withColumn("commit_v", lit(0L))
+          .repartitionByRange(12, col("l_orderkey")), tdir)
+      SnapshotTable.compact(s, tdir, targetRecords = 8192L,
+        zOrderOn = Some(("l_partkey", "l_suppkey", 8)))
+      SnapshotTable.attachStats(s, tdir, Seq("l_partkey"))
+      val (scan, _) = SnapshotTable.scanBetween(s, tdir, "l_partkey", 100L, 300L)
+      scan.groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"),
+          sum("l_suppkey").cast("long").as("sum_suppkey"),
+          sum("l_orderkey").cast("long").as("sum_orderkey"))
+        .orderBy("l_partkey")
+    }),
+
+    "q73_point_bloom" -> ((s, dir) => {
+      // per-file BLOOM index point lookup — the skipping face min/max
+      // stats can't serve: the table is clustered by o_orderkey, the
+      // lookup is on o_custkey (every file's custkey [min,max] spans the
+      // domain — range stats keep everything; the bloom keeps only files
+      // that might hold the value, no false negatives, residual filter
+      // removes false positives). Oracle = the plain equality filter:
+      // skipping is an I/O property, never a semantic one (prune
+      // evidence spec-asserted in SkippingIndex/SnapshotTable specs).
+      import graft.operators.SnapshotTable
+      val tdir = s"${Scratch.dir}/q73_table"
+      val p = new org.apache.hadoop.fs.Path(tdir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotTable.create(s,
+        base.repartitionByRange(12, col("o_orderkey")), tdir)
+      SnapshotTable.attachBloom(s, tdir, "o_custkey",
+        expectedItemsPerFile = 4096L)
+      val (scan, _) = SnapshotTable.lookupPoint(s, tdir, "o_custkey", 97L)
+      scan.orderBy("o_orderkey")
+    }),
+
+    "q71_funnel" -> ((s, dir) => {
+      // ordered funnel (view -> click -> purchase): depth = how far each
+      // user gets IN ORDER (step k counts only events after the event
+      // completing step k-1). One shuffle + a codegen'd fold over the
+      // time-sorted per-user array — not the k-way self-join. The oracle
+      // replays the identical state machine over the identically-sorted
+      // list, so the strict-sequence semantics hash-match end to end.
+      graft.operators.EventAnalytics.funnel(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id",
+        Seq("view", "click", "purchase"))
+    }),
+
+    "q72_cohort" -> ((s, dir) => {
+      // cohort retention triangle: users bucketed by first-event day,
+      // distinct actives per (cohort day, day offset). First-touch via a
+      // partition-only window — the events table is scanned once and
+      // shuffled once (the join formulation scans it twice).
+      graft.operators.EventAnalytics.cohortRetention(t(s, dir, "events"),
+        "user_id", "ts")
+        .withColumn("day_offset", col("day_offset").cast("long"))
+    }),
+
+    "q70_snapshot_stats_inc" -> ((s, dir) => {
+      // INCREMENTAL stats maintenance on the snapshot path, end to end:
+      // v1 = orders key-clustered + full stats build, v2 = narrow upsert
+      // (a few files rewritten), then attachStatsIncremental REUSES the
+      // untouched files' stats rows and footer-scans only v2's new files
+      // (O(new files) per commit — the property that keeps index
+      // maintenance flat at millions of files; reuse counts
+      // spec-asserted in SnapshotTableSpec). The gate serves a range
+      // scan THROUGH the incrementally-built index — a stale or wrong
+      // reused row yields wrong rows and hash-mismatches the plain
+      // filter replay.
+      import graft.operators.SnapshotTable
+      val tdir = s"${Scratch.dir}/q70_table"
+      val p = new org.apache.hadoop.fs.Path(tdir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotTable.create(s,
+        base.withColumn("commit_v", lit(0L))
+          .repartitionByRange(12, col("o_orderkey")), tdir)
+      SnapshotTable.attachStats(s, tdir, Seq("o_orderkey"))
+      val changes = base.filter(col("o_orderkey").between(500L, 700L))
+        .withColumn("o_custkey", col("o_custkey") + lit(1000000L))
+        .withColumn("commit_v", lit(1L))
+        .withColumn("_deleted", lit(false))
+      SnapshotTable.upsert(s, tdir, changes, "o_orderkey", "commit_v", "o_custkey")
+      SnapshotTable.attachStatsIncremental(s, tdir, Seq("o_orderkey"))
+      val (scan, _) = SnapshotTable.scanBetween(s, tdir, "o_orderkey", 400L, 900L)
+      scan.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    "q68_snapshot_delete" -> ((s, dir) => {
+      // predicate DELETE on the snapshot path (DELETE FROM t WHERE ...),
+      // end to end: v1 = orders key-clustered, v2 = copy-on-write delete
+      // of a key band restricted by a non-key condition. The FIND scan
+      // pushes the predicate to the parquet reader (row-group skip), the
+      // REWRITE touches only files with matching rows, and the pinned v1
+      // read must still equal the pre-delete truth — both versions are
+      // plain SQL over orders, so the whole find/rewrite/commit path
+      // driver-hashes. NULL-predicate rows are kept (SQL DELETE deletes
+      // only where TRUE) — spec-asserted in SnapshotTableSpec.
+      import graft.operators.SnapshotTable
+      val tdir = s"${Scratch.dir}/q68_table"
+      val p = new org.apache.hadoop.fs.Path(tdir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      SnapshotTable.create(s,
+        base.repartitionByRange(8, col("o_orderkey")), tdir)
+      SnapshotTable.delete(s, tdir,
+        col("o_orderkey").between(1000L, 3000L) && col("o_orderstatus") === "F")
+      val v1 = SnapshotTable.read(s, tdir, Some(1L)).withColumn("snap", lit(1L))
+      val v2 = SnapshotTable.read(s, tdir, Some(2L)).withColumn("snap", lit(2L))
+      v1.unionByName(v2)
+        .select("snap", "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("snap", "o_orderkey")
+    }),
+
+    "q69_snapshot_restore" -> ((s, dir) => {
+      // RESTORE VERSION on the snapshot path: v1 = orders, v2 = delete of
+      // a key band, v3 = restore(v1) — a manifest-only commit that
+      // re-pins v1's immutable files as the new current version (no data
+      // read or written, O(manifest) at any table size). The gate reads
+      // v2 AND v3 after the restore: v2 must still be the post-delete
+      // truth (history preserved — an undo is ordinary history), v3 must
+      // equal v1 exactly. CDC-across-restore, vacuum keeping restored
+      // files, and restore-after-vacuum failure are spec-asserted in
+      // SnapshotTableSpec.
+      import graft.operators.SnapshotTable
+      val tdir = s"${Scratch.dir}/q69_table"
+      val p = new org.apache.hadoop.fs.Path(tdir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotTable.create(s,
+        base.repartitionByRange(8, col("o_orderkey")), tdir)
+      SnapshotTable.delete(s, tdir, col("o_orderkey").between(1000L, 3000L))
+      SnapshotTable.restore(s, tdir, 1L)
+      val v2 = SnapshotTable.read(s, tdir, Some(2L)).withColumn("snap", lit(2L))
+      val v3 = SnapshotTable.read(s, tdir, Some(3L)).withColumn("snap", lit(3L))
+      v2.unionByName(v3)
+        .select("snap", "o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("snap", "o_orderkey")
+    }),
+
     "q66_page_keyset_micros" -> ((s, dir) => {
       // q63/q64's FILE-BOUNDED keyset pagination under a TIMESTAMP key —
       // the event-time paging shape (live dashboards walking an
@@ -1099,6 +1264,83 @@ object ExtraQueries {
         |UNION ALL
         |SELECT CAST(2 AS BIGINT) AS snap, * FROM v2
         |ORDER BY snap, o_orderkey""".stripMargin,
+
+    // the bloom-pruned point lookup must equal the plain equality filter
+    "q73_point_bloom" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_custkey = 97
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // identical state machine over the identically-sorted per-user list:
+    // strict-sequence funnel depth, then exact depth histogram
+    "q71_funnel" ->
+      """WITH e AS (SELECT user_id AS u,
+        |             struct_pack(ts := ts, id := event_id, t := event_type) AS ev
+        |           FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |a AS (SELECT u, list_sort(list(ev)) AS evs FROM e GROUP BY u),
+        |d AS (SELECT u, list_reduce(
+        |        list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(evs, x ->
+        |            CAST(list_position(['view', 'click', 'purchase'], x.t) AS BIGINT))),
+        |        (st, x) -> CASE WHEN st < 3 AND x = st + 1 THEN st + 1 ELSE st END) AS depth
+        |      FROM a)
+        |SELECT depth, count(*) AS n_users FROM d
+        |GROUP BY depth ORDER BY depth""".stripMargin,
+
+    // first-touch day per user, then distinct actives per (cohort, offset)
+    "q72_cohort" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |           FROM events GROUP BY user_id)
+        |SELECT f.cohort_day,
+        |  date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // a range scan served through the incrementally-maintained stats
+    // index must equal the plain filter over the merged truth
+    "q70_snapshot_stats_inc" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey BETWEEN 500 AND 700
+        |       THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+        |  o_totalprice
+        |FROM orders WHERE o_orderkey BETWEEN 400 AND 900
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // pinned v1 = the pre-delete truth; v2 = DELETE FROM semantics
+    // (rows deleted only where the predicate is TRUE)
+    "q68_snapshot_delete" ->
+      """WITH v1 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |            FROM orders),
+        |v2 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |       FROM orders
+        |       WHERE NOT (o_orderkey BETWEEN 1000 AND 3000
+        |                  AND o_orderstatus = 'F'))
+        |SELECT CAST(1 AS BIGINT) AS snap, * FROM v1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS snap, * FROM v2
+        |ORDER BY snap, o_orderkey""".stripMargin,
+
+    // v2 stays the post-delete truth after the restore (history is
+    // preserved); v3 = v1 verbatim (the undo is a manifest-only commit)
+    "q69_snapshot_restore" ->
+      """WITH v2 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |            WHERE o_orderkey NOT BETWEEN 1000 AND 3000),
+        |v3 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
+        |SELECT CAST(2 AS BIGINT) AS snap, * FROM v2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT) AS snap, * FROM v3
+        |ORDER BY snap, o_orderkey""".stripMargin,
+
+    // the z-order-compacted snapshot scan must equal the plain filter —
+    // clustering is a pure layout change, never a semantic one
+    "q67_snapshot_zorder" ->
+      """SELECT l_partkey, count(*) AS n,
+        |  CAST(sum(l_suppkey) AS BIGINT) AS sum_suppkey,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey
+        |FROM lineitem WHERE l_partkey BETWEEN 100 AND 300
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
 
     // the timestamp keyset walk's final pages must equal the offset
     // pages exactly — seek is a pure execution-strategy change

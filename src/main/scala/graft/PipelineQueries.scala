@@ -192,6 +192,23 @@ object PipelineQueries {
         centroids, k = 10, nProbe = 4)
     }),
 
+    "ann_knn_join" -> ((s, dir) => {
+      // k-NN JOIN — the corpus-sized-query-side shape (kNN graph
+      // building, SemDeDup neighbor lists): EVERY embedding gets its 5
+      // nearest neighbors through the IVF cells, probed queries meeting
+      // the index in a SHUFFLE join on cell (no broadcast — the query
+      // side is as big as the corpus). Self-matches excluded. Same
+      // deterministic parity-trained model as ann_ivf, so the oracle
+      // replays training + all-rows probing + the neighbor ranking.
+      val e = t(s, dir, "embeddings")
+      val centroids = graft.operators.IvfIndex.train(
+        e.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding",
+        nCells = 16, sampleFraction = 1.0)
+      val indexed = graft.operators.IvfIndex.index(e, "vec_id", "embedding", centroids)
+      graft.operators.IvfIndex.knnJoin(indexed, e, "vec_id", "embedding",
+        centroids, k = 5, nProbe = 4, excludeSelf = true)
+    }),
+
     "ann_ivfpq" -> ((s, dir) => {
       // IVF-PQ: sampled train (the 100 TB path), residual-coded index,
       // ADC scan over probed cells, exact re-rank of the shortlist.
@@ -323,6 +340,27 @@ object PipelineQueries {
     "pipeline_quality_filter" -> ((s, dir) =>
       graft.operators.Curation.qualityFilter(t(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    "pipeline_shuffle_shard" -> ((s, dir) =>
+      // deterministic global shuffle + sharding — the training-export
+      // tail: seeded md5 order (identical on any partitioning), shard =
+      // key mod 8, position = rank WITHIN the shard (no global
+      // row-numbering — a global window funnels the corpus through one
+      // task; per-shard ranks keep every task at corpus/nShards rows)
+      graft.operators.Curation.shuffleShard(
+        t(s, dir, "documents").select("doc_id"), "doc_id", "run42", 8)
+        .orderBy("shard", "pos")),
+
+    "pipeline_dsir" -> ((s, dir) =>
+      // DSIR importance weights, target = the English subset (the
+      // "select data that looks like the trusted set" face): every doc
+      // scored by its hashed-unigram target/raw log likelihood ratio.
+      // md5 buckets + exact counts + bucket-sorted folds make the whole
+      // model replayable; English docs must trend positive, others
+      // negative — the oracle recomputes every weight exactly
+      graft.operators.Curation.dsirWeights(t(s, dir, "documents"),
+        "doc_id", "text", targetPred = col("lang") === "en", buckets = 256)
         .orderBy("doc_id")),
 
     // SemDeDup-style semantic dedup (cluster-bounded cosine dedup).
@@ -1544,6 +1582,29 @@ object PipelineQueries {
          |SELECT qid, id, round(cs, 4) AS cosine, CAST(rk AS BIGINT) AS rk
          |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
+    // the same training replay with EVERY row as a query (the knn-join
+    // shape): per-row cell probing, neighbor candidates from the probed
+    // cells, self excluded, top-5 by exact cosine — the shuffle-join
+    // plan must be execution-strategy-invisible vs this broadcast replay
+    "ann_knn_join" ->
+      s"""${ivfTrainSql(16, "id % 2 = 0")},
+         |q AS (SELECT id AS qid, v AS qv FROM av),
+         |cr AS (SELECT q.qid, p.cell, ${cosFoldSql("q.qv", "p.c")} AS score
+         |       FROM q CROSS JOIN c3 p),
+         |probed AS (SELECT qid, cell FROM (
+         |             SELECT qid, cell,
+         |               row_number() OVER (PARTITION BY qid ORDER BY score DESC, cell DESC) AS rk
+         |             FROM cr) WHERE rk <= 4),
+         |cand AS (SELECT p.qid, a.id, a.v FROM probed p JOIN asg a USING (cell)
+         |         WHERE a.id <> p.qid),
+         |csc AS (SELECT cand.qid, cand.id, ${cosFoldSql("cand.v", "q.qv")} AS cs
+         |        FROM cand JOIN q USING (qid)),
+         |r AS (SELECT qid, id, cs,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cs DESC, id) AS rk
+         |      FROM csc)
+         |SELECT qid, id, round(cs, 4) AS cosine, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
     // full replay of IVF-PQ training (coarse k-means + residual
     // codebooks) + encode + ADC search + exact re-rank in SQL
     // (pqReplaySql) — DuckDB recomputes the entire trained model from
@@ -1833,6 +1894,48 @@ object PipelineQueries {
 
     // mean unigram surprisal; the fold over the word-sorted term list
     // reproduces Spark's aggregate() addition order exactly
+    // DSIR replay: same md5 buckets (the text_hash_embed hash bridge),
+    // same add-one smoothing, per-doc fold over the bucket-sorted term
+    // list (the lm_score float-summing contract)
+    // same md5 keys, same mod-8 shards, same within-shard ranks — the
+    // shuffle must be engine- and partitioning-invariant by construction
+    "pipeline_shuffle_shard" ->
+      """WITH k AS (SELECT doc_id,
+        |             md5('run42:' || CAST(doc_id AS VARCHAR)) AS _k
+        |           FROM documents),
+        |s AS (SELECT doc_id, _k,
+        |        CAST(concat('0x', substring(_k, 1, 8)) AS BIGINT) % 8 AS shard
+        |      FROM k)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY _k, doc_id) AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "pipeline_dsir" ->
+      s"""WITH t AS (SELECT doc_id, lang, $ToksSql AS ts FROM documents),
+         |f AS (SELECT doc_id, lang = 'en' AS is_t,
+         |        CAST(concat('0x', substring(md5(w), 1, 8)) AS BIGINT) % 256 AS b
+         |      FROM (SELECT doc_id, lang, unnest(ts) AS w FROM t)),
+         |rc AS (SELECT b, count(*) AS rc FROM f GROUP BY b),
+         |tc AS (SELECT b, count(*) AS tc FROM f WHERE is_t GROUP BY b),
+         |tot AS (SELECT count(*) AS rt,
+         |          count(*) FILTER (WHERE is_t) AS tt FROM f),
+         |r AS (SELECT rc.b,
+         |        ln(((coalesce(tc, 0) + 1)::DOUBLE / (tt + 256)::DOUBLE)
+         |          / ((rc + 1)::DOUBLE / (rt + 256)::DOUBLE)) AS lr
+         |      FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot),
+         |m AS (SELECT doc_id, b, count(*) AS m FROM f GROUP BY doc_id, b),
+         |terms AS (SELECT doc_id,
+         |            struct_pack(b := m.b, term := m.m::DOUBLE * r.lr) AS wt,
+         |            m.m AS m
+         |          FROM m JOIN r USING (b)),
+         |d AS (SELECT doc_id, list_sort(list(wt)) AS l,
+         |        CAST(sum(m) AS BIGINT) AS n
+         |      FROM terms GROUP BY doc_id)
+         |SELECT doc_id, n AS n_tokens,
+         |  round(list_reduce(list_prepend(0.0, list_transform(l, x -> x.term)),
+         |        (a, x) -> a + x), 4) AS log_weight
+         |FROM d ORDER BY doc_id""".stripMargin,
+
     "text_lm_score" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
          |p AS (SELECT doc_id, unnest(ts) AS w FROM t),

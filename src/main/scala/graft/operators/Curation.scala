@@ -168,6 +168,95 @@ object Curation {
     * ip in that order. One narrow codegen'd projection, no shuffle — the
     * 100 TB shape is a plain map over the corpus scan.
     */
+  /** DSIR-style importance weights (Xie et al., NeurIPS 2023 — "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how much more likely its hashed-unigram features
+    * are under a TARGET distribution (the rows matching `targetPred`,
+    * e.g. a trusted high-quality subset) than under the raw corpus:
+    *
+    *   log w(x) = Σ_tokens ln( p_target(bucket(w)) / p_raw(bucket(w)) )
+    *
+    * with add-one-smoothed bucket probabilities over `buckets` hashed
+    * feature buckets (the hashing trick bounds the model at `buckets`
+    * numbers however large the vocabulary). High-weight documents are
+    * the ones importance resampling keeps; this operator emits the
+    * weights and leaves the sampling policy (top-k, Gumbel, quota per
+    * source) to the caller — the weight is the reusable part.
+    *
+    * Scale shape: one token scan builds the two bucket-count tables
+    * (`buckets` rows each — broadcast), a second aggregation folds each
+    * doc's (bucket, multiplicity) pairs against the broadcast log-ratio
+    * table. No corpus-sized join; the only shuffles are the two
+    * bucket/doc aggregations. Engine-portable by construction: buckets
+    * come from md5 (identical everywhere), counts are exact integers,
+    * and the per-doc sum folds over the bucket-sorted term list so
+    * double addition happens in one fixed order on any partitioning
+    * (the lmScore determinism contract).
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: org.apache.spark.sql.Column,
+      buckets: Int = 256): DataFrame = {
+    require(buckets > 0, "dsirWeights needs a positive bucket count")
+    val feats = docs
+      .select(col(idCol).as("id"), targetPred.as("is_t"),
+        explode(T.tokens(col(textCol))).as("w"))
+      .select(col("id"), col("is_t"),
+        (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
+          % buckets).as("b"))
+    val rawCnt = feats.groupBy("b").agg(count(lit(1)).as("rc"))
+    val tgtCnt = feats.filter(col("is_t")).groupBy("b").agg(count(lit(1)).as("tc"))
+    val tot = feats.agg(count(lit(1)).as("rt"),
+      count(when(col("is_t"), 1)).as("tt"))
+    val ratio = rawCnt.join(tgtCnt, Seq("b"), "left")
+      .na.fill(0L, Seq("tc"))
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        log(((col("tc") + 1).cast("double") / (col("tt") + buckets).cast("double"))
+          / ((col("rc") + 1).cast("double") / (col("rt") + buckets).cast("double")))
+          .as("lr"))
+    feats.groupBy("id", "b").agg(count(lit(1)).as("m"))
+      .join(broadcast(ratio), "b")
+      .select(col("id"),
+        struct(col("b"), (col("m").cast("double") * col("lr")).as("term")).as("wt"),
+        col("m"))
+      .groupBy("id")
+      .agg(collect_list(col("wt")).as("l"), sum("m").as("n"))
+      .select(col("id").as(idCol),
+        col("n").cast("long").as("n_tokens"),
+        round(expr("aggregate(array_sort(l), cast(0.0 as double), (a, x) -> a + x.term)"),
+          4).as("log_weight"))
+  }
+
+  /** Deterministic global shuffle + sharding — the last step of every
+    * training-data export: a seeded pseudo-random order that is
+    * IDENTICAL on any cluster size or partitioning, split into
+    * `nShards` balanced shards. Order key = md5(seed || ':' || id)
+    * (engine-portable, uniform); shard = key mod nShards (balanced in
+    * expectation, no global coordination); position = rank within the
+    * shard by the same key.
+    *
+    * Scale shape: one hash shuffle on `shard` and a per-shard sort —
+    * shards are the parallel unit, so there is NO global row-numbering
+    * (a single global `row_number()` funnels the corpus through one
+    * task; rank-within-shard keeps every task at corpus/nShards rows).
+    * Writers downstream `partitionBy("shard")` and read back in
+    * (shard, pos) order for a reproducible training stream.
+    */
+  def shuffleShard(docs: DataFrame, idCol: String, seed: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "shuffleShard needs a positive shard count")
+    val key = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    docs.withColumn("_k", key)
+      .withColumn("shard",
+        (conv(substring(col("_k"), 1, 8), 16, 10).cast("long")
+          % nShards).as("shard"))
+      .withColumn("pos",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy(col("_k"), col(idCol)))
+          .cast("long"))
+      .drop("_k")
+  }
+
   def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol),
       regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),

@@ -123,6 +123,41 @@ object IvfIndex {
       transform(col(vecCol), x => x.cast("double")).as("v")), centroids)
 
   /** Top-k per query, probing the `nProbe` best cells per query. */
+  /** k-NN JOIN: EVERY row of `queries` gets its k nearest `indexed`
+    * rows — the corpus-sized-query-side face of [[search]]. search()
+    * broadcasts the probed query side, which is right for a handful of
+    * interactive queries and fatally wrong when the query side IS a
+    * corpus (kNN graph building, retrieval augmentation, SemDeDup-style
+    * neighbor lists). Here the probed queries — exploded to
+    * (cell, qid, qv), nProbe rows per query — meet the index in a
+    * SHUFFLE hash join on `cell`: both sides hash-partition by cell, no
+    * broadcast, no driver-side state; each task scores one cell
+    * bucket's |index ∩ cell| × |queries probing it| pairs, and the same
+    * two-stage [[TopK.perKey]] (partial per-partition top-k before the
+    * key shuffle) bounds what moves. Hot cells skew the join — AQE's
+    * skew-join split handles moderate skew; re-train with more cells
+    * when one cell dominates (the FAISS guidance: nCells ~ √n keeps
+    * buckets balanced). `excludeSelf` drops qid == id matches — a
+    * corpus joined against itself wants neighbors, not identity.
+    */
+  def knnJoin(indexed: DataFrame, queries: DataFrame, qidCol: String,
+      qvecCol: String, centroids: Array[(Int, Array[Double])], k: Int = 10,
+      nProbe: Int = 4, excludeSelf: Boolean = false): DataFrame = {
+    val q = queries.select(col(qidCol).as("qid"),
+      transform(col(qvecCol), x => x.cast("double")).as("qv"))
+    val probed = q.withColumn("cell",
+      explode(GraftFunctions.nearestCells(col("qv"),
+        denseCentroids(centroids), nProbe)))
+    val scored0 = indexed.join(probed.hint("shuffle_hash"), Seq("cell"))
+      .withColumn("cosine", GraftFunctions.cosine(col("v"), col("qv")))
+    val scored = if (excludeSelf) scored0.filter(col("qid") =!= col("id"))
+      else scored0
+    TopK.perKey(scored, "qid", Seq(col("cosine").desc, col("id").asc), k, "rk")
+      .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("qid", "rk")
+  }
+
   def search(indexed: DataFrame, queries: DataFrame, qidCol: String, qvecCol: String,
       centroids: Array[(Int, Array[Double])], k: Int = 10, nProbe: Int = 4): DataFrame = {
     val q = queries.select(col(qidCol).as("qid"),

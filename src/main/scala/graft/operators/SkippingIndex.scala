@@ -690,4 +690,75 @@ object SkippingIndex {
         (spark.read.parquet(p.kept: _*).filter(col(column).between(lo, hi)), Some(p))
     }
   }
+
+  // ---------------------------------------------------------------------
+  // Per-file BLOOM index: point lookups on NON-clustered columns.
+  // Min/max stats skip nothing when every file's [min,max] spans the
+  // column's domain — the usual fate of any column the layout was not
+  // clustered by. A per-file bloom filter answers "can this file contain
+  // v?" with no false negatives, so `col = v` lookups read only the
+  // files that (probably) hold v — the Delta/Iceberg bloom-index shape.
+  // ---------------------------------------------------------------------
+
+  /** One (file, bloom) row per data file: a bloom of the file's non-null
+    * `column` values, built in ONE distributed scan (groupBy
+    * input_file_name + BloomFilterAggregate — only the compact bitmaps
+    * leave the executors). A file whose column is entirely NULL gets a
+    * NULL bloom — safely skippable for any equality lookup (`= v` is
+    * never true on NULL). `file` holds input_file_name's URI form,
+    * directly readable back by spark.read.parquet.
+    *
+    * Sizing: `expectedItemsPerFile` should be the file's expected
+    * DISTINCT count; bits follow the standard m = -n ln(p) / (ln 2)²,
+    * so the index costs ~1.2 KB per file per 1k distincts at fpp 1% —
+    * metadata-sized at any table size.
+    */
+  def bloomRows(spark: SparkSession, files: Seq[String], column: String,
+      expectedItemsPerFile: Long = 100000L, fpp: Double = 0.01): DataFrame = {
+    require(files.nonEmpty, "bloomRows needs at least one file")
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    val numBits = math.max(64L, math.ceil(
+      -expectedItemsPerFile * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val hashed = new XxHash64(Seq(ColumnBridge.expression(col(column))))
+    val agg = new BloomFilterAggregate(hashed,
+      Literal(expectedItemsPerFile), Literal(numBits)).toAggregateExpression()
+    spark.read.parquet(files: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(ColumnBridge.column(agg).as("bloom"))
+  }
+
+  /** [[bloomRows]] written to `indexOut` as the persisted index. */
+  def buildBloomIndex(spark: SparkSession, files: Seq[String], column: String,
+      indexOut: String, expectedItemsPerFile: Long = 100000L,
+      fpp: Double = 0.01): Unit =
+    bloomRows(spark, files, column, expectedItemsPerFile, fpp)
+      .coalesce(1).write.mode("overwrite").parquet(indexOut)
+
+  /** Prune a persisted bloom index for `column = value`: keep exactly the
+    * files whose bloom might contain the value (NULL blooms = all-NULL
+    * files, skipped — equality never matches NULL). The probe hashes the
+    * PHYSICAL type like the build did (XxHash64 over the typed literal),
+    * so `value`'s type must match the indexed column's — 5 and 5L hash
+    * apart (the [[BloomJoin.prunedJoin]] caveat). The probe itself runs
+    * driver-side over the collected (file, bloom) rows — one row per
+    * file, the standard driver-side index footprint — through the SAME
+    * BloomFilterMightContain expression the executors would use, so
+    * there is no serialization-format coupling to maintain.
+    */
+  def pruneBloom(spark: SparkSession, indexPath: String, value: Any,
+      valueType: DataType): Prune = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    require(value != null, "point lookup of NULL never matches (SQL equality)")
+    val rows = spark.read.parquet(indexPath)
+      .select("file", "bloom").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)))
+    val h = new XxHash64(Seq(Literal.create(value, valueType)))
+    val kept = rows.filter { case (_, b) =>
+      b != null && java.lang.Boolean.TRUE.equals(
+        BloomFilterMightContain(Literal(b, BinaryType), h).eval(null))
+    }.map(_._1).toSeq.sorted
+    Prune(rows.length, kept.length, kept)
+  }
 }

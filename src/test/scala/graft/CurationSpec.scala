@@ -261,6 +261,56 @@ class CurationSpec extends AnyFunSuite {
     assert(r.count() > 0) // no overflow exception under ANSI
   }
 
+  test("shuffleShard: partitioning-invariant, balanced, dense per-shard positions") {
+    import spark.implicits._
+    val docs = (0L until 4000L).toDF("doc_id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Curation.shuffleShard(d, "doc_id", "seedA", 8)
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._3)).toSeq
+    val a = run(docs.repartition(1))
+    val b = run(docs.repartition(17))
+    assert(a == b, "order/shard must not depend on input partitioning")
+    val byShard = a.groupBy(_._2)
+    assert(byShard.keySet == (0L until 8L).toSet)
+    // md5 mod 8 balances in expectation: no shard off by more than 25%
+    assert(byShard.values.forall(s => s.size > 375 && s.size < 625),
+      byShard.view.mapValues(_.size).toMap.toString)
+    // positions are dense 1..n within each shard
+    assert(byShard.values.forall(s => s.map(_._3).sorted == (1L to s.size)))
+    // a different seed is a different permutation
+    val c = Curation.shuffleShard(docs, "doc_id", "seedB", 8)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._3)).toSeq
+    assert(c != a)
+  }
+
+  test("dsir weights: hand-computed log ratios; target-like docs trend positive") {
+    import spark.implicits._
+    // 1-bucket degenerate case: every token lands in bucket 0, so the
+    // ratio collapses to ln(((T+1)/(T+1)) / ((R+1)/(R+1))) = 0 — weights
+    // are exactly 0 whatever the text (smoothing totals: tt + B == tc + 1
+    // only when B=1 and all tokens are target... compute directly)
+    val docs = Seq(
+      (1L, "alpha alpha beta", "en"),
+      (2L, "gamma delta", "fr")).toDF("doc_id", "text", "lang")
+    val one = Curation.dsirWeights(docs, "doc_id", "text",
+      col("lang") === "en", buckets = 1)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // B=1: every token in bucket 0; tc=3, tt=3, rc=5, rt=5
+    // lr = ln((4/4) / (6/6)) = 0 → every weight 0.0
+    assert(one.map(_._3) == Seq(0.0, 0.0) && one.map(_._2) == Seq(3L, 2L))
+    // real corpus: English docs (the target) must average a HIGHER
+    // weight than non-English — the signal DSIR selects on
+    val real = Tables.load(spark, TestSpark.sf, "documents")
+    val w = Curation.dsirWeights(real, "doc_id", "text",
+      col("lang") === "en", buckets = 256)
+      .join(real.select(col("doc_id"), col("lang")), "doc_id")
+    val avg = w.groupBy(col("lang") === "en")
+      .agg(org.apache.spark.sql.functions.avg("log_weight").as("aw"))
+      .collect().map(r => (r.getBoolean(0), r.getDouble(1))).toMap
+    assert(avg(true) > avg(false),
+      s"target docs must outscore the rest: $avg")
+  }
+
   test("repetition metrics match a brute-force replica on real documents") {
     import graft.operators.TextAnalysis
     def dupFrac(t: Seq[String], n: Int): Double =

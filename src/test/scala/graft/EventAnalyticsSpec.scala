@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventAnalytics
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+
+  test("funnel: strict-sequence depths on hand-computed users; input order irrelevant") {
+    // u1 completes all three in order; u2 clicks BEFORE its first view
+    // (click can't count, then view=1, purchase needs click after the
+    // view -> depth 1); u3 views only; u4 has no step-1 event at all
+    val rows = Seq(
+      (1L, ts(1), "view", 10L), (1L, ts(2), "click", 11L), (1L, ts(3), "purchase", 12L),
+      (2L, ts(1), "click", 20L), (2L, ts(2), "view", 21L), (2L, ts(3), "purchase", 22L),
+      (3L, ts(1), "view", 30L), (3L, ts(2), "error", 31L),
+      (4L, ts(1), "purchase", 40L), (4L, ts(2), "click", 41L))
+    val df = rows.toDF("user_id", "ts", "event_type", "event_id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      EventAnalytics.funnel(d, "user_id", "ts", "event_type", "event_id",
+        Seq("view", "click", "purchase"))
+        .as[(Long, Long)].collect().toMap
+    val got = run(df)
+    // u4 depth 0, u2/u3 depth 1, u1 depth 3
+    assert(got == Map(0L -> 1L, 1L -> 2L, 3L -> 1L))
+    // arrival order must not matter: the fold runs over the SORTED list
+    assert(run(df.orderBy(rand(7))) == got)
+    // ts tie broken by event_id: view(id 50) then click(id 51) at the
+    // same instant still completes in order
+    val tie = Seq((9L, ts(1), "view", 50L), (9L, ts(1), "click", 51L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    assert(run(tie) == Map(2L -> 1L))
+  }
+
+  test("cohort retention: first-touch day buckets, distinct actives per offset") {
+    def d(s: String) = Timestamp.valueOf(s + " 12:00:00")
+    val rows = Seq(
+      (1L, d("2024-01-01")), (1L, d("2024-01-01")), (1L, d("2024-01-03")),
+      (2L, d("2024-01-02")),
+      (3L, d("2024-01-01")), (3L, d("2024-01-03")))
+    val got = EventAnalytics.cohortRetention(
+      rows.toDF("user_id", "ts"), "user_id", "ts")
+      .as[(java.sql.Date, Int, Long)].collect().toSeq
+    assert(got == Seq(
+      (java.sql.Date.valueOf("2024-01-01"), 0, 2L), // u1+u3 day 0
+      (java.sql.Date.valueOf("2024-01-01"), 2, 2L), // u1+u3 back on day 2
+      (java.sql.Date.valueOf("2024-01-02"), 0, 1L)))
+  }
+
+  test("funnel matches a per-user brute-force replay on real events") {
+    val ev = graft.sources.Tables.load(spark, TestSpark.sf, "events")
+    val steps = Seq("view", "click", "purchase")
+    val got = EventAnalytics.funnel(ev, "user_id", "ts", "event_type", "event_id", steps)
+      .as[(Long, Long)].collect().toMap
+    val rows = ev.filter(col("event_type").isin(steps: _*))
+      .select("user_id", "ts", "event_id", "event_type")
+      .as[(Long, Timestamp, Long, String)].collect()
+    val brute = rows.groupBy(_._1).map { case (_, es) =>
+      var st = 0
+      es.sortBy(e => (e._2.getTime, e._2.getNanos, e._3)).foreach { e =>
+        if (st < steps.length && e._4 == steps(st)) st += 1
+      }
+      st.toLong
+    }.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    assert(got == brute, s"got=$got brute=$brute")
+  }
+}

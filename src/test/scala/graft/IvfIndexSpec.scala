@@ -57,6 +57,43 @@ class IvfIndexSpec extends AnyFunSuite {
     assert((0L until 10L).forall(i => approx.contains((i, i))))
   }
 
+  test("knnJoin == search per query (strategy-invisible); shuffle join, no broadcast of the query side") {
+    val centroids = IvfIndex.train(emb, "vec_id", "embedding", nCells = 16)
+    val indexed = IvfIndex.index(emb, "vec_id", "embedding", centroids)
+    // every embedding is a query — the corpus-sized query side
+    val viaJoin = IvfIndex.knnJoin(indexed, emb, "vec_id", "embedding",
+      centroids, k = 5, nProbe = 4, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    // the broadcast path with self filtered AFTER must agree on the same
+    // neighbor set when it asks for k neighbors beyond self (k+1, drop
+    // self, keep 5): the join is a pure execution-strategy change
+    val viaSearch = IvfIndex.search(indexed, emb, "vec_id", "embedding",
+      centroids, k = 6, nProbe = 4)
+      .filter(col("qid") =!= col("id"))
+      .withColumn("rk2", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cosine").desc, col("id").asc)))
+      .filter(col("rk2") <= 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaJoin.map(t => (t._1, t._2)) == viaSearch,
+      "shuffle knnJoin and broadcast search must rank the same neighbors")
+    assert(viaJoin.forall(_._4 <= 5) && viaJoin.nonEmpty)
+    // plan shape: the probed-queries × index join must NOT broadcast
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = IvfIndex.knnJoin(indexed, emb, "vec_id", "embedding",
+        centroids, k = 5, nProbe = 4, excludeSelf = true)
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val bhj = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b }
+      assert(bhj.isEmpty, s"knnJoin must not broadcast a corpus-sized query side:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("nearestCells kernel == the struct-array formulation it replaced (ties, zero vectors, order)") {
     import spark.implicits._
     import graft.functions.expr.GraftFunctions

@@ -130,6 +130,44 @@ class SkippingIndexSpec extends AnyFunSuite {
     d
   }
 
+  test("bloom index: point lookups skip files min/max cannot; all-NULL files skip; absent values keep nothing") {
+    import spark.implicits._
+    // 8 k-ranged files; tag = k mod 4000 puts each tag value in exactly
+    // 2 files — min/max stats on tag span the domain in EVERY file
+    // (useless), the bloom knows which 2 hold it
+    val data = TestSpark.scratch("bloom_data")
+    (0L until 8000L).toDF("k")
+      .withColumn("tag", pmod(col("k"), lit(4000L)))
+      .withColumn("tag", when(col("k") < 1000L, lit(null).cast("long"))
+        .otherwise(col("tag"))) // first file: all-NULL tags
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(data)
+    val idx = TestSpark.scratch("bloom_idx")
+    SkippingIndex.buildBloomIndex(spark,
+      spark.read.parquet(data).inputFiles.toSeq.sorted, "tag", idx,
+      expectedItemsPerFile = 2000L, fpp = 0.01)
+    val p = SkippingIndex.pruneBloom(spark, idx, 3777L,
+      org.apache.spark.sql.types.LongType)
+    assert(p.filesTotal == 8)
+    // tag 3777 lives at k=3777 and k=7777 -> 2 files (+ rare fp slack)
+    assert(p.filesKept <= 3 && p.filesKept >= 2, s"$p")
+    val got = spark.read.parquet(p.kept: _*).filter(col("tag") === 3777L)
+      .select("k").as[Long].collect().toSet
+    assert(got == Set(3777L, 7777L))
+    // a value hashed into the all-NULL file's range: that file's bloom is
+    // NULL and it is skipped (tag 500 exists ONLY at k=4500 — k=500 is
+    // in the NULL band)
+    val p2 = SkippingIndex.pruneBloom(spark, idx, 500L,
+      org.apache.spark.sql.types.LongType)
+    val got2 = spark.read.parquet(p2.kept: _*).filter(col("tag") === 500L)
+      .select("k").as[Long].collect().toSet
+    assert(got2 == Set(4500L))
+    // absent value: bloom keeps (almost) nothing, and certainly not all
+    val p3 = SkippingIndex.pruneBloom(spark, idx, 999999L,
+      org.apache.spark.sql.types.LongType)
+    assert(p3.filesKept <= 1, s"absent value must prune: $p3")
+  }
+
   test("keyset walk: asc and desc page walks equal the offset pages, file-bounded") {
     val full = spark.read.parquet(keysetDir)
       .orderBy("o_orderkey").collect().map(_.getLong(0)).toSeq

@@ -455,6 +455,171 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(seen.toSeq == (0L until 150L).toSeq)
   }
 
+  test("predicate delete is copy-on-write: only files with matching rows rewritten; NULL cond keeps") {
+    val dir = freshDir("snap-del")
+    // key-clustered: the delete band 100..119 lives in one file of 8
+    SnapshotTable.create(spark,
+      mkBase(8000).repartitionByRange(8, col("k")), dir)
+    val (c2, n) = SnapshotTable.delete(spark, dir,
+      col("k") >= 100L && col("k") < 120L)
+    assert(c2.version == 2L && n == 20L)
+    assert(c2.filesReused >= 6,
+      s"narrow delete must reuse most files, reused only ${c2.filesReused} of 8")
+    val got = SnapshotTable.read(spark, dir).select("k").as[Long].collect().toSet
+    assert(got.size == 7980 && !got.contains(105L) && got.contains(99L) && got.contains(120L))
+    // SQL DELETE semantics: NULL predicate keeps the row
+    val dir2 = freshDir("snap-del-null")
+    SnapshotTable.create(spark,
+      Seq((1L, "a", 0L), (2L, null.asInstanceOf[String], 0L))
+        .toDF("k", "payload", "commit_v"), dir2)
+    val (_, n2) = SnapshotTable.delete(spark, dir2, length(col("payload")) > 0)
+    assert(n2 == 1L)
+    assert(SnapshotTable.read(spark, dir2).count() == 1L) // NULL-cond row kept
+    // a predicate matching nothing commits NO new version
+    val before = SnapshotTable.versions(spark, dir)
+    val (c3, n3) = SnapshotTable.delete(spark, dir, col("k") < 0L)
+    assert(n3 == 0L && c3.version == c2.version)
+    assert(SnapshotTable.versions(spark, dir) == before)
+  }
+
+  test("delete shows up in changes() as exactly the deleted pre-images") {
+    val dir = freshDir("snap-del-cdc")
+    SnapshotTable.create(spark,
+      mkBase(2000).repartitionByRange(4, col("k")), dir)
+    SnapshotTable.delete(spark, dir, col("k") >= 10L && col("k") < 15L)
+    val ch = SnapshotTable.changes(spark, dir, "k", 1L, 2L,
+      ignoreCols = Seq("commit_v"))
+      .select("_change_type", "k").as[(String, Long)].collect().sorted
+    // only the 5 deleted rows — the carried-over survivors of the
+    // rewritten file are content-equal and silent
+    assert(ch.toSeq == (10L until 15L).map(k => ("delete", k)))
+  }
+
+  test("restore: manifest-only undo; history preserved; vacuum keeps restored files") {
+    val dir = freshDir("snap-restore")
+    SnapshotTable.create(spark,
+      mkBase(1000).repartitionByRange(4, col("k")), dir) // v1
+    val ch = Seq((5L, "upd5", 1L, false), (2000L, "new", 1L, false))
+      .toDF("k", "payload", "commit_v", "_deleted")
+    SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload") // v2
+    SnapshotTable.delete(spark, dir, col("k") < 100L) // v3
+    val c4 = SnapshotTable.restore(spark, dir, 1L) // v4 == v1 content
+    assert(c4.version == 4L && c4.filesReused == c4.files.length)
+    val v1 = SnapshotTable.read(spark, dir, Some(1L))
+      .select("k", "payload").as[(Long, String)].collect().toSet
+    val now = SnapshotTable.read(spark, dir)
+      .select("k", "payload").as[(Long, String)].collect().toSet
+    assert(now == v1)
+    // intermediate history still pinned-readable
+    assert(SnapshotTable.read(spark, dir, Some(3L)).count() == 901L)
+    // CDC across the restore is the net UNDO of v1->v3
+    val undo = SnapshotTable.changes(spark, dir, "k", 3L, 4L,
+      ignoreCols = Seq("commit_v"))
+      .groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    // keys 0..99 come back (incl. key 5, gone at v3, val5 again at v4);
+    // key 2000 goes away; keys 100..999 are content-equal and silent
+    assert(undo == Map("insert" -> 100L, "delete" -> 1L))
+    // vacuum to the restore manifest only: v1's files stay (referenced
+    // by v4), v2/v3-only files go, the table still reads
+    val gone = SnapshotTable.vacuum(spark, dir, keepLast = 1, graceMs = 0L)
+    assert(gone.nonEmpty)
+    assert(SnapshotTable.read(spark, dir)
+      .select("k", "payload").as[(Long, String)].collect().toSet == v1)
+    // restoring to a vacuumed version fails loudly
+    intercept[IllegalArgumentException] {
+      SnapshotTable.restore(spark, dir, 3L)
+    }
+  }
+
+  test("attachBloom + lookupPoint: non-clustered point lookups skip files, equal the plain filter") {
+    val dir = freshDir("snap-bloom")
+    // clustered by k; tag = k mod 500 is spread across ALL 8 files by
+    // range stats' lights, but each (tag, file) pairing is sparse
+    val df = (0 until 8000)
+      .map(i => (i.toLong, i.toLong % 500L, s"v$i", 0L))
+      .toDF("k", "tag", "payload", "commit_v")
+    SnapshotTable.create(spark, df.repartitionByRange(8, col("k")), dir)
+    // without an index: plain scan, no prune evidence
+    val (plain, none) = SnapshotTable.lookupPoint(spark, dir, "tag", 123L)
+    assert(none.isEmpty && plain.count() == 16L)
+    SnapshotTable.attachBloom(spark, dir, "tag", expectedItemsPerFile = 2000L)
+    val (scan, pr) = SnapshotTable.lookupPoint(spark, dir, "tag", 123L)
+    assert(pr.isDefined && pr.get.filesTotal == 8)
+    // every file holds tag 123 (every k-range of 1000 spans all 500
+    // residues) -- bloom keeps all, result still exact
+    assert(scan.count() == 16L)
+    val got = scan.select("k").as[Long].collect().sorted.toSeq
+    assert(got == (0 until 8000).map(_.toLong).filter(_ % 500L == 123L))
+    // a SPARSE value: rebuild with tag2 present in exactly one file
+    val dir2 = freshDir("snap-bloom2")
+    val df2 = (0 until 8000)
+      .map(i => (i.toLong, if (i == 4321) 777L else i.toLong % 100L, 0L))
+      .toDF("k", "tag", "commit_v")
+    SnapshotTable.create(spark, df2.repartitionByRange(8, col("k")), dir2)
+    SnapshotTable.attachBloom(spark, dir2, "tag", expectedItemsPerFile = 2000L)
+    val (scan2, pr2) = SnapshotTable.lookupPoint(spark, dir2, "tag", 777L)
+    assert(pr2.exists(p => p.filesKept <= 2), s"sparse value must skip: $pr2")
+    assert(scan2.select("k").as[Long].collect().toSeq == Seq(4321L))
+    // absent value: exact empty result
+    val (scan3, _) = SnapshotTable.lookupPoint(spark, dir2, "tag", 999999L)
+    assert(scan3.count() == 0L)
+  }
+
+  test("readAsOf resolves manifest commit times monotonically; pre-create throws") {
+    val dir = freshDir("snap-asof")
+    val before = System.currentTimeMillis() - 5
+    SnapshotTable.create(spark, mkBase(50), dir) // v1
+    Thread.sleep(1100) // mtime granularity can be 1s on some filesystems
+    val afterV1 = System.currentTimeMillis()
+    val ch = Seq((1000L, "new", 1L, false)).toDF("k", "payload", "commit_v", "_deleted")
+    SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload") // v2
+    assert(SnapshotTable.versionAsOf(spark, dir, before).isEmpty)
+    assert(SnapshotTable.versionAsOf(spark, dir, afterV1).contains(1L))
+    assert(SnapshotTable.versionAsOf(spark, dir,
+      System.currentTimeMillis() + 1000).contains(2L))
+    assert(SnapshotTable.readAsOf(spark, dir, afterV1).count() == 50L)
+    assert(SnapshotTable.readAsOf(spark, dir,
+      System.currentTimeMillis() + 1000).count() == 51L)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readAsOf(spark, dir, before)
+    }
+  }
+
+  test("attachStatsIncremental: scans only new files, index row-identical to the full build") {
+    import graft.operators.SkippingIndex
+    val dir = freshDir("snap-statsinc")
+    SnapshotTable.create(spark,
+      mkBase(12000).repartitionByRange(12, col("k")), dir) // v1: 12 files
+    SnapshotTable.attachStats(spark, dir, Seq("k"))
+    // narrow upsert: 1-2 files rewritten, 10+ reused
+    val ch = (100 until 140)
+      .map(i => (i.toLong, s"u$i", 1L, false)).toDF("k", "payload", "commit_v", "_deleted")
+    val c2 = SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload")
+    val (reused, scanned) = SnapshotTable.attachStatsIncremental(spark, dir, Seq("k"))
+    assert(reused == c2.filesReused.toLong && reused >= 10L,
+      s"must reuse the untouched files' stats rows: reused=$reused scanned=$scanned")
+    assert(scanned == (c2.files.length - c2.filesReused).toLong)
+    // the incremental index must equal a from-scratch footer build
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).map(_.mkString("|")).sorted.toSeq
+    val inc = spark.read.parquet(s"$dir/stats/" + f"v${2}%05d")
+    val full = SkippingIndex.statsRows(spark, SnapshotTable.files(spark, dir, Some(2L)), Seq("k"))
+    assert(canon(inc) == canon(full), "incremental index must be row-identical")
+    // and it serves scans: pruned result == plain filter
+    val (scan, pr) = SnapshotTable.scanBetween(spark, dir, "k", 5000L, 5999L)
+    assert(pr.exists(p => p.filesKept < p.filesTotal), s"must skip files: $pr")
+    assert(scan.count() == 1000L)
+    // restore commits NO new data files: incremental scans zero footers
+    SnapshotTable.restore(spark, dir, 2L) // v3, same file list
+    val (r2, s2) = SnapshotTable.attachStatsIncremental(spark, dir, Seq("k"))
+    assert(s2 == 0L && r2 == c2.files.length.toLong,
+      s"restore must reuse everything: reused=$r2 scanned=$s2")
+    // no prior index over the requested columns -> full-build fallback
+    val (r3, s3) = SnapshotTable.attachStatsIncremental(spark, dir, Seq("k", "commit_v"))
+    assert(r3 == 0L && s3 == c2.files.length.toLong)
+  }
+
   test("changes: upsert classifies insert/delete/update; carry-over rows silent") {
     val dir = freshDir("snap-cdc")
     // 8 key-clustered files over 0..7999
