@@ -607,6 +607,19 @@ object ExtraQueries {
         .orderBy("l_partkey")
     }),
 
+    "q74_resample" -> ((s, dir) => {
+      // hourly resample with gap fill + forward fill over the 5
+      // event_type series: dense regular grid (n=0 buckets explicit),
+      // per-bucket mean via the SORTED fold (bit-identical across
+      // engines/partitionings), ffill = last non-null over the dense
+      // grid, NULL before a series' first observation
+      graft.operators.EventAnalytics.resampleHourly(t(s, dir, "events"),
+        "event_type", "ts", "value")
+        .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("avg_v", round(col("avg_v"), 4))
+        .withColumn("avg_v_ff", round(col("avg_v_ff"), 4))
+    }),
+
     "q73_point_bloom" -> ((s, dir) => {
       // per-file BLOOM index point lookup — the skipping face min/max
       // stats can't serve: the table is clustered by o_orderkey, the
@@ -1264,6 +1277,29 @@ object ExtraQueries {
         |UNION ALL
         |SELECT CAST(2 AS BIGINT) AS snap, * FROM v2
         |ORDER BY snap, o_orderkey""".stripMargin,
+
+    // identical sorted-fold means, identical dense spine, identical ffill
+    "q74_resample" ->
+      """WITH e AS (SELECT event_type AS series, date_trunc('hour', ts) AS bucket,
+        |             "value"::DOUBLE AS v FROM events),
+        |a AS (SELECT series, bucket,
+        |        list_reduce(list_prepend(0.0, list_sort(list(v))),
+        |                    (x, y) -> x + y) / count(*) AS avg_v,
+        |        count(*) AS n
+        |      FROM e GROUP BY series, bucket),
+        |b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM a),
+        |sp AS (SELECT s.series, g.bucket
+        |       FROM (SELECT DISTINCT series FROM a) s
+        |       CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM b),
+        |                     (SELECT hi FROM b), INTERVAL 1 HOUR)) AS bucket) g),
+        |j AS (SELECT sp.series, sp.bucket, coalesce(a.n, 0) AS n, a.avg_v
+        |      FROM sp LEFT JOIN a USING (series, bucket))
+        |SELECT series, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  CAST(n AS BIGINT) AS n, round(avg_v, 4) AS avg_v,
+        |  round(last_value(avg_v IGNORE NULLS) OVER (
+        |    PARTITION BY series ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS avg_v_ff
+        |FROM j ORDER BY series, bucket""".stripMargin,
 
     // the bloom-pruned point lookup must equal the plain equality filter
     "q73_point_bloom" ->

@@ -50,6 +50,54 @@ object EventAnalytics {
       .orderBy("depth")
   }
 
+  /** Time-series RESAMPLE with gap fill: per `seriesCol`, hourly buckets
+    * over the data's full time range — aggregated value where events
+    * exist, an explicit empty bucket (n = 0) where they don't, and a
+    * forward-filled value column (`last non-null` carried across gaps;
+    * NULL before a series' first observation). The dashboard/feature
+    * -engineering face every events store needs: a line chart or a
+    * model join wants a dense, regular grid, not the sparse arrival
+    * buckets.
+    *
+    * Plan shape: ONE scan + one (series, bucket) shuffle builds the
+    * sparse aggregate; the dense spine derives from that already-small
+    * frame (bounds + distinct series — no second scan of the events
+    * table, and the identical agg subplan lets Catalyst reuse the
+    * exchange), `sequence()` explodes the bucket range, a broadcast-
+    * sized left join lands the values, and the forward fill is one
+    * per-series window over the DENSE grid (buckets × series rows —
+    * grid-sized, never event-sized). Determinism: the per-bucket mean
+    * folds over the SORTED value list, so double addition happens in
+    * one fixed order on any partitioning (the lmScore contract) and the
+    * forward-filled copies are bit-identical too.
+    */
+  def resampleHourly(events: DataFrame, seriesCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val agg = events
+      .select(col(seriesCol).as("series"),
+        date_trunc("hour", col(tsCol)).as("bucket"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy("series", "bucket")
+      .agg(collect_list("v").as("vs"), count(lit(1)).as("n"))
+      .select(col("series"), col("bucket"),
+        (expr("aggregate(array_sort(vs), cast(0.0 as double), (a, x) -> a + x)")
+          / col("n")).as("avg_v"),
+        col("n"))
+    val bounds = agg.agg(min("bucket").as("lo"), max("bucket").as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("bucket"))
+      .crossJoin(broadcast(agg.select("series").distinct()))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("series").orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine.join(agg, Seq("series", "bucket"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("avg_v_ff", last(col("avg_v"), ignoreNulls = true).over(w))
+      .select("series", "bucket", "n", "avg_v", "avg_v_ff")
+      .orderBy("series", "bucket")
+  }
+
   /** Cohort retention: users bucketed by the DAY of their first event
     * (any type), then, per (cohort day, day offset), how many distinct
     * cohort members were active that many days later — the retention

@@ -334,10 +334,22 @@ object SnapshotTable {
     * intervals with tight per-file bounding boxes in both columns — the
     * layout maintenance that makes [[attachStats]]/[[scanBetween]]
     * actually skip.
+    *
+    * `sortOn = Some(col)` is the 1-D clustering variant: range-partition
+    * + sort by `col`, so the rewrite PRESERVES (or establishes) the
+    * key-clustered layout the table's pruning surfaces live on — upsert
+    * file selection, [[scanBetween]], [[keysetWalk]] all degrade to
+    * read-everything on a round-robin layout, so a maintenance pass of a
+    * key-clustered table should always pass its cluster key here. The
+    * default (neither option) is a plain bin-pack: fastest rewrite,
+    * no ordering promise.
     */
   def compact(spark: SparkSession, dir: String, targetRecords: Long,
       zOrderOn: Option[(String, String, Int)] = None,
+      sortOn: Option[String] = None,
       maxRetries: Int = 5): Commit = {
+    require(zOrderOn.isEmpty || sortOn.isEmpty,
+      "compact takes zOrderOn OR sortOn, not both")
     var attempt = 0
     while (true) {
       val v = currentVersion(spark, dir).getOrElse(
@@ -345,13 +357,15 @@ object SnapshotTable {
       val df = read(spark, dir, Some(v))
       val n = df.count()
       val nf = math.max(1L, (n + targetRecords - 1) / targetRecords).toInt
-      val shaped = zOrderOn match {
-        case Some((x, y, bits)) =>
+      val shaped = (zOrderOn, sortOn) match {
+        case (Some((x, y, bits)), _) =>
           Layout.withZValue(df, x, y, bits)
             .repartitionByRange(nf, col("z"))
             .sortWithinPartitions("z")
             .drop("z")
-        case None => df.repartition(nf)
+        case (None, Some(c)) =>
+          df.repartitionByRange(nf, col(c)).sortWithinPartitions(c)
+        case _ => df.repartition(nf)
       }
       val out = s"$dir/data/" + f"v${v + 1}%05d" + s"_${nonce()}"
       shaped.write.mode("overwrite")

@@ -193,6 +193,61 @@ object ScaleProbe {
         f""""change_rows_sf1": $nB, "band_keys": 500}"""
     }
 
+    // bloom point-lookup probe: SkippingIndex.pruneBloom's claim is that
+    // an equality lookup of a RARE value reads O(files holding it +
+    // fpp·files) data files, with the probe itself metadata-sized — so
+    // per-lookup wall time should grow FAR slower than the 10x corpus
+    // (the fpp tail adds ~fpp·files false-positive reads; at 1% over
+    // 320 files that is ~3 extra bounded reads, not 10x the work).
+    locally {
+      import graft.operators.SkippingIndex
+      // tag: one distinguished RARE value per probed doc_id (doc_id
+      // itself), everything else folded into 64 dense residues — rare
+      // values live in exactly one file at both scales
+      def buildTagged(docsDir: String, outDir: String, nFiles: Int): Unit = {
+        spark.read.parquet(docsDir).select(col("doc_id"))
+          .withColumn("tag",
+            when(pmod(col("doc_id"), lit(97L)) === 0L, col("doc_id") + 1000000L)
+              .otherwise(pmod(col("doc_id"), lit(64L))))
+          .repartitionByRange(nFiles, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(outDir)
+        SkippingIndex.buildBloomIndex(spark,
+          spark.read.parquet(outDir).inputFiles.toSeq.sorted, "tag",
+          s"$outDir.bloomidx", expectedItemsPerFile = 4096L, fpp = 0.01)
+      }
+      def perLookup(dir: String): (Double, Int, Int) = {
+        var maxKept = 0; var total = 0
+        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+        (1 to 20).foreach { i =>
+          val v = i.toLong * 97L + 1000000L // a rare tag present once
+          val t0 = System.nanoTime()
+          val p = SkippingIndex.pruneBloom(spark, s"$dir.bloomidx", v,
+            org.apache.spark.sql.types.LongType)
+          val n = if (p.filesKept == 0) 0L
+            else spark.read.parquet(p.kept: _*)
+              .filter(col("tag") === v).count()
+          times += (System.nanoTime() - t0) / 1e6
+          require(n == 1L, s"rare tag $v must match exactly once, got $n")
+          maxKept = math.max(maxKept, p.filesKept); total = p.filesTotal
+        }
+        (times.sorted.apply(times.length / 2), maxKept, total)
+      }
+      val small = s"${out}_bloom01"
+      val big = s"${out}_bloom1"
+      buildTagged(s"$src/documents.parquet", small, 32)
+      buildTagged(s"$out/documents.parquet", big, 320)
+      val (msS, keptS, totS) = perLookup(small)
+      val (msB, keptB, totB) = perLookup(big)
+      println(f"[scale] bloom_lookup sf0.1=$msS%6.1f ms (kept<=$keptS/$totS)  " +
+        f"sf1=$msB%6.1f ms (kept<=$keptB/$totB)  ratio=${msB / msS}%5.2fx")
+      results += f"""  "bloom_lookup": {"sf01_ms_per_lookup": $msS%.1f, """ +
+        f""""sf1_ms_per_lookup": $msB%.1f, "ratio": ${msB / msS}%.2f, """ +
+        f""""files_kept_max_sf01": $keptS, "files_total_sf01": $totS, """ +
+        f""""files_kept_max_sf1": $keptB, "files_total_sf1": $totB, """ +
+        f""""lookups": 20, "timing": "median_ms_per_lookup"}"""
+    }
+
     // deep-merge BPE probe: 1024 merge rounds. The sf1 documents
     // vocabulary EXHAUSTS at ~368 merges (every distinct word collapses
     // to one symbol — it is replica-structured synthetic text), so the

@@ -54,6 +54,31 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (java.sql.Date.valueOf("2024-01-02"), 0, 1L)))
   }
 
+  test("resampleHourly: dense spine, empty buckets, forward fill, leading NULLs") {
+    def t(s: String) = Timestamp.valueOf(s)
+    // series A: values at 00 and 03 (gap at 01, 02); series B first
+    // appears at 02 (leading NULLs at 00, 01)
+    val rows = Seq(
+      ("A", t("2024-01-01 00:10:00"), 2.0),
+      ("A", t("2024-01-01 00:50:00"), 4.0),
+      ("A", t("2024-01-01 03:05:00"), 10.0),
+      ("B", t("2024-01-01 02:30:00"), 7.0))
+    val got = EventAnalytics.resampleHourly(
+      rows.toDF("series", "ts", "value"), "series", "ts", "value")
+      .as[(String, Timestamp, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    val h = (0 to 3).map(i => t(f"2024-01-01 $i%02d:00:00"))
+    assert(got == Seq(
+      ("A", h(0), 2L, Some(3.0), Some(3.0)),
+      ("A", h(1), 0L, None, Some(3.0)),      // gap: ffill carries 3.0
+      ("A", h(2), 0L, None, Some(3.0)),
+      ("A", h(3), 1L, Some(10.0), Some(10.0)),
+      ("B", h(0), 0L, None, None),           // before B's first obs: NULL
+      ("B", h(1), 0L, None, None),
+      ("B", h(2), 1L, Some(7.0), Some(7.0)),
+      ("B", h(3), 0L, None, Some(7.0))), got.mkString("\n"))
+  }
+
   test("funnel matches a per-user brute-force replay on real events") {
     val ev = graft.sources.Tables.load(spark, TestSpark.sf, "events")
     val steps = Seq("view", "click", "purchase")

@@ -80,6 +80,22 @@ class PlanSpec extends AnyFunSuite {
       "mode-frequency must run as the native kernel")
   }
 
+  test("funnel and cohort scan the events table ONCE (window/fold formulations, no self-join)") {
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+    val funnelPlan = executedNoAqe(
+      graft.operators.EventAnalytics.funnel(ev, "user_id", "ts",
+        "event_type", "event_id", Seq("view", "click", "purchase")))
+    val fScans = funnelPlan.collectLeaves().count(
+      _.toString.contains("events.parquet"))
+    assert(fScans == 1, s"funnel must scan events once, saw $fScans:\n$funnelPlan")
+    val cohortPlan = executedNoAqe(
+      graft.operators.EventAnalytics.cohortRetention(ev, "user_id", "ts"))
+    val cScans = cohortPlan.collectLeaves().count(
+      _.toString.contains("events.parquet"))
+    assert(cScans == 1,
+      s"cohort (window first-touch) must scan events once, saw $cScans:\n$cohortPlan")
+  }
+
   test("IVF-PQ ADC scan broadcasts the query LUTs, never the corpus") {
     import org.apache.spark.sql.functions._
     val emb = Tables.load(spark, TestSpark.sf, "embeddings")

@@ -168,6 +168,37 @@ class SkippingIndexSpec extends AnyFunSuite {
     assert(p3.filesKept <= 1, s"absent value must prune: $p3")
   }
 
+  test("bloom index on a STRING column: probe hashes the physical type the build hashed") {
+    import spark.implicits._
+    val data = TestSpark.scratch("bloom_str_data")
+    (0L until 4000L).toDF("k")
+      .withColumn("name", concat(lit("user-"), pmod(col("k"), lit(2000L))))
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(data)
+    val idx = TestSpark.scratch("bloom_str_idx")
+    SkippingIndex.buildBloomIndex(spark,
+      spark.read.parquet(data).inputFiles.toSeq.sorted, "name", idx,
+      expectedItemsPerFile = 1000L, fpp = 0.01)
+    // "user-321" lives at k=321 and k=2321 -> 2 of 8 files
+    val p = SkippingIndex.pruneBloom(spark, idx, "user-321",
+      org.apache.spark.sql.types.StringType)
+    assert(p.filesKept >= 2 && p.filesKept <= 3, s"$p")
+    val got = spark.read.parquet(p.kept: _*)
+      .filter(col("name") === "user-321").select("k").as[Long].collect().toSet
+    assert(got == Set(321L, 2321L))
+    // supplementary characters survive the UTF8String hash bridge
+    val data2 = TestSpark.scratch("bloom_str2")
+    Seq((1L, "😀-x"), (2L, "plain")).toDF("k", "name")
+      .repartition(2, col("k")).write.mode("overwrite").parquet(data2)
+    val idx2 = TestSpark.scratch("bloom_str2_idx")
+    SkippingIndex.buildBloomIndex(spark,
+      spark.read.parquet(data2).inputFiles.toSeq.sorted, "name", idx2, 10L, 0.01)
+    val p2 = SkippingIndex.pruneBloom(spark, idx2, "😀-x",
+      org.apache.spark.sql.types.StringType)
+    assert(spark.read.parquet(p2.kept: _*)
+      .filter(col("name") === "😀-x").count() == 1L)
+  }
+
   test("keyset walk: asc and desc page walks equal the offset pages, file-bounded") {
     val full = spark.read.parquet(keysetDir)
       .orderBy("o_orderkey").collect().map(_.getLong(0)).toSeq

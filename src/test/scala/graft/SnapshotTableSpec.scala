@@ -532,6 +532,25 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
   }
 
+  test("compact(sortOn) re-establishes key clustering; plain compact does not promise it") {
+    val dir = freshDir("snap-sortcompact")
+    // 64 tiny UNCLUSTERED fragments
+    SnapshotTable.create(spark, mkBase(8000).repartition(64), dir)
+    SnapshotTable.compact(spark, dir, targetRecords = 1000L, sortOn = Some("k"))
+    SnapshotTable.attachStats(spark, dir, Seq("k"))
+    val (scan, pr) = SnapshotTable.scanBetween(spark, dir, "k", 2000L, 2499L)
+    assert(pr.exists(p => p.filesKept < p.filesTotal && p.filesTotal >= 8),
+      s"sortOn compaction must make range scans skip: $pr")
+    assert(scan.count() == 500L)
+    // content invariant vs the pre-compaction truth
+    assert(SnapshotTable.read(spark, dir).count() == 8000L)
+    assert(SnapshotTable.read(spark, dir).select("k").distinct().count() == 8000L)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.compact(spark, dir, 1000L,
+        zOrderOn = Some(("k", "commit_v", 8)), sortOn = Some("k"))
+    }
+  }
+
   test("attachBloom + lookupPoint: non-clustered point lookups skip files, equal the plain filter") {
     val dir = freshDir("snap-bloom")
     // clustered by k; tag = k mod 500 is spread across ALL 8 files by
