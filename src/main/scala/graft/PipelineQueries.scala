@@ -337,6 +337,23 @@ object PipelineQueries {
       TextAnalysis.bm25Search(t(s, dir, "documents"), "doc_id", "text",
         terms = Seq("dup", "vector", "batch"), k = 20)),
 
+    "text_bm25_indexed" -> ((s, dir) => {
+      // the PERSISTED serving shape of text_bm25 (ann_ivfpq_persisted's
+      // pattern for text): postings written once partitionBy(bucket =
+      // xxhash64(w) mod 64), the query's buckets computed driver-side
+      // with the same hash, the scan directory-pruned to them
+      // (plan-asserted in PlanSpec), df exact from the loaded lists —
+      // the round trip is result-invisible, so the SAME oracle SQL
+      // gates it
+      val idx = s"${Scratch.dir}/bm25_index"
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      TextAnalysis.buildBm25Index(t(s, dir, "documents"), "doc_id", "text",
+        idx, nBuckets = 64)
+      TextAnalysis.bm25SearchIndexed(s, idx, "doc_id",
+        terms = Seq("dup", "vector", "batch"), k = 20)
+    }),
+
     "pipeline_quality_filter" -> ((s, dir) =>
       graft.operators.Curation.qualityFilter(t(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "lang", "source")
@@ -852,6 +869,29 @@ object PipelineQueries {
   // face of FILTERED vector search: a served search over a
   // predicate-filtered index must equal this replay with the filtered
   // rows simply absent from the probed cells' members.
+  // BM25 replay (Lucene idf, k1=1.2, b=0.75; query = one rare + two
+  // common terms so the idf weighting is exercised): exact integer
+  // tf/df counts, 4-decimal-rounded score with id tiebreak. Shared by
+  // text_bm25 (in-query stats) and text_bm25_indexed (persisted
+  // postings) — the round trip must be result-invisible.
+  private lazy val bm25ReplaySql: String =
+    s"""WITH d AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+       |st AS (SELECT count(*)::DOUBLE AS nd, avg(len(ts))::DOUBLE AS avgdl FROM d),
+       |tf AS (SELECT doc_id, w, count(*)::DOUBLE AS tf, max(dl)::DOUBLE AS dl
+       |       FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS w FROM d)
+       |       WHERE w IN ('dup', 'vector', 'batch') GROUP BY doc_id, w),
+       |dfr AS (SELECT w, count(*)::DOUBLE AS df FROM tf GROUP BY w),
+       |sc AS (SELECT doc_id,
+       |         round(sum(ln(1.0 + (st.nd - dfr.df + 0.5) / (dfr.df + 0.5))
+       |           * tf.tf * 2.2
+       |           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))), 4) AS score
+       |       FROM tf JOIN dfr USING (w) CROSS JOIN st GROUP BY doc_id),
+       |r AS (SELECT doc_id, score,
+       |        row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+       |      FROM sc)
+       |SELECT doc_id, CAST(rk AS BIGINT) AS rk, score
+       |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin
+
   private def ivfReplaySqlFor(candPred: String): String =
     ivfTrainSql(16, "id % 2 = 0") + probeSql + s""",
       |cand AS (SELECT p.qid, a.id, a.v FROM probed p JOIN asg a USING (cell)
@@ -2008,23 +2048,14 @@ object PipelineQueries {
     // BM25 replay: same Lucene idf, same saturation arithmetic, N and
     // avgdl over ALL docs (zero-match docs count in the stats, score no
     // row) — the rank compares the rounded score with id tiebreak
-    "text_bm25" ->
-      s"""WITH d AS (SELECT doc_id, $ToksSql AS ts FROM documents),
-         |st AS (SELECT count(*)::DOUBLE AS nd, avg(len(ts))::DOUBLE AS avgdl FROM d),
-         |tf AS (SELECT doc_id, w, count(*)::DOUBLE AS tf, max(dl)::DOUBLE AS dl
-         |       FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS w FROM d)
-         |       WHERE w IN ('dup', 'vector', 'batch') GROUP BY doc_id, w),
-         |dfr AS (SELECT w, count(*)::DOUBLE AS df FROM tf GROUP BY w),
-         |sc AS (SELECT doc_id,
-         |         round(sum(ln(1.0 + (st.nd - dfr.df + 0.5) / (dfr.df + 0.5))
-         |           * tf.tf * 2.2
-         |           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))), 4) AS score
-         |       FROM tf JOIN dfr USING (w) CROSS JOIN st GROUP BY doc_id),
-         |r AS (SELECT doc_id, score,
-         |        row_number() OVER (ORDER BY score DESC, doc_id) AS rk
-         |      FROM sc)
-         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, score
-         |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    // identical replay: the persisted postings round-trip writes the
+    // same (tf, dl) rows and recomputes the same df/nd/avgdl, so the
+    // from-disk serving path is gated by the SAME SQL as text_bm25 —
+    // a wrong bucket prune (dropped postings) or stale stats
+    // hash-mismatches
+    "text_bm25_indexed" -> bm25ReplaySql,
+
+    "text_bm25" -> bm25ReplaySql,
 
     // duplicate-n-gram fractions + top-word share; short docs (<= n words)
     // are 0 by definition on both sides

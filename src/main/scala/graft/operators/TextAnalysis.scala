@@ -214,6 +214,74 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("rk").cast("long").as("rk"), col("score"))
   }
 
+  /** Persisted BM25 inverted index — [[bm25Search]]'s serving shape (the
+    * ann_ivfpq_persisted pattern for text). ONE corpus tokenize scan
+    * writes:
+    * {{{
+    *   <path>/postings/bucket=<b>/   (w, id, tf, dl) — the postings,
+    *                                 partitioned by bucket = pmod(xxhash64(w), nBuckets)
+    *   <path>/stats/                 one row (nd, avgdl, n_buckets)
+    * }}}
+    * A term's postings live in exactly ONE bucket directory, so query
+    * time reads only the buckets the query terms hash into (directory-
+    * level partition pruning — plan-asserted) and recomputes df exactly
+    * from those lists. Serving cost is O(query terms' postings), never
+    * a corpus scan; the build is the one-off a 100 TB search deployment
+    * amortizes. nBuckets sizes directories, not correctness — pick
+    * ~sqrt(vocab) to balance directory count vs bucket width.
+    */
+  def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val withDl = docs.select(col(idCol).as("id"), T.tokens(col(textCol)).as("ts"))
+      .select(col("id"), col("ts"), size(col("ts")).cast("double").as("dl"))
+    withDl.agg(count(lit(1)).cast("double").as("nd"), avg(col("dl")).as("avgdl"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .write.mode("overwrite").parquet(s"$path/stats")
+    withDl.select(col("id"), col("dl"), explode(col("ts")).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).cast("double").as("tf"),
+        any_value(col("dl")).as("dl"))
+      .withColumn("bucket", pmod(xxhash64(col("w")), lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+  }
+
+  /** BM25 top-k served FROM a [[buildBm25Index]] index: the query terms'
+    * buckets are computed driver-side with the same XxHash64 the build's
+    * `xxhash64()` column used (seed 42 — no hash-bridge drift possible),
+    * the postings scan partition-prunes to those directories, df comes
+    * exactly from the loaded lists, and the ranking/rounding/tiebreak
+    * contract is [[bm25Search]]'s — the round trip is result-invisible
+    * (same oracle gates both).
+    */
+  def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, terms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25SearchIndexed needs at least one query term")
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val st = spark.read.parquet(s"$path/stats").head
+    val nd = st.getAs[Double]("nd")
+    val avgdl = st.getAs[Double]("avgdl")
+    val nBuckets = st.getAs[Int]("n_buckets").toLong
+    val buckets = terms.map(t => java.lang.Math.floorMod(
+      new XxHash64(Seq(Literal.create(t,
+        org.apache.spark.sql.types.StringType))).eval(null).asInstanceOf[Long],
+      nBuckets)).distinct
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("w").isin(terms: _*))
+    val dfr = postings.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    val scored = postings.join(broadcast(dfr), "w")
+      .withColumn("contrib",
+        log(lit(1.0) + (lit(nd) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy("id").agg(round(sum(col("contrib")), 4).as("score"))
+    scored.orderBy(col("score").desc, col("id")).limit(k)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("id"))))
+      .select(col("id").as(idCol), col("rk").cast("long").as("rk"), col("score"))
+  }
+
   /** Within-document repetition signals (the Gopher/MassiveText rule
     * inputs, Rae et al. 2021): duplicate word-n-gram fractions and the
     * top word's frequency share. `dup_ngram_frac` = 1 - distinct/total

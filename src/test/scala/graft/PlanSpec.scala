@@ -80,6 +80,32 @@ class PlanSpec extends AnyFunSuite {
       "mode-frequency must run as the native kernel")
   }
 
+  test("persisted BM25 serving partition-prunes to the query terms' buckets") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val idx = TestSpark.scratch("bm25_planspec")
+    TextAnalysis.buildBm25Index(docs, "doc_id", "text", idx, nBuckets = 64)
+    val served = TextAnalysis.bm25SearchIndexed(spark, idx, "doc_id",
+      Seq("dup", "vector", "batch"), k = 20)
+    // round trip is result-invisible
+    val direct = TextAnalysis.bm25Search(docs, "doc_id", "text",
+      Seq("dup", "vector", "batch"), k = 20)
+    assert(served.collect().toSeq == direct.collect().toSeq,
+      "persisted serving must equal the in-query path")
+    // the postings scan must read only the probed bucket directories
+    // (AQE hides scans behind query stages — use the no-AQE plan)
+    val plan = executedNoAqe(TextAnalysis.bm25SearchIndexed(spark, idx,
+      "doc_id", Seq("dup", "vector", "batch"), k = 20))
+    val scan = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.toString.contains("postings") => f
+    }
+    assert(scan.nonEmpty, plan.toString)
+    val parts = scan.head.selectedPartitions.partitionCount
+    assert(parts <= 3 && parts >= 1,
+      s"3 terms hash into <=3 of 64 buckets; scan read $parts partitions")
+  }
+
   test("funnel and cohort scan the events table ONCE (window/fold formulations, no self-join)") {
     val ev = Tables.load(spark, TestSpark.sf, "events")
     val funnelPlan = executedNoAqe(
