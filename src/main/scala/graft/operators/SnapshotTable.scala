@@ -866,11 +866,20 @@ object SnapshotTable {
     * hashing the table. Single maintainer, like every incremental-view
     * maintainer here.
     */
+  /** `statsCols` closes the operational loop for a SERVED table: after
+    * every micro-batch commit the new version's skipping index is
+    * rebuilt via [[attachStatsIncremental]] — O(that batch's new files)
+    * per commit, since every carried-over file reuses the previous
+    * version's rows — so [[scanBetween]]/[[keysetWalk]] readers never
+    * see a version whose index lags the data. Empty = no index
+    * maintenance (the historical behavior).
+    */
   def maintainStream(spark: SparkSession, changesDir: String,
       schema: org.apache.spark.sql.types.StructType,
       tableDir: String, keyCol: String, versionCol: String, tieCol: String,
       checkpoint: String,
-      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery =
+      maxFilesPerTrigger: Int = 1,
+      statsCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(changesDir)
@@ -878,8 +887,13 @@ object SnapshotTable {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          upsert(batch.sparkSession, tableDir, batch, keyCol, versionCol, tieCol)
+        if (!batch.isEmpty) {
+          val c = upsert(batch.sparkSession, tableDir, batch,
+            keyCol, versionCol, tieCol)
+          if (statsCols.nonEmpty)
+            attachStatsIncremental(batch.sparkSession, tableDir, statsCols,
+              Some(c.version))
+        }
         ()
       }
       .start()

@@ -140,6 +140,43 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.currentVersion(spark, dir).get == vBefore + 1)
   }
 
+  test("maintainStream(statsCols): every committed version carries a live skipping index") {
+    val dir = freshDir("snap-stream-stats")
+    val chDir = freshDir("snap-stream-stats-ch")
+    val ck = freshDir("snap-stream-stats-ck")
+    SnapshotTable.create(spark,
+      mkBase(8000).repartitionByRange(8, col("k")), dir)
+    SnapshotTable.attachStats(spark, dir, Seq("k"))
+    // two arrival files, narrow key bands
+    (100 until 140).map(i => (i.toLong, s"u$i", 1L, false))
+      .toDF("k", "payload", "commit_v", "_deleted")
+      .coalesce(1).write.mode("overwrite").parquet(chDir)
+    Thread.sleep(1100)
+    (9000L until 9020L).map(i => (i, s"n$i", 1L, false))
+      .toDF("k", "payload", "commit_v", "_deleted")
+      .coalesce(1).write.mode("append").parquet(chDir)
+    val schema = spark.read.parquet(chDir).schema
+    val q = SnapshotTable.maintainStream(spark, chDir, schema, dir,
+      "k", "commit_v", "payload", ck, statsCols = Seq("k"))
+    q.awaitTermination(180000)
+    val vs = SnapshotTable.versions(spark, dir)
+    assert(vs.length >= 3, s"expected per-file micro-batches: $vs")
+    // every post-create version committed by the stream has an index,
+    // and the CURRENT one serves pruned scans of the merged truth
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    vs.foreach { v =>
+      assert(f.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/stats/" + f"v$v%05d")), s"version $v missing its index")
+    }
+    val (scan, pr) = SnapshotTable.scanBetween(spark, dir, "k", 100L, 139L)
+    assert(pr.exists(p => p.filesKept < p.filesTotal), s"$pr")
+    assert(scan.select("payload").collect()
+      .forall(_.getString(0).startsWith("u")))
+    val (scan2, _) = SnapshotTable.scanBetween(spark, dir, "k", 9000L, 9019L)
+    assert(scan2.count() == 20L)
+  }
+
   test("z-order compaction + per-version stats: snapshot scans skip files") {
     val dir = freshDir("snap-zorder")
     val rnd = new scala.util.Random(31)
