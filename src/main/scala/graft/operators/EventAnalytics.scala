@@ -30,6 +30,14 @@ object EventAnalytics {
   def funnel(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, idCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // the fold encodes each event as its step's position via
+    // array_position, which maps a REPEATED type to its first index —
+    // the machine could never advance past the repeat, silently capping
+    // depth. Refuse loudly; a repeated-step funnel needs a positional
+    // encoding (event type compared against steps[st+1] in the fold)
+    // that the cross-engine replay cannot express today.
+    require(steps.distinct == steps,
+      s"funnel steps must be distinct event types, got $steps")
     val stepsSql = steps
       .map(s => "'" + s.replace("'", "''") + "'")
       .mkString("array(", ", ", ")")

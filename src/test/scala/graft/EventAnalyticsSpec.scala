@@ -39,6 +39,15 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(run(tie) == Map(2L -> 1L))
   }
 
+  test("funnel refuses repeated step types loudly (position encoding cannot advance past a repeat)") {
+    val rows = Seq((1L, ts(1), "view", 1L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnel(rows, "user_id", "ts", "event_type", "event_id",
+        Seq("view", "view", "purchase"))
+    }
+  }
+
   test("cohort retention: first-touch day buckets, distinct actives per offset") {
     def d(s: String) = Timestamp.valueOf(s + " 12:00:00")
     val rows = Seq(

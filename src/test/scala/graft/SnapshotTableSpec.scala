@@ -532,6 +532,43 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(ch.toSeq == (10L until 15L).map(k => ("delete", k)))
   }
 
+  test("delete after ADD COLUMN: NULL-backfilled old rows are kept by an evolved-column predicate") {
+    val dir = freshDir("snap-del-evolve")
+    SnapshotTable.create(spark,
+      mkBase(2000).repartitionByRange(4, col("k")), dir)
+    // evolve: flag only a narrow band; the untouched files' rows serve
+    // NULL for `flag`
+    val ch = (100 until 120).map(i => (i.toLong, s"u$i", 1L, false, "doomed"))
+      .toDF("k", "payload", "commit_v", "_deleted", "flag")
+    SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload")
+    // DELETE WHERE flag = 'doomed': NULL flags (1980 backfilled rows)
+    // must be KEPT — SQL equality with NULL is never TRUE
+    val (c3, n) = SnapshotTable.delete(spark, dir, col("flag") === "doomed")
+    assert(n == 20L, s"deleted $n")
+    val got = SnapshotTable.read(spark, dir, Some(c3.version))
+    assert(got.count() == 1980L)
+    assert(got.filter(col("k").between(100L, 119L)).count() == 0L)
+    // the evolved schema survives the delete commit
+    assert(got.columns.contains("flag"))
+  }
+
+  test("writes continue normally after a restore (the undo is ordinary history)") {
+    val dir = freshDir("snap-restore-write")
+    SnapshotTable.create(spark,
+      mkBase(500).repartitionByRange(4, col("k")), dir) // v1
+    SnapshotTable.delete(spark, dir, col("k") < 100L)   // v2
+    SnapshotTable.restore(spark, dir, 1L)               // v3 == v1
+    val ch = Seq((5L, "after", 2L, false), (900L, "new", 2L, false))
+      .toDF("k", "payload", "commit_v", "_deleted")
+    val c4 = SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload")
+    assert(c4.version == 4L && c4.filesReused >= 2,
+      s"post-restore upsert must still file-prune: $c4")
+    val got = SnapshotTable.read(spark, dir).select("k", "payload")
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 501 && got(5L) == "after" && got(900L) == "new" &&
+      got(50L) == "val50") // the restored band is present and writable-over
+  }
+
   test("restore: manifest-only undo; history preserved; vacuum keeps restored files") {
     val dir = freshDir("snap-restore")
     SnapshotTable.create(spark,
