@@ -384,6 +384,41 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, dir, Some(2L)).count() == 2000)
   }
 
+  test("optimistic concurrency: a racing delete and upsert on disjoint keys both commit") {
+    val dir = freshDir("snap-race-del")
+    SnapshotTable.create(spark,
+      mkBase(2000).repartitionByRange(4, col("k")), dir)
+    val ch = (1900 until 1950)
+      .map(i => (i.toLong, s"B$i", 1L, false)).toDF("k", "payload", "commit_v", "_deleted")
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val fDel = pool.submit(new java.util.concurrent.Callable[SnapshotTable.Commit] {
+      def call(): SnapshotTable.Commit = {
+        gate.await(30, TimeUnit.SECONDS)
+        SnapshotTable.delete(spark, dir, col("k") < 50L)._1
+      }
+    })
+    val fUp = pool.submit(new java.util.concurrent.Callable[SnapshotTable.Commit] {
+      def call(): SnapshotTable.Commit = {
+        gate.await(30, TimeUnit.SECONDS)
+        SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload")
+      }
+    })
+    gate.countDown()
+    val (cd, cu) = (fDel.get(120, TimeUnit.SECONDS), fUp.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(Set(cd.version, cu.version) == Set(2L, 3L),
+      s"racers must serialize into v2/v3, got ${cd.version}/${cu.version}")
+    // whoever lost rebased: the final content carries BOTH effects
+    val got = SnapshotTable.read(spark, dir).select("k", "payload")
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 2000 - 50)
+    assert(!got.contains(10L))
+    (1900 until 1950).foreach(i => assert(got(i.toLong) == s"B$i"))
+    assert(got(1000L) == "val1000")
+  }
+
   test("ADD COLUMN evolution: v2 NULL-backfills, pinned v1 keeps the OLD schema, pruning survives") {
     val dir = freshDir("snap-evolve")
     SnapshotTable.create(spark, mkBase(8000).repartitionByRange(8, col("k")), dir)
