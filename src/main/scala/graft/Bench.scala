@@ -160,7 +160,8 @@ object Bench {
       "q62_snapshot_evolve", "q63_page_keyset_stats", "q64_page_keyset_str",
       "q65_snapshot_changes", "q66_page_keyset_micros", "stream_snapshot_cdc",
       "q67_snapshot_zorder", "q68_snapshot_delete", "q69_snapshot_restore",
-      "q70_snapshot_stats_inc", "text_bm25_indexed")
+      "q70_snapshot_stats_inc", "text_bm25_indexed", "q77_point_bloom_inc",
+      "q76_cohort_sketch", "text_bm25_append")
       .filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =

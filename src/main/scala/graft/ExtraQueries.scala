@@ -643,6 +643,42 @@ object ExtraQueries {
       scan.orderBy("o_orderkey")
     }),
 
+    "q77_point_bloom_inc" -> ((s, dir) => {
+      // INCREMENTAL bloom maintenance end to end (the attachStats
+      // sibling for point indexes): v1 = orders key-clustered + bloom on
+      // the non-clustered o_custkey, v2 = narrow upsert planting a rare
+      // value, then attachBloomIncremental REUSES every untouched file's
+      // bitmap and bloom-scans only v2's new files (reuse counts and
+      // row-identity to a full build spec-asserted in SnapshotTableSpec).
+      // The gate serves two lookups THROUGH the incremental index — the
+      // planted value (lives only in rewritten files) and a pre-existing
+      // one (served by REUSED bitmaps): a stale or missing reused bitmap
+      // is a false negative and hash-mismatches the plain filter replay.
+      import graft.operators.SnapshotTable
+      val tdir = s"${Scratch.dir}/q77_table"
+      val p = new org.apache.hadoop.fs.Path(tdir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotTable.create(s,
+        base.withColumn("commit_v", lit(0L))
+          .repartitionByRange(12, col("o_orderkey")), tdir)
+      SnapshotTable.attachBloom(s, tdir, "o_custkey",
+        expectedItemsPerFile = 4096L)
+      val changes = base.filter(col("o_orderkey").between(500L, 700L))
+        .withColumn("o_custkey", lit(9999999L))
+        .withColumn("commit_v", lit(1L))
+        .withColumn("_deleted", lit(false))
+      SnapshotTable.upsert(s, tdir, changes, "o_orderkey", "commit_v", "o_custkey")
+      SnapshotTable.attachBloomIncremental(s, tdir, "o_custkey",
+        expectedItemsPerFile = 4096L)
+      val (planted, _) = SnapshotTable.lookupPoint(s, tdir, "o_custkey", 9999999L)
+      val (reusedServe, _) = SnapshotTable.lookupPoint(s, tdir, "o_custkey", 97L)
+      planted.unionByName(reusedServe)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     "q71_funnel" -> ((s, dir) => {
       // ordered funnel (view -> click -> purchase): depth = how far each
       // user gets IN ORDER (step k counts only events after the event
@@ -1300,6 +1336,17 @@ object ExtraQueries {
         |    PARTITION BY series ORDER BY bucket
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS avg_v_ff
         |FROM j ORDER BY series, bucket""".stripMargin,
+
+    // both lookups served through the INCREMENTALLY-maintained bloom
+    // index must equal the plain equality filters over the merged truth
+    "q77_point_bloom_inc" ->
+      """WITH m AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey BETWEEN 500 AND 700
+        |       THEN 9999999 ELSE o_custkey END AS o_custkey,
+        |  o_totalprice FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM m
+        |WHERE o_custkey IN (9999999, 97)
+        |ORDER BY o_orderkey""".stripMargin,
 
     // the bloom-pruned point lookup must equal the plain equality filter
     "q73_point_bloom" ->

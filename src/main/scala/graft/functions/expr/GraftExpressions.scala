@@ -415,6 +415,43 @@ case class PqAdc(left: Expression, right: Expression, k: Int)
     copy(left = l, right = r)
 }
 
+/** Row-valued bloom-bitmap membership test: `might_contain` with the
+  * BITMAP as an ordinary column. Spark's builtin BloomFilterMightContain
+  * requires a foldable (or scalar-subquery) bitmap — right for "one bloom,
+  * many probe values", unusable for the reverse shape a distributed
+  * skipping-index probe needs: ONE hashed lookup value tested against the
+  * per-file bitmap column of a (file, bloom) index frame, so only
+  * booleans (not bitmaps) ever leave the executors
+  * ([[graft.operators.SkippingIndex.pruneBloom]]). Bitmaps are read with
+  * the same spark-sketch `BloomFilter.readFrom` the builtin uses, so the
+  * formats can never drift. Eval-only (CodegenFallback): the index frame
+  * is metadata-sized (one row per data file) and each eval deserializes
+  * one ~KB bitmap — codegen would save nothing measurable.
+  */
+case class BloomBitmapMightContain(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_bitmap_might_contain"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (BINARY bitmap, BIGINT hashed value), got " +
+          s"(${l.simpleString(2)}, ${r.simpleString(2)})")
+    }
+  }
+
+  override def nullSafeEval(bytes: Any, hashed: Any): Any =
+    org.apache.spark.util.sketch.BloomFilter
+      .readFrom(bytes.asInstanceOf[Array[Byte]])
+      .mightContainLong(hashed.asInstanceOf[Long])
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-API entry points for the native expressions. */
 object GraftFunctions {
   import ExprUtil.col
@@ -469,4 +506,8 @@ object GraftFunctions {
 
   def pqAdc(codes: Column, lut: Column, k: Int): Column =
     col(PqAdc(ColumnBridge.expression(codes), ColumnBridge.expression(lut), k))
+
+  def bloomBitmapMightContain(bitmap: Column, hashed: Column): Column =
+    col(BloomBitmapMightContain(
+      ColumnBridge.expression(bitmap), ColumnBridge.expression(hashed)))
 }

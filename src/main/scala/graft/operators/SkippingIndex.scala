@@ -700,65 +700,102 @@ object SkippingIndex {
   // files that (probably) hold v — the Delta/Iceberg bloom-index shape.
   // ---------------------------------------------------------------------
 
-  /** One (file, bloom) row per data file: a bloom of the file's non-null
-    * `column` values, built in ONE distributed scan (groupBy
-    * input_file_name + BloomFilterAggregate — only the compact bitmaps
-    * leave the executors). A file whose column is entirely NULL gets a
-    * NULL bloom — safely skippable for any equality lookup (`= v` is
-    * never true on NULL). `file` holds input_file_name's URI form,
-    * directly readable back by spark.read.parquet.
+  /** One (file, bloom, n_items, n_bits) row per data file: a bloom of
+    * the file's non-null `column` values, built in ONE distributed scan
+    * (groupBy input_file_name + BloomFilterAggregate — only the compact
+    * bitmaps leave the executors). The hash is NULL-GATED (a NULL value
+    * contributes nothing — XxHash64 alone would fold NULLs to the seed
+    * constant), so a file whose column is entirely NULL gets a NULL
+    * bloom — safely skippable for any equality lookup (`= v` is never
+    * true on NULL). `file` holds input_file_name's URI form, directly
+    * readable back by spark.read.parquet. `schema` pins the read schema
+    * (a schema-evolved table's older files must be read under the
+    * committed schema, not per-call inference — [[SnapshotTable
+    * .attachBloom]] passes the version's committed schema).
     *
     * Sizing: `expectedItemsPerFile` should be the file's expected
     * DISTINCT count; bits follow the standard m = -n ln(p) / (ln 2)²,
     * so the index costs ~1.2 KB per file per 1k distincts at fpp 1% —
-    * metadata-sized at any table size.
+    * metadata-sized at any table size. The sizing parameters ride along
+    * per row so an incremental rebuild ([[SnapshotTable
+    * .attachBloomIncremental]]) can prove reused rows were built with
+    * the same parameters.
     */
   def bloomRows(spark: SparkSession, files: Seq[String], column: String,
-      expectedItemsPerFile: Long = 100000L, fpp: Double = 0.01): DataFrame = {
+      expectedItemsPerFile: Long = 100000L, fpp: Double = 0.01,
+      schema: Option[StructType] = None): DataFrame = {
     require(files.nonEmpty, "bloomRows needs at least one file")
-    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.{If, IsNull, Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnBridge
-    val numBits = math.max(64L, math.ceil(
-      -expectedItemsPerFile * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    val hashed = new XxHash64(Seq(ColumnBridge.expression(col(column))))
+    val numBits = bloomNumBits(expectedItemsPerFile, fpp)
+    val child = ColumnBridge.expression(col(column))
+    // null-gate: BloomFilterAggregate skips NULL inputs, so an all-NULL
+    // file aggregates to a NULL bloom (raw XxHash64 never returns NULL —
+    // it hashes a NULL input to the seed, which would insert a constant)
+    val hashed = If(IsNull(child), Literal(null, LongType), new XxHash64(Seq(child)))
     val agg = new BloomFilterAggregate(hashed,
       Literal(expectedItemsPerFile), Literal(numBits)).toAggregateExpression()
-    spark.read.parquet(files: _*)
-      .groupBy(input_file_name().as("file"))
+    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    reader.parquet(files: _*)
+      .groupBy(
+        // canonical Hadoop-Path form: input_file_name's local-scheme URIs
+        // say file:///, manifests and stats indexes say file:/ — one
+        // dialect or incremental reuse joins match nothing
+        regexp_replace(input_file_name(), "^file:/+", "file:/").as("file"))
       .agg(ColumnBridge.column(agg).as("bloom"))
+      .withColumn("n_items", lit(expectedItemsPerFile))
+      .withColumn("n_bits", lit(numBits))
   }
+
+  /** The m = -n ln(p) / (ln 2)² sizing [[bloomRows]] applies. */
+  private[operators] def bloomNumBits(expectedItemsPerFile: Long, fpp: Double): Long =
+    math.max(64L, math.ceil(
+      -expectedItemsPerFile * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
 
   /** [[bloomRows]] written to `indexOut` as the persisted index. */
   def buildBloomIndex(spark: SparkSession, files: Seq[String], column: String,
       indexOut: String, expectedItemsPerFile: Long = 100000L,
-      fpp: Double = 0.01): Unit =
-    bloomRows(spark, files, column, expectedItemsPerFile, fpp)
+      fpp: Double = 0.01, schema: Option[StructType] = None): Unit =
+    bloomRows(spark, files, column, expectedItemsPerFile, fpp, schema)
       .coalesce(1).write.mode("overwrite").parquet(indexOut)
+
+  /** The DISTRIBUTED probe plan behind [[pruneBloom]]: (file, keep)
+    * booleans — the bitmaps are tested WHERE THEY SIT (the row-valued
+    * [[graft.functions.expr.BloomBitmapMightContain]]; Spark's builtin
+    * might_contain requires a foldable bitmap) and never leave the
+    * executors. Exposed so the spec can assert the collected rows are
+    * file-path-sized (no binary column).
+    */
+  private[graft] def bloomProbeFrame(spark: SparkSession, indexPath: String,
+      value: Any, valueType: DataType): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.graft.ColumnBridge
+    val h = ColumnBridge.column(new XxHash64(Seq(Literal.create(value, valueType))))
+    spark.read.parquet(indexPath)
+      .select(col("file"),
+        // NULL bloom = all-NULL file: equality never matches NULL → skip
+        coalesce(graft.functions.expr.GraftFunctions
+          .bloomBitmapMightContain(col("bloom"), h), lit(false)).as("keep"))
+  }
 
   /** Prune a persisted bloom index for `column = value`: keep exactly the
     * files whose bloom might contain the value (NULL blooms = all-NULL
     * files, skipped — equality never matches NULL). The probe hashes the
     * PHYSICAL type like the build did (XxHash64 over the typed literal),
     * so `value`'s type must match the indexed column's — 5 and 5L hash
-    * apart (the [[BloomJoin.prunedJoin]] caveat). The probe itself runs
-    * driver-side over the collected (file, bloom) rows — one row per
-    * file, the standard driver-side index footprint — through the SAME
-    * BloomFilterMightContain expression the executors would use, so
-    * there is no serialization-format coupling to maintain.
+    * apart (the [[BloomJoin.prunedJoin]] caveat). The probe runs as a
+    * DISTRIBUTED filter over the index frame ([[bloomProbeFrame]]):
+    * bitmaps are bloom-tested on the executors and only (file, keep)
+    * booleans are collected — ~bytes per file, where collecting the
+    * bitmaps themselves (a ~KB binary per file) would pull GBs to the
+    * driver per lookup on a million-file table.
     */
   def pruneBloom(spark: SparkSession, indexPath: String, value: Any,
       valueType: DataType): Prune = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
     require(value != null, "point lookup of NULL never matches (SQL equality)")
-    val rows = spark.read.parquet(indexPath)
-      .select("file", "bloom").collect()
-      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)))
-    val h = new XxHash64(Seq(Literal.create(value, valueType)))
-    val kept = rows.filter { case (_, b) =>
-      b != null && java.lang.Boolean.TRUE.equals(
-        BloomFilterMightContain(Literal(b, BinaryType), h).eval(null))
-    }.map(_._1).toSeq.sorted
+    val rows = bloomProbeFrame(spark, indexPath, value, valueType).collect()
+    val kept = rows.filter(_.getBoolean(1)).map(_.getString(0)).toSeq.sorted
     Prune(rows.length, kept.length, kept)
   }
 }

@@ -696,6 +696,10 @@ object SnapshotTable {
     * stats skip nothing ([[SkippingIndex.bloomRows]]; one distributed
     * scan, only (file, bitmap) rows persist). Version-scoped like
     * [[attachStats]]; files are immutable so the index never goes stale.
+    * The scan is pinned to the version's COMMITTED schema: on a
+    * schema-evolved table the indexed files can straddle an ADD COLUMN,
+    * and per-call inference could resolve the column against the wrong
+    * side.
     */
   def attachBloom(spark: SparkSession, dir: String, column: String,
       version: Option[Long] = None, expectedItemsPerFile: Long = 100000L,
@@ -703,14 +707,82 @@ object SnapshotTable {
     val v = version.orElse(currentVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"no table under $dir"))
     SkippingIndex.buildBloomIndex(spark, files(spark, dir, Some(v)), column,
-      bloomDir(dir, v, column), expectedItemsPerFile, fpp)
+      bloomDir(dir, v, column), expectedItemsPerFile, fpp,
+      schemaOf(spark, dir, Some(v)))
+  }
+
+  /** Incremental [[attachBloom]] — the bloom sibling of
+    * [[attachStatsIncremental]]: build version `v`'s bloom index for
+    * `column` by REUSING the most recent older version's (file, bloom)
+    * rows for every file both manifests share, bloom-scanning ONLY the
+    * files new in `v` (files are immutable, so a bloom can never go
+    * stale). A prior row is reusable only when it carries the SAME
+    * sizing parameters (n_items, n_bits ride in every row) — a store
+    * maintained under one (expectedItemsPerFile, fpp) pair stays
+    * row-identical to a from-scratch build (spec-asserted); changed
+    * parameters force the full build. On the steady-state upsert path
+    * the per-commit cost is O(new files)' DATA (blooms need the values,
+    * not just footers — heavier per file than stats, same flat growth).
+    * Returns (reused, scanned) file counts.
+    */
+  def attachBloomIncremental(spark: SparkSession, dir: String, column: String,
+      version: Option[Long] = None, expectedItemsPerFile: Long = 100000L,
+      fpp: Double = 0.01): (Long, Long) = {
+    val v = version.orElse(currentVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no table under $dir"))
+    val f = fs(spark, dir)
+    val nBits = SkippingIndex.bloomNumBits(expectedItemsPerFile, fpp)
+    val prior = versions(spark, dir).filter(_ < v).reverse.find { pv =>
+      val bp = new Path(bloomDir(dir, pv, column))
+      f.exists(bp) && (
+        try spark.read.parquet(bp.toString).columns.toSet ==
+          Set("file", "bloom", "n_items", "n_bits")
+        catch { case scala.util.control.NonFatal(_) => false })
+    }
+    val live = files(spark, dir, Some(v))
+    prior match {
+      case None =>
+        attachBloom(spark, dir, column, Some(v), expectedItemsPerFile, fpp)
+        (0L, live.length.toLong)
+      case Some(pv) =>
+        val prev = spark.read.parquet(bloomDir(dir, pv, column))
+          .filter(col("n_items") === expectedItemsPerFile && col("n_bits") === nBits)
+        // one row per file on both sides — index-sized, not data-sized
+        val prevFiles = prev.select("file").collect().map(_.getString(0)).toSet
+        val newFiles = live.filterNot(prevFiles.contains)
+        val liveDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(live.map(org.apache.spark.sql.Row(_)), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("file",
+              org.apache.spark.sql.types.StringType, nullable = false))))
+        val reused = prev.join(liveDf, "file")
+        val fresh =
+          if (newFiles.isEmpty) prev.limit(0)
+          else SkippingIndex.bloomRows(spark, newFiles, column,
+            expectedItemsPerFile, fpp, schemaOf(spark, dir, Some(v)))
+        // write via a temp dir: the union READS the prior index, which
+        // may BE the target dir when re-attaching the same version
+        val out = bloomDir(dir, v, column)
+        val tmp = out + s".tmp_${nonce()}"
+        reused.unionByName(fresh).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        f.delete(new Path(out), true)
+        require(f.rename(new Path(tmp), new Path(out)),
+          s"could not move bloom index into place: $tmp -> $out")
+        ((live.length - newFiles.length).toLong, newFiles.length.toLong)
+    }
   }
 
   /** Point lookup `column = value` on a pinned snapshot, consulting the
     * version's attached bloom index when present: only files whose bloom
     * might contain the value are read (no false negatives — the result
     * ALWAYS equals the full-snapshot equality filter; false positives
-    * are removed by the residual filter). Without an index it is a plain
+    * are removed by the residual filter). The probe is DISTRIBUTED
+    * ([[SkippingIndex.pruneBloom]] collects kept file paths, never
+    * bitmaps), and kept files are read under the version's COMMITTED
+    * schema — on a schema-evolved table the kept set can mix pre/post
+    * ADD COLUMN files, where inference could resolve against an old
+    * file and drop evolved columns. Without an index it is a plain
     * filtered scan. `value` must be non-null and match the column's
     * committed type (the bloom hashed the physical type at build).
     */
@@ -723,12 +795,16 @@ object SnapshotTable {
     val plain = read(spark, dir, Some(v)).filter(col(column) === lit(value))
     if (!fs(spark, dir).exists(bp)) (plain, None)
     else {
-      val dt = schemaOf(spark, dir, Some(v))
+      val committed = schemaOf(spark, dir, Some(v))
+      val dt = committed
         .getOrElse(read(spark, dir, Some(v)).schema)(column).dataType
       val p = SkippingIndex.pruneBloom(spark, bp.toString, value, dt)
       if (p.filesKept == 0) (plain.limit(0), Some(p))
-      else (spark.read.parquet(p.kept: _*)
-        .filter(col(column) === lit(value)), Some(p))
+      else {
+        val reader = committed.fold(spark.read)(s => spark.read.schema(s))
+        (reader.parquet(p.kept: _*)
+          .filter(col(column) === lit(value)), Some(p))
+      }
     }
   }
 
@@ -865,8 +941,8 @@ object SnapshotTable {
     * never produce a wrong row. Spec'd by applying one batch twice and
     * hashing the table. Single maintainer, like every incremental-view
     * maintainer here.
-    */
-  /** `statsCols` closes the operational loop for a SERVED table: after
+    *
+    * `statsCols` closes the operational loop for a SERVED table: after
     * every micro-batch commit the new version's skipping index is
     * rebuilt via [[attachStatsIncremental]] — O(that batch's new files)
     * per commit, since every carried-over file reuses the previous

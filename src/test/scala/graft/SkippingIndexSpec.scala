@@ -138,14 +138,20 @@ class SkippingIndexSpec extends AnyFunSuite {
     val data = TestSpark.scratch("bloom_data")
     (0L until 8000L).toDF("k")
       .withColumn("tag", pmod(col("k"), lit(4000L)))
-      .withColumn("tag", when(col("k") < 1000L, lit(null).cast("long"))
-        .otherwise(col("tag"))) // first file: all-NULL tags
+      .withColumn("tag", when(col("k") < 1500L, lit(null).cast("long"))
+        .otherwise(col("tag"))) // the first file lands fully in the NULL
+        // band (range boundaries are sampled ≈k=1000, the band covers
+        // the slack), so at least one file is all-NULL tags
       .repartitionByRange(8, col("k")).sortWithinPartitions("k")
       .write.mode("overwrite").parquet(data)
     val idx = TestSpark.scratch("bloom_idx")
     SkippingIndex.buildBloomIndex(spark,
       spark.read.parquet(data).inputFiles.toSeq.sorted, "tag", idx,
       expectedItemsPerFile = 2000L, fpp = 0.01)
+    // the all-NULL file's bloom is literally NULL (the hash is
+    // null-gated, so BloomFilterAggregate sees no input and evals NULL)
+    // — the skip below rides the NULL-bloom branch, not a lucky miss
+    assert(spark.read.parquet(idx).filter(col("bloom").isNull).count() >= 1L)
     val p = SkippingIndex.pruneBloom(spark, idx, 3777L,
       org.apache.spark.sql.types.LongType)
     assert(p.filesTotal == 8)
@@ -166,6 +172,35 @@ class SkippingIndexSpec extends AnyFunSuite {
     val p3 = SkippingIndex.pruneBloom(spark, idx, 999999L,
       org.apache.spark.sql.types.LongType)
     assert(p3.filesKept <= 1, s"absent value must prune: $p3")
+  }
+
+  test("bloom probe is distributed: only (file, keep) booleans reach the driver, never bitmaps") {
+    import spark.implicits._
+    val data = TestSpark.scratch("bloom_dist_data")
+    (0L until 4000L).toDF("k")
+      .withColumn("tag", pmod(col("k"), lit(2000L)))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(data)
+    val idx = TestSpark.scratch("bloom_dist_idx")
+    SkippingIndex.buildBloomIndex(spark,
+      spark.read.parquet(data).inputFiles.toSeq.sorted, "tag", idx,
+      expectedItemsPerFile = 1000L, fpp = 0.01)
+    // the probe frame — what pruneBloom collects — must be file-path
+    // sized: at a million files a (file, bitmap) collect is a ~GB driver
+    // pull per lookup; (file, boolean) is a few MB
+    val probe = SkippingIndex.bloomProbeFrame(spark, idx, 777L,
+      org.apache.spark.sql.types.LongType)
+    val binaryCols = probe.schema.fields.filter(
+      _.dataType == org.apache.spark.sql.types.BinaryType).map(_.name)
+    assert(binaryCols.isEmpty,
+      s"probe output must not carry bitmap columns, got: ${binaryCols.toSeq}")
+    // and the distributed verdicts are the truth: tag 777 lives at
+    // k=777 and k=2777 -> exactly those files' booleans are true
+    val p = SkippingIndex.pruneBloom(spark, idx, 777L,
+      org.apache.spark.sql.types.LongType)
+    assert(p.filesKept >= 2 && p.filesKept <= 3, s"$p")
+    assert(spark.read.parquet(p.kept: _*).filter(col("tag") === 777L)
+      .select("k").as[Long].collect().toSet == Set(777L, 2777L))
   }
 
   test("bloom index on a STRING column: probe hashes the physical type the build hashed") {

@@ -694,6 +694,74 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(scan3.count() == 0L)
   }
 
+  test("attachBloomIncremental: reuses shared files' blooms, row-identical to a full build") {
+    val dir = freshDir("snap-bloom-inc")
+    val df = (0 until 8000)
+      .map(i => (i.toLong, i.toLong % 500L, s"v$i", 0L))
+      .toDF("k", "tag", "payload", "commit_v")
+    SnapshotTable.create(spark, df.repartitionByRange(8, col("k")), dir)
+    SnapshotTable.attachBloom(spark, dir, "tag", expectedItemsPerFile = 2000L)
+    // narrow upsert: a few files rewritten, most reused
+    val changes = (100 until 120)
+      .map(i => (i.toLong, 777777L, s"upd$i", 1L, false))
+      .toDF("k", "tag", "payload", "commit_v", "_deleted")
+    val c2 = SnapshotTable.upsert(spark, dir, changes, "k", "commit_v", "payload")
+    val (reused, scanned) = SnapshotTable.attachBloomIncremental(spark, dir, "tag",
+      expectedItemsPerFile = 2000L)
+    assert(reused.toInt == c2.filesReused,
+      s"every carried-over file's bloom must be reused: reused=$reused vs ${c2.filesReused}")
+    assert(scanned == (c2.files.length - c2.filesReused).toLong,
+      s"only new files may be scanned: scanned=$scanned")
+    assert(reused > scanned, s"narrow upsert must mostly reuse ($reused/$scanned)")
+    // the incrementally-built index is row-identical to a from-scratch
+    // build of the same version (files are immutable, params match)
+    def indexRows(v: Long) = spark.read.parquet(s"$dir/bloom/" + f"v$v%05d" + "_tag")
+      .collect().map(r => (r.getString(0),
+        Option(r.getAs[Array[Byte]]("bloom")).map(_.toSeq),
+        r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    val incremental = indexRows(2L)
+    SnapshotTable.attachBloom(spark, dir, "tag", expectedItemsPerFile = 2000L)
+    assert(indexRows(2L) == incremental,
+      "incremental index must equal the full rebuild row-for-row")
+    // and the lookup THROUGH the incremental path serves the upserted
+    // value from only the rewritten files
+    val (scan, pr) = SnapshotTable.lookupPoint(spark, dir, "tag", 777777L)
+    assert(pr.exists(p => p.filesKept < p.filesTotal),
+      s"the upsert-band value lives in the rewritten files only: $pr")
+    assert(scan.count() == 20L)
+    // CHANGED sizing parameters: prior rows are not reusable — the
+    // incremental call falls back to a full scan (never mixes sizings)
+    val (r2, s2) = SnapshotTable.attachBloomIncremental(spark, dir, "tag",
+      expectedItemsPerFile = 4000L)
+    assert(r2 == 0L && s2 == c2.files.length.toLong,
+      s"param drift must force the full build, got reused=$r2 scanned=$s2")
+  }
+
+  test("lookupPoint reads bloom-kept files under the COMMITTED schema on an evolved table") {
+    val dir = freshDir("snap-bloom-evolve")
+    SnapshotTable.create(spark, mkBase(8000).repartitionByRange(8, col("k")), dir)
+    // evolve: the change set carries `tag`; only the narrow band rewrites
+    val changes = (100 until 120)
+      .map(i => (i.toLong, s"upd$i", s"t$i", 1L, false))
+      .toDF("k", "payload", "tag", "commit_v", "_deleted")
+    SnapshotTable.upsert(spark, dir, changes, "k", "commit_v", "payload")
+    SnapshotTable.attachBloom(spark, dir, "payload", expectedItemsPerFile = 2000L)
+    // a value from a PRE-evolution (reused) file: the kept set holds only
+    // old files, where schema inference would drop `tag` — the committed
+    // schema must NULL-backfill it instead
+    val (scan, pr) = SnapshotTable.lookupPoint(spark, dir, "payload", "val5000")
+    assert(pr.exists(p => p.filesKept < p.filesTotal), s"$pr")
+    assert(scan.columns.contains("tag"),
+      s"pruned read must serve the COMMITTED schema: ${scan.columns.toSeq}")
+    val row = scan.select("k", "tag").collect()
+    assert(row.map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ==
+      Seq((5000L, None)))
+    // a value from a POST-evolution file serves its evolved column
+    val (scan2, _) = SnapshotTable.lookupPoint(spark, dir, "payload", "upd105")
+    assert(scan2.select("k", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((105L, "t105")))
+  }
+
   test("readAsOf resolves manifest commit times monotonically; pre-create throws") {
     val dir = freshDir("snap-asof")
     val before = System.currentTimeMillis() - 5
