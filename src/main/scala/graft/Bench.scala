@@ -146,6 +146,18 @@ object Bench {
       s""""free_heap_mb":${rt.freeMemory / (1 << 20)},""" +
       s""""loadavg_before":"${esc(loadBefore)}","loadavg_after":"${esc(loadAfter)}",""" +
       s""""contended":$contended,"timing":"min_of_2_interleaved_sweeps_plus_tiebreak"}"""
+    // self-adjudication: the artifact carries each sweep's own total and
+    // the tie-break count, so a contended:true run documents ITS OWN
+    // quiet estimate (the per-query min across sweeps minutes apart)
+    // instead of needing a companion re-run artifact to arbitrate
+    val sweep1Total = r3(sweep1.values.filter(_ >= 0).sum)
+    val sweep2Total = r3(sweep2.values.filter(_ >= 0).sum)
+    val nThird = samples.count(_._2._3.isDefined)
+    val tiebreak = s"""{"sweep1_total":$sweep1Total,"sweep2_total":$sweep2Total,""" +
+      s""""third_samples":$nThird,"note":"value sums per-query MINs across """ +
+      """two full-suite sweeps taken minutes apart (plus a 3rd sample where """ +
+      """they disagreed >2x); a contention window inflates at most one """ +
+      """sweep, so value stands as the quiet estimate even when contended"}"""
     // queries that time a WRITTEN layout inside the query (gating a
     // round trip is the point of those entries): their numbers include
     // the one-time write/index-build cost, not just the read path
@@ -165,11 +177,11 @@ object Bench {
       .filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"round_trip_writes":$roundTrip,"env":$env,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"round_trip_writes":$roundTrip,"tiebreak":$tiebreak,"env":$env,"sf":"$sfDir"}"""
     // the full two-sample record goes to the file artifact; the stdout line
     // stays min-only so the harness tail-window can't truncate mid-JSON
     val fileLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samplesJson,"errors":$errJson,"round_trip_writes":$roundTrip,"env":$env,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samplesJson,"errors":$errJson,"round_trip_writes":$roundTrip,"tiebreak":$tiebreak,"env":$env,"sf":"$sfDir"}"""
     // short summary printed LAST: even if the harness tail-window clips the
     // full per-query line, the final line is ~100 bytes and always parses
     val summary =

@@ -691,6 +691,18 @@ object ExtraQueries {
         Seq("view", "click", "purchase"))
     }),
 
+    "q75_funnel_repeat" -> ((s, dir) => {
+      // REPEATED-step funnel with a conversion window: a step type may
+      // recur (view→click→view→purchase — the bitmask encoding matches
+      // an event against whatever position comes next, where the old
+      // array_position encoding capped at the first repeat), and steps
+      // 2..4 must land within 14 days of the event completing step 1.
+      // Same single-shuffle greedy fold; the oracle replays it exactly.
+      graft.operators.EventAnalytics.funnel(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id",
+        Seq("view", "click", "view", "purchase"), withinDays = Some(14))
+    }),
+
     "q72_cohort" -> ((s, dir) => {
       // cohort retention triangle: users bucketed by first-event day,
       // distinct actives per (cohort day, day offset). First-touch via a
@@ -699,6 +711,45 @@ object ExtraQueries {
       graft.operators.EventAnalytics.cohortRetention(t(s, dir, "events"),
         "user_id", "ts")
         .withColumn("day_offset", col("day_offset").cast("long"))
+    }),
+
+    "q76_cohort_sketch" -> ((s, dir) => {
+      // the 100 TB face of q72: the retention triangle served from
+      // PERSISTED per-(cohort_day, day_offset) HLL sketches — cohort
+      // assignment derives once (same single-scan window as q72), the
+      // ACTIVITY merges into the store in two arrival batches (event-id
+      // parity — hll_union makes batching invisible, the q50
+      // mergeable-summaries property), and the served estimates are
+      // checked against exact distincts with the q50 tolerance-boolean
+      // scheme (each engine validates its OWN sketch; exact counts ride
+      // along cross-engine-hashable).
+      import graft.operators.EventAnalytics
+      import graft.streaming.SketchRollup
+      val store = s"${Scratch.dir}/q76_sketches"
+      val p = new org.apache.hadoop.fs.Path(store)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val ev = t(s, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val assigned = ev
+        .select(col("user_id"), col("event_id"), to_date(col("ts")).as("day"))
+        .withColumn("cohort_day", min(col("day")).over(w))
+        .withColumn("day_offset",
+          datediff(col("day"), col("cohort_day")).cast("long"))
+        .localCheckpoint(true)
+      SketchRollup.mergeKeyedInto(s,
+        assigned.filter(pmod(col("event_id"), lit(2L)) === 0L),
+        Seq("cohort_day", "day_offset"), "user_id", store)
+      SketchRollup.mergeKeyedInto(s,
+        assigned.filter(pmod(col("event_id"), lit(2L)) === 1L),
+        Seq("cohort_day", "day_offset"), "user_id", store)
+      val served = EventAnalytics.cohortRetentionFromSketches(s, store)
+      val exact = assigned.groupBy("cohort_day", "day_offset")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      served.join(exact, Seq("cohort_day", "day_offset"))
+        .select(col("cohort_day"), col("day_offset"), col("exact_users"),
+          (abs(col("est_users") - col("exact_users"))
+            / col("exact_users") <= 0.05).as("est_ok"))
+        .orderBy("cohort_day", "day_offset")
     }),
 
     "q70_snapshot_stats_inc" -> ((s, dir) => {
@@ -1319,8 +1370,11 @@ object ExtraQueries {
       """WITH e AS (SELECT event_type AS series, date_trunc('hour', ts) AS bucket,
         |             "value"::DOUBLE AS v FROM events),
         |a AS (SELECT series, bucket,
-        |        list_reduce(list_prepend(0.0, list_sort(list(v))),
-        |                    (x, y) -> x + y) / count(*) AS avg_v,
+        |        CASE WHEN count(v) > 0 THEN
+        |          list_reduce(list_prepend(0.0,
+        |              list_sort(list(v) FILTER (WHERE v IS NOT NULL))),
+        |            (x, y) -> x + y) / count(v)
+        |        END AS avg_v,
         |        count(*) AS n
         |      FROM e GROUP BY series, bucket),
         |b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM a),
@@ -1355,7 +1409,8 @@ object ExtraQueries {
         |ORDER BY o_orderkey""".stripMargin,
 
     // identical state machine over the identically-sorted per-user list:
-    // strict-sequence funnel depth, then exact depth histogram
+    // strict-sequence funnel depth (bitmask step encoding — the same
+    // fold the Spark side runs), then exact depth histogram
     "q71_funnel" ->
       """WITH e AS (SELECT user_id AS u,
         |             struct_pack(ts := ts, id := event_id, t := event_type) AS ev
@@ -1363,13 +1418,64 @@ object ExtraQueries {
         |           WHERE event_type IN ('view', 'click', 'purchase')),
         |a AS (SELECT u, list_sort(list(ev)) AS evs FROM e GROUP BY u),
         |d AS (SELECT u, list_reduce(
-        |        list_prepend(CAST(0 AS BIGINT),
+        |        list_prepend({'st': CAST(0 AS BIGINT), 't0': CAST(NULL AS TIMESTAMP)},
         |          list_transform(evs, x ->
-        |            CAST(list_position(['view', 'click', 'purchase'], x.t) AS BIGINT))),
-        |        (st, x) -> CASE WHEN st < 3 AND x = st + 1 THEN st + 1 ELSE st END) AS depth
+        |            {'st': CASE x.t WHEN 'view' THEN CAST(1 AS BIGINT)
+        |                            WHEN 'click' THEN CAST(2 AS BIGINT)
+        |                            WHEN 'purchase' THEN CAST(4 AS BIGINT)
+        |                            ELSE CAST(0 AS BIGINT) END,
+        |             't0': x.ts})),
+        |        (acc, x) -> CASE WHEN acc.st < 3
+        |            AND (x.st & (CAST(1 AS BIGINT) << CAST(acc.st AS INTEGER))) != 0
+        |          THEN {'st': CAST(acc.st + 1 AS BIGINT),
+        |                't0': CASE WHEN acc.st = 0 THEN x.t0 ELSE acc.t0 END}
+        |          ELSE acc END).st AS depth
         |      FROM a)
         |SELECT depth, count(*) AS n_users FROM d
         |GROUP BY depth ORDER BY depth""".stripMargin,
+
+    // the REPEATED-STEP + conversion-window funnel replayed by the same
+    // greedy bitmask fold: view→click→view→purchase (view fills
+    // positions 1 AND 3 → mask 5), steps 2..4 bounded to 14 days after
+    // the event completing step 1
+    "q75_funnel_repeat" ->
+      """WITH e AS (SELECT user_id AS u,
+        |             struct_pack(ts := ts, id := event_id, t := event_type) AS ev
+        |           FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |a AS (SELECT u, list_sort(list(ev)) AS evs FROM e GROUP BY u),
+        |d AS (SELECT u, list_reduce(
+        |        list_prepend({'st': CAST(0 AS BIGINT), 't0': CAST(NULL AS TIMESTAMP)},
+        |          list_transform(evs, x ->
+        |            {'st': CASE x.t WHEN 'view' THEN CAST(5 AS BIGINT)
+        |                            WHEN 'click' THEN CAST(2 AS BIGINT)
+        |                            WHEN 'purchase' THEN CAST(8 AS BIGINT)
+        |                            ELSE CAST(0 AS BIGINT) END,
+        |             't0': x.ts})),
+        |        (acc, x) -> CASE WHEN acc.st < 4
+        |            AND (x.st & (CAST(1 AS BIGINT) << CAST(acc.st AS INTEGER))) != 0
+        |            AND (acc.st = 0 OR x.t0 <= acc.t0 + INTERVAL 14 DAY)
+        |          THEN {'st': CAST(acc.st + 1 AS BIGINT),
+        |                't0': CASE WHEN acc.st = 0 THEN x.t0 ELSE acc.t0 END}
+        |          ELSE acc END).st AS depth
+        |      FROM a)
+        |SELECT depth, count(*) AS n_users FROM d
+        |GROUP BY depth ORDER BY depth""".stripMargin,
+
+    // the q72 exact triangle with the q50 tolerance scheme: exact
+    // distincts ride cross-engine; est_ok checks each engine's OWN
+    // sketch (DuckDB's approx_count_distinct vs the persisted merged
+    // DataSketches HLL) against the same exact counts
+    "q76_cohort_sketch" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |           FROM events GROUP BY user_id)
+        |SELECT f.cohort_day,
+        |  date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+        |  count(DISTINCT e.user_id) AS exact_users,
+        |  abs(approx_count_distinct(e.user_id) - count(DISTINCT e.user_id))
+        |    / count(DISTINCT e.user_id) <= 0.05 AS est_ok
+        |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // first-touch day per user, then distinct actives per (cohort, offset)
     "q72_cohort" ->

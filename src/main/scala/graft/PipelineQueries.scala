@@ -354,6 +354,26 @@ object PipelineQueries {
         terms = Seq("dup", "vector", "batch"), k = 20)
     }),
 
+    "text_bm25_append" -> ((s, dir) => {
+      // INCREMENTAL index maintenance: build on the corpus's first half,
+      // append the second half as a new-batch commit (one batch scan +
+      // one postings fileset + one ADDITIVE stats row, atomic manifest
+      // publish — O(batch), no rebuild). The search over the appended
+      // store must equal the full-corpus replay — same oracle as
+      // text_bm25/text_bm25_indexed: a lost posting, double-counted
+      // stat, or wrong bucket hash-mismatches.
+      val idx = s"${Scratch.dir}/bm25_append_index"
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val docs = t(s, dir, "documents")
+      TextAnalysis.buildBm25Index(docs.filter(col("doc_id") < 250),
+        "doc_id", "text", idx, nBuckets = 64)
+      TextAnalysis.appendToBm25Index(docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", idx, tag = 1L)
+      TextAnalysis.bm25SearchIndexed(s, idx, "doc_id",
+        terms = Seq("dup", "vector", "batch"), k = 20)
+    }),
+
     "pipeline_quality_filter" -> ((s, dir) =>
       graft.operators.Curation.qualityFilter(t(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "lang", "source")
@@ -2056,6 +2076,13 @@ object PipelineQueries {
     "text_bm25_indexed" -> bm25ReplaySql,
 
     "text_bm25" -> bm25ReplaySql,
+
+    // build-half + append-half must serve the FULL-corpus replay: nd and
+    // Σdl are additive (exact — integer token counts in double), per-doc
+    // postings are batch-local (disjoint doc batches), df recomputes
+    // from the union — so the appended store is replay-identical to a
+    // one-shot build
+    "text_bm25_append" -> bm25ReplaySql,
 
     // duplicate-n-gram fractions + top-word share; short docs (<= n words)
     // are 0 by definition on both sides

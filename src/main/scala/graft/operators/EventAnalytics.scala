@@ -12,47 +12,71 @@ object EventAnalytics {
   /** Ordered funnel: how deep each user gets through `steps` IN ORDER —
     * step k counts only events at or after the event that completed
     * step k-1 (the strict-sequence semantics product funnels mean, not
-    * "did all types ever occur"). Returns one row per depth 0..k with
-    * the number of users whose deepest completed step is EXACTLY that
+    * "did all types ever occur"). Steps MAY repeat an event type
+    * (view→click→view→purchase): the fold encodes each event as a
+    * BITMASK of the step positions its type fills and advances when the
+    * next position's bit is set, so a repeated type matches wherever it
+    * appears. `withinDays` adds the standard conversion window: steps
+    * 2..k must land within that many days of the event that completed
+    * step 1 (no bound on step 1 itself). Binding is GREEDY — each step
+    * binds to the earliest qualifying event, no backtracking (the
+    * classic single-pass funnel; a user whose early step-1 event times
+    * out is not re-tried from a later one, and the oracle replays the
+    * identical greedy fold). Returns one row per depth 0..k with the
+    * number of users whose deepest completed step is EXACTLY that
     * depth; users with no funnel-step events at all do not appear.
     *
     * Plan shape: the scan keeps only the funnel's event types (so the
     * per-user array is the user's FUNNEL events, not their whole
     * history), ONE groupBy(user) shuffle collects (ts, id, type)
     * structs, and a codegen'd `aggregate()` fold over the time-sorted
-    * array runs the linear state machine per user. The naive k-way
-    * self-join formulation shuffles the events table k times and
-    * explodes on skewed users; this shuffles once and is linear in each
-    * user's funnel events. Ties in `ts` break by `idCol` — a total
-    * order, so the fold is deterministic on any partitioning (and
+    * array runs the linear state machine per user — accumulator =
+    * (depth, step-1-completion ts). The naive k-way self-join
+    * formulation shuffles the events table k times and explodes on
+    * skewed users; this shuffles once and is linear in each user's
+    * funnel events. Ties in `ts` break by `idCol` — a total order, so
+    * the fold is deterministic on any partitioning (and
     * engine-replayable: the oracle folds the same sorted list).
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, idCol: String, steps: Seq[String]): DataFrame = {
+      typeCol: String, idCol: String, steps: Seq[String],
+      withinDays: Option[Int] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    // the fold encodes each event as its step's position via
-    // array_position, which maps a REPEATED type to its first index —
-    // the machine could never advance past the repeat, silently capping
-    // depth. Refuse loudly; a repeated-step funnel needs a positional
-    // encoding (event type compared against steps[st+1] in the fold)
-    // that the cross-engine replay cannot express today.
-    require(steps.distinct == steps,
-      s"funnel steps must be distinct event types, got $steps")
-    val stepsSql = steps
-      .map(s => "'" + s.replace("'", "''") + "'")
-      .mkString("array(", ", ", ")")
-    events.filter(col(typeCol).isin(steps: _*))
+    require(steps.length <= 62,
+      s"funnel depth is bounded by the 64-bit mask fold, got ${steps.length} steps")
+    withinDays.foreach(d => require(d >= 1, s"withinDays must be >= 1, got $d"))
+    val types = steps.distinct
+    def sq(s: String) = "'" + s.replace("'", "''") + "'"
+    // type -> bitmask of the step positions it fills (bit i = steps(i))
+    val maskCase = types.map { t =>
+      val mask = steps.zipWithIndex.collect { case (s, i) if s == t => 1L << i }.sum
+      s"WHEN ${sq(t)} THEN CAST($mask AS BIGINT)"
+    }.mkString("CASE x.t ", " ", " ELSE CAST(0 AS BIGINT) END")
+    val windowCond = withinDays
+      .map(d => s"(a.st = 0 OR x.t0 <= a.t0 + INTERVAL $d DAY)")
+      .getOrElse("true")
+    events.filter(col(typeCol).isin(types: _*))
       .select(col(userCol).as("user"),
         struct(col(tsCol).as("ts"), col(idCol).as("id"),
           col(typeCol).as("t")).as("ev"))
       .groupBy("user")
       .agg(collect_list("ev").as("evs"))
+      // element struct reuses the accumulator's field slots (st = the
+      // event's step bitmask, t0 = its ts) so the fold's two branches
+      // and the init share ONE struct type — the same pun the DuckDB
+      // replay needs for its list_prepend(init, ...) reduce
       .withColumn("depth", expr(
         s"""aggregate(
-           |  transform(array_sort(evs), x -> array_position($stepsSql, x.t)),
-           |  CAST(0 AS BIGINT),
-           |  (st, x) -> IF(st < ${steps.length} AND x = st + 1, st + 1, st))"""
-          .stripMargin))
+           |  transform(array_sort(evs),
+           |    x -> named_struct('st', $maskCase, 't0', x.ts)),
+           |  named_struct('st', CAST(0 AS BIGINT), 't0', CAST(NULL AS TIMESTAMP)),
+           |  (a, x) -> IF(
+           |    a.st < ${steps.length}
+           |      AND (x.st & shiftleft(CAST(1 AS BIGINT), CAST(a.st AS INT))) != 0
+           |      AND $windowCond,
+           |    named_struct('st', a.st + CAST(1 AS BIGINT),
+           |                 't0', IF(a.st = 0, x.t0, a.t0)),
+           |    a)).st""".stripMargin))
       .groupBy("depth")
       .agg(count(lit(1)).as("n_users"))
       .orderBy("depth")
@@ -86,10 +110,17 @@ object EventAnalytics {
         date_trunc("hour", col(tsCol)).as("bucket"),
         col(valueCol).cast("double").as("v"))
       .groupBy("series", "bucket")
-      .agg(collect_list("v").as("vs"), count(lit(1)).as("n"))
+      // collect_list drops NULL values, so the mean's divisor must be
+      // the NON-NULL count (count(v)) — dividing by the row count would
+      // silently bias the mean on NULL-bearing data. `n` stays the
+      // bucket's ROW count (what "events that hour" means); a bucket of
+      // only-NULL values has n > 0 and avg_v NULL.
+      .agg(collect_list("v").as("vs"), count(col("v")).as("nv"),
+        count(lit(1)).as("n"))
       .select(col("series"), col("bucket"),
-        (expr("aggregate(array_sort(vs), cast(0.0 as double), (a, x) -> a + x)")
-          / col("n")).as("avg_v"),
+        when(col("nv") > 0,
+          expr("aggregate(array_sort(vs), cast(0.0 as double), (a, x) -> a + x)")
+            / col("nv")).as("avg_v"),
         col("n"))
     val bounds = agg.agg(min("bucket").as("lo"), max("bucket").as("hi"))
     val spine = bounds
@@ -117,9 +148,11 @@ object EventAnalytics {
     * formulation scans it twice and, when the per-user dimension
     * outgrows the broadcast threshold, shuffles it twice. The final
     * (cohort, offset) countDistinct is exact with the usual two-phase
-    * partial — at 100 TB swap in approx_count_distinct or the persisted
-    * HLL rollup ([[graft.streaming.SketchRollup]]) if cardinality cost
-    * bites.
+    * partial — at 100 TB cardinality, the SKETCH-BACKED path is
+    * [[cohortAssignments]] + [[graft.streaming.SketchRollup
+    * .mergeKeyedInto]] (persisted per-(cohort, offset) HLL blobs,
+    * activity merged batch by batch) served by
+    * [[cohortRetentionFromSketches]] — the q76 gate.
     */
   def cohortRetention(events: DataFrame, userCol: String,
       tsCol: String): DataFrame = {
@@ -131,4 +164,40 @@ object EventAnalytics {
       .agg(countDistinct(col(userCol)).as("n_users"))
       .orderBy("cohort_day", "day_offset")
   }
+
+  /** The activity rows the sketch-backed triangle aggregates: one
+    * (user, cohort_day, day_offset) row per event, first-touch via the
+    * same partition-only window as [[cohortRetention]] (events scanned
+    * once). At 100 TB the user→cohort_day mapping is itself a
+    * maintained dimension (the [[DedupStore]] shape: first-seen day per
+    * user, appended per batch) — this one-pass derivation is its batch
+    * form; activity batches then merge into the sketch store
+    * INDEPENDENTLY ([[graft.streaming.SketchRollup.mergeKeyedInto]] —
+    * HLL union makes batching invisible).
+    */
+  def cohortAssignments(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(userCol))
+    events.select(col(userCol).as("user_id"), to_date(col(tsCol)).as("day"))
+      .withColumn("cohort_day", min(col("day")).over(w))
+      .withColumn("day_offset",
+        datediff(col("day"), col("cohort_day")).cast("long"))
+      .select("user_id", "cohort_day", "day_offset")
+  }
+
+  /** The retention triangle SERVED from a persisted HLL sketch store
+    * ([[graft.streaming.SketchRollup.mergeKeyedInto]] over
+    * [[cohortAssignments]] rows): per (cohort_day, day_offset),
+    * `est_users` = the merged sketch's estimate and `n_events` = the
+    * activity row count — KB-sized blobs, no raw event rescan, the
+    * answer any (cohort range × offset range) slice merges from. The
+    * exact-vs-estimate tolerance is gated q50-style (each engine checks
+    * its own sketch; exact counts ride along cross-engine-hashable).
+    */
+  def cohortRetentionFromSketches(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): DataFrame =
+    spark.read.parquet(storePath)
+      .select(col("cohort_day"), col("day_offset"),
+        hll_sketch_estimate(col("sk")).as("est_users"), col("n_events"))
+      .orderBy("cohort_day", "day_offset")
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -215,58 +216,197 @@ object TextAnalysis {
   }
 
   /** Persisted BM25 inverted index — [[bm25Search]]'s serving shape (the
-    * ann_ivfpq_persisted pattern for text). ONE corpus tokenize scan
-    * writes:
+    * ann_ivfpq_persisted pattern for text), MANIFEST-VERSIONED like
+    * every other persisted store here ([[FilesetLog]]/[[ManifestCommit]]
+    * — the DedupStore/NearDupStore treatment). ONE tokenize scan per
+    * ingest batch writes:
     * {{{
-    *   <path>/postings/bucket=<b>/   (w, id, tf, dl) — the postings,
-    *                                 partitioned by bucket = pmod(xxhash64(w), nBuckets)
-    *   <path>/stats/                 one row (nd, avgdl, n_buckets)
+    *   <path>/manifest/vNNNNN.manifest    the committed version: P + S lines
+    *   <path>/postings/vNNNNN_<nonce>/bucket=<b>/   (w, id, tf, dl) — one
+    *                        fileset per build/append, partitioned by
+    *                        bucket = pmod(xxhash64(w), nBuckets)
+    *   <path>/stats/vNNNNN_<nonce>/       one (n_docs, sum_dl, n_buckets)
+    *                        row per fileset — ADDITIVE corpus stats
     * }}}
-    * A term's postings live in exactly ONE bucket directory, so query
-    * time reads only the buckets the query terms hash into (directory-
-    * level partition pruning — plan-asserted) and recomputes df exactly
-    * from those lists. Serving cost is O(query terms' postings), never
-    * a corpus scan; the build is the one-off a 100 TB search deployment
-    * amortizes. nBuckets sizes directories, not correctness — pick
-    * ~sqrt(vocab) to balance directory count vs bucket width.
+    * Postings and stats publish in ONE atomic manifest commit, so a
+    * crash between the data writes leaves invisible orphans (vacuumable
+    * via [[vacuumBm25Index]]), never new stats over old postings — the
+    * mixed-state hazard of the previous two-overwrite layout.
+    * [[appendToBm25Index]] adds a document batch as one new fileset +
+    * one stats row, O(batch): nd and Σdl are additive (and EXACT — dl
+    * values are integer token counts, so their double sums are exact
+    * below 2^53 and avgdl = Σdl/nd is batch-split-invariant), while df
+    * recomputes exactly from the loaded postings at query time.
+    *
+    * A term's postings live in exactly ONE bucket directory per
+    * fileset, so query time reads only the buckets the query terms hash
+    * into (directory-level partition pruning — plan-asserted) and
+    * recomputes df exactly from those lists. Serving cost is O(query
+    * terms' postings), never a corpus scan. nBuckets sizes directories,
+    * not correctness — pick ~sqrt(vocab) to balance directory count vs
+    * bucket width.
     */
   def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
+    val spark = docs.sparkSession
+    require(FilesetLog.current(spark, path).isEmpty,
+      s"a BM25 store already exists under $path — appendToBm25Index for " +
+        "new batches, or delete the store to rebuild")
+    commitBm25Batch(docs, idCol, textCol, path, nBuckets, tag = 0L)
+  }
+
+  /** Append one DOCUMENT batch to a [[buildBm25Index]] store: one
+    * tokenize scan of the batch, one postings fileset + one additive
+    * stats row, one atomic manifest commit — O(batch), never a corpus
+    * rebuild. Post-append search ≡ a full rebuild over the union
+    * (spec-asserted). Batches must be doc-disjoint (re-ingesting a doc
+    * double-counts its postings — dedup upstream, [[DedupStore]]).
+    * Replay-safe like DedupStore.ingest: a re-run `tag` supersedes its
+    * own earlier commit (the old fileset becomes a vacuumable orphan),
+    * so crash-recovery at-least-once stays exactly-once in store
+    * content. Single maintainer.
+    */
+  def appendToBm25Index(docs: DataFrame, idCol: String, textCol: String,
+      path: String, tag: Long): Unit = {
+    require(tag >= 1, s"append tags are >= 1 (got $tag); 0 is the build")
+    val spark = docs.sparkSession
+    val es = FilesetLog.currentEntries(spark, path)
+    require(es.nonEmpty, s"no BM25 store under $path — buildBm25Index first")
+    val nBuckets = spark.read
+      .parquet(es.filter(_.kind == StatsKind).map(_.file): _*)
+      .select("n_buckets").head.getInt(0)
+    commitBm25Batch(docs, idCol, textCol, path, nBuckets, tag)
+  }
+
+  private val PostingsKind = "P"
+  private val StatsKind = "S"
+
+  /** Shared build/append body: write the batch's postings fileset
+    * (bucket-partitioned directory — the manifest references its ROOT)
+    * and its one-row additive stats fileset, then publish both in ONE
+    * manifest commit, superseding any earlier commit of the same tag
+    * (replay contract).
+    */
+  private def commitBm25Batch(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int, tag: Long): Unit = {
+    val spark = docs.sparkSession
+    val cur = FilesetLog.current(spark, path)
+    val all = cur.map(FilesetLog.entries(spark, path, _)).getOrElse(Seq.empty)
+    val hist = all.filterNot(_.tag == tag)
+    val v = cur.getOrElse(0L)
     val withDl = docs.select(col(idCol).as("id"), T.tokens(col(textCol)).as("ts"))
       .select(col("id"), col("ts"), size(col("ts")).cast("double").as("dl"))
-    withDl.agg(count(lit(1)).cast("double").as("nd"), avg(col("dl")).as("avgdl"))
-      .withColumn("n_buckets", lit(nBuckets))
-      .write.mode("overwrite").parquet(s"$path/stats")
+    val postingsDir = s"$path/postings/" + f"v${v + 1}%05d" + s"_${FilesetLog.nonce()}"
     withDl.select(col("id"), col("dl"), explode(col("ts")).as("w"))
       .groupBy("id", "w").agg(count(lit(1)).cast("double").as("tf"),
         any_value(col("dl")).as("dl"))
       .withColumn("bucket", pmod(xxhash64(col("w")), lit(nBuckets.toLong)))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+      .write.mode("overwrite").partitionBy("bucket").parquet(postingsDir)
+    // an empty batch writes no bucket=* subdirs — such a fileset is
+    // unreadable (no schema to infer) and contributes nothing: commit
+    // only the stats row (n_docs = 0 keeps the additivity trivially)
+    val f = FilesetLog.fs(spark, path)
+    val hasPostings = f.listStatus(new Path(postingsDir))
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+    val statsFiles = FilesetLog.writeFileset(
+      withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .withColumn("n_buckets", lit(nBuckets)).coalesce(1),
+      s"$path/stats/" + f"v${v + 1}%05d" + s"_${FilesetLog.nonce()}")
+    // manifest lines carry the FILESYSTEM-QUALIFIED form (file:/…, like
+    // writeFileset's listing) so vacuum's on-disk walk matches them
+    val qualified = f.makeQualified(new Path(postingsDir)).toString
+    FilesetLog.commit(spark, path, v + 1,
+      hist ++
+        (if (hasPostings) Seq(FilesetLog.Entry(PostingsKind, tag, qualified))
+         else Seq.empty) ++
+        statsFiles.map(FilesetLog.Entry(StatsKind, tag, _)))
   }
 
-  /** BM25 top-k served FROM a [[buildBm25Index]] index: the query terms'
-    * buckets are computed driver-side with the same XxHash64 the build's
+  /** Drop old store versions and unreferenced postings/stats filesets
+    * (crashed or superseded ingests) — [[FilesetLog.vacuum]]'s grace
+    * contract. Postings manifest lines reference fileset ROOT
+    * directories, so orphan detection walks directory roots.
+    */
+  def vacuumBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
+      keepLast: Int = 1,
+      graceMs: Long = SnapshotTable.DefaultVacuumGraceMs): Seq[String] = {
+    require(keepLast >= 1, "keepLast >= 1")
+    val f = FilesetLog.fs(spark, path)
+    val vs = FilesetLog.versions(spark, path)
+    val keep = vs.takeRight(keepLast)
+    val referenced = keep.flatMap(FilesetLog.entries(spark, path, _))
+      .map(_.file).toSet
+    val horizon = System.currentTimeMillis() - graceMs
+    // postings roots are one level below <path>/postings; stats files
+    // one level below their fileset dirs under <path>/stats
+    val postingRoots = {
+      val root = new org.apache.hadoop.fs.Path(s"$path/postings")
+      if (!f.exists(root)) Seq.empty[String]
+      else f.listStatus(root).toSeq.filter(_.isDirectory)
+        .filter(_.getModificationTime <= horizon)
+        .map(_.getPath.toString)
+    }
+    val statsFiles = {
+      val root = new org.apache.hadoop.fs.Path(s"$path/stats")
+      if (!f.exists(root)) Seq.empty[String]
+      else f.listStatus(root).toSeq.filter(_.isDirectory)
+        .flatMap(d => f.listStatus(d.getPath).toSeq)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")
+          && s.getModificationTime <= horizon)
+        .map(_.getPath.toString)
+    }
+    val doomed = (postingRoots ++ statsFiles).filterNot(referenced.contains).sorted
+    doomed.foreach(p => f.delete(new org.apache.hadoop.fs.Path(p), true))
+    vs.dropRight(keepLast).foreach { v =>
+      f.delete(new org.apache.hadoop.fs.Path(
+        s"$path/manifest/" + f"v$v%05d.manifest"), false)
+    }
+    doomed
+  }
+
+  /** BM25 top-k served FROM a [[buildBm25Index]] store's CURRENT
+    * committed version (a concurrent append is invisible — snapshot
+    * isolation like every manifest store): corpus stats sum the
+    * versions' additive stats rows, the query terms' buckets are
+    * computed driver-side with the same XxHash64 the build's
     * `xxhash64()` column used (seed 42 — no hash-bridge drift possible),
-    * the postings scan partition-prunes to those directories, df comes
-    * exactly from the loaded lists, and the ranking/rounding/tiebreak
-    * contract is [[bm25Search]]'s — the round trip is result-invisible
-    * (same oracle gates both).
+    * every fileset's postings scan partition-prunes to those bucket
+    * directories, df comes exactly from the loaded lists, and the
+    * ranking/rounding/tiebreak contract is [[bm25Search]]'s — the round
+    * trip is result-invisible (same oracle gates both).
     */
   def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, terms: Seq[String], k: Int = 20,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25SearchIndexed needs at least one query term")
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    val st = spark.read.parquet(s"$path/stats").head
-    val nd = st.getAs[Double]("nd")
-    val avgdl = st.getAs[Double]("avgdl")
-    val nBuckets = st.getAs[Int]("n_buckets").toLong
+    val es = FilesetLog.currentEntries(spark, path)
+    require(es.nonEmpty, s"no BM25 store under $path — buildBm25Index first")
+    val statsRows = spark.read
+      .parquet(es.filter(_.kind == StatsKind).map(_.file): _*)
+      .agg(sum("n_docs").as("nd"), sum("sum_dl").as("sdl"),
+        min("n_buckets").as("bmin"), max("n_buckets").as("bmax")).head
+    require(statsRows.getInt(2) == statsRows.getInt(3),
+      s"inconsistent n_buckets across filesets under $path: " +
+        s"${statsRows.getInt(2)} vs ${statsRows.getInt(3)}")
+    val nd = statsRows.getLong(0).toDouble
+    val avgdl = statsRows.getDouble(1) / nd
+    val nBuckets = statsRows.getInt(2).toLong
     val buckets = terms.map(t => java.lang.Math.floorMod(
       new XxHash64(Seq(Literal.create(t,
         org.apache.spark.sql.types.StringType))).eval(null).asInstanceOf[Long],
       nBuckets)).distinct
-    val postings = spark.read.parquet(s"$path/postings")
+    // one read PER fileset root, unioned: partition discovery needs each
+    // bucket=* tree under its own base path (a multi-root read throws
+    // CONFLICTING_DIRECTORY_STRUCTURES); the bucket+term filters push
+    // below the Union into every scan, so each fileset still
+    // directory-prunes to the probed buckets
+    val postingRoots = es.filter(_.kind == PostingsKind).map(_.file)
+    require(postingRoots.nonEmpty,
+      s"BM25 store under $path has no postings filesets (empty corpus)")
+    val postings = postingRoots.map(spark.read.parquet(_))
+      .reduce(_ unionByName _)
       .filter(col("bucket").isin(buckets: _*) && col("w").isin(terms: _*))
     val dfr = postings.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
     val scored = postings.join(broadcast(dfr), "w")

@@ -35,12 +35,24 @@ object SketchRollup {
     * store at `storePath`. Reads the store (KB-sized), unions the
     * batch's partial sketches, re-merges per day, swaps.
     */
-  def mergeInto(spark: SparkSession, batch: DataFrame, storePath: String): Unit = {
-    val incoming = batch.groupBy("day")
-      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+  def mergeInto(spark: SparkSession, batch: DataFrame, storePath: String): Unit =
+    mergeKeyedInto(spark, batch, Seq("day"), "user_id", storePath)
+
+  /** The general per-KEYS form of [[mergeInto]]: one HLL sketch of
+    * `valueCol` per distinct `keyCols` tuple (e.g. (cohort_day,
+    * day_offset) for a retention triangle —
+    * [[graft.operators.EventAnalytics.cohortRetentionFromSketches]]).
+    * Same crash-safe swap, same mergeability contract: the final store
+    * is the same whether the activity arrived in 1 batch or 1000.
+    */
+  def mergeKeyedInto(spark: SparkSession, batch: DataFrame,
+      keyCols: Seq[String], valueCol: String, storePath: String): Unit = {
+    require(keyCols.nonEmpty, "mergeKeyedInto needs at least one key column")
+    val incoming = batch.groupBy(keyCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol)).as("sk"),
         count(lit(1)).as("n_events"))
     mergeStore(spark, incoming, storePath) { existing =>
-      existing.groupBy("day")
+      existing.groupBy(keyCols.map(col): _*)
         .agg(hll_union_agg(col("sk")).as("sk"),
           sum("n_events").as("n_events"))
     }

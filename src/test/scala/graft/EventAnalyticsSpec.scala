@@ -39,13 +39,53 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(run(tie) == Map(2L -> 1L))
   }
 
-  test("funnel refuses repeated step types loudly (position encoding cannot advance past a repeat)") {
-    val rows = Seq((1L, ts(1), "view", 1L))
+  test("funnel with REPEATED step types: the bitmask fold advances through the repeat") {
+    // steps view→click→view→purchase (view fills positions 1 AND 3 —
+    // mask 5): u1 walks all four in order → depth 4; u2 has no second
+    // view, so its purchase cannot fire (position 3 unfilled) → depth
+    // 2; u3's SECOND view does not fill position 2 (click needed — the
+    // greedy fold stays put), then click/view/purchase complete → 4
+    val rows = Seq(
+      (1L, ts(1), "view", 10L), (1L, ts(2), "click", 11L),
+      (1L, ts(3), "view", 12L), (1L, ts(4), "purchase", 13L),
+      (2L, ts(1), "view", 20L), (2L, ts(2), "click", 21L), (2L, ts(3), "purchase", 22L),
+      // u3: view view click view purchase — greedy: 1st view=step1, the
+      // 2nd view does NOT fill step 2 (click needed), click=step2,
+      // 3rd view=step3, purchase=step4
+      (3L, ts(1), "view", 30L), (3L, ts(2), "view", 31L), (3L, ts(3), "click", 32L),
+      (3L, ts(4), "view", 33L), (3L, ts(5), "purchase", 34L))
       .toDF("user_id", "ts", "event_type", "event_id")
-    intercept[IllegalArgumentException] {
-      EventAnalytics.funnel(rows, "user_id", "ts", "event_type", "event_id",
-        Seq("view", "view", "purchase"))
-    }
+    val got = EventAnalytics.funnel(rows, "user_id", "ts", "event_type",
+      "event_id", Seq("view", "click", "view", "purchase"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 1L, 4L -> 2L), s"$got")
+  }
+
+  test("funnel conversion window: steps 2..k must land within `withinDays` of step 1") {
+    def d(s: String) = Timestamp.valueOf(s + " 12:00:00")
+    val rows = Seq(
+      // u1 converts inside the 7-day window
+      (1L, d("2024-01-01"), "view", 10L), (1L, d("2024-01-03"), "click", 11L),
+      (1L, d("2024-01-07"), "purchase", 12L),
+      // u2's click lands on day 9 — outside the window → depth 1; its
+      // later purchase can't fire either (click never completed)
+      (2L, d("2024-01-01"), "view", 20L), (2L, d("2024-01-10"), "click", 21L),
+      (2L, d("2024-01-11"), "purchase", 22L),
+      // u3: click inside, purchase outside → depth 2
+      (3L, d("2024-01-01"), "view", 30L), (3L, d("2024-01-02"), "click", 31L),
+      (3L, d("2024-01-20"), "purchase", 32L),
+      // boundary: exactly +7 days (same wall time) is INSIDE (<=)
+      (4L, d("2024-01-01"), "view", 40L), (4L, d("2024-01-08"), "click", 41L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = EventAnalytics.funnel(rows, "user_id", "ts", "event_type",
+      "event_id", Seq("view", "click", "purchase"), withinDays = Some(7))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L), s"$got")
+    // no window: u2 and u3 convert fully
+    val loose = EventAnalytics.funnel(rows, "user_id", "ts", "event_type",
+      "event_id", Seq("view", "click", "purchase"))
+      .as[(Long, Long)].collect().toMap
+    assert(loose == Map(3L -> 3L, 2L -> 1L), s"$loose")
   }
 
   test("cohort retention: first-touch day buckets, distinct actives per offset") {

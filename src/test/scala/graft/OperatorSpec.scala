@@ -506,6 +506,64 @@ class TextFunctionsSpec extends AnyFunSuite {
       .collect().exists(_._1 != 1L))
   }
 
+  test("bm25 store: append ≡ full rebuild; uncommitted filesets invisible; replayed tag exactly-once") {
+    val docs = Seq(
+      (1L, "rare alpha beta gamma"),
+      (2L, "common common common common"),
+      (3L, "common delta epsilon zeta"),
+      (4L, "common eta theta iota"),
+      (5L, "rare common alpha"),
+      (6L, "zeta eta common rare")).toDF("doc_id", "text")
+    val terms = Seq("rare", "common")
+    def fresh(name: String): String = {
+      val d = TestSpark.scratch(name)
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      d
+    }
+    def res(path: String) = TextAnalysis.bm25SearchIndexed(
+      spark, path, "doc_id", terms, k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+
+    val full = fresh("bm25_full")
+    TextAnalysis.buildBm25Index(docs, "doc_id", "text", full, nBuckets = 8)
+    val inc = fresh("bm25_inc")
+    TextAnalysis.buildBm25Index(docs.filter($"doc_id" <= 3), "doc_id", "text",
+      inc, nBuckets = 8)
+    TextAnalysis.appendToBm25Index(docs.filter($"doc_id" > 3), "doc_id", "text",
+      inc, tag = 1L)
+    val before = res(inc)
+    assert(before == res(full),
+      "post-append search must equal the one-shot full build")
+    // a second build over an existing store refuses (append is the API)
+    intercept[IllegalArgumentException](
+      TextAnalysis.buildBm25Index(docs, "doc_id", "text", full))
+    // CRASH CONTRACT: a writer that wrote its postings AND stats
+    // filesets but died before the manifest publish leaves the served
+    // version bit-identical — the old two-overwrite layout served new
+    // stats over old postings from exactly this window
+    docs.limit(1).select(lit("rare").as("w"), col("doc_id").as("id"),
+      lit(99.0).as("tf"), lit(3.0).as("dl"), lit(0L).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$inc/postings/v99999_orphan")
+    Seq((99L, 99.0, 8)).toDF("n_docs", "sum_dl", "n_buckets")
+      .write.mode("overwrite").parquet(s"$inc/stats/v99999_orphan")
+    assert(res(inc) == before, "uncommitted filesets must be invisible")
+    // REPLAYED append (same tag, crash-recovery at-least-once): history
+    // excludes and supersedes its own earlier commit — content stays
+    // exactly-once, never double-counted postings or stats
+    TextAnalysis.appendToBm25Index(docs.filter($"doc_id" > 3), "doc_id", "text",
+      inc, tag = 1L)
+    assert(res(inc) == before, "replayed tag must not double-count")
+    // vacuum reclaims the crash orphans + the superseded fileset; the
+    // current version still serves identically (zero grace: single
+    // writer, provably no one in flight)
+    val deleted = TextAnalysis.vacuumBm25Index(spark, inc, keepLast = 1,
+      graceMs = 0L)
+    assert(deleted.exists(_.contains("orphan")), s"orphans not reclaimed: $deleted")
+    assert(res(inc) == before)
+  }
+
   test("bigram LM: exact hand-computed value; interpolation bounds hold") {
     // "x y x y": bigrams (x,y) m=2, (y,x) m=1; uni x=2 y=2 total=4
     // p(x,y) = .5*(2/2) + .5*(2/4) = .75 ; p(y,x) = .5*(1/2) + .5*(2/4) = .5

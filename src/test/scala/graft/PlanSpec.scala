@@ -84,6 +84,8 @@ class PlanSpec extends AnyFunSuite {
     import graft.operators.TextAnalysis
     val docs = Tables.load(spark, TestSpark.sf, "documents")
     val idx = TestSpark.scratch("bm25_planspec")
+    val ip = new org.apache.hadoop.fs.Path(idx)
+    ip.getFileSystem(spark.sessionState.newHadoopConf()).delete(ip, true)
     TextAnalysis.buildBm25Index(docs, "doc_id", "text", idx, nBuckets = 64)
     val served = TextAnalysis.bm25SearchIndexed(spark, idx, "doc_id",
       Seq("dup", "vector", "batch"), k = 20)
@@ -247,6 +249,39 @@ class PlanSpec extends AnyFunSuite {
     // single synthetic tiebreaker, not all remaining columns: on a wide
     // table the old all-columns sort paid a full-row multi-key compare
     assert(topk.head.sortOrder.size == 2, topk.head.sortOrder.toString)
+  }
+
+  test("searched + sorted page: the search filter sits ON the scan, page is top-K, no extra shuffle") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, TakeOrderedAndProjectExec}
+    import graft.query.{PageRequest, Paginator, SortSpec}
+    val customer = Tables.load(spark, TestSpark.sf, "customer")
+    val pg = new Paginator(customer)
+    val plan = executedNoAqe(
+      pg.page(PageRequest(pageNumber = 2, pageSize = Some(20),
+        sort = Some(SortSpec("c_acctbal", ascending = false)),
+        search = Some("12"))))
+    // the whole composition is scan → (searched) filter → top-K: the
+    // search must not force a separate stage (a shuffle before the
+    // filter would stream the full table once per page)
+    val exchanges = plan.collect { case e: Exchange => e }
+    assert(exchanges.isEmpty, s"searched page must not shuffle:\n$plan")
+    val topk = plan.collect { case t: TakeOrderedAndProjectExec => t }
+    assert(topk.nonEmpty, s"searched sorted page must stay per-partition top-K:\n$plan")
+    // the LIKE-disjunction filter evaluates directly over the scan
+    // (same codegen stage — its child chain reaches the FileSourceScan
+    // with no exchange in between), so pages run at scan throughput
+    val filters = plan.collect { case f: FilterExec => f }
+    assert(filters.nonEmpty, s"search filter missing:\n$plan")
+    // Catalyst rewrites LIKE '%12%' to Contains(col, 12)
+    val searchFilter = filters.find(_.condition.toString.contains("Contains"))
+    assert(searchFilter.isDefined, s"LIKE search filter not found:\n$plan")
+    def reachesScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+      case _: FileSourceScanExec => true
+      case e if e.isInstanceOf[Exchange] => false
+      case other => other.children.exists(reachesScan)
+    }
+    assert(reachesScan(searchFilter.get),
+      s"search filter must sit over the scan, not above an exchange:\n$plan")
   }
 
   test("keyset page: cursor filter reaches the scan, top-k is ONE page deep") {
