@@ -29,6 +29,28 @@ object ExtraQueries {
         .orderBy("event_id")
     }),
 
+    "asof_join_tolerance" -> ((s, dir) => {
+      // bounded-staleness as-of join (pandas merge_asof `tolerance`):
+      // each purchase takes its latest preceding click ONLY if it landed
+      // within the last hour — stale matches null out. Exact without a
+      // second pass: the as-of match IS the newest candidate, so an
+      // out-of-window match proves no candidate is in-window. Same
+      // single-shuffle union+window plan; the oracle is DuckDB's ASOF
+      // with the same inclusive window test applied to its match.
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val clicks = ev.filter(col("event_type") === "click")
+      AsOfJoin.leftAsOf(purchases, clicks,
+        keyCols = Seq("user_id"), timeCol = "ts",
+        rightOrder = "event_id", payload = Seq("event_id", "ts"),
+        toleranceSeconds = Some(3600L))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("asof_event_id").as("click_id"),
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"))
+        .orderBy("event_id")
+    }),
+
     "asof_join_native" -> ((s, dir) => {
       // Same as-of semantics through the custom Catalyst path: a
       // first-class LogicalPlan + planner Strategy + streaming merge exec
@@ -811,6 +833,37 @@ object ExtraQueries {
         .orderBy("snap", "o_orderkey")
     }),
 
+    "q78_snapshot_vacuum" -> ((s, dir) => {
+      // VACUUM end-to-end: v1 = orders key-clustered, v2 = narrow upsert
+      // (a few files rewritten, most REUSED by both manifests), then
+      // vacuum(keepLast = 1, grace = 0 — single writer, provably none in
+      // flight) drops v1's manifest and deletes exactly the files only
+      // v1 referenced. The gate serves the CURRENT version through the
+      // post-vacuum table — a vacuum that deleted a still-referenced
+      // (reused!) file yields a missing-file read error or lost rows and
+      // hash-mismatches the merged truth. Retention/grace/orphan
+      // semantics are spec-asserted in SnapshotTableSpec; this gates the
+      // live-file safety property against the DuckDB replay.
+      import graft.operators.SnapshotTable
+      val tdir = s"${Scratch.dir}/q78_table"
+      val p = new org.apache.hadoop.fs.Path(tdir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotTable.create(s,
+        base.withColumn("commit_v", lit(0L))
+          .repartitionByRange(12, col("o_orderkey")), tdir)
+      val changes = base.filter(col("o_orderkey").between(500L, 700L))
+        .withColumn("o_custkey", col("o_custkey") + lit(1000000L))
+        .withColumn("commit_v", lit(1L))
+        .withColumn("_deleted", lit(false))
+      SnapshotTable.upsert(s, tdir, changes, "o_orderkey", "commit_v", "o_custkey")
+      SnapshotTable.vacuum(s, tdir, keepLast = 1, graceMs = 0L)
+      SnapshotTable.read(s, tdir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     "q69_snapshot_restore" -> ((s, dir) => {
       // RESTORE VERSION on the snapshot path: v1 = orders, v2 = delete of
       // a key band, v3 = restore(v1) — a manifest-only commit that
@@ -1511,6 +1564,17 @@ object ExtraQueries {
         |SELECT CAST(2 AS BIGINT) AS snap, * FROM v2
         |ORDER BY snap, o_orderkey""".stripMargin,
 
+    // the post-vacuum current version must be the merged truth — a
+    // vacuum that deleted a live (reused) file loses rows or fails the
+    // read outright
+    "q78_snapshot_vacuum" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey BETWEEN 500 AND 700
+        |       THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+        |  o_totalprice
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
     // v2 stays the post-delete truth after the restore (history is
     // preserved); v3 = v1 verbatim (the undo is a manifest-only commit)
     "q69_snapshot_restore" ->
@@ -1645,6 +1709,20 @@ object ExtraQueries {
         |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
         |  c.event_id AS click_id,
         |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    // the ASOF match nulled when older than the window: exact because
+    // the as-of match is the newest candidate (nothing else can be
+    // inside a window it missed)
+    "asof_join_tolerance" ->
+      """SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.event_id END AS click_id,
+        |  CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR
+        |       THEN strftime(c.ts, '%Y-%m-%d %H:%M:%S') END AS click_ts
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts

@@ -25,16 +25,34 @@ object AsOfJoin {
     * @param timeCol    event-time column name present on both sides
     * @param rightOrder tie-break column on the right side
     * @param payload    right columns to carry (renamed with `asof_` prefix)
+    * @param toleranceSeconds  when set, a match older than this many
+    *                   seconds before left.time is discarded (NULL
+    *                   payload) — the bounded-staleness form every
+    *                   time-series feature join wants (pandas
+    *                   merge_asof's `tolerance`). Exact by construction:
+    *                   the as-of match IS the newest candidate, so if it
+    *                   falls outside the window no other right row can
+    *                   be inside it. The window is inclusive
+    *                   (right.time >= left.time - T), measured in exact
+    *                   epoch micros.
     */
   def leftAsOf(
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], timeCol: String,
-      rightOrder: String, payload: Seq[String]): DataFrame = {
+      rightOrder: String, payload: Seq[String],
+      toleranceSeconds: Option[Long] = None): DataFrame = {
+    toleranceSeconds.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
     val leftCols = left.columns.toSeq
+    // the matched right row's own time rides as a hidden struct field so
+    // the tolerance test can compare it against left.time after the fold
+    val payloadStruct = struct(payload.map(col) :+ col(timeCol).as("_asof_t"): _*)
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c)) :+
+        org.apache.spark.sql.types.StructField("_asof_t", right.schema(timeCol).dataType))
     val l = left
       .withColumn("_asof_side", lit(1))
       .withColumn("_asof_ord", lit(Long.MaxValue))
-      .withColumn("_asof_payload", lit(null).cast(structType(right, payload)))
+      .withColumn("_asof_payload", lit(null).cast(payloadType))
     val r = right
       // SQL equality semantics: a NULL key matches nothing, but the window
       // partitioning below would group NULLs together — drop unmatchable
@@ -42,7 +60,7 @@ object AsOfJoin {
       // their partition and correctly get a null payload)
       .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
       .select((keyCols :+ timeCol :+ rightOrder).distinct.map(col) :+
-        struct(payload.map(col): _*).as("_asof_payload"): _*)
+        payloadStruct.as("_asof_payload"): _*)
       .withColumn("_asof_side", lit(0))
       .withColumn("_asof_ord", col(rightOrder).cast("long"))
     // align schemas: right rows carry nulls for left-only columns
@@ -55,9 +73,18 @@ object AsOfJoin {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(timeCol).asc, col("_asof_side").asc, col("_asof_ord").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
+    val matched = unioned
       .withColumn("_asof_match", last("_asof_payload", ignoreNulls = true).over(w))
       .filter(col("_asof_side") === 1)
+    val bounded = toleranceSeconds match {
+      case None => matched
+      case Some(t) => matched.withColumn("_asof_match",
+        when(col("_asof_match").isNotNull &&
+          unix_micros(col(timeCol)) - unix_micros(col("_asof_match._asof_t"))
+            <= lit(t * 1000000L),
+          col("_asof_match")))
+    }
+    bounded
       .select(leftCols.map(col) :+ col("_asof_match"): _*)
       .select(leftCols.map(col) ++ payload.map(p =>
         col(s"_asof_match.$p").as(s"asof_$p")): _*)

@@ -948,14 +948,21 @@ object SnapshotTable {
     * per commit, since every carried-over file reuses the previous
     * version's rows — so [[scanBetween]]/[[keysetWalk]] readers never
     * see a version whose index lags the data. Empty = no index
-    * maintenance (the historical behavior).
+    * maintenance (the historical behavior). `bloomCol` does the same
+    * for the POINT index ([[attachBloomIncremental]] — carried-over
+    * files reuse the previous version's bitmaps, only the batch's new
+    * files are bloom-scanned), so [[lookupPoint]] readers stay pruned
+    * through a CDC stream too; None = no bloom maintenance.
     */
   def maintainStream(spark: SparkSession, changesDir: String,
       schema: org.apache.spark.sql.types.StructType,
       tableDir: String, keyCol: String, versionCol: String, tieCol: String,
       checkpoint: String,
       maxFilesPerTrigger: Int = 1,
-      statsCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+      statsCols: Seq[String] = Nil,
+      bloomCol: Option[String] = None,
+      bloomExpectedItemsPerFile: Long = 100000L,
+      bloomFpp: Double = 0.01): org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(changesDir)
@@ -969,6 +976,9 @@ object SnapshotTable {
           if (statsCols.nonEmpty)
             attachStatsIncremental(batch.sparkSession, tableDir, statsCols,
               Some(c.version))
+          bloomCol.foreach(bc =>
+            attachBloomIncremental(batch.sparkSession, tableDir, bc,
+              Some(c.version), bloomExpectedItemsPerFile, bloomFpp))
         }
         ()
       }

@@ -43,7 +43,16 @@ object ScaleProbe {
     "dedup_incremental_minhash",
     // BPE training: corpus tokenize scan is 10x, the 8 merge rounds run
     // on the cached vocabulary (~10x entries from the digit suffixes)
-    "pipeline_bpe")
+    "pipeline_bpe",
+    // directed containment join: replica shingle sets are pairwise
+    // disjoint, so candidates track the 10x corpus (not 100x pairs) —
+    // prefix-filter boundedness is the claim under measure
+    "dedup_containment",
+    // event analytics at 10x events (10x users, same time range): each
+    // is ONE scan + one shuffle — funnel/cohort fold or window per user,
+    // resample's grid is time-range-sized (constant) so its cost is the
+    // scan+aggregate alone
+    "q71_funnel", "q72_cohort", "q74_resample", "q75_funnel_repeat")
 
   private def loadavg(): String =
     scala.util.Try(new String(java.nio.file.Files.readAllBytes(
@@ -246,6 +255,45 @@ object ScaleProbe {
         f""""files_kept_max_sf01": $keptS, "files_total_sf01": $totS, """ +
         f""""files_kept_max_sf1": $keptB, "files_total_sf1": $totB, """ +
         f""""lookups": 20, "timing": "median_ms_per_lookup"}"""
+    }
+
+    // kNN-join probe at the OPERATING ENVELOPE: the gate pins nCells=16
+    // for oracle replayability, but a deployment sizes cells to the
+    // corpus (cells ∝ N keeps per-cell occupancy constant), so the probe
+    // scales 16 → 160 with the 10x corpus. knnJoin's claim is that the
+    // shuffle-hash-join-on-cell shape then costs (queries × nProbe ×
+    // occupancy) — ~10x work for 10x queries with 10x output — where the
+    // broadcast-replay shape would ship the corpus-sized query side to
+    // every executor. Output-normalized ratio ≈ time ratio / rows ratio.
+    locally {
+      import graft.operators.IvfIndex
+      def probe(dir: String, nCells: Int): (Double, Long) = {
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        var rows = 0L
+        var best = Double.MaxValue
+        (0 until 2).foreach { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val centroids = IvfIndex.train(
+            e.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding",
+            nCells = nCells, sampleFraction = 1.0)
+          val indexed = IvfIndex.index(e, "vec_id", "embedding", centroids)
+          rows = IvfIndex.knnJoin(indexed, e, "vec_id", "embedding", centroids,
+            k = 5, nProbe = 4, excludeSelf = true).count()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        (best, rows)
+      }
+      val (tS, nS) = probe(src, 16)
+      val (tB, nB) = probe(out, 160)
+      val norm = (tB / tS) / (nB.toDouble / nS.toDouble)
+      println(f"[scale] ann_knn_join sf0.1=$tS%6.2fs ($nS rows, 16 cells)  " +
+        f"sf1=$tB%7.2fs ($nB rows, 160 cells)  ratio=${tB / tS}%5.1fx " +
+        f"(output-normalized ${norm}%4.2fx)")
+      results += f"""  "ann_knn_join_envelope": {"sf01_sec": $tS%.3f, "sf1_sec": $tB%.3f, """ +
+        f""""sf01_rows": $nS, "sf1_rows": $nB, "ratio": ${tB / tS}%.2f, """ +
+        f""""output_normalized_ratio": $norm%.2f, "cells_sf01": 16, "cells_sf1": 160, """ +
+        f""""note": "cells scale with the corpus (constant occupancy) - the deployment shape"}"""
     }
 
     // deep-merge BPE probe: 1024 merge rounds. The sf1 documents

@@ -36,6 +36,36 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(res == Map(1L -> 11L, 2L -> 13L, 3L -> -1L, 4L -> -1L))
   }
 
+  test("toleranceSeconds: stale matches null out; the window is inclusive at exactly -T") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, 100L, ts("2024-01-01 10:10:00")), // match 10 min old, T=600 -> inclusive keep
+      (2L, 100L, ts("2024-01-01 10:30:00")), // latest match 20 min old -> stale, null
+      (3L, 200L, ts("2024-01-01 10:00:30"))) // match 30 s old -> keep
+      .toDF("event_id", "user_id", "ts")
+    val quotes = Seq(
+      (11L, 100L, ts("2024-01-01 10:00:00")),
+      (12L, 100L, ts("2024-01-01 10:10:00")),
+      (13L, 200L, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    def run(tol: Option[Long]) = AsOfJoin.leftAsOf(trades, quotes,
+      keyCols = Seq("user_id"), timeCol = "ts",
+      rightOrder = "event_id", payload = Seq("event_id"),
+      toleranceSeconds = tol)
+      .select("event_id", "asof_event_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // trade 1's latest quote is 12 (same instant); trade 2's is 12
+    // (20 min earlier — outside T=600); trade 3's is 13 (30 s, inside).
+    assert(run(Some(600L)) == Map(1L -> 12L, 2L -> -1L, 3L -> 13L))
+    // boundary: quote exactly T seconds old stays (inclusive >=)
+    assert(run(Some(1200L)) == Map(1L -> 12L, 2L -> 12L, 3L -> 13L))
+    // no tolerance: plain as-of
+    assert(run(None) == Map(1L -> 12L, 2L -> 12L, 3L -> 13L))
+    // zero tolerance: only exact-time matches survive
+    assert(run(Some(0L)) == Map(1L -> 12L, 2L -> -1L, 3L -> -1L))
+  }
+
   test("left row count is preserved (left-join semantics)") {
     import spark.implicits._
     val left = Seq((1L, 1L, ts("2024-01-01 00:00:00"))).toDF("event_id", "user_id", "ts")

@@ -177,6 +177,46 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(scan2.count() == 20L)
   }
 
+  test("maintainStream(bloomCol): every streamed version keeps a live point index") {
+    val dir = freshDir("snap-stream-bloom")
+    val chDir = freshDir("snap-stream-bloom-ch")
+    val ck = freshDir("snap-stream-bloom-ck")
+    SnapshotTable.create(spark,
+      mkBase(8000).repartitionByRange(8, col("k")), dir)
+    SnapshotTable.attachBloom(spark, dir, "payload", expectedItemsPerFile = 2000L)
+    // two arrival files, narrow key bands — each commit rewrites a few
+    // files; the in-stream attachBloomIncremental must reuse the rest
+    (100 until 140).map(i => (i.toLong, s"u$i", 1L, false))
+      .toDF("k", "payload", "commit_v", "_deleted")
+      .coalesce(1).write.mode("overwrite").parquet(chDir)
+    Thread.sleep(1100)
+    (9000L until 9020L).map(i => (i, s"n$i", 1L, false))
+      .toDF("k", "payload", "commit_v", "_deleted")
+      .coalesce(1).write.mode("append").parquet(chDir)
+    val schema = spark.read.parquet(chDir).schema
+    val q = SnapshotTable.maintainStream(spark, chDir, schema, dir,
+      "k", "commit_v", "payload", ck,
+      bloomCol = Some("payload"), bloomExpectedItemsPerFile = 2000L)
+    q.awaitTermination(180000)
+    val vs = SnapshotTable.versions(spark, dir)
+    assert(vs.length >= 3, s"expected per-file micro-batches: $vs")
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    vs.foreach { v =>
+      assert(f.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/bloom/" + f"v$v%05d" + "_payload")),
+        s"version $v missing its bloom index")
+    }
+    // a stream-written value serves PRUNED through the maintained index
+    val (scan, pr) = SnapshotTable.lookupPoint(spark, dir, "payload", "u105")
+    assert(pr.exists(p => p.filesKept < p.filesTotal), s"$pr")
+    assert(scan.select("k").collect().map(_.getLong(0)).toSeq == Seq(105L))
+    // an untouched value serves through REUSED bitmaps
+    val (scan2, pr2) = SnapshotTable.lookupPoint(spark, dir, "payload", "val5000")
+    assert(pr2.exists(p => p.filesKept < p.filesTotal), s"$pr2")
+    assert(scan2.count() == 1L)
+  }
+
   test("z-order compaction + per-version stats: snapshot scans skip files") {
     val dir = freshDir("snap-zorder")
     val rnd = new scala.util.Random(31)
