@@ -173,7 +173,8 @@ object Bench {
       "q65_snapshot_changes", "q66_page_keyset_micros", "stream_snapshot_cdc",
       "q67_snapshot_zorder", "q68_snapshot_delete", "q69_snapshot_restore",
       "q70_snapshot_stats_inc", "text_bm25_indexed", "q77_point_bloom_inc",
-      "q76_cohort_sketch", "text_bm25_append", "q78_snapshot_vacuum")
+      "q76_cohort_sketch", "text_bm25_append", "q78_snapshot_vacuum",
+      "q79_snapshot_asof")
       .filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =

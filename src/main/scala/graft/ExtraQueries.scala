@@ -833,6 +833,40 @@ object ExtraQueries {
         .orderBy("snap", "o_orderkey")
     }),
 
+    "q79_snapshot_asof" -> ((s, dir) => {
+      // AS OF TIMESTAMP time travel end-to-end: v1 = orders, v2 = a
+      // narrow upsert; readAsOf at v1's manifest publish instant (its
+      // mtime — the exact moment versionAsOf keys on) must resolve v1
+      // and serve the PRE-upsert truth, while the current read serves
+      // the merged truth. Both frames union into one gate so a
+      // mis-resolved timestamp (v2 leaking into the as-of read, or v1
+      // serving post-upsert rows) hash-mismatches. mtime-ordering
+      // semantics and pre-create errors are spec'd in SnapshotTableSpec.
+      import graft.operators.SnapshotTable
+      val tdir = s"${Scratch.dir}/q79_table"
+      val p = new org.apache.hadoop.fs.Path(tdir)
+      val fsys = p.getFileSystem(s.sessionState.newHadoopConf())
+      fsys.delete(p, true)
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotTable.create(s,
+        base.withColumn("commit_v", lit(0L))
+          .repartitionByRange(8, col("o_orderkey")), tdir)
+      val v1PublishedAt = fsys.getFileStatus(new org.apache.hadoop.fs.Path(
+        s"$tdir/manifest/v00001.manifest")).getModificationTime
+      val changes = base.filter(col("o_orderkey").between(500L, 700L))
+        .withColumn("o_custkey", col("o_custkey") + lit(1000000L))
+        .withColumn("commit_v", lit(1L))
+        .withColumn("_deleted", lit(false))
+      SnapshotTable.upsert(s, tdir, changes, "o_orderkey", "commit_v", "o_custkey")
+      val asOf = SnapshotTable.readAsOf(s, tdir, v1PublishedAt)
+        .withColumn("snap", lit(1L))
+      val current = SnapshotTable.read(s, tdir).withColumn("snap", lit(2L))
+      asOf.unionByName(current)
+        .select("snap", "o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("snap", "o_orderkey")
+    }),
+
     "q78_snapshot_vacuum" -> ((s, dir) => {
       // VACUUM end-to-end: v1 = orders key-clustered, v2 = narrow upsert
       // (a few files rewritten, most REUSED by both manifests), then
@@ -1559,6 +1593,19 @@ object ExtraQueries {
         |       FROM orders
         |       WHERE NOT (o_orderkey BETWEEN 1000 AND 3000
         |                  AND o_orderstatus = 'F'))
+        |SELECT CAST(1 AS BIGINT) AS snap, * FROM v1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS snap, * FROM v2
+        |ORDER BY snap, o_orderkey""".stripMargin,
+
+    // the as-of read at v1's publish instant is the pre-upsert truth;
+    // the current read is the merged truth
+    "q79_snapshot_asof" ->
+      """WITH v1 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |v2 AS (SELECT o_orderkey,
+        |         CASE WHEN o_orderkey BETWEEN 500 AND 700
+        |              THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+        |         o_totalprice FROM orders)
         |SELECT CAST(1 AS BIGINT) AS snap, * FROM v1
         |UNION ALL
         |SELECT CAST(2 AS BIGINT) AS snap, * FROM v2

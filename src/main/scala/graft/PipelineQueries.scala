@@ -705,6 +705,25 @@ object PipelineQueries {
       graft.operators.Curation.mixToTarget(t(s, dir, "documents"),
         "doc_id", "text", "lang", MixTargets)),
 
+    "pipeline_mix_temperature" -> ((s, dir) =>
+      // temperature-scaled mixing (mT5/XLM-R): targets DERIVED from the
+      // corpus (w = tokens^0.5 — alpha 0.5 flattens toward uniform, so
+      // low-resource languages up-weight), most-constrained group kept
+      // whole; the Σw normalization cancels algebraically so no
+      // cross-group float sum exists to drift, and the rate rounds to 12
+      // decimals so pow()'s last ulp can't flip the hash-gate compare
+      graft.operators.Curation.temperatureMix(t(s, dir, "documents"),
+        "doc_id", "text", "lang", alpha = 0.5)),
+
+    "pipeline_ccnet_buckets" -> ((s, dir) =>
+      // CCNet head/middle/tail perplexity split per source: tercile
+      // CUTOFFS from exact interpolated percentiles (rounded 4dp like
+      // the scores — the calibration-then-threshold deployment shape;
+      // approx_percentile is the documented 100 TB swap), assignment by
+      // broadcast CASE compare — both engines replay the same buckets
+      graft.operators.Curation.ccnetBuckets(t(s, dir, "documents"),
+        "doc_id", "text", "source")),
+
     "pipeline_pack" -> ((s, dir) =>
       // token-budget shard packing per language, 512 tokens per shard
       graft.operators.Curation.packShards(t(s, dir, "documents"),
@@ -1996,6 +2015,39 @@ object PipelineQueries {
          |        (a, x) -> a + x), 4) AS log_weight
          |FROM d ORDER BY doc_id""".stripMargin,
 
+    // the text_lm_score replay joined with source; tercile cutoffs via
+    // quantile_cont at the same double literals Scala's 1.0/3 and 2.0/3
+    // render to, rounded 4dp like the scores; CASE assignment
+    "pipeline_ccnet_buckets" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+         |p AS (SELECT doc_id, unnest(ts) AS w FROM t),
+         |m AS (SELECT doc_id, w, count(*) AS m FROM p GROUP BY 1, 2),
+         |tf AS (SELECT w, sum(m) AS cnt FROM m GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS total FROM tf),
+         |terms AS (
+         |  SELECT doc_id,
+         |    struct_pack(w := w, term := m.m::DOUBLE * -ln(cnt::DOUBLE / total::DOUBLE)) AS wt,
+         |    m.m AS m
+         |  FROM m JOIN tf USING (w) CROSS JOIN tot),
+         |d AS (SELECT doc_id, list_sort(list(wt)) AS l, CAST(sum(m) AS BIGINT) AS n
+         |      FROM terms GROUP BY doc_id),
+         |sc AS (SELECT doc_id,
+         |         round(list_reduce(list_prepend(0.0, list_transform(l, x -> x.term)),
+         |               (a, x) -> a + x) / n, 4) AS avg_neg_logp
+         |       FROM d),
+         |j AS (SELECT sc.doc_id, dd.source, sc.avg_neg_logp
+         |      FROM sc JOIN documents dd USING (doc_id)),
+         |c AS (SELECT source,
+         |        round(quantile_cont(avg_neg_logp, 0.3333333333333333), 4) AS c1,
+         |        round(quantile_cont(avg_neg_logp, 0.6666666666666666), 4) AS c2
+         |      FROM j GROUP BY source)
+         |SELECT j.doc_id, j.source, j.avg_neg_logp,
+         |  CASE WHEN j.avg_neg_logp <= c.c1 THEN 'head'
+         |       WHEN j.avg_neg_logp <= c.c2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM j JOIN c USING (source)
+         |ORDER BY j.doc_id""".stripMargin,
+
     "text_lm_score" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
          |p AS (SELECT doc_id, unnest(ts) AS w FROM t),
@@ -2215,6 +2267,30 @@ object PipelineQueries {
 
     // same derived-rate arithmetic (double ops in the same order) and the
     // same multiplicative-hash uniform as Curation.mixToTarget
+    // same token counts and hash gate as pipeline_mix, targets derived:
+    // w = pow(tokens, 0.5), rate = min_h(tokens_h/w_h) * w_g / tokens_g
+    // (normalization cancels algebraically), rounded to 12 decimals on
+    // both engines so pow's last-ulp license cannot flip the compare
+    "pipeline_mix_temperature" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(regexp_split_to_array(lower("text"), '[^\p{L}\p{N}]+'),
+        |         x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), tot AS (
+        |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tokens_g
+        |  FROM tok GROUP BY lang
+        |), wt AS (
+        |  SELECT lang, tokens_g, pow(CAST(tokens_g AS DOUBLE), 0.5) AS w FROM tot
+        |), m AS (SELECT min(CAST(tokens_g AS DOUBLE) / w) AS m FROM wt),
+        |rates AS (SELECT lang,
+        |            round(m.m * w / CAST(tokens_g AS DOUBLE), 12) AS rate
+        |          FROM wt, m)
+        |SELECT doc_id, lang, n_tokens
+        |FROM tok JOIN rates USING (lang)
+        |WHERE (((doc_id % 1048576) * 2654435761) % 1048576) / 1048576.0 < rate
+        |ORDER BY doc_id""".stripMargin,
+
     "pipeline_mix" ->
       """WITH tok AS (
         |  SELECT doc_id, lang,

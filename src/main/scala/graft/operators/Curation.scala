@@ -71,6 +71,71 @@ object Curation {
       .orderBy(idCol)
   }
 
+  /** Temperature-scaled source mixing — the multilingual-mix standard
+    * (mT5/XLM-R: sample source g with probability ∝ p_g^alpha; alpha < 1
+    * flattens toward uniform so low-resource sources up-weight without
+    * hand-written targets). [[mixToTarget]] with targets DERIVED from
+    * the corpus itself: w_g = tokens_g^alpha, and the most-constrained
+    * group kept whole. The normalization Σw cancels algebraically —
+    * rate_g = min_h(tokens_h / w_h) · w_g / tokens_g — so no cross-group
+    * float SUM exists whose accumulation order could drift across
+    * engines/partitionings; every remaining op (pow, div, mul, min) is
+    * per-group, and the rate is rounded to 12 decimals so pow()'s
+    * last-ulp license cannot flip the deterministic hash-gate compare.
+    * Plan shape: one token-count scan, a group-count aggregate (sources
+    * — broadcast-sized), rates broadcast back — no extra corpus shuffle.
+    */
+  def temperatureMix(docs: DataFrame, idCol: String, textCol: String,
+      byCol: String, alpha: Double): DataFrame = {
+    requireIntegralId(docs, idCol)
+    require(alpha > 0 && alpha <= 1.0, s"alpha in (0, 1], got $alpha")
+    val toks = docs.select(col(idCol), col(byCol),
+      T.wordCount(col(textCol)).cast("long").as("n_tokens"))
+    val totals = toks.groupBy(byCol).agg(sum("n_tokens").as("tokens_g"))
+      .withColumn("w", pow(col("tokens_g").cast("double"), lit(alpha)))
+    val m = totals.agg(min(col("tokens_g").cast("double") / col("w")).as("m"))
+    val rates = totals.crossJoin(broadcast(m))
+      .withColumn("rate",
+        round(col("m") * col("w") / col("tokens_g").cast("double"), 12))
+      .select(col(byCol), col("rate"))
+    toks.join(broadcast(rates), byCol)
+      .filter(unitHash(col(idCol)) < col("rate"))
+      .select(col(idCol), col(byCol), col("n_tokens"))
+      .orderBy(idCol)
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data", LREC 2020):
+    * per `byCol` source, documents split into head/middle/tail by their
+    * LM surprisal ([[TextAnalysis.lmScore]]'s mean -ln p — head = the
+    * most fluent third, the band CCNet trains on). Buckets assign by
+    * CUTOFF comparison, not per-row rank: the tercile cutoffs are two
+    * exact interpolated percentiles per source (rounded to 4 decimals
+    * like the scores, so the assignment replays across engines),
+    * broadcast back over the scored frame — the calibration-then-
+    * threshold deployment shape. At 100 TB swap the exact percentile
+    * for approx_percentile cutoffs (exact percentile buffers a source's
+    * scores in its aggregation state; the CASE assignment is unchanged)
+    * — the q72-style documented swap. Docs with no tokens have no score
+    * and no row (lmScore's contract).
+    */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
+      byCol: String): DataFrame = {
+    val scored = TextAnalysis.lmScore(docs, idCol, textCol)
+      .select(col(idCol), col("avg_neg_logp"))
+    val joined = docs.select(col(idCol), col(byCol)).join(scored, Seq(idCol))
+    val cuts = joined.groupBy(byCol).agg(
+      round(expr(s"percentile(avg_neg_logp, ${1.0 / 3})"), 4).as("c1"),
+      round(expr(s"percentile(avg_neg_logp, ${2.0 / 3})"), 4).as("c2"))
+    joined.join(broadcast(cuts), byCol)
+      .withColumn("bucket",
+        when(col("avg_neg_logp") <= col("c1"), "head")
+          .when(col("avg_neg_logp") <= col("c2"), "middle")
+          .otherwise("tail"))
+      .select(col(idCol), col(byCol), col("avg_neg_logp"), col("bucket"))
+      .orderBy(idCol)
+  }
+
   /** Assign each document to a training shard: per `byCol` group, in
     * `idCol` order, shard k holds the documents whose running token
     * count starts inside [k*budget, (k+1)*budget) — greedy sequential

@@ -225,6 +225,63 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureMix: alpha=1 is the identity, the smallest source keeps rate 1, shares flatten") {
+    // alpha = 1: w = tokens, every rate = 1 — nothing dropped
+    assert(Curation.temperatureMix(docs, "doc_id", "text", "lang", alpha = 1.0)
+      .count() == docs.count())
+    val mixed = Curation.temperatureMix(docs, "doc_id", "text", "lang", alpha = 0.5)
+    val kept = mixed.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val totals = docs
+      .select(col("lang"), graft.functions.TextFunctions.wordCount(col("text")).cast("long").as("n"))
+      .groupBy("lang").agg(sum("n").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // for alpha < 1 the SMALLEST source binds (min tokens^(1-alpha)) and
+    // keeps every document
+    val smallest = totals.minBy(_._2)._1
+    assert(kept.count(_._2 == smallest) ==
+      docs.filter(col("lang") === smallest).count())
+    // larger sources subsample toward rate (t_min/t_g)^(1-alpha): kept
+    // token share must sit near it (per-doc hash-sampling noise aside)
+    val keptTok = kept.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    for ((l, t) <- totals if l != smallest) {
+      val expected = math.pow(totals(smallest).toDouble / t, 0.5)
+      val got = keptTok.getOrElse(l, 0L).toDouble / t
+      assert(math.abs(got - expected) < 0.15,
+        s"$l: kept share $got vs expected rate $expected")
+    }
+    // deterministic on any partitioning (the hash gate, not sampling)
+    val again = Curation.temperatureMix(docs.repartition(7), "doc_id", "text",
+      "lang", alpha = 0.5).collect().map(_.getLong(0)).toSeq
+    assert(kept.map(_._1).toSeq == again)
+  }
+
+  test("ccnetBuckets: per-source buckets are score-ordered, near-terciles, exhaustive") {
+    val b = Curation.ccnetBuckets(docs, "doc_id", "text", "source")
+    val rows = b.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    // every scored doc appears exactly once (docs with tokens)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.length == docs.filter(
+      graft.functions.TextFunctions.wordCount(col("text")) > 0).count())
+    rows.groupBy(_._2).foreach { case (src, grp) =>
+      val byBucket = grp.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")), s"$src")
+      // ordering: head (most fluent = lowest surprisal) <= middle <= tail
+      for {
+        h <- byBucket.get("head"); m <- byBucket.get("middle")
+      } assert(h.max <= m.min + 1e-9, s"$src head/middle overlap")
+      for {
+        m <- byBucket.get("middle"); t <- byBucket.get("tail")
+      } assert(m.max <= t.min + 1e-9, s"$src middle/tail overlap")
+      // near-terciles: cutoffs are exact percentiles, so each bucket is
+      // a third up to ties at the cutoffs
+      val n = grp.length
+      byBucket.values.foreach(v =>
+        assert(math.abs(v.size - n / 3.0) <= math.max(3.0, n * 0.15),
+          s"$src bucket sizes ${byBucket.view.mapValues(_.size).toMap}"))
+    }
+  }
+
   test("string ids are rejected instead of hashing to NULL (empty output)") {
     import spark.implicits._
     val stringDocs = Seq(("doc_a", "some text", "en")).toDF("id", "text", "lang")
