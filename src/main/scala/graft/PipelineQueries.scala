@@ -740,6 +740,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "pipeline_decontaminate_fuzzy" -> ((s, dir) => {
+      // NEAR-duplicate decontamination: the exact-5-gram screen above
+      // misses paraphrases; this drops any training doc whose 3-gram
+      // Jaccard with an eval doc reaches 0.5 (the corpus's planted
+      // near-dups straddle eval/train, so the fuzzy screen drops docs
+      // the exact screen at n=5 would keep). Eval postings broadcast,
+      // shared-gram candidates only, exact set-Jaccard verify.
+      val docs = t(s, dir, "documents")
+      graft.operators.Curation.decontaminateFuzzy(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+        "doc_id", "text", n = 3, threshold = 0.5)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     "pipeline_e2e" -> ((s, dir) => {
       // the curation flagship, end-to-end: structural quality filter →
       // exact dedup survivors (among the filtered set) → token-budget
@@ -2174,6 +2189,25 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin,
 
     // survivors = training docs sharing no word 5-gram with the eval set
+    // brute-force eval×train Jaccard >= 0.5 over 3-gram shingle sets —
+    // same inter/(a+b-inter) arithmetic as the fuzzy screen's verify
+    "pipeline_decontaminate_fuzzy" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${ngramsSql(3)} AS sh
+         |  FROM (SELECT doc_id, $ToksSql AS ts FROM documents)
+         |), nz AS (SELECT doc_id, sh, len(sh) AS sz FROM sh WHERE len(sh) > 0),
+         |p AS (
+         |  SELECT tr.doc_id,
+         |    len(list_intersect(tr.sh, ev.sh))::DOUBLE AS inter,
+         |    tr.sz::DOUBLE AS a, ev.sz::DOUBLE AS b
+         |  FROM nz tr, nz ev
+         |  WHERE tr.doc_id >= 25 AND ev.doc_id < 25),
+         |bad AS (SELECT DISTINCT doc_id FROM p
+         |        WHERE inter / (a + b - inter) >= 0.5)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id >= 25 AND doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY doc_id""".stripMargin,
+
     "pipeline_decontaminate" ->
       s"""WITH g AS (
          |  SELECT doc_id, unnest(${ngramsSql(5)}) AS g

@@ -90,8 +90,5 @@ object AsOfJoin {
         col(s"_asof_match.$p").as(s"asof_$p")): _*)
   }
 
-  private def structType(df: DataFrame, cols: Seq[String]) =
-    org.apache.spark.sql.types.StructType(cols.map(c => df.schema(c)))
-
   private def dataTypeOf(df: DataFrame, c: String) = df.schema(c).dataType
 }

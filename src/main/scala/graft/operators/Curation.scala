@@ -406,4 +406,45 @@ object Curation {
       .select(idCol).distinct()
     train.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** FUZZY decontamination — the near-duplicate face of
+    * [[decontaminate]]: exact-n-gram overlap misses paraphrased or
+    * reformatted leaks, so the standard contamination screen is exact
+    * n-grams PLUS a Jaccard threshold against the eval set (the
+    * GPT-3/PaLM-style contamination analyses). Drops training docs whose
+    * shingle-set Jaccard with ANY eval doc is >= `threshold`.
+    *
+    * Scale shape: the EVAL side is benchmark-sized (thousands of docs,
+    * not the corpus) — its exploded (gram, eval-doc) postings ride as a
+    * broadcast; candidates are exactly the training docs sharing >= 1
+    * shingle with an eval doc (never all-pairs), deduped as narrow
+    * (id, eid) pairs before the verify; the verify is the exact set
+    * Jaccard (integer sizes in double — the division and the threshold
+    * compare are bit-identical cross-engine). Training side: ONE shingle
+    * scan, no self-join. Empty-shingle docs on either side never match
+    * (Jaccard undefined -> treated as 0, mirroring the oracle's
+    * non-empty filter).
+    */
+  def decontaminateFuzzy(train: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val tr = train.select(col(idCol), H.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val ev = evalSet.select(col(idCol).as("_eid"),
+        H.shingles(col(textCol), n).as("esh"))
+      .filter(size(col("esh")) > 0)
+    val cand = tr.select(col(idCol), explode(col("sh")).as("g"))
+      .join(broadcast(ev.select(col("_eid"), explode(col("esh")).as("g"))), "g")
+      .select(col(idCol), col("_eid")).distinct()
+    val contaminated = cand
+      .join(tr, Seq(idCol)).join(broadcast(ev), Seq("_eid"))
+      .withColumn("inter",
+        size(array_intersect(col("sh"), col("esh"))).cast("double"))
+      .filter(col("inter") /
+        (size(col("sh")).cast("double") + size(col("esh")).cast("double")
+          - col("inter")) >= threshold)
+      .select(idCol).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
 }

@@ -225,6 +225,34 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminateFuzzy: planted paraphrase dropped, exact screen would keep it; empties never match") {
+    import spark.implicits._
+    val evalSet = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
+    val train = Seq(
+      // shares most 3-gram shingles with the eval doc (one word changed
+      // at the END so several 5-grams still differ) -> fuzzy dropped
+      (100L, "the quick brown fox jumps over the lazy dog today"),
+      // paraphrase-level overlap BELOW threshold -> kept
+      (101L, "the quick brown fox sleeps all day long in the barn"),
+      // unrelated -> kept
+      (102L, "completely different words appear in this document body"),
+      // too short for any 3-gram shingle -> never a candidate, kept
+      (103L, "tiny doc")).toDF("doc_id", "text")
+    val kept = Curation.decontaminateFuzzy(train, evalSet, "doc_id", "text",
+      n = 3, threshold = 0.5).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(101L, 102L, 103L), s"$kept")
+    // hand-check doc 100: 10 words -> 8 shingles per side, 7 shared
+    // (only the last trigram differs) -> j = 7/9 >= 0.5; doc 101 shares
+    // 2 of its 9 with eval's 8 -> j = 2/15 < 0.5
+    // threshold 0.8: doc 100's 7/9 ~ 0.778 < 0.8 -> everything kept
+    assert(Curation.decontaminateFuzzy(train, evalSet, "doc_id", "text",
+      n = 3, threshold = 0.8).count() == 4)
+    // an empty eval set drops nothing
+    assert(Curation.decontaminateFuzzy(train, evalSet.filter(lit(false)),
+      "doc_id", "text", n = 3, threshold = 0.5).count() == 4)
+  }
+
   test("temperatureMix: alpha=1 is the identity, the smallest source keeps rate 1, shares flatten") {
     // alpha = 1: w = tokens, every rate = 1 — nothing dropped
     assert(Curation.temperatureMix(docs, "doc_id", "text", "lang", alpha = 1.0)
