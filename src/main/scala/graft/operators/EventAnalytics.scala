@@ -26,16 +26,34 @@ object EventAnalytics {
     * number of users whose deepest completed step is EXACTLY that
     * depth; users with no funnel-step events at all do not appear.
     *
-    * Plan shape: the scan keeps only the funnel's event types (so the
-    * per-user array is the user's FUNNEL events, not their whole
-    * history), ONE groupBy(user) shuffle collects (ts, id, type)
-    * structs, and a codegen'd `aggregate()` fold over the time-sorted
-    * array runs the linear state machine per user — accumulator =
-    * (depth, step-1-completion ts). The naive k-way self-join
-    * formulation shuffles the events table k times and explodes on
-    * skewed users; this shuffles once and is linear in each user's
-    * funnel events. Ties in `ts` break by `idCol` — a total order, so
-    * the fold is deterministic on any partitioning (and
+    * Plan shape — BOUNDED per-user state, the 100 TB requirement: the
+    * scan keeps only the funnel's event types, ONE hash repartition on
+    * user co-locates each user, a SPILL-BACKED secondary sort
+    * (`sortWithinPartitions(user, ts, id, type)` — Spark's external
+    * sort, never an in-memory array) lays each user's funnel events
+    * out in time order, and a streaming state machine over the sorted
+    * iterator runs the greedy fold with O(1) state per user
+    * (depth + step-1 timestamp), emitting per-partition depth
+    * histograms (≤ k+1 rows each) that a final tiny groupBy sums. A
+    * bot user with 10⁸ step-type events costs sort spill, never an
+    * unbounded `collect_list` buffer in one aggregation task — the
+    * skewed-key scale-killer of the fold-over-collected-array shape.
+    * The naive k-way self-join is worse still (k shuffles, skew
+    * explosion).
+    *
+    * Why not prune instead of stream: the folklore fix — keep only the
+    * earliest N events per (user, step-type), N = the type's repeat
+    * count — is NOT exact. Steps [A,B,A] with events A@1,A@2,A@3,
+    * B@100,A@200: greedy binds A@1, B@100, A@200 (depth 3), but the
+    * earliest-2 prune of A drops A@200 (depth 2). Step i's binding is
+    * the earliest qualifying event AFTER step i-1's, and that can sit
+    * arbitrarily deep in its type's timeline — no per-type prefix is
+    * safe. The state machine needs no prune: one ordered pass is
+    * linear, exact, and constant-space (spec'd on a 10⁶-event whale
+    * user against a driver-side replay).
+    *
+    * Ties in `ts` break by `idCol`, then `typeCol` — a total order, so
+    * the pass is deterministic on any partitioning (and
     * engine-replayable: the oracle folds the same sorted list).
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
@@ -43,43 +61,59 @@ object EventAnalytics {
       withinDays: Option[Int] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.length <= 62,
-      s"funnel depth is bounded by the 64-bit mask fold, got ${steps.length} steps")
+      s"funnel depth is bounded by the 64-bit step mask, got ${steps.length} steps")
     withinDays.foreach(d => require(d >= 1, s"withinDays must be >= 1, got $d"))
     val types = steps.distinct
-    def sq(s: String) = "'" + s.replace("'", "''") + "'"
+    val k = steps.length
+    // conversion windows are day-time intervals: exactly d*86400s of
+    // micros, the same fixed duration `ts + INTERVAL d DAY` adds
+    val winMicros: Option[Long] = withinDays.map(_ * 86400L * 1000000L)
     // type -> bitmask of the step positions it fills (bit i = steps(i))
-    val maskCase = types.map { t =>
-      val mask = steps.zipWithIndex.collect { case (s, i) if s == t => 1L << i }.sum
-      s"WHEN ${sq(t)} THEN CAST($mask AS BIGINT)"
-    }.mkString("CASE x.t ", " ", " ELSE CAST(0 AS BIGINT) END")
-    val windowCond = withinDays
-      .map(d => s"(a.st = 0 OR x.t0 <= a.t0 + INTERVAL $d DAY)")
-      .getOrElse("true")
-    events.filter(col(typeCol).isin(types: _*))
+    def maskOf(t: String): Long =
+      steps.zipWithIndex.collect { case (s, i) if s == t => 1L << i }.sum
+    val maskCol = types.foldLeft(lit(0L))((acc, t) =>
+      when(col(typeCol) === lit(t), lit(maskOf(t))).otherwise(acc))
+    val sorted = events.filter(col(typeCol).isin(types: _*))
       .select(col(userCol).as("user"),
-        struct(col(tsCol).as("ts"), col(idCol).as("id"),
-          col(typeCol).as("t")).as("ev"))
-      .groupBy("user")
-      .agg(collect_list("ev").as("evs"))
-      // element struct reuses the accumulator's field slots (st = the
-      // event's step bitmask, t0 = its ts) so the fold's two branches
-      // and the init share ONE struct type — the same pun the DuckDB
-      // replay needs for its list_prepend(init, ...) reduce
-      .withColumn("depth", expr(
-        s"""aggregate(
-           |  transform(array_sort(evs),
-           |    x -> named_struct('st', $maskCase, 't0', x.ts)),
-           |  named_struct('st', CAST(0 AS BIGINT), 't0', CAST(NULL AS TIMESTAMP)),
-           |  (a, x) -> IF(
-           |    a.st < ${steps.length}
-           |      AND (x.st & shiftleft(CAST(1 AS BIGINT), CAST(a.st AS INT))) != 0
-           |      AND $windowCond,
-           |    named_struct('st', a.st + CAST(1 AS BIGINT),
-           |                 't0', IF(a.st = 0, x.t0, a.t0)),
-           |    a)).st""".stripMargin))
-      .groupBy("depth")
-      .agg(count(lit(1)).as("n_users"))
-      .orderBy("depth")
+        unix_micros(col(tsCol).cast("timestamp")).as("tsus"),
+        col(idCol).as("id"), col(typeCol).as("t"), maskCol.as("st"))
+      .repartition(col("user"))
+      // (tsus, id, t) asc nulls-first — the order array_sort gives
+      // struct(ts, id, t), which the DuckDB oracle replays
+      .sortWithinPartitions("user", "tsus", "id", "t")
+    val partials = sorted.mapPartitions { it =>
+      val hist = new Array[Long](k + 1)
+      var cur: Any = null
+      var open = false
+      var depth = 0
+      var t0: java.lang.Long = null
+      def flush(): Unit = if (open) { hist(depth) += 1; depth = 0; t0 = null }
+      it.foreach { r =>
+        val u = r.get(0)
+        if (!open || !java.util.Objects.equals(cur, u)) {
+          flush(); cur = u; open = true
+        }
+        if (depth < k && ((r.getLong(4) >> depth) & 1L) != 0L) {
+          val ts: java.lang.Long = if (r.isNullAt(1)) null else r.getLong(1)
+          // `step1_ts + window >= ts` must be TRUE to advance (a NULL
+          // timestamp fails it, matching SQL three-valued logic)
+          val winOk = winMicros match {
+            case None => true
+            case Some(w) =>
+              depth == 0 || (ts != null && t0 != null && ts <= t0 + w)
+          }
+          if (winOk) { if (depth == 0) t0 = ts; depth += 1 }
+        }
+      }
+      flush()
+      hist.iterator.zipWithIndex.collect {
+        case (n, d) if n > 0 => (d.toLong, n)
+      }
+    }(org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong))
+      .toDF("depth", "n")
+    partials.groupBy("depth").agg(sum("n").as("n_users")).orderBy("depth")
   }
 
   /** Time-series RESAMPLE with gap fill: per `seriesCol`, hourly buckets

@@ -88,6 +88,45 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(loose == Map(3L -> 3L, 2L -> 1L), s"$loose")
   }
 
+  test("funnel whale user: 10^6 step events, O(1) per-user state (no collected array in the plan)") {
+    // the skewed-key shape that kills fold-over-collect_list plans: ONE
+    // user holding a million funnel-type events. The state-machine
+    // formulation sorts (spill-backed) and streams — no task ever
+    // materializes the user's events as a single aggregation buffer.
+    val whale = spark.range(1000000).select(
+      lit(7L).as("user_id"),
+      expr("timestamp_micros(1704067200000000 + id * 1000000)").as("ts"),
+      when(pmod(col("id"), lit(2L)) === 0L, "view").otherwise("click")
+        .as("event_type"),
+      col("id").as("event_id"))
+    val tail = Seq(
+      (7L, Timestamp.valueOf("2024-02-01 00:00:00"), "purchase", 2000000L),
+      (8L, ts(1), "view", 2000001L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val q = EventAnalytics.funnel(whale.unionByName(tail),
+      "user_id", "ts", "event_type", "event_id",
+      Seq("view", "click", "purchase"))
+    assert(q.as[(Long, Long)].collect().toMap == Map(1L -> 1L, 3L -> 1L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"),
+      s"funnel must not materialize per-user event arrays:\n$plan")
+  }
+
+  test("funnel greedy binding reaches arbitrarily deep in a type's timeline (earliest-N prune would be wrong)") {
+    // steps A->B->A: the second A binds at ts(20) — the type's FOURTH
+    // occurrence. Any per-(user, type) earliest-N prefix prune with
+    // N = the type's repeat count (here 2) drops it and under-reports
+    // the depth; the streaming pass needs no prune and gets 3.
+    val rows = Seq(
+      (1L, ts(1), "A", 1L), (1L, ts(2), "A", 2L), (1L, ts(3), "A", 3L),
+      (1L, ts(10), "B", 4L), (1L, ts(20), "A", 5L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = EventAnalytics.funnel(rows, "user_id", "ts", "event_type",
+      "event_id", Seq("A", "B", "A"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 1L), s"$got")
+  }
+
   test("cohort retention: first-touch day buckets, distinct actives per offset") {
     def d(s: String) = Timestamp.valueOf(s + " 12:00:00")
     val rows = Seq(
