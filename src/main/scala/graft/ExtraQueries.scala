@@ -835,13 +835,16 @@ object ExtraQueries {
 
     "q79_snapshot_asof" -> ((s, dir) => {
       // AS OF TIMESTAMP time travel end-to-end: v1 = orders, v2 = a
-      // narrow upsert; readAsOf at v1's manifest publish instant (its
-      // mtime — the exact moment versionAsOf keys on) must resolve v1
-      // and serve the PRE-upsert truth, while the current read serves
-      // the merged truth. Both frames union into one gate so a
-      // mis-resolved timestamp (v2 leaking into the as-of read, or v1
-      // serving post-upsert rows) hash-mismatches. mtime-ordering
-      // semantics and pre-create errors are spec'd in SnapshotTableSpec.
+      // narrow upsert; readAsOf at v1's COMMIT INSTANT (the #committed:
+      // header stamped inside the manifest — the exact value
+      // versionAsOf keys on, strictly below v2's by construction, so
+      // the resolution is deterministic at any commit cadence) must
+      // resolve v1 and serve the PRE-upsert truth, while the current
+      // read serves the merged truth. Both frames union into one gate
+      // so a mis-resolved timestamp (v2 leaking into the as-of read, or
+      // v1 serving post-upsert rows) hash-mismatches. Instant
+      // monotonicity, mtime fallback and pre-create errors are spec'd
+      // in SnapshotTableSpec.
       import graft.operators.SnapshotTable
       val tdir = s"${Scratch.dir}/q79_table"
       val p = new org.apache.hadoop.fs.Path(tdir)
@@ -852,8 +855,7 @@ object ExtraQueries {
       SnapshotTable.create(s,
         base.withColumn("commit_v", lit(0L))
           .repartitionByRange(8, col("o_orderkey")), tdir)
-      val v1PublishedAt = fsys.getFileStatus(new org.apache.hadoop.fs.Path(
-        s"$tdir/manifest/v00001.manifest")).getModificationTime
+      val v1PublishedAt = SnapshotTable.commitInstantOf(s, tdir, 1L)
       val changes = base.filter(col("o_orderkey").between(500L, 700L))
         .withColumn("o_custkey", col("o_custkey") + lit(1000000L))
         .withColumn("commit_v", lit(1L))

@@ -165,17 +165,47 @@ object SnapshotTable {
       .map(_.getPath.toString).sorted.toSeq
   }
 
+  private val CommittedHeader = "#committed:"
+
+  /** The epoch-ms instant `v` became visible: the `#committed:` header
+    * stamped INSIDE the manifest at publish — durable metadata that
+    * survives a copy/rsync/restore of the table to new storage, unlike
+    * the manifest file's mtime (which any copy rewrites, silently
+    * losing the history timeline). Stamps are strictly increasing
+    * across versions ([[commitManifest]] stamps
+    * `max(wallclock, prev + 1)`), so `readAsOf(commitInstantOf(v))`
+    * deterministically resolves `v` even when two commits land within
+    * one clock tick. Manifests from before the header fall back to
+    * mtime — the pre-header operational semantics, granularity caveats
+    * and all.
+    */
+  def commitInstantOf(spark: SparkSession, dir: String, v: Long): Long =
+    manifestLines(spark, dir, v).find(_.startsWith(CommittedHeader))
+      .map(_.drop(CommittedHeader.length).trim.toLong)
+      .getOrElse(fs(spark, dir)
+        .getFileStatus(manifestPath(dir, v)).getModificationTime)
+
   /** Atomically publish `fileList` as version `v`, or throw
     * [[CommitConflict]] if another writer committed `v` first — the
     * [[ManifestCommit]] exclusive-publish primitive (hard link on POSIX,
     * rename-without-replace on HDFS; IO failures surface as IOException,
-    * never as a conflict).
+    * never as a conflict). The manifest carries a `#committed:` commit
+    * instant: `max(wallclock, predecessor instant + 1)`, so instants are
+    * strictly increasing even under sub-ms commit bursts or a clock
+    * stepping backward between commits (the predecessor is the latest
+    * EXISTING version below `v` — a vacuumed prefix only ever removes
+    * older, smaller instants, so the bound survives vacuum).
     */
   private def commitManifest(spark: SparkSession, dir: String, v: Long,
-      fileList: Seq[String], schema: Option[StructType]): Unit =
+      fileList: Seq[String], schema: Option[StructType]): Unit = {
+    val prevInstant = versions(spark, dir).filter(_ < v).lastOption
+      .map(pv => commitInstantOf(spark, dir, pv)).getOrElse(0L)
+    val stamp = math.max(System.currentTimeMillis(), prevInstant + 1L)
     ManifestCommit.publish(fs(spark, dir), manifestPath(dir, v),
-      (schema.map(s => SchemaHeader + s.json).toSeq ++ fileList)
+      (Seq(CommittedHeader + stamp) ++
+        schema.map(s => SchemaHeader + s.json).toSeq ++ fileList)
         .mkString("\n") + "\n")
+  }
 
   /** Create version 1 from `df`. Pre-shape the frame for later pruning
     * (e.g. `df.repartitionByRange(n, col(key))` for tight per-file key
@@ -603,21 +633,26 @@ object SnapshotTable {
 
   /** Resolve the newest version committed at or before `tsMillis` — the
     * `AS OF TIMESTAMP` face of time travel. A version's commit time is
-    * its manifest file's modification time: the manifest is published
-    * in ONE atomic exclusive operation, so the mtime IS the instant the
-    * version became visible, and versions publish in order (monotone
-    * mapping). None when the table had no committed version yet at
-    * `tsMillis`. Same caveats as every lakehouse's timestamp travel:
-    * mtime granularity and clock skew make this an operational
-    * convenience — [[read]]'s version pinning is the precise API.
+    * its [[commitInstantOf]] instant: the `#committed:` header stamped
+    * inside the manifest at publish — durable across table copies and
+    * strictly increasing by construction. Manifests predating the
+    * header fall back to mtime; a mixed timeline (header versions after
+    * mtime versions, or a copied table whose old-manifest mtimes were
+    * rewritten) is forced monotone by a running max, so the
+    * version→instant mapping stays order-preserving and the answer is
+    * always a valid version (never one "from the future"). None when
+    * the table had no committed version yet at `tsMillis`.
     */
   def versionAsOf(spark: SparkSession, dir: String,
       tsMillis: Long): Option[Long] = {
-    val f = fs(spark, dir)
+    var run = Long.MinValue
     versions(spark, dir)
-      .filter(v => f.getFileStatus(manifestPath(dir, v))
-        .getModificationTime <= tsMillis)
-      .lastOption
+      .map { v =>
+        run = math.max(run, commitInstantOf(spark, dir, v))
+        (v, run)
+      }
+      .filter(_._2 <= tsMillis)
+      .lastOption.map(_._1)
   }
 
   /** [[read]] pinned to [[versionAsOf]]'s resolution of `tsMillis`.
@@ -691,6 +726,20 @@ object SnapshotTable {
   private def bloomDir(dir: String, v: Long, column: String): String =
     s"$dir/bloom/" + f"v$v%05d" + s"_$column"
 
+  /** Canonical form of a file path for IDENTITY comparisons (never for
+    * I/O): `input_file_name()`-derived strings are URI-ENCODED (a space
+    * is `%20`) while manifest lines carry listStatus `Path.toString`
+    * (unencoded) — decode the URI form so both land on one spelling.
+    * Strings that don't parse as a URI (e.g. the unencoded form itself,
+    * whose space is URI-illegal) pass through Path normalization as-is.
+    */
+  private def canonPath(s: String): String =
+    try {
+      val u = new java.net.URI(s)
+      if (u.getScheme == null) new Path(s).toString
+      else new Path(u).toString
+    } catch { case scala.util.control.NonFatal(_) => new Path(s).toString }
+
   /** Attach a per-file BLOOM index for `column` to a version — point
     * lookups on columns the layout is NOT clustered by, where min/max
     * stats skip nothing ([[SkippingIndex.bloomRows]]; one distributed
@@ -747,15 +796,27 @@ object SnapshotTable {
       case Some(pv) =>
         val prev = spark.read.parquet(bloomDir(dir, pv, column))
           .filter(col("n_items") === expectedItemsPerFile && col("n_bits") === nBits)
-        // one row per file on both sides — index-sized, not data-sized
-        val prevFiles = prev.select("file").collect().map(_.getString(0)).toSet
-        val newFiles = live.filterNot(prevFiles.contains)
-        val liveDf = spark.createDataFrame(
-          spark.sparkContext.parallelize(live.map(org.apache.spark.sql.Row(_)), 1),
+        // one row per file on both sides — index-sized, not data-sized.
+        // The prior index's file keys are input_file_name()-derived
+        // (URI-ENCODED: a space is %20) while the manifest carries
+        // listStatus Path.toString (unencoded) — compare CANONICAL
+        // forms, or a path with any URI-encodable character silently
+        // drops all reuse (every file rescanned each commit: the
+        // O(new files) claim degrades to O(table) with no error).
+        val prevFileStrs = prev.select("file").collect().map(_.getString(0))
+        val liveCanon = live.map(canonPath).toSet
+        val prevCanon = prevFileStrs.map(canonPath).toSet
+        val keepPrev = prevFileStrs.filter(p => liveCanon.contains(canonPath(p)))
+        val newFiles = live.filterNot(p => prevCanon.contains(canonPath(p)))
+        // the reuse join matches prev's OWN strings (exact, no form
+        // drift possible) against the canonically-surviving subset
+        val keepDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            keepPrev.toSeq.map(org.apache.spark.sql.Row(_)), 1),
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("file",
               org.apache.spark.sql.types.StringType, nullable = false))))
-        val reused = prev.join(liveDf, "file")
+        val reused = prev.join(keepDf, "file")
         val fresh =
           if (newFiles.isEmpty) prev.limit(0)
           else SkippingIndex.bloomRows(spark, newFiles, column,
@@ -1026,6 +1087,14 @@ object SnapshotTable {
     drop.foreach { v =>
       f.delete(manifestPath(dir, v), false)
       f.delete(new Path(statsDir(dir, v)), true) // version-scoped index goes with it
+      // bloom indexes are version-scoped too (one dir per indexed
+      // column, bloom/vNNNNN_<col>) — without this they accumulate
+      // unboundedly as versions are vacuumed away
+      val bloomRoot = new Path(s"$dir/bloom")
+      if (f.exists(bloomRoot))
+        f.listStatus(bloomRoot).toSeq
+          .filter(_.getPath.getName.startsWith(f"v$v%05d" + "_"))
+          .foreach(s => f.delete(s.getPath, true))
     }
     doomed
   }

@@ -802,24 +802,74 @@ class SnapshotTableSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((105L, "t105")))
   }
 
-  test("readAsOf resolves manifest commit times monotonically; pre-create throws") {
+  test("readAsOf resolves stamped commit instants; strictly increasing; pre-create throws") {
     val dir = freshDir("snap-asof")
     val before = System.currentTimeMillis() - 5
     SnapshotTable.create(spark, mkBase(50), dir) // v1
-    Thread.sleep(1100) // mtime granularity can be 1s on some filesystems
-    val afterV1 = System.currentTimeMillis()
     val ch = Seq((1000L, "new", 1L, false)).toDF("k", "payload", "commit_v", "_deleted")
     SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload") // v2
+    val i1 = SnapshotTable.commitInstantOf(spark, dir, 1L)
+    val i2 = SnapshotTable.commitInstantOf(spark, dir, 2L)
+    // strict ordering holds however fast the commits landed — no sleep
+    // needed (publish stamps max(wallclock, predecessor + 1))
+    assert(i2 > i1, s"commit instants must strictly increase: $i1 vs $i2")
     assert(SnapshotTable.versionAsOf(spark, dir, before).isEmpty)
-    assert(SnapshotTable.versionAsOf(spark, dir, afterV1).contains(1L))
-    assert(SnapshotTable.versionAsOf(spark, dir,
-      System.currentTimeMillis() + 1000).contains(2L))
-    assert(SnapshotTable.readAsOf(spark, dir, afterV1).count() == 50L)
-    assert(SnapshotTable.readAsOf(spark, dir,
-      System.currentTimeMillis() + 1000).count() == 51L)
+    assert(SnapshotTable.versionAsOf(spark, dir, i1).contains(1L))
+    assert(SnapshotTable.versionAsOf(spark, dir, i2 - 1).contains(1L))
+    assert(SnapshotTable.versionAsOf(spark, dir, i2).contains(2L))
+    assert(SnapshotTable.readAsOf(spark, dir, i1).count() == 50L)
+    assert(SnapshotTable.readAsOf(spark, dir, i2 + 1000).count() == 51L)
     intercept[IllegalArgumentException] {
       SnapshotTable.readAsOf(spark, dir, before)
     }
+  }
+
+  test("commit instants are durable: rewritten manifest mtimes don't move the timeline") {
+    val dir = freshDir("snap-asof-durable")
+    SnapshotTable.create(spark, mkBase(20), dir) // v1
+    val ch = Seq((999L, "new", 1L, false)).toDF("k", "payload", "commit_v", "_deleted")
+    SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload") // v2
+    val i1 = SnapshotTable.commitInstantOf(spark, dir, 1L)
+    val i2 = SnapshotTable.commitInstantOf(spark, dir, 2L)
+    // simulate a copy/rsync/restore: every manifest gets a fresh mtime
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val bogus = System.currentTimeMillis() + 86400000L
+    Seq(1L, 2L).foreach { v =>
+      f.setTimes(new org.apache.hadoop.fs.Path(
+        s"$dir/manifest/" + f"v$v%05d.manifest"), bogus, -1)
+    }
+    // the stamped header, not mtime, is the timeline — unchanged
+    assert(SnapshotTable.commitInstantOf(spark, dir, 1L) == i1)
+    assert(SnapshotTable.commitInstantOf(spark, dir, 2L) == i2)
+    assert(SnapshotTable.versionAsOf(spark, dir, i1).contains(1L))
+    assert(SnapshotTable.versionAsOf(spark, dir, i2).contains(2L))
+  }
+
+  test("pre-header manifests fall back to mtime; mixed timelines stay monotone") {
+    val dir = freshDir("snap-asof-fallback")
+    SnapshotTable.create(spark, mkBase(20), dir) // v1
+    val mp = new org.apache.hadoop.fs.Path(s"$dir/manifest/v00001.manifest")
+    val f = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    // strip the #committed: header — a manifest from before the header
+    val len = f.getFileStatus(mp).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = f.open(mp); try in.readFully(0, buf) finally in.close()
+    val stripped = new String(buf, "UTF-8").split("\n")
+      .filterNot(_.startsWith("#committed:")).mkString("\n") + "\n"
+    f.delete(mp, false)
+    val out = f.create(mp, true)
+    try out.write(stripped.getBytes("UTF-8")) finally out.close()
+    val mtime = f.getFileStatus(mp).getModificationTime
+    assert(SnapshotTable.commitInstantOf(spark, dir, 1L) == mtime)
+    // v2 commits WITH a header; its instant must still land strictly
+    // above the fallback instant, and versionAsOf must stay monotone
+    val ch = Seq((999L, "new", 1L, false)).toDF("k", "payload", "commit_v", "_deleted")
+    SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload") // v2
+    val i2 = SnapshotTable.commitInstantOf(spark, dir, 2L)
+    assert(i2 > SnapshotTable.commitInstantOf(spark, dir, 1L))
+    assert(SnapshotTable.versionAsOf(spark, dir, i2 - 1).contains(1L))
+    assert(SnapshotTable.versionAsOf(spark, dir, i2).contains(2L))
   }
 
   test("attachStatsIncremental: scans only new files, index row-identical to the full build") {
