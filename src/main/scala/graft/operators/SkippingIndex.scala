@@ -383,12 +383,17 @@ object SkippingIndex {
     *    exactly the full-sort page whatever the stats said; pruning is
     *    an I/O bound, never a semantics change.
     *
-    * The stats are collected ONCE at construction (the same driver-side
-    * file-list footprint every file index carries) and reused by every
-    * page of the walk; a cursor provably past the data returns the
-    * correctly-empty page from the stats alone — an empty relation, no
-    * table scan. Build via [[SkippingIndex.keysetWalk]] (attached-stats
-    * dirs) or [[SnapshotTable.keysetWalk]] (pinned snapshot versions).
+    * The stats stay DISTRIBUTED: the walk sorts the stats frame once
+    * into executor memory ([[StatsSource]]) and each page pulls only
+    * the few candidate rows it actually walks (`toLocalIterator` over
+    * the sorted cache), so driver residency is O(files-walked), never
+    * O(table files) — at millions of files a full per-walk collect
+    * would re-pull ~100 MB of stats per walk. A cursor provably past
+    * the data returns the correctly-empty page from the stats alone —
+    * an empty relation, no table scan. Build via
+    * [[SkippingIndex.keysetWalk]] (attached-stats dirs) or
+    * [[SnapshotTable.keysetWalk]] (pinned snapshot versions); call
+    * `close()` when done with a walk to drop its sorted stats cache.
     */
   final class KeysetWalk private[operators] (typed: TypedKeysetWalk[Long]) {
 
@@ -398,6 +403,14 @@ object SkippingIndex {
       */
     def page(after: Long, size: Int, ascending: Boolean = true): (DataFrame, Prune) =
       typed.page(Some(after), size, ascending)
+
+    /** Drop the walk's sorted stats cache (see [[TypedKeysetWalk.close]]). */
+    def close(): Unit = typed.close()
+
+    /** Stats rows materialized on the driver so far (see
+      * [[TypedKeysetWalk.statsPulled]]).
+      */
+    def statsPulled: Long = typed.statsPulled
   }
 
   /** The [[KeysetWalk]] machinery generalized over the key type: the
@@ -416,67 +429,175 @@ object SkippingIndex {
     * served (explicit IsNotNull residual).
     */
   final class TypedKeysetWalk[K] private[operators] (spark: SparkSession,
-      column: String, stats: Array[FileStatOf[K]], ord: Ordering[K],
+      column: String, source: StatsSource[K], ord: Ordering[K],
       cursorPred: (K, Boolean) => org.apache.spark.sql.Column) {
-    require(stats.nonEmpty, "keyset walk needs at least one file")
 
     /** The `size` smallest keys strictly above `after` (ascending) or
       * largest strictly below it (descending); `None` = unbounded start.
       */
     def page(after: Option[K], size: Int, ascending: Boolean = true): (DataFrame, Prune) = {
       require(size > 0, "page size must be positive")
-      val (blind, known0) = stats.partition(s => s.min.isEmpty || s.max.isEmpty)
-      // candidates: could hold a key strictly beyond the cursor
-      val known = after match {
-        case None => known0
-        case Some(a) => known0.filter(s =>
-          if (ascending) ord.gt(s.max.get, a) else ord.lt(s.min.get, a))
-      }
-      // walk in key order: nearest-to-cursor file first (Ordering.reverse,
-      // not negation — negating Long.MinValue wraps and mis-ranks that
-      // degenerate file first)
-      val sorted =
-        if (ascending) known.sortBy(_.min.get)(ord)
-        else known.sortBy(_.max.get)(ord.reverse)
+      // candidate files (could hold a key strictly beyond the cursor) in
+      // key order, nearest-to-cursor first — pulled LAZILY from the
+      // walk's sorted stats cache, so only the files this page actually
+      // walks ever reach the driver
+      val it = source.candidates(after, ascending)
       val included = scala.collection.mutable.ArrayBuffer.empty[FileStatOf[K]]
-      var i = 0
-      var done = sorted.isEmpty
-      while (!done) {
-        included += sorted(i)
-        i += 1
-        if (i >= sorted.length) done = true
-        else {
-          // rows CERTAINLY between the cursor and the next file's
-          // boundary: files entirely inside the open interval contribute
-          // their non-null rows (boundary-straddling files contribute an
-          // unknown share and count as zero — a lower bound)
-          val bound = if (ascending) sorted(i).min.get else sorted(i).max.get
-          val certain = included.iterator
-            .filter { s =>
-              val pastCursor = after.forall(a =>
-                if (ascending) ord.gt(s.min.get, a) else ord.lt(s.max.get, a))
-              pastCursor && (if (ascending) ord.lt(s.max.get, bound)
-                             else ord.gt(s.min.get, bound))
-            }
-            .map(s => s.nRows - s.nulls.getOrElse(s.nRows))
-            .sum
-          if (certain >= size) done = true
-        }
+      var cur: FileStatOf[K] = if (it.hasNext) it.next() else null
+      while (cur != null) {
+        included += cur
+        val nxt: FileStatOf[K] = if (it.hasNext) it.next() else null
+        cur =
+          if (nxt == null) null
+          else {
+            // rows CERTAINLY between the cursor and the next file's
+            // boundary: files entirely inside the open interval contribute
+            // their non-null rows (boundary-straddling files contribute an
+            // unknown share and count as zero — a lower bound)
+            val bound = if (ascending) nxt.min.get else nxt.max.get
+            val certain = included.iterator
+              .filter { s =>
+                val pastCursor = after.forall(a =>
+                  if (ascending) ord.gt(s.min.get, a) else ord.lt(s.max.get, a))
+                pastCursor && (if (ascending) ord.lt(s.max.get, bound)
+                               else ord.gt(s.min.get, bound))
+              }
+              .map(s => s.nRows - s.nulls.getOrElse(s.nRows))
+              .sum
+            if (certain >= size) null else nxt
+          }
       }
-      val kept = (included.map(_.file) ++ blind.map(_.file)).sorted.toSeq
-      val p = Prune(stats.length, kept.length, kept)
+      val kept = (included.map(_.file) ++ source.blind.map(_.file)).sorted.toSeq
+      val p = Prune(source.totalFiles, kept.length, kept)
       val base =
         if (kept.isEmpty)
           // provably nothing beyond the cursor: the empty page served
           // from the stats alone — a false predicate on one file's
           // schema folds to an empty LocalRelation (zero scan jobs)
-          spark.read.parquet(stats.head.file).where(lit(false))
+          spark.read.parquet(source.anyFile).where(lit(false))
         else spark.read.parquet(kept: _*)
       // NULL keys are never served: the strict cursor predicate drops
       // them; an unbounded start needs the explicit IsNotNull
       val pred = after.map(cursorPred(_, ascending)).getOrElse(col(column).isNotNull)
       val ordCol = if (ascending) col(column).asc else col(column).desc
       (base.filter(pred).orderBy(ordCol).limit(size), p)
+    }
+
+    /** Unpersist the walk's sorted stats cache. Safe to call more than
+      * once; pages served after close still work (they re-sort lazily
+      * without the cache).
+      */
+    def close(): Unit = source.close()
+
+    /** Stats rows materialized on the driver so far — the residency
+      * evidence the spec asserts: a page over a huge file list pulls
+      * O(files-walked) rows, not O(files).
+      */
+    def statsPulled: Long = source.pulled.get()
+  }
+
+  /** Distributed backing store for a walk's per-file stats — the fix
+    * for per-walk O(files) driver collects (the old [[TypedKeysetWalk]]
+    * materialized the full stats array up front; at millions of files
+    * that is ~100 MB of driver heap PER WALK, re-pulled on every walk).
+    * The stats frame is sorted ONCE per direction and cached in
+    * executor memory; each page streams candidate rows through
+    * `toLocalIterator`, so the driver only ever holds the few rows a
+    * page walks (partition-batch granularity). Only the BLIND files
+    * (no usable min/max — they join every page anyway) and the file
+    * count are materialized at construction, both tiny.
+    *
+    * Ordering note: the executor-side sort must match the walk's
+    * driver-side `Ordering[K]` — LongType sorts numerically
+    * (`Ordering.Long`) and StringType sorts in unsigned UTF-8 byte
+    * order (UTF8String.compareTo == [[Utf8Ordering]]), so the sorted
+    * stream IS the order the stop-bound arithmetic assumes. A filter on
+    * the sorted cache is a narrow op over range-partitioned sorted
+    * partitions and `toLocalIterator` drains partitions in index order,
+    * so the filtered stream stays globally sorted.
+    */
+  private[operators] final class StatsSource[K](spark: SparkSession,
+      statsDf: DataFrame, column: String, get: (Row, Int) => K) {
+
+    private val normalized: DataFrame = {
+      // a frame without the `_nulls` column (an index attached before
+      // null counts existed) degrades to zero-certainty contributions —
+      // more files per page, never a wrong one
+      val withNulls =
+        if (statsDf.columns.contains(s"${column}_nulls")) statsDf
+        else statsDf.withColumn(s"${column}_nulls", lit(null).cast("long"))
+      withNulls.select(col("file"), col("n_rows"),
+        col(s"${column}_min").as("mn"), col(s"${column}_max").as("mx"),
+        col(s"${column}_nulls").as("nls"))
+    }
+
+    private def toStat(r: Row): FileStatOf[K] = FileStatOf[K](
+      r.getString(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(get(r, 2)),
+      if (r.isNullAt(3)) None else Some(get(r, 3)),
+      if (r.isNullAt(4)) None else Some(r.getLong(4)))
+
+    /** Files with no usable bounds (all-NULL or stats-less): they join
+      * every page unconditionally, so they're collected once — the
+      * degenerate few, never the table.
+      */
+    val blind: Array[FileStatOf[K]] =
+      normalized.where(col("mn").isNull || col("mx").isNull)
+        .collect().map(toStat)
+
+    val totalFiles: Int = normalized.count().toInt
+    require(totalFiles > 0, "keyset walk needs at least one file")
+
+    /** Any one file of the stats frame — schema donor for the provably-
+      * empty page (lazy: only ever evaluated when a page comes back
+      * empty).
+      */
+    lazy val anyFile: String =
+      if (blind.nonEmpty) blind.head.file
+      else normalized.select("file").head().getString(0)
+
+    /** Stats rows materialized on the driver across all pages. */
+    val pulled = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    private val known =
+      normalized.where(col("mn").isNotNull && col("mx").isNotNull)
+    // sorted once per direction, cached distributed; pages stream from it
+    private lazy val ascFrame = {
+      val d = known.orderBy(col("mn").asc)
+      d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d
+    }
+    private lazy val descFrame = {
+      val d = known.orderBy(col("mx").desc)
+      d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d
+    }
+    // track which direction caches exist so close() only unpersists
+    // frames that were actually built
+    private var builtAsc = false
+    private var builtDesc = false
+
+    def candidates(after: Option[K], ascending: Boolean): Iterator[FileStatOf[K]] = {
+      val base = synchronized {
+        if (ascending) { builtAsc = true; ascFrame }
+        else { builtDesc = true; descFrame }
+      }
+      val filtered = after match {
+        case None => base
+        case Some(a) =>
+          if (ascending) base.where(col("mx") > lit(a))
+          else base.where(col("mn") < lit(a))
+      }
+      import scala.jdk.CollectionConverters._
+      filtered.toLocalIterator().asScala.map { r =>
+        pulled.incrementAndGet()
+        toStat(r)
+      }
+    }
+
+    def close(): Unit = synchronized {
+      if (builtAsc) ascFrame.unpersist()
+      if (builtDesc) descFrame.unpersist()
     }
   }
 
@@ -559,7 +680,8 @@ object SkippingIndex {
   private[operators] def keysetWalkMicrosFromStats(spark: SparkSession,
       statsDf: DataFrame, column: String): TypedKeysetWalk[Long] =
     new TypedKeysetWalk[Long](spark, column,
-      typedStats(statsDf, column, (r, i) => r.getLong(i)), Ordering.Long,
+      new StatsSource[Long](spark, statsDf, column, (r, i) => r.getLong(i)),
+      Ordering.Long,
       (a, asc) => {
         val c = timestamp_micros(lit(a))
         if (asc) col(column) > c else col(column) < c
@@ -574,25 +696,6 @@ object SkippingIndex {
     files
   }
 
-  /** Collect a stats frame into [[FileStatOf]] rows (the one collect of
-    * a walk). A frame without the `_nulls` column (an index attached
-    * before null counts existed) degrades to zero-certainty
-    * contributions — more files per page, never a wrong one.
-    */
-  private def typedStats[K](statsDf: DataFrame, column: String,
-      get: (Row, Int) => K): Array[FileStatOf[K]] = {
-    val withNulls =
-      if (statsDf.columns.contains(s"${column}_nulls")) statsDf
-      else statsDf.withColumn(s"${column}_nulls", lit(null).cast("long"))
-    withNulls.select(col("file"), col("n_rows"),
-      col(s"${column}_min"), col(s"${column}_max"), col(s"${column}_nulls"))
-      .collect()
-      .map(r => FileStatOf[K](r.getString(0), r.getLong(1),
-        if (r.isNullAt(2)) None else Some(get(r, 2)),
-        if (r.isNullAt(3)) None else Some(get(r, 3)),
-        if (r.isNullAt(4)) None else Some(r.getLong(4))))
-  }
-
   /** Build a long-key [[KeysetWalk]] from a stats frame in [[statsRows]]'
     * shape. Rejects a stats frame whose min/max aren't LongType with a
     * clear error (e.g. one built by [[statsRowsString]] for the same
@@ -605,7 +708,8 @@ object SkippingIndex {
       s"long keyset walk needs LongType ${column}_min/_max stats, got " +
         s"${mt.simpleString} — string-keyed stats walk via keysetWalkString")
     new KeysetWalk(new TypedKeysetWalk[Long](spark, column,
-      typedStats(statsDf, column, (r, i) => r.getLong(i)), Ordering.Long,
+      new StatsSource[Long](spark, statsDf, column, (r, i) => r.getLong(i)),
+      Ordering.Long,
       (a, asc) => if (asc) col(column) > a else col(column) < a))
   }
 
@@ -620,7 +724,8 @@ object SkippingIndex {
       s"string keyset walk needs StringType ${column}_min/_max stats, got " +
         s"${mt.simpleString} — long-keyed stats walk via keysetWalk")
     new TypedKeysetWalk[String](spark, column,
-      typedStats(statsDf, column, (r, i) => r.getString(i)), Utf8Ordering,
+      new StatsSource[String](spark, statsDf, column, (r, i) => r.getString(i)),
+      Utf8Ordering,
       (a, asc) => if (asc) col(column) > a else col(column) < a)
   }
 

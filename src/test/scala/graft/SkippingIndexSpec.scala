@@ -482,4 +482,35 @@ class SkippingIndexSpec extends AnyFunSuite {
     assert(pg5.collect().map(_.getLong(0)).toSeq == full.slice(800, 1000),
       "a walk pinned before the compaction must still serve the old version")
   }
+  test("keyset walk driver residency is O(files-walked): lazy stats pull, close() releases the cache") {
+    import spark.implicits._
+    val d = TestSpark.scratch("keyset_residency")
+    val p0 = new org.apache.hadoop.fs.Path(d)
+    p0.getFileSystem(spark.sessionState.newHadoopConf()).delete(p0, true)
+    // 64 key-clustered files, ~100 rows each — a miniature of the
+    // millions-of-files table where a per-walk full stats collect is
+    // the scale hazard (verdict r14 #2)
+    (0L until 6400L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(64, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(d)
+    val walk = SkippingIndex.keysetWalk(spark, d, "k")
+    val (pg, pr) = walk.page(Long.MinValue, 50)
+    assert(pg.collect().map(_.getLong(0)).toSeq == (0L until 50L))
+    assert(pr.filesTotal == 64)
+    // one ~100-row file certainly covers the 50-row page: the walk
+    // pulled that file plus one lookahead — NOT the 64-file stats table
+    assert(walk.statsPulled <= 6,
+      s"driver pulled ${walk.statsPulled} stats rows for a 2-file page over 64 files")
+    // a mid-table cursor stays O(files-walked): candidates are filtered
+    // executor-side before they ever reach the driver
+    val before = walk.statsPulled
+    val (pg2, _) = walk.page(3199L, 50)
+    assert(pg2.collect().map(_.getLong(0)).toSeq == (3200L until 3250L))
+    assert(walk.statsPulled - before <= 6,
+      s"cursor page pulled ${walk.statsPulled - before} stats rows")
+    // close() drops the sorted cache; pages still serve (re-sort lazily)
+    walk.close()
+    val (pg3, _) = walk.page(6300L, 50)
+    assert(pg3.collect().map(_.getLong(0)).toSeq == (6301L until 6351L))
+  }
 }
