@@ -258,14 +258,23 @@ object TextAnalysis {
 
   /** Append one DOCUMENT batch to a [[buildBm25Index]] store: one
     * tokenize scan of the batch, one postings fileset + one additive
-    * stats row, one atomic manifest commit — O(batch), never a corpus
-    * rebuild. Post-append search ≡ a full rebuild over the union
-    * (spec-asserted). Batches must be doc-disjoint (re-ingesting a doc
-    * double-counts its postings — dedup upstream, [[DedupStore]]).
+    * stats row + one doc-id fileset, one atomic manifest commit —
+    * O(batch), never a corpus rebuild. Post-append search ≡ a full
+    * rebuild over the union (spec-asserted). Batches must be
+    * doc-disjoint (re-ingesting a doc would double-count its postings)
+    * — and the contract is ENFORCED, not just documented: each commit
+    * records its doc ids as an ids fileset, and an append anti-checks
+    * the batch against the store's known id space (a distributed join
+    * on ids only — O(batch + store ids), metadata-sized rows) and
+    * throws naming an offending id before anything commits. Stores
+    * whose OLD batches predate ids filesets are checked against the
+    * batches that carry them (documented partial coverage — the guard
+    * is complete for any store maintained under this version).
     * Replay-safe like DedupStore.ingest: a re-run `tag` supersedes its
-    * own earlier commit (the old fileset becomes a vacuumable orphan),
-    * so crash-recovery at-least-once stays exactly-once in store
-    * content. Single maintainer.
+    * own earlier commit (the old fileset becomes a vacuumable orphan,
+    * its ids EXCLUDED from the disjointness check), so crash-recovery
+    * at-least-once stays exactly-once in store content. Single
+    * maintainer.
     */
   def appendToBm25Index(docs: DataFrame, idCol: String, textCol: String,
       path: String, tag: Long): Unit = {
@@ -281,12 +290,16 @@ object TextAnalysis {
 
   private val PostingsKind = "P"
   private val StatsKind = "S"
+  private val IdsKind = "I"
 
   /** Shared build/append body: write the batch's postings fileset
-    * (bucket-partitioned directory — the manifest references its ROOT)
-    * and its one-row additive stats fileset, then publish both in ONE
+    * (bucket-partitioned directory — the manifest references its ROOT),
+    * its one-row additive stats fileset, and its doc-id fileset (the
+    * disjointness guard's id space), then publish all three in ONE
     * manifest commit, superseding any earlier commit of the same tag
-    * (replay contract).
+    * (replay contract). An APPEND (tag >= 1) first proves the batch
+    * doc-disjoint from every other retained batch's ids — the
+    * double-count hazard dies here, not in a scaladoc.
     */
   private def commitBm25Batch(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int, tag: Long): Unit = {
@@ -294,6 +307,19 @@ object TextAnalysis {
     val cur = FilesetLog.current(spark, path)
     val all = cur.map(FilesetLog.entries(spark, path, _)).getOrElse(Seq.empty)
     val hist = all.filterNot(_.tag == tag)
+    // disjointness guard: batch ids vs the RETAINED batches' id space
+    // (same-tag filesets are being superseded — their ids don't count).
+    // Join on ids only; take(1) so a clean batch costs one short job.
+    val priorIdFiles = hist.filter(_.kind == IdsKind).map(_.file)
+    if (tag >= 1 && priorIdFiles.nonEmpty) {
+      val dup = docs.select(col(idCol).as("id"))
+        .join(spark.read.parquet(priorIdFiles: _*).select("id"), "id")
+        .take(1)
+      require(dup.isEmpty,
+        s"append batch re-ingests document id ${dup.headOption.map(_.get(0))
+          .getOrElse("?")} already in the BM25 store under $path — " +
+          "batches must be doc-disjoint (dedup upstream, e.g. DedupStore)")
+    }
     val v = cur.getOrElse(0L)
     val withDl = docs.select(col(idCol).as("id"), T.tokens(col(textCol)).as("ts"))
       .select(col("id"), col("ts"), size(col("ts")).cast("double").as("dl"))
@@ -313,6 +339,9 @@ object TextAnalysis {
       withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
         .withColumn("n_buckets", lit(nBuckets)).coalesce(1),
       s"$path/stats/" + f"v${v + 1}%05d" + s"_${FilesetLog.nonce()}")
+    val idFiles = FilesetLog.writeFileset(
+      docs.select(col(idCol).as("id")),
+      s"$path/ids/" + f"v${v + 1}%05d" + s"_${FilesetLog.nonce()}")
     // manifest lines carry the FILESYSTEM-QUALIFIED form (file:/…, like
     // writeFileset's listing) so vacuum's on-disk walk matches them
     val qualified = f.makeQualified(new Path(postingsDir)).toString
@@ -320,12 +349,13 @@ object TextAnalysis {
       hist ++
         (if (hasPostings) Seq(FilesetLog.Entry(PostingsKind, tag, qualified))
          else Seq.empty) ++
-        statsFiles.map(FilesetLog.Entry(StatsKind, tag, _)))
+        statsFiles.map(FilesetLog.Entry(StatsKind, tag, _)) ++
+        idFiles.map(FilesetLog.Entry(IdsKind, tag, _)))
   }
 
-  /** Drop old store versions and unreferenced postings/stats filesets
-    * (crashed or superseded ingests) — [[FilesetLog.vacuum]]'s grace
-    * contract. Postings manifest lines reference fileset ROOT
+  /** Drop old store versions and unreferenced postings/stats/ids
+    * filesets (crashed or superseded ingests) — [[FilesetLog.vacuum]]'s
+    * grace contract. Postings manifest lines reference fileset ROOT
     * directories, so orphan detection walks directory roots.
     */
   def vacuumBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -347,8 +377,10 @@ object TextAnalysis {
         .filter(_.getModificationTime <= horizon)
         .map(_.getPath.toString)
     }
-    val statsFiles = {
-      val root = new org.apache.hadoop.fs.Path(s"$path/stats")
+    // stats and ids filesets share a layout: parquet files one level
+    // below their fileset dirs under <path>/<sub>
+    def leafFiles(sub: String): Seq[String] = {
+      val root = new org.apache.hadoop.fs.Path(s"$path/$sub")
       if (!f.exists(root)) Seq.empty[String]
       else f.listStatus(root).toSeq.filter(_.isDirectory)
         .flatMap(d => f.listStatus(d.getPath).toSeq)
@@ -356,7 +388,8 @@ object TextAnalysis {
           && s.getModificationTime <= horizon)
         .map(_.getPath.toString)
     }
-    val doomed = (postingRoots ++ statsFiles).filterNot(referenced.contains).sorted
+    val doomed = (postingRoots ++ leafFiles("stats") ++ leafFiles("ids"))
+      .filterNot(referenced.contains).sorted
     doomed.foreach(p => f.delete(new org.apache.hadoop.fs.Path(p), true))
     vs.dropRight(keepLast).foreach { v =>
       f.delete(new org.apache.hadoop.fs.Path(
@@ -390,6 +423,10 @@ object TextAnalysis {
     require(statsRows.getInt(2) == statsRows.getInt(3),
       s"inconsistent n_buckets across filesets under $path: " +
         s"${statsRows.getInt(2)} vs ${statsRows.getInt(3)}")
+    // an all-empty-batches store has stats rows but no documents (and a
+    // NULL Σdl) — fail with the designed message, not an NPE at getDouble
+    require(statsRows.getLong(0) > 0,
+      s"BM25 store under $path has no postings filesets (empty corpus)")
     val nd = statsRows.getLong(0).toDouble
     val avgdl = statsRows.getDouble(1) / nd
     val nBuckets = statsRows.getInt(2).toLong
@@ -465,5 +502,48 @@ object TextAnalysis {
       .groupBy("a", "b").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .orderBy("a", "b")
+  }
+  /** PMI collocation mining: adjacent token pairs scored by pointwise
+    * mutual information, PMI = ln( (c12/B) / ((c1/T)·(c2/T)) ) with c12
+    * = the pair's bigram-position count (B total positions), c1/c2 =
+    * corpus unigram counts (T total tokens) — the classic phrase/
+    * multiword-expression detector (Church & Hanks 1990; the phrase
+    * pass of word2vec-style pipelines). `minCount` suppresses the
+    * low-count PMI explosion (a hapax pair maxes PMI by construction);
+    * top `k` by PMI rounded to 4 decimals, ties broken by the pair —
+    * all counts are exact integers and the log argument is fixed-order
+    * double arithmetic, so ranking is engine-stable (the bm25 rounding
+    * contract).
+    *
+    * Distributed shape: two vocabulary-sized aggregates (map-side
+    * partial) + a bigram-domain aggregate, two broadcast-joined
+    * marginals, two broadcast scalar totals, one TakeOrdered(k) — no
+    * corpus-sized shuffle beyond the count tables, no second scan.
+    */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long = 5L,
+      k: Int = 50): DataFrame = {
+    require(minCount >= 1, "minCount >= 1")
+    require(k >= 1, "k >= 1")
+    val toks = docs.select(T.tokens(col(textCol)).as("ts"))
+    val uni = toks.select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum("c").cast("double").as("t_total"))
+    val big = toks.filter(size(col("ts")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("ts")) - 1),
+        i => struct(element_at(col("ts"), i).as("w1"),
+          element_at(col("ts"), i + 1).as("w2")))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+    val btot = big.agg(sum("n").cast("double").as("b_total"))
+    big.filter(col("n") >= minCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(btot)).crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n"),
+        round(log((col("n").cast("double") / col("b_total")) /
+          ((col("c1").cast("double") / col("t_total")) *
+            (col("c2").cast("double") / col("t_total")))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(k)
   }
 }

@@ -443,6 +443,41 @@ class SimilaritySearchSpec extends AnyFunSuite {
     // self-match always survives (query's own bucket is probed)
     assert((0L until 10L).forall(i => approx.contains((i, i))))
   }
+
+  test("SQ8: codes bounded, constant dim encodes 0, re-ranked search finds self + high recall") {
+    import spark.implicits._
+    val (mn, mx) = SimilaritySearch.sq8Calibrate(emb, "embedding")
+    assert(mn.length == 64 && mx.length == 64)
+    assert(mn.indices.forall(i => mn(i) <= mx(i)))
+    val enc = SimilaritySearch.sq8Encode(emb, "vec_id", "embedding", mn, mx)
+    val codes = enc.select(explode(col("codes")).as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(codes.getInt(0) >= 0 && codes.getInt(1) <= 255,
+      s"codes out of byte range: $codes")
+    // a constant dimension must encode 0 (not divide by zero)
+    val const = Seq((1L, Seq(2.5, 1.0)), (2L, Seq(2.5, 3.0))).toDF("id", "v")
+    val (cmn, cmx) = SimilaritySearch.sq8Calibrate(const, "v")
+    val cc = SimilaritySearch.sq8Encode(const, "id", "v", cmn, cmx)
+      .orderBy("id").collect().map(_.getSeq[Int](1))
+    assert(cc(0) == Seq(0, 0) && cc(1) == Seq(0, 255), s"got ${cc.toSeq}")
+    // search: self is rank 1 at cosine 1; recall@10 vs exact stays high
+    // (SQ8's point: near-exact at 1/4 the bandwidth)
+    val q = emb.filter(col("vec_id") < 10)
+    val res = SimilaritySearch.sq8Search(enc, emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", mn, mx, k = 10, refine = 4)
+    val top1 = res.filter(col("rk") === 1).collect()
+    assert(top1.length == 10)
+    top1.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1) && math.abs(r.getDouble(2) - 1.0) < 1e-6)
+    }
+    val exact = SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = res.select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8+re-rank recall=$recall (expected near-exact)")
+  }
 }
 
 class TextFunctionsSpec extends AnyFunSuite {
@@ -562,6 +597,53 @@ class TextFunctionsSpec extends AnyFunSuite {
       graceMs = 0L)
     assert(deleted.exists(_.contains("orphan")), s"orphans not reclaimed: $deleted")
     assert(res(inc) == before)
+    // DISJOINTNESS ENFORCED: re-ingesting an already-stored doc under a
+    // NEW tag is the double-count hazard — refused BEFORE anything
+    // commits, naming the offending id; the store is untouched
+    val boom = intercept[IllegalArgumentException] {
+      TextAnalysis.appendToBm25Index(docs.filter($"doc_id" === 5),
+        "doc_id", "text", inc, tag = 2L)
+    }
+    assert(boom.getMessage.contains("doc-disjoint") && boom.getMessage.contains("5"),
+      s"guard must name the overlap: ${boom.getMessage}")
+    assert(res(inc) == before, "a refused append must leave the store untouched")
+    // a genuinely-new batch under the new tag still appends fine
+    TextAnalysis.appendToBm25Index(
+      Seq((7L, "rare iota kappa")).toDF("doc_id", "text"),
+      "doc_id", "text", inc, tag = 2L)
+    assert(res(inc).nonEmpty && res(inc) != before)
+  }
+
+  test("collocations: hand-computed PMI, minCount floor, deterministic tie order") {
+    // corpus: [a b a b], [a c] -> T=6 (a:3 b:2 c:1); bigram positions:
+    // (a,b)x2 (b,a)x1 (a,c)x1, B=4
+    // PMI(a,b) = ln((2/4)/((3/6)(2/6))) = ln 3 ; PMI(a,c) = ln 3
+    // PMI(b,a) = ln((1/4)/((2/6)(3/6))) = ln 1.5
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, "text", minCount = 1L, k = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    assert(got == Seq(
+      ("a", "b", 2L, r4(math.log(3.0))),
+      ("a", "c", 1L, r4(math.log(3.0))),
+      ("b", "a", 1L, r4(math.log(1.5)))), s"got $got")
+    // minCount suppresses hapax pairs
+    val floored = TextAnalysis.collocations(docs, "text", minCount = 2L, k = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(floored.map(t => (t._1, t._2)) == Seq(("a", "b")))
+  }
+
+  test("bm25 store of only empty batches fails search with the designed empty-corpus error") {
+    val d = TestSpark.scratch("bm25_empty")
+    val p = new org.apache.hadoop.fs.Path(d)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    TextAnalysis.buildBm25Index(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", d)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25SearchIndexed(spark, d, "doc_id", Seq("rare"))
+    }
+    assert(e.getMessage.contains("empty corpus"),
+      s"want the designed message, not an NPE: ${e.getMessage}")
   }
 
   test("bigram LM: exact hand-computed value; interpolation bounds hold") {
