@@ -725,6 +725,39 @@ object ExtraQueries {
         Seq("view", "click", "view", "purchase"), withinDays = Some(14))
     }),
 
+    "q80_sessionize" -> ((s, dir) => {
+      // gap-based sessionization (30-min inactivity window): one hash
+      // shuffle on user feeds the lag-gap flag, the running session
+      // number AND the per-session rollup (HashPartitioning(user)
+      // clusters (user, session) — no second exchange). Epoch-micros
+      // integer arithmetic end to end, so both engines agree exactly.
+      graft.operators.EventAnalytics.sessionize(t(s, dir, "events"),
+        "user_id", "ts", "event_id", gapSeconds = 1800L)
+        .orderBy("user_id", "session_idx")
+    }),
+
+    "q81_attribution" -> ((s, dir) => {
+      // last-touch attribution: each purchase binds to the user's
+      // latest preceding view/click within 7 days — the carried touch
+      // is a running struct-max (portable ignore-NULLs fill-forward),
+      // no self-join. Row-level assignment output: exact, no float
+      // aggregation to diverge.
+      graft.operators.EventAnalytics.attributeLastTouch(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type",
+        touchTypes = Seq("view", "click"), conversionType = "purchase",
+        windowDays = 7)
+        .orderBy("conversion_id")
+    }),
+
+    "q82_path_transitions" -> ((s, dir) => {
+      // Markov transition counts over each user's event timeline: one
+      // shuffle + one lead window + a tiny-domain groupBy. The Sankey/
+      // next-action primitive of product analytics.
+      graft.operators.EventAnalytics.pathTransitions(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type")
+        .orderBy("from_type", "to_type")
+    }),
+
     "q72_cohort" -> ((s, dir) => {
       // cohort retention triangle: users bucketed by first-event day,
       // distinct actives per (cohort day, day offset). First-touch via a
@@ -865,6 +898,39 @@ object ExtraQueries {
         .withColumn("snap", lit(1L))
       val current = SnapshotTable.read(s, tdir).withColumn("snap", lit(2L))
       asOf.unionByName(current)
+        .select("snap", "o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("snap", "o_orderkey")
+    }),
+
+    "q83_snapshot_clone" -> ((s, dir) => {
+      // metadata-only SHALLOW CLONE end-to-end: clone = src's v1 file
+      // list verbatim (zero data copied), then an upsert on the CLONE —
+      // the source must keep serving the pre-upsert truth (write
+      // independence) while the clone serves the merged truth. Either
+      // side leaking into the other hash-mismatches. Storage-dependence
+      // (source vacuum hazard) and zero-copy evidence are spec'd.
+      import graft.operators.SnapshotTable
+      val src = s"${Scratch.dir}/q83_src"
+      val dst = s"${Scratch.dir}/q83_clone"
+      for (d <- Seq(src, dst)) {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      }
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("commit_v", lit(0L))
+      SnapshotTable.create(s,
+        base.repartitionByRange(8, col("o_orderkey")), src)
+      SnapshotTable.shallowClone(s, src, dst)
+      val changes = base.filter(col("o_orderkey") % 10 === 4)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100000.0))
+        .withColumn("commit_v", lit(1L))
+        .withColumn("_deleted", lit(false))
+      SnapshotTable.upsert(s, dst, changes, "o_orderkey", "commit_v",
+        "o_totalprice")
+      val srcRead = SnapshotTable.read(s, src).withColumn("snap", lit(1L))
+      val cloneRead = SnapshotTable.read(s, dst).withColumn("snap", lit(2L))
+      srcRead.unionByName(cloneRead)
         .select("snap", "o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("snap", "o_orderkey")
     }),
@@ -1491,6 +1557,18 @@ object ExtraQueries {
         |WHERE o_custkey IN (9999999, 97)
         |ORDER BY o_orderkey""".stripMargin,
 
+    // source = pre-upsert truth (write independence), clone = merged
+    "q83_snapshot_clone" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS snap, o_orderkey, o_custkey,
+        |  o_totalprice FROM b
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS snap, o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice + 100000.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM b
+        |ORDER BY snap, o_orderkey""".stripMargin,
+
     // the bloom-pruned point lookup must equal the plain equality filter
     "q73_point_bloom" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
@@ -1550,6 +1628,57 @@ object ExtraQueries {
         |      FROM a)
         |SELECT depth, count(*) AS n_users FROM d
         |GROUP BY depth ORDER BY depth""".stripMargin,
+
+    // identical lag-gap flag + running session number + per-session
+    // rollup; epoch-micros integer arithmetic, no float division
+    "q80_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS u, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, u,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY u, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |      FROM g)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  count(*) AS n_events, min(u) AS session_start_us,
+        |  max(u) - min(u) AS duration_us
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    // the same running struct-max fill-forward of the last touch (max
+    // ignores NULLs in both engines; struct order = (ts, type, id), so
+    // "latest" and same-instant ties resolve identically)
+    "q81_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS u, event_id, event_type
+        |           FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |t AS (SELECT *,
+        |        max(CASE WHEN event_type IN ('view', 'click')
+        |              THEN {'ts_us': u, 't': event_type, 'id': event_id} END)
+        |          OVER (PARTITION BY user_id ORDER BY u, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |      FROM e)
+        |SELECT event_id AS conversion_id, user_id, touch.t AS touch_type,
+        |  touch.id AS touch_id, u - touch.ts_us AS gap_us
+        |FROM t
+        |WHERE event_type = 'purchase' AND touch IS NOT NULL
+        |  AND u - touch.ts_us <= 7 * 86400000000
+        |ORDER BY conversion_id""".stripMargin,
+
+    // identical lead window over the identically-ordered timeline
+    "q82_path_transitions" ->
+      """WITH t AS (SELECT user_id, event_type AS from_type,
+        |    lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(*) AS n FROM t
+        |WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin,
 
     // the q72 exact triangle with the q50 tolerance scheme: exact
     // distincts ride cross-engine; est_ok checks each engine's OWN

@@ -171,6 +171,21 @@ object PipelineQueries {
         centroids, k = 10, nProbe = 4)
     }),
 
+    "ann_sq8_rerank" -> ((s, dir) => {
+      // 8-bit scalar quantization (FAISS SQ8-flat): calibrate per-dim
+      // [min,max] over the corpus, scan DEQUANTIZED codes at 1/4 the
+      // memory bandwidth, shortlist refine·k per query, exact re-rank
+      // over original vectors. Fixed-order quantization arithmetic →
+      // bit-identical doubles in the DuckDB replay.
+      val e = t(s, dir, "embeddings")
+      val (mn, mx) = graft.operators.SimilaritySearch.sq8Calibrate(e, "embedding")
+      val enc = graft.operators.SimilaritySearch.sq8Encode(
+        e, "vec_id", "embedding", mn, mx)
+      graft.operators.SimilaritySearch.sq8Search(enc, e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", mn, mx,
+        k = 10, refine = 4)
+    }),
+
     "ann_ivf_filtered" -> ((s, dir) => {
       // FILTERED vector search — the metadata-predicate face every
       // production retrieval system needs (search only rows passing a
@@ -558,6 +573,15 @@ object PipelineQueries {
       t(s, dir, "documents")
         .select(col("doc_id"), graft.functions.TextFunctions.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
+
+    "text_collocations" -> ((s, dir) =>
+      // PMI collocation mining (Church & Hanks; word2vec's phrase pass):
+      // adjacent pairs scored ln((c12/B)/((c1/T)(c2/T))), minCount
+      // suppresses the hapax-PMI explosion, top-50 by rounded score.
+      // Two vocab-sized aggregates + broadcast marginals + TakeOrdered —
+      // no corpus-sized shuffle beyond the count tables.
+      TextAnalysis.collocations(t(s, dir, "documents"), "text",
+        minCount = 5L, k = 50)),
 
     "text_quality" -> ((s, dir) =>
       TextAnalysis.analyze(t(s, dir, "documents"), "doc_id", "text")
@@ -1660,6 +1684,37 @@ object PipelineQueries {
          |SELECT qid, id, round(cs, 4) AS cosine, rk
          |FROM lr WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
+    // full SQ8 replay: per-dim calibration, identical fixed-order
+    // quantize/dequantize arithmetic (floor of the same IEEE
+    // expression), fold-order cosines — shortlist AND final page
+    // recompute from scratch and driver-hash
+    "ann_sq8_rerank" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |d AS (SELECT id, i, v[i] AS x
+         |      FROM e, unnest(range(1, ${EmbeddingDim + 1})) AS r(i)),
+         |st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM d GROUP BY i),
+         |cd AS (SELECT d.id, d.i,
+         |         CASE WHEN st.mx = st.mn THEN 0.0
+         |              ELSE floor(((d.x - st.mn) / (st.mx - st.mn)) * 255) END
+         |           * CASE WHEN st.mx = st.mn THEN 0.0
+         |                  ELSE (st.mx - st.mn) / 255 END
+         |           + st.mn AS xq
+         |       FROM d JOIN st USING (i)),
+         |dq AS (SELECT id, list(xq ORDER BY i) AS vq FROM cd GROUP BY id),
+         |q AS (SELECT id AS qid, v AS qv FROM e WHERE id < 5),
+         |ap AS (SELECT q.qid, dq.id, ${cosFoldSql("dq.vq", "q.qv")} AS ascore
+         |       FROM dq CROSS JOIN q),
+         |sh AS (SELECT qid, id FROM (
+         |         SELECT qid, id, row_number() OVER (
+         |           PARTITION BY qid ORDER BY ascore DESC, id) AS ark
+         |         FROM ap) WHERE ark <= 40),
+         |ex AS (SELECT sh.qid, sh.id, ${cosFoldSql("e.v", "q.qv")} AS cs
+         |       FROM sh JOIN e ON e.id = sh.id JOIN q ON q.qid = sh.qid),
+         |r AS (SELECT qid, id, cs, row_number() OVER (
+         |        PARTITION BY qid ORDER BY cs DESC, id) AS rk FROM ex)
+         |SELECT qid, id, round(cs, 4) AS cosine, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
     // full replay of IVF training + probing + search in SQL (ivfReplaySql)
     // — the trained model is recomputed from scratch by DuckDB, so the
     // approximate search result itself driver-hashes
@@ -1755,6 +1810,29 @@ object PipelineQueries {
          |c AS (SELECT word, count(*) AS n FROM w GROUP BY word)
          |SELECT word, CAST(n AS BIGINT) AS n FROM c
          |ORDER BY n DESC, word LIMIT 100""".stripMargin,
+
+    // identical integer counts; the log argument is fixed-order double
+    // arithmetic, round(4) pins the cross-engine rank (bm25 contract)
+    "text_collocations" ->
+      s"""WITH t AS (SELECT $ToksSql AS ts FROM documents),
+         |uni AS (SELECT unnest(ts) AS w FROM t),
+         |u AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+         |tt AS (SELECT CAST(sum(c) AS DOUBLE) AS t_total FROM u),
+         |bp AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+         |       FROM t, unnest(range(1, len(ts))) AS r(i)
+         |       WHERE len(ts) >= 2),
+         |b AS (SELECT w1, w2, count(*) AS n FROM bp GROUP BY w1, w2),
+         |bt AS (SELECT CAST(sum(n) AS DOUBLE) AS b_total FROM b)
+         |SELECT b.w1, b.w2, b.n,
+         |  round(ln((CAST(b.n AS DOUBLE) / bt.b_total) /
+         |    ((CAST(u1.c AS DOUBLE) / tt.t_total) *
+         |     (CAST(u2.c AS DOUBLE) / tt.t_total))), 4) AS pmi
+         |FROM b
+         |JOIN u u1 ON u1.w = b.w1
+         |JOIN u u2 ON u2.w = b.w2
+         |CROSS JOIN bt CROSS JOIN tt
+         |WHERE b.n >= 5
+         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
 
     // same md5-over-window arithmetic as Dedup.substringDupSpans: the
     // tokenizer parity is proven by text_tokens, md5 and the space-join

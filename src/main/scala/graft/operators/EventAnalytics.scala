@@ -234,4 +234,100 @@ object EventAnalytics {
       .select(col("cohort_day"), col("day_offset"),
         hll_sketch_estimate(col("sk")).as("est_users"), col("n_events"))
       .orderBy("cohort_day", "day_offset")
+
+  /** Gap-based sessionization: a user's events split into sessions
+    * wherever consecutive events (time order, id tiebreak) are more
+    * than `gapSeconds` apart — the standard web-analytics session
+    * definition (GA's 30-minute inactivity window). One row per
+    * session: 1-based index in the user's timeline, event count, start
+    * instant and span (epoch MICROS — integer arithmetic end to end, no
+    * float division to diverge cross-engine).
+    *
+    * Plan shape: ONE hash shuffle on user feeds both window passes
+    * (lag-gap flag, then the running sum that numbers sessions — same
+    * partitioning, same sort, one exchange) AND the final
+    * groupBy(user, session): HashPartitioning(user) already clusters
+    * (user, session_idx), so Catalyst inserts no second exchange. Per-
+    * user state is one window row — no arrays, no skew amplification;
+    * a bot user costs sort spill, never memory.
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapSeconds: Long = 1800L): DataFrame = {
+    require(gapSeconds > 0, "session gap must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val us = unix_micros(col(tsCol))
+    val newSession = when(
+      lag(us, 1).over(w).isNull ||
+        us - lag(us, 1).over(w) > gapSeconds * 1000000L, 1L).otherwise(0L)
+    events
+      .select(col(userCol), col(tsCol), col(idCol))
+      .withColumn("_new_s", newSession)
+      .withColumn("session_idx",
+        sum(col("_new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(us).as("session_start_us"),
+        (max(us) - min(us)).as("duration_us"))
+  }
+
+  /** Last-touch attribution: each conversion event binds to the LATEST
+    * preceding event of a touch type by the same user within
+    * `windowDays` — one row per attributed conversion (the assignment
+    * itself; roll-ups are a groupBy away). The carried touch is a
+    * running `max` of a (ts, type, id) struct over the user's ordered
+    * preceding rows — max ignores NULLs in every engine, so this is the
+    * portable "fill forward the last marketing touch" without IGNORE
+    * NULLS window syntax; struct order (ts first) makes "latest" exact
+    * and the (type, id) tail breaks same-instant ties deterministically.
+    *
+    * Plan shape: the scan keeps only touch + conversion types (pushed
+    * filter), ONE hash shuffle on user, one window pass, then a plain
+    * filter — no self-join (the join formulation shuffles the events
+    * table twice and explodes on bot users).
+    */
+  def attributeLastTouch(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, touchTypes: Seq[String],
+      conversionType: String, windowDays: Int): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(!touchTypes.contains(conversionType),
+      "conversion type cannot also be a touch type")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val us = unix_micros(col(tsCol))
+    val touch = max(when(col(typeCol).isin(touchTypes: _*),
+      struct(us.as("ts_us"), col(typeCol).as("t"), col(idCol).as("id"))))
+      .over(w)
+    events
+      .filter(col(typeCol).isin(touchTypes :+ conversionType: _*))
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("_touch", touch)
+      .filter(col(typeCol) === conversionType && col("_touch").isNotNull &&
+        us - col("_touch.ts_us") <= lit(windowDays.toLong * 86400000000L))
+      .select(col(idCol).as("conversion_id"), col(userCol),
+        col("_touch.t").as("touch_type"), col("_touch.id").as("touch_id"),
+        (us - col("_touch.ts_us")).as("gap_us"))
+  }
+
+  /** Event-path transition matrix: counts of (event type → the user's
+    * next event type) over every consecutive pair in each user's
+    * timeline — the Markov first step of path/flow analysis (Sankey
+    * feeds, next-action prediction baselines). One shuffle on user, one
+    * `lead` window, one partial-aggregated groupBy on the (tiny)
+    * type-pair domain.
+    */
+  def pathTransitions(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(userCol), col(tsCol), col(idCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -105,4 +105,84 @@ object SimilaritySearch {
         col("rk").cast("long").as("rk"))
       .orderBy("qid", "rk")
   }
+  /** Per-dimension 8-bit SCALAR QUANTIZATION calibration (FAISS's
+    * SQ8-flat tier): the corpus's per-dimension [min, max] — one
+    * posexplode + dim-sized aggregate, a dim-length driver array. SQ8
+    * sits between brute force (exact, full-width) and PQ (8 codes for
+    * 64 dims): 4× less memory bandwidth than float32 with near-exact
+    * recall, the standard first compression tier of a serving stack.
+    */
+  def sq8Calibrate(corpus: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
+    val rows = corpus
+      .select(posexplode(transform(col(vecCol), x => x.cast("double")))
+        .as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("i").collect()
+    require(rows.nonEmpty, "sq8Calibrate: empty corpus")
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** SQ8-encode the corpus: code_d = floor(((x-mn_d)/(mx_d-mn_d))·255)
+    * ∈ [0,255] (a constant dimension encodes 0). Codes ride as an int
+    * array here for plan-level clarity; the at-scale layout packs them
+    * into one BINARY column (4 bytes → 1 per dim) — the arithmetic and
+    * the gate are identical either way. Every arithmetic step is
+    * written in one fixed order so the DuckDB oracle computes the SAME
+    * doubles (floor of an identical IEEE expression — no rounding-mode
+    * drift possible).
+    */
+  def sq8Encode(corpus: DataFrame, idCol: String, vecCol: String,
+      mn: Array[Double], mx: Array[Double]): DataFrame = {
+    require(mn.length == mx.length, "calibration arrays must align")
+    val mnA = array(mn.map(lit).toIndexedSeq: _*)
+    val rgA = array(mn.indices.map(j => lit(mx(j) - mn(j))): _*)
+    corpus.select(col(idCol).as("id"),
+      zip_with(
+        zip_with(transform(col(vecCol), x => x.cast("double")), mnA,
+          (x, m) => x - m),
+        rgA,
+        (d, r) => when(r === 0.0, lit(0))
+          .otherwise(floor(d / r * lit(255.0)).cast("int")))
+        .as("codes"))
+  }
+
+  /** SQ8 search with exact re-rank: the ADC pass scores DEQUANTIZED
+    * codes (xq_d = code_d·step_d + mn_d, step_d = (mx_d-mn_d)/255)
+    * against each query — a corpus scan at 1/4 the memory bandwidth —
+    * keeps the top `refine`·k per query, then re-ranks that shortlist
+    * with exact cosines over the original vectors (an id join against
+    * the corpus — O(refine·k·|queries|) full-width rows, never the
+    * corpus). Both ranking passes order by score with id tiebreak; the
+    * scores are bit-identical across engines (fixed-order folds over
+    * fixed-order dequantization), so the shortlist and the final page
+    * replay exactly in SQL.
+    */
+  def sq8Search(encoded: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, queries: DataFrame, qidCol: String, qvecCol: String,
+      mn: Array[Double], mx: Array[Double], k: Int = 10,
+      refine: Int = 4): DataFrame = {
+    require(k >= 1 && refine >= 1, "k and refine must be >= 1")
+    val mnA = array(mn.map(lit).toIndexedSeq: _*)
+    val stepA = array(mn.indices.map(j =>
+      lit(if (mx(j) == mn(j)) 0.0 else (mx(j) - mn(j)) / 255.0)): _*)
+    val dq = zip_with(
+      zip_with(col("codes"), stepA, (c, st) => c.cast("double") * st),
+      mnA, (a, m) => a + m)
+    val q = queries.select(col(qidCol).as("qid"),
+      transform(col(qvecCol), x => x.cast("double")).as("qv"))
+    val approx = encoded.withColumn("vq", dq)
+      .crossJoin(broadcast(q))
+      .withColumn("ascore", GraftFunctions.cosine(col("vq"), col("qv")))
+    val short = TopK.perKey(approx, "qid",
+      Seq(col("ascore").desc, col("id").asc), refine * k, "ark")
+      .select("qid", "id", "qv")
+    val exact = short
+      .join(corpus.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v")), "id")
+      .withColumn("cosine", GraftFunctions.cosine(col("v"), col("qv")))
+    TopK.perKey(exact, "qid", Seq(col("cosine").desc, col("id").asc), k, "rk")
+      .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("qid", "rk")
+  }
 }

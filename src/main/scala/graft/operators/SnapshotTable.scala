@@ -631,6 +631,31 @@ object SnapshotTable {
       .coalesce(1).write.mode("overwrite").parquet(statsDir(dir, v))
   }
 
+  /** Metadata-only SHALLOW CLONE: commit a NEW table at `dstDir` whose
+    * version-1 manifest is `srcDir`'s pinned file list + schema
+    * VERBATIM — zero data read or written, O(manifest) at any table
+    * size (the Delta `CREATE TABLE ... SHALLOW CLONE` semantics). The
+    * clone is immediately independent for WRITES: upserts/deletes/
+    * compactions on it write new files under ITS directory and never
+    * touch the source (files are immutable, manifests reference
+    * absolute paths). It stays dependent for STORAGE: cloned manifests
+    * reference the source's data files, so a `vacuum` of the SOURCE can
+    * delete files the clone still needs — the standard shallow-clone
+    * retention hazard every lakehouse documents; deep-copy via
+    * `create(spark, read(src), dst)` when the source's lifecycle is not
+    * under your control.
+    */
+  def shallowClone(spark: SparkSession, srcDir: String, dstDir: String,
+      version: Option[Long] = None): Commit = {
+    require(currentVersion(spark, dstDir).isEmpty,
+      s"table already exists under $dstDir")
+    val v = version.orElse(currentVersion(spark, srcDir)).getOrElse(
+      throw new IllegalArgumentException(s"no table under $srcDir"))
+    val fl = files(spark, srcDir, Some(v))
+    commitManifest(spark, dstDir, 1L, fl, schemaOf(spark, srcDir, Some(v)))
+    Commit(1L, fl, fl.length)
+  }
+
   /** Resolve the newest version committed at or before `tsMillis` — the
     * `AS OF TIMESTAMP` face of time travel. A version's commit time is
     * its [[commitInstantOf]] instant: the `#committed:` header stamped

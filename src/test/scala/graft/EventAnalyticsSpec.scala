@@ -184,4 +184,64 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
     assert(got == brute, s"got=$got brute=$brute")
   }
+  test("sessionize: hand-computed gap splits, 1-based numbering, singleton sessions") {
+    // u1: events at 0, 10, 50, 61 min with a 30-min gap -> sessions
+    // {0,10} (gap 40 > 30 splits), {50, 61} (gap 11 keeps); u2: one event
+    val rows = Seq(
+      (1L, ts(0), 10L), (1L, ts(10), 11L), (1L, ts(50), 12L), (1L, Timestamp.valueOf("2024-01-01 01:01:00"), 13L),
+      (2L, ts(5), 20L))
+    val df = rows.toDF("user_id", "ts", "event_id")
+    val got = EventAnalytics.sessionize(df, "user_id", "ts", "event_id",
+      gapSeconds = 1800L)
+      .orderBy("user_id", "session_idx")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    def us(t: Timestamp) = t.getTime * 1000L
+    assert(got == Seq(
+      (1L, 1L, 2L, us(ts(0)), 600L * 1000000L),
+      (1L, 2L, 2L, us(ts(50)), 660L * 1000000L),
+      (2L, 1L, 1L, us(ts(5)), 0L)), s"got $got")
+    // a gap of EXACTLY the threshold does NOT split (strict >)
+    val edge = Seq((1L, ts(0), 1L), (1L, ts(30), 2L)).toDF("user_id", "ts", "event_id")
+    assert(EventAnalytics.sessionize(edge, "user_id", "ts", "event_id", 1800L)
+      .count() == 1L)
+  }
+
+  test("attributeLastTouch: latest prior touch wins, window bounds, self-type excluded") {
+    val rows = Seq(
+      // u1: view@1, click@2, purchase@3 -> attributed to click (latest)
+      (1L, ts(1), "view", 10L), (1L, ts(2), "click", 11L), (1L, ts(3), "purchase", 12L),
+      // u2: touch AFTER the purchase only -> unattributed (dropped)
+      (2L, ts(5), "purchase", 20L), (2L, ts(6), "view", 21L),
+      // u3: view 8 days before purchase -> outside the 7-day window
+      (3L, Timestamp.valueOf("2024-01-01 00:00:00"), "view", 30L),
+      (3L, Timestamp.valueOf("2024-01-09 00:00:00"), "purchase", 31L),
+      // u4: two purchases share the same earlier view
+      (4L, ts(1), "view", 40L), (4L, ts(2), "purchase", 41L), (4L, ts(3), "purchase", 42L))
+    val df = rows.toDF("user_id", "ts", "event_type", "event_id")
+    val got = EventAnalytics.attributeLastTouch(df, "user_id", "ts",
+      "event_id", "event_type", Seq("view", "click"), "purchase", windowDays = 7)
+      .orderBy("conversion_id")
+      .select("conversion_id", "touch_type", "touch_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((12L, "click", 11L), (41L, "view", 40L), (42L, "view", 40L)),
+      s"got $got")
+    // a purchase is never its own touch (guarded at the API)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.attributeLastTouch(df, "user_id", "ts", "event_id",
+        "event_type", Seq("purchase"), "purchase", 7)
+    }
+  }
+
+  test("pathTransitions: consecutive pairs only, per-user timelines never cross") {
+    val rows = Seq(
+      (1L, ts(1), "a", 1L), (1L, ts(2), "b", 2L), (1L, ts(3), "a", 3L),
+      (2L, ts(1), "b", 4L), (2L, ts(2), "b", 5L))
+    val df = rows.toDF("user_id", "ts", "event_type", "event_id")
+    val got = EventAnalytics.pathTransitions(df, "user_id", "ts",
+      "event_id", "event_type")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long)].collect().toSeq
+    // u1: a->b, b->a ; u2: b->b — u1's last event never pairs with u2's
+    assert(got == Seq(("a", "b", 1L), ("b", "a", 1L), ("b", "b", 1L)), s"got $got")
+  }
 }

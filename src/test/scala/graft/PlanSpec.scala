@@ -521,6 +521,30 @@ class PlanSpec extends AnyFunSuite {
     assert(r.getInt(2) == 3)
     assert(r.getInt(3) == 1)
   }
+  test("q80 sessionize: ONE shuffle feeds both windows and the rollup") {
+    val plan = executedNoAqe(
+      ExtraQueries.queries("q80_sessionize")(spark, TestSpark.sf))
+    // windows (lag flag + running session number) and the final
+    // groupBy(user, session) all reuse the single hash exchange on
+    // user; the only other exchange is the output orderBy's range
+    // partitioning
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 2,
+      s"sessionize must shuffle once (plus the output sort), got ${shuffles.size}:\n$plan")
+    assert(shuffles.count(_.outputPartitioning
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]) == 1,
+      s"exactly one hash shuffle on user:\n$plan")
+  }
+
+  test("q81 attribution: the type filter reaches the events scan") {
+    val plan = formatted(
+      ExtraQueries.queries("q81_attribution")(spark, TestSpark.sf))
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("In(event_type"),
+      s"touch+conversion type filter must be pushed to the scan:\n$plan")
+  }
 }
 
 class DateTimeFormatSpec extends AnyFunSuite {

@@ -1027,4 +1027,91 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(got == Seq(
       ("update_postimage", 6L, "upd6"), ("update_preimage", 6L, "val6")))
   }
+  test("vacuum deletes dropped versions' bloom index dirs alongside their stats dirs") {
+    val dir = freshDir("snap-vacuum-bloom")
+    val df = (0 until 4000).map(i => (i.toLong, i.toLong % 200L, s"v$i", 0L))
+      .toDF("k", "tag", "payload", "commit_v")
+    SnapshotTable.create(spark, df.repartitionByRange(8, col("k")), dir)
+    SnapshotTable.attachBloom(spark, dir, "tag", expectedItemsPerFile = 1000L)
+    val changes = (50 until 60).map(i => (i.toLong, 999999L, s"u$i", 1L, false))
+      .toDF("k", "tag", "payload", "commit_v", "_deleted")
+    SnapshotTable.upsert(spark, dir, changes, "k", "commit_v", "payload")
+    SnapshotTable.attachBloomIncremental(spark, dir, "tag",
+      expectedItemsPerFile = 1000L)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$dir/bloom/v00001_tag")))
+    SnapshotTable.vacuum(spark, dir, keepLast = 1, graceMs = 0L)
+    // v1's bloom dir goes with its manifest; v2's must survive and serve
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/bloom/v00001_tag")),
+      "vacuumed version's bloom index must be deleted (unbounded growth otherwise)")
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$dir/bloom/v00002_tag")))
+    val (scan, pr) = SnapshotTable.lookupPoint(spark, dir, "tag", 999999L)
+    assert(scan.count() == 10L)
+    assert(pr.exists(p => p.filesKept < p.filesTotal))
+  }
+
+  test("attachBloomIncremental: reuse survives URI-encodable characters in the table path") {
+    // a space in the table dir makes input_file_name()-derived index
+    // keys (%20) diverge from manifest listStatus strings — without
+    // canonical comparison the reuse join silently matches NOTHING and
+    // every commit rescans the whole table (O(table), not O(new))
+    val dir = freshDir("snap bloom space")
+    val df = (0 until 4000).map(i => (i.toLong, i.toLong % 200L, s"v$i", 0L))
+      .toDF("k", "tag", "payload", "commit_v")
+    SnapshotTable.create(spark, df.repartitionByRange(8, col("k")), dir)
+    SnapshotTable.attachBloom(spark, dir, "tag", expectedItemsPerFile = 1000L)
+    val changes = (50 until 60).map(i => (i.toLong, 999999L, s"u$i", 1L, false))
+      .toDF("k", "tag", "payload", "commit_v", "_deleted")
+    val c2 = SnapshotTable.upsert(spark, dir, changes, "k", "commit_v", "payload")
+    val (reused, scanned) = SnapshotTable.attachBloomIncremental(spark, dir, "tag",
+      expectedItemsPerFile = 1000L)
+    assert(reused == c2.filesReused.toLong && reused > 0L,
+      s"reuse must survive the encoded-path form: reused=$reused scanned=$scanned " +
+        s"(expected ${c2.filesReused} reused)")
+    assert(scanned == (c2.files.length - c2.filesReused).toLong)
+  }
+  test("shallowClone: zero-copy manifest, write independence, source-vacuum storage hazard") {
+    val src = freshDir("snap-clone-src")
+    val dst = freshDir("snap-clone-dst")
+    SnapshotTable.create(spark, mkBase(2000).repartitionByRange(4, col("k")), src)
+    val c = SnapshotTable.shallowClone(spark, src, dst)
+    val f = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // ZERO-COPY: the clone's v1 manifest is the source's file list
+    // verbatim and no data directory exists under the clone at all
+    assert(c.files == SnapshotTable.files(spark, src, Some(1L)))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dst/data")),
+      "a shallow clone must not copy data")
+    assert(SnapshotTable.read(spark, dst).count() == 2000L)
+    // WRITE INDEPENDENCE: an upsert on the clone leaves the source
+    // byte-identical (same manifest, same rows) and lands new files
+    // under the CLONE's directory only
+    val ch = Seq((5L, "cloned", 1L, false)).toDF("k", "payload", "commit_v", "_deleted")
+    SnapshotTable.upsert(spark, dst, ch, "k", "commit_v", "payload")
+    assert(SnapshotTable.read(spark, src)
+      .filter(col("payload") === "cloned").count() == 0L)
+    assert(SnapshotTable.read(spark, dst)
+      .filter(col("payload") === "cloned").count() == 1L)
+    assert(SnapshotTable.files(spark, dst, Some(2L))
+      .exists(_.contains(s"$dst/data")), "clone writes go under the clone")
+    // re-clone onto an existing table refused; missing source throws
+    intercept[IllegalArgumentException] {
+      SnapshotTable.shallowClone(spark, src, dst)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.shallowClone(spark, freshDir("snap-clone-none"),
+        freshDir("snap-clone-dst2"))
+    }
+    // STORAGE DEPENDENCE (the documented hazard): the clone references
+    // source files, so a source rewrite + zero-grace vacuum deletes
+    // files the clone's manifest still lists
+    val ch2 = (0 until 2000).map(i => (i.toLong, s"rw$i", 2L, false))
+      .toDF("k", "payload", "commit_v", "_deleted")
+    SnapshotTable.upsert(spark, src, ch2, "k", "commit_v", "payload")
+    SnapshotTable.vacuum(spark, src, keepLast = 1, graceMs = 0L)
+    val cloneV1 = SnapshotTable.files(spark, dst, Some(1L))
+    assert(cloneV1.exists(p => !f.exists(new org.apache.hadoop.fs.Path(p))),
+      "source vacuum reaps files the clone references — deep-copy when needed")
+  }
 }
