@@ -902,6 +902,46 @@ object ExtraQueries {
         .orderBy("snap", "o_orderkey")
     }),
 
+    "q84_snapshot_mv" -> ((s, dir) => {
+      // incrementally-maintained aggregate MATERIALIZED VIEW: create the
+      // view at v1 (one full scan, paid once), upsert a mixed delta
+      // (updates + inserts + deletes) into the table, refresh the view
+      // from the CDC DELTA only — O(delta + |view|), no table rescan —
+      // and serve it. Cent-integer sums make incremental maintenance
+      // algebraically identical to recomputation, so the served view
+      // hash-matches DuckDB's full recompute of the merged truth; any
+      // drift (missed delete, double-applied update, float order) is a
+      // mismatch. Refresh cost shape + no-op freshness spec'd.
+      import graft.operators.{MaterializedView, SnapshotTable}
+      val tdir = s"${Scratch.dir}/q84_table"
+      val mdir = s"${Scratch.dir}/q84_mv"
+      for (d <- Seq(tdir, mdir)) {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      }
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("commit_v", lit(0L))
+      SnapshotTable.create(s,
+        base.repartitionByRange(8, col("o_orderkey")), tdir)
+      MaterializedView.create(s, tdir, mdir, "o_custkey", "o_totalprice")
+      val upd = base.filter(col("o_orderkey") % 10 === 2)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(500.0))
+        .withColumn("commit_v", lit(1L)).withColumn("_deleted", lit(false))
+      val ins = base.filter(col("o_orderkey") % 10 === 6)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+        .withColumn("commit_v", lit(1L)).withColumn("_deleted", lit(false))
+      val del = base.filter(col("o_orderkey") % 10 === 8)
+        .withColumn("commit_v", lit(1L)).withColumn("_deleted", lit(true))
+      SnapshotTable.upsert(s, tdir, upd.unionByName(ins).unionByName(del),
+        "o_orderkey", "commit_v", "o_totalprice")
+      MaterializedView.refresh(s, tdir, mdir, "o_orderkey", "o_custkey",
+        "o_totalprice")
+      MaterializedView.serve(s, mdir)
+        .select(col("key").as("o_custkey"), col("n_rows"), col("sum_value"))
+        .orderBy("o_custkey")
+    }),
+
     "q83_snapshot_clone" -> ((s, dir) => {
       // metadata-only SHALLOW CLONE end-to-end: clone = src's v1 file
       // list verbatim (zero data copied), then an upsert on the CLONE —
@@ -1556,6 +1596,24 @@ object ExtraQueries {
         |SELECT o_orderkey, o_custkey, o_totalprice FROM m
         |WHERE o_custkey IN (9999999, 97)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // full recompute of the merged truth — the incrementally-refreshed
+    // view must equal it exactly (cent-integer sums, no float order)
+    "q84_snapshot_mv" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |m AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 2 THEN o_totalprice + 500.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM b WHERE o_orderkey % 10 != 8
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+        |  FROM b WHERE o_orderkey % 10 = 6)
+        |SELECT o_custkey, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS sum_value
+        |FROM m GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
 
     // source = pre-upsert truth (write independence), clone = merged
     "q83_snapshot_clone" ->

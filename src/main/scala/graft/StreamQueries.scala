@@ -168,6 +168,62 @@ object StreamQueries {
         .orderBy("o_orderkey")
     }),
 
+    "stream_mv" -> ((s, dir) => {
+      // CONTINUOUSLY-FRESH materialized view through real structured
+      // streaming: a CDC feed tails into the replica table AND advances
+      // the aggregate view in the same micro-batch (MaterializedView
+      // .maintainStream — one delta-sized refresh per commit, never a
+      // rescan). maxFilesPerTrigger=1 slices the feed into 4 arbitrary
+      // micro-batches; latest-wins + integer-cents algebra make the
+      // slicing invisible, so the served view must equal DuckDB's full
+      // recompute of the final truth — a missed delete, double-applied
+      // update or stale refresh hash-mismatches.
+      import graft.operators.{MaterializedView, SnapshotTable}
+      val srcDir = s"${Scratch.dir}/stream_mv_src"
+      val repDir = s"${Scratch.dir}/stream_mv_rep"
+      val mvDir = s"${Scratch.dir}/stream_mv_view"
+      val feedDir = s"${Scratch.dir}/stream_mv_feed"
+      val ckpt = s"${Scratch.dir}/stream_mv_ckpt"
+      Seq(srcDir, repDir, mvDir, feedDir, ckpt).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      }
+      val base = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotTable.create(s,
+        base.withColumn("commit_v", lit(0L))
+          .repartitionByRange(8, col("o_orderkey")), srcDir)
+      val m = pmod(col("o_orderkey"), lit(10))
+      val ch = base.filter(m === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(500.0))
+        .withColumn("_deleted", lit(false))
+        .unionByName(base.filter(m === 7).withColumn("_deleted", lit(true)))
+        .unionByName(base.filter(m === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+          .withColumn("_deleted", lit(false)))
+        .withColumn("commit_v", lit(1L))
+      SnapshotTable.upsert(s, srcDir, ch, "o_orderkey", "commit_v",
+        "o_totalprice")
+      val feed = SnapshotTable.changes(s, srcDir, "o_orderkey", 1L, 2L,
+          ignoreCols = Seq("commit_v"))
+        .filter(col("_change_type") =!= "update_preimage")
+        .withColumn("_deleted", col("_change_type") === "delete")
+        .drop("_change_type")
+        .withColumn("commit_v", lit(1L))
+      feed.repartition(4).write.parquet(feedDir)
+      SnapshotTable.create(s,
+        SnapshotTable.read(s, srcDir, Some(1L))
+          .repartitionByRange(8, col("o_orderkey")), repDir)
+      MaterializedView.create(s, repDir, mvDir, "o_custkey", "o_totalprice")
+      val q = MaterializedView.maintainStream(s, feedDir, feed.schema,
+        repDir, mvDir, "o_orderkey", "commit_v", "o_totalprice",
+        "o_custkey", "o_totalprice", ckpt)
+      q.awaitTermination()
+      MaterializedView.serve(s, mvDir)
+        .select(col("key").as("o_custkey"), col("n_rows"), col("sum_value"))
+        .orderBy("o_custkey")
+    }),
+
     "stream_sketch_rollup" -> ((s, dir) => {
       // incremental sketch-store maintenance (streaming.SketchRollup):
       // the corpus ARRIVES in 3 batches (event_id mod 3 — deterministic),
@@ -223,6 +279,25 @@ object StreamQueries {
         |SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_totalprice
         |FROM b WHERE o_orderkey % 10 = 1
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the continuously-refreshed view replayed as one full recompute of
+    // the final truth: micro-batch slicing must be invisible (integer-
+    // cents algebra + latest-wins)
+    "stream_mv" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |m AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 500.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM b WHERE o_orderkey % 10 != 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+        |  FROM b WHERE o_orderkey % 10 = 1)
+        |SELECT o_custkey, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS sum_value
+        |FROM m GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
 
     // exact counts cross-engine; `ok` follows the q50 scheme (each engine
     // inside its own sketch's 5% band). The one-shot DuckDB truth is

@@ -52,7 +52,17 @@ object ScaleProbe {
     // is ONE scan + one shuffle — funnel/cohort fold or window per user,
     // resample's grid is time-range-sized (constant) so its cost is the
     // scan+aggregate alone
-    "q71_funnel", "q72_cohort", "q74_resample", "q75_funnel_repeat")
+    "q71_funnel", "q72_cohort", "q74_resample", "q75_funnel_repeat",
+    // r15 event analytics: sessionize/attribution/transitions are each
+    // ONE hash shuffle on user + window passes — wall should track the
+    // 10x scan, never blow up on per-user state
+    "q80_sessionize", "q81_attribution", "q82_path_transitions",
+    // r15 SQ8: calibration + dequantized corpus scan + re-rank — the
+    // scan is the cost, linear in corpus; shortlist/re-rank constant
+    "ann_sq8_rerank",
+    // r15 PMI collocations: two vocab-sized aggregates over a 10x token
+    // stream (vocab ~10x from the digit suffixes)
+    "text_collocations")
 
   private def loadavg(): String =
     scala.util.Try(new String(java.nio.file.Files.readAllBytes(

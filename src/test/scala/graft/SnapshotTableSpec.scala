@@ -1114,4 +1114,57 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(cloneV1.exists(p => !f.exists(new org.apache.hadoop.fs.Path(p))),
       "source vacuum reaps files the clone references — deep-copy when needed")
   }
+  test("materialized view: refresh ≡ rebuild; zero-count keys leave; no-op freshness; restore guard") {
+    import graft.operators.MaterializedView
+    val tdir = freshDir("snap-mv-table")
+    val mdir = freshDir("snap-mv-view")
+    val mdir2 = freshDir("snap-mv-rebuild")
+    // value has <= 2 decimals (the cents-exactness contract)
+    val base = (0 until 3000)
+      .map(i => (i.toLong, (i % 7).toLong, (i % 500) + 0.25, 0L))
+      .toDF("k", "grp", "price", "commit_v")
+    SnapshotTable.create(spark, base.repartitionByRange(6, col("k")), tdir)
+    assert(MaterializedView.create(spark, tdir, mdir, "grp", "price") == 1L)
+    // mixed delta: update band, insert band, DELETE one whole group (6)
+    val upd = base.filter(col("k") % 10 === 3 && col("grp") =!= 6L)
+      .withColumn("price", col("price") + lit(10.5))
+      .withColumn("commit_v", lit(1L)).withColumn("_deleted", lit(false))
+    val ins = base.filter(col("k") % 10 === 4 && col("grp") =!= 6L)
+      .withColumn("k", col("k") + lit(100000L))
+      .withColumn("commit_v", lit(1L)).withColumn("_deleted", lit(false))
+    val del = base.filter(col("grp") === 6L)
+      .withColumn("commit_v", lit(1L)).withColumn("_deleted", lit(true))
+    SnapshotTable.upsert(spark, tdir, upd.unionByName(ins).unionByName(del),
+      "k", "commit_v", "price")
+    val (f, t) = MaterializedView.refresh(spark, tdir, mdir, "k", "grp", "price")
+    assert((f, t) == (1L, 2L))
+    def rows(d: String) = MaterializedView.serve(spark, d)
+      .orderBy("key").as[(Long, Long, Double)].collect().toSeq
+    // the incrementally-refreshed view equals a from-scratch rebuild
+    MaterializedView.create(spark, tdir, mdir2, "grp", "price")
+    assert(rows(mdir) == rows(mdir2),
+      "refresh must be algebraically identical to recomputation")
+    // group 6 was fully deleted: its key is GONE, not a zero row
+    assert(!rows(mdir).exists(_._1 == 6L), "zero-count keys must leave the view")
+    assert(MaterializedView.reflectedVersion(spark, mdir) == 2L)
+    // no-op refresh: already current, no new view version published
+    val mvFs = new org.apache.hadoop.fs.Path(mdir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def mvManifests() = mvFs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$mdir/manifest")).length
+    val mBefore = mvManifests()
+    assert(MaterializedView.refresh(spark, tdir, mdir, "k", "grp", "price") == (2L, 2L))
+    assert(mvManifests() == mBefore,
+      "a no-op refresh must not publish a new view version")
+    // RESTORE commits a NEW version (v3 = v1's content), so the view
+    // stays maintainable: the refresh applies the undo's net delta and
+    // the view equals a rebuild over the restored truth
+    SnapshotTable.restore(spark, tdir, 1L)
+    assert(MaterializedView.refresh(spark, tdir, mdir, "k", "grp", "price")
+      == (2L, 3L))
+    val mdir3 = freshDir("snap-mv-restored")
+    MaterializedView.create(spark, tdir, mdir3, "grp", "price")
+    assert(rows(mdir) == rows(mdir3),
+      "a refresh across a restore must equal the restored-truth rebuild")
+  }
 }
