@@ -173,7 +173,7 @@ object StreamQueries {
       // streaming: a CDC feed tails into the replica table AND advances
       // the aggregate view in the same micro-batch (MaterializedView
       // .maintainStream — one delta-sized refresh per commit, never a
-      // rescan). maxFilesPerTrigger=1 slices the feed into 4 arbitrary
+      // rescan). maxFilesPerTrigger=1 slices the feed into 2 arbitrary
       // micro-batches; latest-wins + integer-cents algebra make the
       // slicing invisible, so the served view must equal DuckDB's full
       // recompute of the final truth — a missed delete, double-applied
@@ -210,7 +210,7 @@ object StreamQueries {
         .withColumn("_deleted", col("_change_type") === "delete")
         .drop("_change_type")
         .withColumn("commit_v", lit(1L))
-      feed.repartition(4).write.parquet(feedDir)
+      feed.repartition(2).write.parquet(feedDir)
       SnapshotTable.create(s,
         SnapshotTable.read(s, srcDir, Some(1L))
           .repartitionByRange(8, col("o_orderkey")), repDir)

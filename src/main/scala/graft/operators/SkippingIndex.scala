@@ -496,19 +496,27 @@ object SkippingIndex {
     def statsPulled: Long = source.pulled.get()
   }
 
-  /** Distributed backing store for a walk's per-file stats — the fix
-    * for per-walk O(files) driver collects (the old [[TypedKeysetWalk]]
-    * materialized the full stats array up front; at millions of files
-    * that is ~100 MB of driver heap PER WALK, re-pulled on every walk).
-    * The stats frame is sorted ONCE per direction and cached in
-    * executor memory; each page streams candidate rows through
-    * `toLocalIterator`, so the driver only ever holds the few rows a
-    * page walks (partition-batch granularity). Only the BLIND files
-    * (no usable min/max — they join every page anyway) and the file
-    * count are materialized at construction, both tiny.
+  /** Backing store for a walk's per-file stats, HYBRID by file count —
+    * the fix for per-walk O(files) driver collects (the old
+    * [[TypedKeysetWalk]] always materialized the full stats array; at
+    * millions of files that is ~100 MB of driver heap PER WALK,
+    * re-pulled on every walk):
     *
-    * Ordering note: the executor-side sort must match the walk's
-    * driver-side `Ordering[K]` — LongType sorts numerically
+    *  - tables up to `graft.keyset.eagerStatsMax` files (default 4096 —
+    *    a few hundred KB of driver heap, bounded) keep the eager array:
+    *    page planning is pure driver memory, zero Spark jobs per page —
+    *    the interactive-pagination latency the bench gates measure;
+    *  - above the threshold the stats stay DISTRIBUTED: the frame is
+    *    sorted once per direction into executor cache and each page
+    *    streams candidate rows through `toLocalIterator` with the
+    *    cursor filter applied executor-side, so the driver holds only
+    *    the rows a page actually walks.
+    *
+    * Driver residency is therefore bounded by
+    * min(files, eagerStatsMax) + files-walked at ANY table size.
+    *
+    * Ordering note (lazy path): the executor-side sort must match the
+    * walk's driver-side `Ordering[K]` — LongType sorts numerically
     * (`Ordering.Long`) and StringType sorts in unsigned UTF-8 byte
     * order (UTF8String.compareTo == [[Utf8Ordering]]), so the sorted
     * stream IS the order the stop-bound arithmetic assumes. A filter on
@@ -517,7 +525,8 @@ object SkippingIndex {
     * so the filtered stream stays globally sorted.
     */
   private[operators] final class StatsSource[K](spark: SparkSession,
-      statsDf: DataFrame, column: String, get: (Row, Int) => K) {
+      statsDf: DataFrame, column: String, get: (Row, Int) => K,
+      ord: Ordering[K]) {
 
     private val normalized: DataFrame = {
       // a frame without the `_nulls` column (an index attached before
@@ -537,15 +546,39 @@ object SkippingIndex {
       if (r.isNullAt(3)) None else Some(get(r, 3)),
       if (r.isNullAt(4)) None else Some(r.getLong(4)))
 
-    /** Files with no usable bounds (all-NULL or stats-less): they join
-      * every page unconditionally, so they're collected once — the
-      * degenerate few, never the table.
-      */
-    val blind: Array[FileStatOf[K]] =
-      normalized.where(col("mn").isNull || col("mx").isNull)
-        .collect().map(toStat)
+    private val eagerMax: Int =
+      spark.conf.get("graft.keyset.eagerStatsMax", "4096").toInt
 
-    val totalFiles: Int = normalized.count().toInt
+    /** Stats rows materialized on the driver (residency evidence). */
+    val pulled = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    // eager path: one bounded-size probe, then one collect — the page
+    // loop never touches Spark again
+    private val eagerRows: Option[Array[FileStatOf[K]]] = {
+      val fits = eagerMax > 0 &&
+        normalized.limit(eagerMax + 1).count() <= eagerMax
+      if (!fits) None
+      else {
+        val arr = normalized.collect().map(toStat)
+        pulled.addAndGet(arr.length.toLong)
+        Some(arr)
+      }
+    }
+
+    /** Files with no usable bounds (all-NULL or stats-less): they join
+      * every page unconditionally — the degenerate few, never the table.
+      */
+    val blind: Array[FileStatOf[K]] = eagerRows match {
+      case Some(arr) => arr.filter(s => s.min.isEmpty || s.max.isEmpty)
+      case None =>
+        val arr = normalized.where(col("mn").isNull || col("mx").isNull)
+          .collect().map(toStat)
+        pulled.addAndGet(arr.length.toLong)
+        arr
+    }
+
+    val totalFiles: Int = eagerRows.map(_.length)
+      .getOrElse(normalized.count().toInt)
     require(totalFiles > 0, "keyset walk needs at least one file")
 
     /** Any one file of the stats frame — schema donor for the provably-
@@ -554,14 +587,15 @@ object SkippingIndex {
       */
     lazy val anyFile: String =
       if (blind.nonEmpty) blind.head.file
-      else normalized.select("file").head().getString(0)
+      else eagerRows.map(_.head.file)
+        .getOrElse(normalized.select("file").head().getString(0))
 
-    /** Stats rows materialized on the driver across all pages. */
-    val pulled = new java.util.concurrent.atomic.AtomicLong(0L)
+    private lazy val eagerKnown: Array[FileStatOf[K]] =
+      eagerRows.get.filter(s => s.min.isDefined && s.max.isDefined)
 
     private val known =
       normalized.where(col("mn").isNotNull && col("mx").isNotNull)
-    // sorted once per direction, cached distributed; pages stream from it
+    // lazy path: sorted once per direction, cached distributed
     private lazy val ascFrame = {
       val d = known.orderBy(col("mn").asc)
       d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -577,23 +611,37 @@ object SkippingIndex {
     private var builtAsc = false
     private var builtDesc = false
 
-    def candidates(after: Option[K], ascending: Boolean): Iterator[FileStatOf[K]] = {
-      val base = synchronized {
-        if (ascending) { builtAsc = true; ascFrame }
-        else { builtDesc = true; descFrame }
+    def candidates(after: Option[K], ascending: Boolean): Iterator[FileStatOf[K]] =
+      eagerRows match {
+        case Some(_) =>
+          // pure driver memory: filter + sort exactly like the lazy
+          // path's executor-side plan (same candidate set, same order)
+          val cand = after match {
+            case None => eagerKnown
+            case Some(a) => eagerKnown.filter(s =>
+              if (ascending) ord.gt(s.max.get, a) else ord.lt(s.min.get, a))
+          }
+          val sorted =
+            if (ascending) cand.sortBy(_.min.get)(ord)
+            else cand.sortBy(_.max.get)(ord.reverse)
+          sorted.iterator
+        case None =>
+          val base = synchronized {
+            if (ascending) { builtAsc = true; ascFrame }
+            else { builtDesc = true; descFrame }
+          }
+          val filtered = after match {
+            case None => base
+            case Some(a) =>
+              if (ascending) base.where(col("mx") > lit(a))
+              else base.where(col("mn") < lit(a))
+          }
+          import scala.jdk.CollectionConverters._
+          filtered.toLocalIterator().asScala.map { r =>
+            pulled.incrementAndGet()
+            toStat(r)
+          }
       }
-      val filtered = after match {
-        case None => base
-        case Some(a) =>
-          if (ascending) base.where(col("mx") > lit(a))
-          else base.where(col("mn") < lit(a))
-      }
-      import scala.jdk.CollectionConverters._
-      filtered.toLocalIterator().asScala.map { r =>
-        pulled.incrementAndGet()
-        toStat(r)
-      }
-    }
 
     def close(): Unit = synchronized {
       if (builtAsc) ascFrame.unpersist()
@@ -680,7 +728,8 @@ object SkippingIndex {
   private[operators] def keysetWalkMicrosFromStats(spark: SparkSession,
       statsDf: DataFrame, column: String): TypedKeysetWalk[Long] =
     new TypedKeysetWalk[Long](spark, column,
-      new StatsSource[Long](spark, statsDf, column, (r, i) => r.getLong(i)),
+      new StatsSource[Long](spark, statsDf, column, (r, i) => r.getLong(i),
+        Ordering.Long),
       Ordering.Long,
       (a, asc) => {
         val c = timestamp_micros(lit(a))
@@ -708,7 +757,8 @@ object SkippingIndex {
       s"long keyset walk needs LongType ${column}_min/_max stats, got " +
         s"${mt.simpleString} — string-keyed stats walk via keysetWalkString")
     new KeysetWalk(new TypedKeysetWalk[Long](spark, column,
-      new StatsSource[Long](spark, statsDf, column, (r, i) => r.getLong(i)),
+      new StatsSource[Long](spark, statsDf, column, (r, i) => r.getLong(i),
+        Ordering.Long),
       Ordering.Long,
       (a, asc) => if (asc) col(column) > a else col(column) < a))
   }
@@ -724,7 +774,8 @@ object SkippingIndex {
       s"string keyset walk needs StringType ${column}_min/_max stats, got " +
         s"${mt.simpleString} — long-keyed stats walk via keysetWalk")
     new TypedKeysetWalk[String](spark, column,
-      new StatsSource[String](spark, statsDf, column, (r, i) => r.getString(i)),
+      new StatsSource[String](spark, statsDf, column, (r, i) => r.getString(i),
+        Utf8Ordering),
       Utf8Ordering,
       (a, asc) => if (asc) col(column) > a else col(column) < a)
   }

@@ -493,7 +493,11 @@ class SkippingIndexSpec extends AnyFunSuite {
     (0L until 6400L).map(k => (k, s"v$k")).toDF("k", "v")
       .repartitionByRange(64, col("k")).sortWithinPartitions("k")
       .write.mode("overwrite").parquet(d)
-    val walk = SkippingIndex.keysetWalk(spark, d, "k")
+    // force the LAZY path (64 files would normally ride the bounded
+    // eager array): this spec is the millions-of-files residency proof
+    spark.conf.set("graft.keyset.eagerStatsMax", "0")
+    val walk = try SkippingIndex.keysetWalk(spark, d, "k")
+    finally spark.conf.set("graft.keyset.eagerStatsMax", "4096")
     val (pg, pr) = walk.page(Long.MinValue, 50)
     assert(pg.collect().map(_.getLong(0)).toSeq == (0L until 50L))
     assert(pr.filesTotal == 64)
