@@ -110,7 +110,17 @@ object ScaleProbe {
       (best, rows)
     }
     val results = scala.collection.mutable.ArrayBuffer.empty[String]
-    Queries.foreach { name =>
+    // SPARK_GRAFT_PROBE_ONLY=a,b,c re-probes a subset (outlier
+    // re-adjudication on a host with intermittent external load); the
+    // non-query probes below only run on a full sweep
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val fullSweep = only.isEmpty
+    only.foreach { f =>
+      val unknown = f -- Queries.toSet
+      require(unknown.isEmpty, s"unknown probe names: $unknown")
+    }
+    Queries.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn = qs(name)
       force(fn(spark, src)) // warmup: codegen/JIT on the sf0.1 shape
       val (tSmall, rowsSmall) = timedMin(fn, src)
@@ -129,7 +139,7 @@ object ScaleProbe {
     // scale 10x with the corpus, the 100 TB model). Contrast: the plain
     // seek top-k (Paginator.pageAfter) scans the whole remainder past
     // the cursor, which grows 10x.
-    locally {
+    if (fullSweep) locally {
       // layouts derive from the probe's out arg (no hardcoded checkout
       // path) and ALWAYS rebuild — a stale layout from an earlier corpus
       // or nFiles choice would silently skew the flatness measurement,
@@ -176,7 +186,7 @@ object ScaleProbe {
     // change band costs the same whatever the table size — per-diff
     // wall time must be ~FLAT from sf0.1 to sf1 when rows-per-file is
     // held constant (files scale 10x, the touched band does not).
-    locally {
+    if (fullSweep) locally {
       import graft.operators.SnapshotTable
       def buildSnap(docsDir: String, outDir: String, nFiles: Int): Unit = {
         val p = new org.apache.hadoop.fs.Path(outDir)
@@ -218,7 +228,7 @@ object ScaleProbe {
     // per-lookup wall time should grow FAR slower than the 10x corpus
     // (the fpp tail adds ~fpp·files false-positive reads; at 1% over
     // 320 files that is ~3 extra bounded reads, not 10x the work).
-    locally {
+    if (fullSweep) locally {
       import graft.operators.SkippingIndex
       // tag: one distinguished RARE value per probed doc_id (doc_id
       // itself), everything else folded into 64 dense residues — rare
@@ -275,7 +285,7 @@ object ScaleProbe {
     // occupancy) — ~10x work for 10x queries with 10x output — where the
     // broadcast-replay shape would ship the corpus-sized query side to
     // every executor. Output-normalized ratio ≈ time ratio / rows ratio.
-    locally {
+    if (fullSweep) locally {
       import graft.operators.IvfIndex
       def probe(dir: String, nCells: Int): (Double, Long) = {
         val e = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -315,7 +325,7 @@ object ScaleProbe {
     // prove the incremental property directly: total word updates across
     // rounds ≪ rounds × vocabulary (a full-rescan trainer touches the
     // whole vocab every round).
-    locally {
+    if (fullSweep) locally {
       val rnd = new scala.util.Random(42)
       val letters = "abcdefghijklmnopqrstuvwxyz"
       val vocabN = 60000
