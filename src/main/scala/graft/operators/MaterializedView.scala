@@ -83,8 +83,16 @@ object MaterializedView {
     val v1 = SnapshotTable.currentVersion(spark, tableDir).getOrElse(
       throw new IllegalArgumentException(s"no snapshot table under $tableDir"))
     require(v1 >= v0, s"table at v$v1 is OLDER than the view's v$v0 — " +
-      "was the table restored/replaced? rebuild the view")
+      "was the table replaced? rebuild the view (a restore commits a NEW " +
+      "version and refreshes fine)")
     if (v1 == v0) return (v0, v0)
+    // a vacuum that dropped v0's manifest breaks the CDC base — fail
+    // with the remedy, not manifestLines' bare missing-version error
+    require(SnapshotTable.versions(spark, tableDir).contains(v0),
+      s"the view reflects v$v0 but that version was vacuumed from " +
+        s"$tableDir — the CDC delta can no longer be computed; rebuild " +
+        "the view (delete it and create()), or keep vacuum retention " +
+        "above the refresh cadence")
     val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
     val delta = SnapshotTable.changes(spark, tableDir, tableKeyCol, v0, v1)

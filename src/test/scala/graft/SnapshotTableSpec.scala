@@ -1166,5 +1166,15 @@ class SnapshotTableSpec extends AnyFunSuite {
     MaterializedView.create(spark, tdir, mdir3, "grp", "price")
     assert(rows(mdir) == rows(mdir3),
       "a refresh across a restore must equal the restored-truth rebuild")
+    // a vacuum that dropped the reflected version: loud error naming the
+    // remedy (the CDC base is gone), not a bare missing-manifest throw
+    val ch3 = Seq((7L, 3L, 9.75, 3L, false))
+      .toDF("k", "grp", "price", "commit_v", "_deleted")
+    SnapshotTable.upsert(spark, tdir, ch3, "k", "commit_v", "price")
+    SnapshotTable.vacuum(spark, tdir, keepLast = 1, graceMs = 0L)
+    val ev = intercept[IllegalArgumentException] {
+      MaterializedView.refresh(spark, tdir, mdir, "k", "grp", "price")
+    }
+    assert(ev.getMessage.contains("vacuumed"), ev.getMessage)
   }
 }
