@@ -174,7 +174,8 @@ object Bench {
       "q67_snapshot_zorder", "q68_snapshot_delete", "q69_snapshot_restore",
       "q70_snapshot_stats_inc", "text_bm25_indexed", "q77_point_bloom_inc",
       "q76_cohort_sketch", "text_bm25_append", "q78_snapshot_vacuum",
-      "q79_snapshot_asof")
+      "q79_snapshot_asof", "q83_snapshot_clone", "q84_snapshot_mv",
+      "stream_mv")
       .filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =

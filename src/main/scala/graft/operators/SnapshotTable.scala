@@ -180,10 +180,57 @@ object SnapshotTable {
     * and all.
     */
   def commitInstantOf(spark: SparkSession, dir: String, v: Long): Long =
-    manifestLines(spark, dir, v).find(_.startsWith(CommittedHeader))
-      .map(_.drop(CommittedHeader.length).trim.toLong)
-      .getOrElse(fs(spark, dir)
-        .getFileStatus(manifestPath(dir, v)).getModificationTime)
+    headerInstant(spark, dir, v)._2
+
+  /** (carries `#committed:` header?, resolved instant) for version `v`,
+    * reading a BOUNDED manifest prefix — the header is always the FIRST
+    * line when present ([[commitManifest]] writes it first), so one
+    * 64-byte read answers both questions regardless of manifest size
+    * (a 10⁶-file manifest costs the same as a 10-file one; the old
+    * whole-manifest `readFully` made every AS OF resolution
+    * O(versions × manifest bytes)). Results are memoized per
+    * (qualified path, mtime, length): manifests are immutable once
+    * published, and keying on (mtime, len) means a table deleted and
+    * recreated at the same path, or copied with rewritten mtimes, can
+    * never serve a stale instant. [[headerReads]] counts actual prefix
+    * reads (cache misses) — the cost evidence SnapshotTableSpec asserts.
+    */
+  private def headerInstant(spark: SparkSession, dir: String,
+      v: Long): (Boolean, Long) = {
+    val f = fs(spark, dir)
+    val p = manifestPath(dir, v)
+    val st =
+      try f.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(s"version $v does not exist under $dir")
+      }
+    val key = s"${f.makeQualified(p)}#${st.getModificationTime}#${st.getLen}"
+    val cached = instantCache.get(key)
+    if (cached != null) cached
+    else {
+      headerReads.incrementAndGet()
+      val n = math.min(st.getLen, 64L).toInt
+      val buf = new Array[Byte](n)
+      val in = f.open(p)
+      try in.readFully(0, buf) finally in.close()
+      val firstLine = new String(buf, "UTF-8").takeWhile(_ != '\n').trim
+      val res: (Boolean, Long) =
+        if (firstLine.startsWith(CommittedHeader))
+          (true, firstLine.drop(CommittedHeader.length).trim.toLong)
+        else (false, st.getModificationTime)
+      if (instantCache.size > 65536) instantCache.clear()
+      instantCache.put(key, res)
+      res
+    }
+  }
+
+  private val instantCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Long)]()
+
+  /** Test-visible cost evidence: manifest header prefix reads performed
+    * (cache misses). */
+  private[graft] val headerReads = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def clearInstantCache(): Unit = instantCache.clear()
 
   /** Atomically publish `fileList` as version `v`, or throw
     * [[CommitConflict]] if another writer committed `v` first — the
@@ -667,26 +714,79 @@ object SnapshotTable {
     * version→instant mapping stays order-preserving and the answer is
     * always a valid version (never one "from the future"). None when
     * the table had no committed version yet at `tsMillis`.
+    *
+    * Cost: on an all-header timeline (any table only ever written by
+    * this library) the resolution BISECTS — O(log versions) bounded
+    * 64-byte header reads, memoized — instead of opening every
+    * manifest; only a legacy mtime-bearing timeline pays the linear
+    * running-max walk.
     */
   def versionAsOf(spark: SparkSession, dir: String,
       tsMillis: Long): Option[Long] = {
-    var run = Long.MinValue
-    versions(spark, dir)
-      .map { v =>
-        run = math.max(run, commitInstantOf(spark, dir, v))
-        (v, run)
+    val vs = versions(spark, dir)
+    if (vs.isEmpty) None
+    // Header manifests form a SUFFIX of any timeline this library wrote:
+    // [[commitManifest]] has stamped `#committed:` on every publish since
+    // the header existed, and versions only grow — so header-less
+    // (legacy/pre-header) manifests can only sit BEFORE the first stamped
+    // one. If the OLDEST retained manifest carries a header, every
+    // retained instant is the stamped, STRICTLY-INCREASING value, and the
+    // resolution is an exact lower-bound bisection: O(log versions)
+    // bounded header reads (each cached), not a linear walk — a
+    // 10⁶-commit table answers AS OF in ~20 header reads, not a million
+    // file opens.
+    else if (headerInstant(spark, dir, vs.head)._1) {
+      if (commitInstantOf(spark, dir, vs.head) > tsMillis) None
+      else {
+        var lo = 0
+        var hi = vs.length - 1
+        while (lo < hi) {
+          val mid = (lo + hi + 1) >>> 1
+          if (commitInstantOf(spark, dir, vs(mid)) <= tsMillis) lo = mid
+          else hi = mid - 1
+        }
+        Some(vs(lo))
       }
-      .filter(_._2 <= tsMillis)
-      .lastOption.map(_._1)
+    } else {
+      // mixed/legacy timeline (mtime fallbacks somewhere): mtimes are
+      // order-preserving only under the running max, not strictly
+      // monotone, so bisection can't be trusted — keep the linear walk
+      var run = Long.MinValue
+      vs.map { v =>
+          run = math.max(run, commitInstantOf(spark, dir, v))
+          (v, run)
+        }
+        .filter(_._2 <= tsMillis)
+        .lastOption.map(_._1)
+    }
   }
 
   /** [[read]] pinned to [[versionAsOf]]'s resolution of `tsMillis`.
-    * Throws when the table did not exist yet at that instant.
+    * Throws when no version is servable at that instant — and the error
+    * distinguishes the two very different causes: the table genuinely
+    * did not exist yet (first retained version is v1, committed later),
+    * versus a version DID exist but the retained history no longer
+    * reaches it because [[vacuum]] dropped the prefix (the remedy is
+    * retention, not a different timestamp).
     */
   def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
-    read(spark, dir, Some(versionAsOf(spark, dir, tsMillis).getOrElse(
-      throw new IllegalArgumentException(
-        s"no version of $dir existed at epoch-ms $tsMillis"))))
+    versionAsOf(spark, dir, tsMillis) match {
+      case Some(v) => read(spark, dir, Some(v))
+      case None =>
+        val vs = versions(spark, dir)
+        throw new IllegalArgumentException(
+          if (vs.isEmpty)
+            s"no snapshot table under $dir"
+          else if (vs.head > 1L)
+            s"versions below v${vs.head} of $dir were VACUUMED — a version " +
+              s"may have been live at epoch-ms $tsMillis but its manifest " +
+              s"is gone (earliest retained is v${vs.head}, committed at " +
+              s"epoch-ms ${commitInstantOf(spark, dir, vs.head)}); keep " +
+              "vacuum retention above the as-of horizon you need to serve"
+          else
+            s"no version of $dir existed yet at epoch-ms $tsMillis " +
+              s"(v1 committed at epoch-ms ${commitInstantOf(spark, dir, 1L)})")
+    }
 
   /** Incremental [[attachStats]]: build version `v`'s stats index by
     * REUSING the most recent older version's index rows (same column

@@ -307,9 +307,21 @@ object TextAnalysis {
     val cur = FilesetLog.current(spark, path)
     val all = cur.map(FilesetLog.entries(spark, path, _)).getOrElse(Seq.empty)
     val hist = all.filterNot(_.tag == tag)
-    // disjointness guard: batch ids vs the RETAINED batches' id space
-    // (same-tag filesets are being superseded — their ids don't count).
-    // Join on ids only; take(1) so a clean batch costs one short job.
+    // disjointness guard, part 1: the batch itself must not carry a doc
+    // id twice — a within-batch duplicate double-counts its postings
+    // just as silently as a cross-batch one (the scaladoc's hazard), and
+    // the anti-check below can't see it (a batch is trivially disjoint
+    // from itself). groupBy(id) on the batch + take(1): batch-sized.
+    val intraDup = docs.groupBy(col(idCol).as("id"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).take(1)
+    require(intraDup.isEmpty,
+      s"batch carries document id ${intraDup.headOption.map(_.get(0))
+        .getOrElse("?")} more than once — BM25 postings would " +
+        "double-count; dedup the batch before ingest")
+    // disjointness guard, part 2: batch ids vs the RETAINED batches' id
+    // space (same-tag filesets are being superseded — their ids don't
+    // count). Join on ids only; take(1) so a clean batch costs one short
+    // job.
     val priorIdFiles = hist.filter(_.kind == IdsKind).map(_.file)
     if (tag >= 1 && priorIdFiles.nonEmpty) {
       val dup = docs.select(col(idCol).as("id"))
@@ -516,9 +528,20 @@ object TextAnalysis {
     * contract).
     *
     * Distributed shape: two vocabulary-sized aggregates (map-side
-    * partial) + a bigram-domain aggregate, two broadcast-joined
-    * marginals, two broadcast scalar totals, one TakeOrdered(k) — no
-    * corpus-sized shuffle beyond the count tables, no second scan.
+    * partial) + a bigram-domain aggregate, two broadcast scalar totals,
+    * one TakeOrdered(k) — no corpus-sized shuffle beyond the count
+    * tables, no second scan. The unigram MARGINALS are first semi-joined
+    * down to the words that appear in a minCount-surviving bigram
+    * (≤ 2·|surviving bigrams| rows — the only marginals the PMI join can
+    * use), and the marginal joins carry NO broadcast hint: AQE sees the
+    * shrunk side's runtime size and broadcasts when it fits,
+    * shuffle-joins when it doesn't. At a web-scale corpus the full
+    * unigram table is 10⁸-10⁹ rows — an unconditional `broadcast(uni)`
+    * is a multi-GB executor OOM, so the plan must degrade gracefully
+    * rather than force it (PlanSpec asserts the only forced broadcasts
+    * are the two one-row totals). The identical bigram-aggregate
+    * subplans (survivors, totals, word sets) share one exchange via
+    * Catalyst's ReusedExchange.
     */
   def collocations(docs: DataFrame, textCol: String, minCount: Long = 5L,
       k: Int = 50): DataFrame = {
@@ -536,9 +559,13 @@ object TextAnalysis {
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("n"))
     val btot = big.agg(sum("n").cast("double").as("b_total"))
-    big.filter(col("n") >= minCount)
-      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
-      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+    val survivors = big.filter(col("n") >= minCount)
+    def marginal(side: String) = uni
+      .join(survivors.select(col(side).as("w")).distinct(), Seq("w"), "left_semi")
+      .select(col("w").as(side), col("c").as(if (side == "w1") "c1" else "c2"))
+    survivors
+      .join(marginal("w1"), "w1")
+      .join(marginal("w2"), "w2")
       .crossJoin(broadcast(btot)).crossJoin(broadcast(tot))
       .select(col("w1"), col("w2"), col("n"),
         round(log((col("n").cast("double") / col("b_total")) /

@@ -612,6 +612,20 @@ class TextFunctionsSpec extends AnyFunSuite {
       Seq((7L, "rare iota kappa")).toDF("doc_id", "text"),
       "doc_id", "text", inc, tag = 2L)
     assert(res(inc).nonEmpty && res(inc) != before)
+    // INTRA-batch duplication is the same double-count hazard — a batch
+    // carrying one doc id twice is refused before anything commits (the
+    // cross-batch anti-check can't see it: a batch is disjoint from
+    // itself), and the id is named
+    val after = res(inc)
+    val intra = intercept[IllegalArgumentException] {
+      TextAnalysis.appendToBm25Index(
+        Seq((8L, "rare kappa"), (8L, "common lambda")).toDF("doc_id", "text"),
+        "doc_id", "text", inc, tag = 3L)
+    }
+    assert(intra.getMessage.contains("more than once") &&
+      intra.getMessage.contains("8"),
+      s"intra-batch guard must name the duplicate: ${intra.getMessage}")
+    assert(res(inc) == after, "a refused batch must leave the store untouched")
   }
 
   test("collocations: hand-computed PMI, minCount floor, deterministic tie order") {

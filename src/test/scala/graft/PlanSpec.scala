@@ -545,6 +545,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("In(event_type"),
       s"touch+conversion type filter must be pushed to the scan:\n$plan")
   }
+
+  test("text_collocations: no forced broadcast of the unigram marginals") {
+    // The PMI marginal joins must NOT carry a broadcast hint: at a
+    // web-scale corpus the unigram table is 10⁸-10⁹ rows and a forced
+    // broadcast OOMs executors. The only hinted subtrees allowed are the
+    // two ONE-ROW scalar totals (b_total / t_total); the marginals are
+    // semi-join-shrunk and left to AQE, which broadcasts them only when
+    // they actually fit — the graceful-degradation contract.
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val df = graft.operators.TextAnalysis.collocations(docs, "text")
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size == 2,
+      s"expected exactly the two scalar-total broadcast hints, got ${hints.size}")
+    hints.foreach { h =>
+      val cols = h.child.output.map(_.name).toSet
+      assert(cols.subsetOf(Set("b_total", "t_total")),
+        s"a non-scalar subtree is force-broadcast (columns $cols) — " +
+          "the unigram marginals must stay AQE-sized")
+    }
+  }
 }
 
 class DateTimeFormatSpec extends AnyFunSuite {

@@ -872,6 +872,63 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.versionAsOf(spark, dir, i2).contains(2L))
   }
 
+  test("versionAsOf bisects an all-header timeline: O(log versions) header reads, cached on repeat") {
+    val dir = freshDir("snap-asof-bisect")
+    SnapshotTable.create(spark, mkBase(10), dir) // v1
+    (1 to 15).foreach { i =>
+      val ch = Seq((1000L + i, s"n$i", i.toLong, false))
+        .toDF("k", "payload", "commit_v", "_deleted")
+      SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload")
+    }
+    val vs = SnapshotTable.versions(spark, dir)
+    assert(vs.size == 16)
+    val instants = vs.map(v => v -> SnapshotTable.commitInstantOf(spark, dir, v)).toMap
+    // exactness at every commit boundary: at v's instant resolve v, one
+    // ms before it resolve v-1 (instants strictly increase)
+    vs.foreach(v =>
+      assert(SnapshotTable.versionAsOf(spark, dir, instants(v)).contains(v)))
+    vs.tail.foreach(v =>
+      assert(SnapshotTable.versionAsOf(spark, dir, instants(v) - 1).contains(v - 1)))
+    // cost: a COLD resolution bisects — ≤ 1 (oldest-retained header probe)
+    // + ceil(log2(16)) = 5 bounded header reads, never one per version
+    // (the old linear walk opened all 16 manifests in full)
+    SnapshotTable.clearInstantCache()
+    val r0 = SnapshotTable.headerReads.get()
+    assert(SnapshotTable.versionAsOf(spark, dir, instants(9L)).contains(9L))
+    val cold = SnapshotTable.headerReads.get() - r0
+    assert(cold <= 6, s"bisection over 16 versions must need ≤ 6 header reads, got $cold")
+    // WARM: repeating the resolution touches the same manifests — the
+    // instant cache answers every probe, zero reads
+    val r1 = SnapshotTable.headerReads.get()
+    assert(SnapshotTable.versionAsOf(spark, dir, instants(9L)).contains(9L))
+    assert(SnapshotTable.headerReads.get() == r1,
+      "a repeat resolution must be served from the instant cache")
+  }
+
+  test("readAsOf distinguishes 'not created yet' from 'vacuumed away'") {
+    val dir = freshDir("snap-asof-vacmsg")
+    val before = System.currentTimeMillis() - 5
+    SnapshotTable.create(spark, mkBase(10), dir) // v1
+    val i1 = SnapshotTable.commitInstantOf(spark, dir, 1L)
+    val ch = Seq((999L, "new", 1L, false)).toDF("k", "payload", "commit_v", "_deleted")
+    SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload") // v2
+    // pre-create: the table genuinely did not exist — say so, no vacuum talk
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotTable.readAsOf(spark, dir, before)
+    }
+    assert(e1.getMessage.contains("existed yet"), e1.getMessage)
+    assert(!e1.getMessage.contains("VACUUM"), e1.getMessage)
+    // drop v1; asking for v1's instant now fails because history was
+    // vacuumed, NOT because the version never existed — the error must
+    // name the real cause and the remedy (retention)
+    SnapshotTable.vacuum(spark, dir, keepLast = 1, graceMs = 0L)
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotTable.readAsOf(spark, dir, i1)
+    }
+    assert(e2.getMessage.contains("VACUUMED"), e2.getMessage)
+    assert(e2.getMessage.contains("retention"), e2.getMessage)
+  }
+
   test("attachStatsIncremental: scans only new files, index row-identical to the full build") {
     import graft.operators.SkippingIndex
     val dir = freshDir("snap-statsinc")
