@@ -713,6 +713,20 @@ object ExtraQueries {
         Seq("view", "click", "purchase"))
     }),
 
+    "q85_funnel_sql" -> ((s, dir) => {
+      // the funnel through its SQL FACE: registered as a table-valued
+      // function (GraftExtensions.tableFunctions) and invoked from a
+      // plain FROM clause — the reference's own interface is SQL, so
+      // event analytics must be reachable without Scala. The TVF builder
+      // resolves the view and returns the SAME analyzed plan the q71
+      // Dataset path builds; both faces share one oracle.
+      graft.GraftExtensions.register(s)
+      t(s, dir, "events").createOrReplaceTempView("events_q85")
+      s.sql(
+        """SELECT * FROM graft_funnel('events_q85', 'user_id', 'ts',
+          |'event_type', 'event_id', 'view,click,purchase')""".stripMargin)
+    }),
+
     "q75_funnel_repeat" -> ((s, dir) => {
       // REPEATED-step funnel with a conversion window: a step type may
       // recur (view→click→view→purchase — the bitmask encoding matches
@@ -938,7 +952,49 @@ object ExtraQueries {
       MaterializedView.refresh(s, tdir, mdir, "o_orderkey", "o_custkey",
         "o_totalprice")
       MaterializedView.serve(s, mdir)
-        .select(col("key").as("o_custkey"), col("n_rows"), col("sum_value"))
+        .select(col("key").as("o_custkey"), col("n_rows"),
+          col("sum_o_totalprice").as("sum_value"))
+        .orderBy("o_custkey")
+    }),
+
+    "q86_mv_multi" -> ((s, dir) => {
+      // MULTI-AGGREGATE materialized view: one view maintains row count
+      // plus per-column (non-null count, cents sum) for TWO value
+      // columns, serving sum/avg each — the invertible-algebra family
+      // (min/max deliberately excluded: no inverse). o_fee is NULL on
+      // every 7th order key, so the avg's non-null-count divisor and the
+      // SQL sum-of-nothing-is-NULL contract are both exercised; the
+      // mixed upsert + delta-sized refresh (ignoreCols drops commit_v
+      // churn) must equal DuckDB's full recompute exactly.
+      import graft.operators.{MaterializedView, SnapshotTable}
+      val tdir = s"${Scratch.dir}/q86_table"
+      val mdir = s"${Scratch.dir}/q86_mv"
+      for (d <- Seq(tdir, mdir)) {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      }
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          when(col("o_orderkey") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("o_totalprice") + lit(1.25)).as("o_fee"))
+        .withColumn("commit_v", lit(0L))
+      SnapshotTable.create(s,
+        base.repartitionByRange(8, col("o_orderkey")), tdir)
+      MaterializedView.create(s, tdir, mdir, "o_custkey",
+        Seq("o_totalprice", "o_fee"))
+      val upd = base.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_fee", col("o_totalprice") + lit(2.50))
+        .withColumn("commit_v", lit(1L)).withColumn("_deleted", lit(false))
+      val del = base.filter(col("o_orderkey") % 10 === 9)
+        .withColumn("commit_v", lit(1L)).withColumn("_deleted", lit(true))
+      SnapshotTable.upsert(s, tdir, upd.unionByName(del),
+        "o_orderkey", "commit_v", "o_totalprice")
+      MaterializedView.refresh(s, tdir, mdir, "o_orderkey", "o_custkey",
+        Seq("o_totalprice", "o_fee"), ignoreCols = Seq("commit_v"))
+      MaterializedView.serve(s, mdir)
+        .select(col("key").as("o_custkey"), col("n_rows"),
+          col("sum_o_totalprice"), col("avg_o_totalprice"),
+          col("sum_o_fee"), col("avg_o_fee"))
         .orderBy("o_custkey")
     }),
 
@@ -1615,6 +1671,31 @@ object ExtraQueries {
         |FROM m GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
 
+    // full recompute of the multi-aggregate view: per-column cents sums
+    // and non-null-count-divided avgs, SQL NULL-sum semantics — the
+    // incrementally-refreshed view must equal it exactly
+    "q86_mv_multi" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |         ELSE o_totalprice + 1.25 END AS o_fee
+        |  FROM orders),
+        |m AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 2.50
+        |         ELSE o_fee END AS o_fee
+        |  FROM b WHERE o_orderkey % 10 != 9)
+        |SELECT o_custkey, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS sum_o_totalprice,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 / count(o_totalprice) AS avg_o_totalprice,
+        |  CAST(sum(CAST(round(o_fee * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS sum_o_fee,
+        |  CAST(sum(CAST(round(o_fee * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 / count(o_fee) AS avg_o_fee
+        |FROM m GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+
     // source = pre-upsert truth (write independence), clone = merged
     "q83_snapshot_clone" ->
       """WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
@@ -1637,6 +1718,30 @@ object ExtraQueries {
     // strict-sequence funnel depth (bitmask step encoding — the same
     // fold the Spark side runs), then exact depth histogram
     "q71_funnel" ->
+      """WITH e AS (SELECT user_id AS u,
+        |             struct_pack(ts := ts, id := event_id, t := event_type) AS ev
+        |           FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |a AS (SELECT u, list_sort(list(ev)) AS evs FROM e GROUP BY u),
+        |d AS (SELECT u, list_reduce(
+        |        list_prepend({'st': CAST(0 AS BIGINT), 't0': CAST(NULL AS TIMESTAMP)},
+        |          list_transform(evs, x ->
+        |            {'st': CASE x.t WHEN 'view' THEN CAST(1 AS BIGINT)
+        |                            WHEN 'click' THEN CAST(2 AS BIGINT)
+        |                            WHEN 'purchase' THEN CAST(4 AS BIGINT)
+        |                            ELSE CAST(0 AS BIGINT) END,
+        |             't0': x.ts})),
+        |        (acc, x) -> CASE WHEN acc.st < 3
+        |            AND (x.st & (CAST(1 AS BIGINT) << CAST(acc.st AS INTEGER))) != 0
+        |          THEN {'st': CAST(acc.st + 1 AS BIGINT),
+        |                't0': CASE WHEN acc.st = 0 THEN x.t0 ELSE acc.t0 END}
+        |          ELSE acc END).st AS depth
+        |      FROM a)
+        |SELECT depth, count(*) AS n_users FROM d
+        |GROUP BY depth ORDER BY depth""".stripMargin,
+
+    // the SQL-face funnel is the same plan as q71 — same oracle replay
+    "q85_funnel_sql" ->
       """WITH e AS (SELECT user_id AS u,
         |             struct_pack(ts := ts, id := event_id, t := event_type) AS ev
         |           FROM events

@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((name, info, builder))
     }
+    GraftExtensions.tableFunctions.foreach { case (name, info, builder) =>
+      ext.injectTableFunction((name, info, builder))
+    }
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }
@@ -95,9 +98,90 @@ object GraftExtensions {
     },
   )
 
+  private def strArg(e: Expression, fn: String): String = e match {
+    case Literal(v, org.apache.spark.sql.types.StringType) if v != null =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal string argument, got $other")
+  }
+
+  private def tvf(name: String, usage: String)(
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (new FunctionIdentifier(name), new ExpressionInfo("graft", name, usage), builder)
+
+  /** Table-valued SQL faces of the event-analytics operators — the
+    * reference's own interface is SQL (`FROM data`-style queries over
+    * the open table), so funnel/sessionize/attribution/path analysis
+    * must be reachable without Scala:
+    * `SELECT * FROM graft_funnel('events', 'user_id', 'ts', 'event_type',
+    * 'event_id', 'view,click,purchase')`. Each builder resolves the
+    * named table/view in the ACTIVE session and returns the SAME
+    * analyzed plan the Dataset API builds — one code path, two faces
+    * (spec-asserted equal). Arguments must be literals (they are plan
+    * parameters, not row expressions).
+    */
+  val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    tvf("graft_funnel",
+      "ordered funnel depth histogram: (table, user_col, ts_col, type_col, id_col, steps_csv[, within_days])") {
+      args =>
+        require(args.length == 6 || args.length == 7,
+          s"graft_funnel takes 6 or 7 arguments, got ${args.length}")
+        val s = args.take(6).map(strArg(_, "graft_funnel"))
+        val within =
+          if (args.length == 7) Some(intArg(args(6), "graft_funnel")) else None
+        graft.operators.EventAnalytics.funnel(
+          org.apache.spark.sql.SparkSession.active.table(s(0)),
+          s(1), s(2), s(3), s(4),
+          s(5).split(",").toSeq.map(_.trim).filter(_.nonEmpty), within)
+          .queryExecution.analyzed
+    },
+    tvf("graft_sessionize",
+      "gap sessionization: (table, user_col, ts_col, id_col, gap_seconds)") {
+      args =>
+        require(args.length == 5,
+          s"graft_sessionize takes 5 arguments, got ${args.length}")
+        val s = args.take(4).map(strArg(_, "graft_sessionize"))
+        graft.operators.EventAnalytics.sessionize(
+          org.apache.spark.sql.SparkSession.active.table(s(0)),
+          s(1), s(2), s(3),
+          intArg(args(4), "graft_sessionize").toLong)
+          .queryExecution.analyzed
+    },
+    tvf("graft_attribution",
+      "last-touch attribution: (table, user_col, ts_col, id_col, type_col, touch_csv, conversion_type, window_days)") {
+      args =>
+        require(args.length == 8,
+          s"graft_attribution takes 8 arguments, got ${args.length}")
+        val s = args.take(7).map(strArg(_, "graft_attribution"))
+        graft.operators.EventAnalytics.attributeLastTouch(
+          org.apache.spark.sql.SparkSession.active.table(s(0)),
+          s(1), s(2), s(3), s(4),
+          s(5).split(",").toSeq.map(_.trim).filter(_.nonEmpty), s(6),
+          intArg(args(7), "graft_attribution"))
+          .queryExecution.analyzed
+    },
+    tvf("graft_path_transitions",
+      "event-type transition counts: (table, user_col, ts_col, id_col, type_col)") {
+      args =>
+        require(args.length == 5,
+          s"graft_path_transitions takes 5 arguments, got ${args.length}")
+        val s = args.map(strArg(_, "graft_path_transitions"))
+        graft.operators.EventAnalytics.pathTransitions(
+          org.apache.spark.sql.SparkSession.active.table(s(0)),
+          s(1), s(2), s(3), s(4))
+          .queryExecution.analyzed
+    },
+  )
+
   /** Register the graft SQL functions into an already-built session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     all.foreach { case (name, info, builder) =>
       org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, name, info, builder)
     }
+    tableFunctions.foreach { case (name, info, builder) =>
+      org.apache.spark.sql.graft.ColumnBridge.registerTableFunction(
+        spark, name, info, builder)
+    }
+  }
 }

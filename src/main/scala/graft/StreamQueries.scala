@@ -220,7 +220,8 @@ object StreamQueries {
         "o_custkey", "o_totalprice", ckpt)
       q.awaitTermination()
       MaterializedView.serve(s, mvDir)
-        .select(col("key").as("o_custkey"), col("n_rows"), col("sum_value"))
+        .select(col("key").as("o_custkey"), col("n_rows"),
+          col("sum_o_totalprice").as("sum_value"))
         .orderBy("o_custkey")
     }),
 

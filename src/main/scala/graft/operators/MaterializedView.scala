@@ -1,85 +1,122 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incrementally-maintained aggregate MATERIALIZED VIEW over a
   * [[SnapshotTable]] — the lakehouse "incremental view maintenance"
   * primitive (Delta/Materialize-style): the view holds
-  * `groupBy(key) → (n_rows, Σvalue)` for one snapshot version, and a
-  * refresh advances it to the current version by applying only the CDC
-  * DELTA between the two versions ([[SnapshotTable.changes]] — O(files
-  * touched), never a table rescan), merged into the view with one
-  * key-domain-sized full-outer join. Per-refresh cost is
-  * O(delta + |view|), independent of the TABLE's row count — the whole
-  * point at 100 TB, where "recompute the aggregate nightly" rescans
-  * everything and "maintain from CDC" touches only what changed. At
-  * larger key domains the view fileset would be hash-bucketed by key so
-  * the merge co-partitions; the merge is already a plain shuffle join
-  * that AQE sizes.
+  * `groupBy(key) → (n_rows, per-value-column (non-null count, Σcents))`
+  * for one snapshot version, and a refresh advances it to the current
+  * version by applying only the CDC DELTA between the two versions
+  * ([[SnapshotTable.changes]] — O(files touched), never a table rescan),
+  * merged into the view with one key-domain-sized full-outer join.
+  * Per-refresh cost is O(delta + |view|), independent of the TABLE's row
+  * count — the whole point at 100 TB, where "recompute the aggregate
+  * nightly" rescans everything and "maintain from CDC" touches only what
+  * changed. At larger key domains the view fileset would be hash-bucketed
+  * by key so the merge co-partitions; the merge is already a plain
+  * shuffle join that AQE sizes.
+  *
+  * AGGREGATE ALGEBRA (the supported shape, enforced by the API): the
+  * maintained state is the INVERTIBLE family — row count, per-column
+  * non-null count, per-column integer-cents sum — from which the view
+  * serves `count` / `sum` / `avg` per value column. min/max are
+  * deliberately NOT supported: they have no inverse (deleting the
+  * current max forces a rescan of the key's rows), so they cannot be
+  * maintained from a delta; recompute-on-refresh or a sketch (KLL
+  * extremes) is the right tool for those, and this API never pretends
+  * otherwise.
   *
   * EXACTNESS (what lets a refreshed view hash-equal a from-scratch
-  * rebuild, and the DuckDB full-recompute oracle): the summed value is
+  * rebuild, and the DuckDB full-recompute oracle): every summed value is
   * converted to integer CENTS at ingestion — `round(value·100)` is
   * exact for the ≤2-decimal currency values this targets — so every
   * sum is INT64 arithmetic: associative, commutative, order-free.
   * Incremental (+post −pre) maintenance is then algebraically identical
   * to recomputation, with no float-accumulation-order drift possible.
-  * The served `sum_value` divides once by 100 at read time (one double
-  * division per key — the same double on every engine).
+  * Served `sum_*`/`avg_*` divide once by 100 (and once by the non-null
+  * count) at read time — the same fixed-order double ops on every engine.
   *
   * The view is itself a [[FilesetLog]] store: each refresh publishes the
-  * merged aggregate fileset in ONE atomic manifest commit whose entry
-  * tag records the SNAPSHOT VERSION the view reflects — crash between
-  * write and publish leaves the previous view serving (never a torn
-  * view), and concurrent readers get snapshot isolation like every
-  * manifest store here. Old view versions are vacuumable via
-  * [[FilesetLog]]-style reclamation of unreferenced agg filesets.
+  * merged aggregate fileset in ONE atomic manifest commit that carries a
+  * VERSION SENTINEL entry — the snapshot version the view reflects plus
+  * the aggregate schema — so a refresh that EMPTIES the view (every key
+  * reaches n_rows = 0) still commits a well-formed version that
+  * serve()/refresh()/reflectedVersion() handle as the empty aggregate,
+  * not a crash. A crash between write and publish leaves the previous
+  * view serving (never a torn view), and concurrent readers get snapshot
+  * isolation like every manifest store here. Old view versions are
+  * vacuumable via [[FilesetLog]]-style reclamation of unreferenced agg
+  * filesets.
   */
 object MaterializedView {
 
   private val AggKind = "A"
+  // sentinel entry: tag = reflected snapshot version, payload = the agg
+  // fileset's schema JSON (what makes a ZERO-file view servable)
+  private val VersionKind = "V"
 
   /** Create the view at `mvDir` reflecting `tableDir`'s CURRENT version:
     * one full aggregation scan (paid once — every later refresh is
     * delta-sized). Returns the snapshot version the view reflects.
     */
   def create(spark: SparkSession, tableDir: String, mvDir: String,
-      keyCol: String, valueCol: String): Long = {
+      keyCol: String, valueCol: String): Long =
+    create(spark, tableDir, mvDir, keyCol, Seq(valueCol))
+
+  def create(spark: SparkSession, tableDir: String, mvDir: String,
+      keyCol: String, valueCols: Seq[String]): Long = {
+    require(valueCols.nonEmpty, "need at least one value column")
+    require(!valueCols.contains(keyCol), "the view key cannot also be a value")
     require(FilesetLog.current(spark, mvDir).isEmpty,
       s"a materialized view already exists under $mvDir — refresh() it")
     val v = SnapshotTable.currentVersion(spark, tableDir).getOrElse(
       throw new IllegalArgumentException(s"no snapshot table under $tableDir"))
+    // s_<c> is 0 (not NULL) for a key with no non-null values: the
+    // refresh merge is pure INT64 addition, and serve() re-imposes SQL
+    // sum semantics (NULL when n_<c> = 0) at read time
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:
+      valueCols.flatMap(c => Seq(
+        count(col(c)).as(s"n_$c"),
+        coalesce(sum(round(col(c) * 100).cast("long")), lit(0L)).as(s"s_$c")))
     val agg = SnapshotTable.read(spark, tableDir, Some(v))
       .groupBy(col(keyCol).as("key"))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(round(col(valueCol) * 100).cast("long")).as("sum_cents"))
+      .agg(aggs.head, aggs.tail: _*)
     commitView(spark, mvDir, agg, v)
     v
   }
 
   /** Advance the view to the table's current version by applying the
     * CDC delta (fromV, toV]: inserts and update POST-images add, deletes
-    * and update PRE-images subtract — counts and cent-sums are both
+    * and update PRE-images subtract — counts and cent-sums are all
     * signed INT64, so the merge is exact and order-free. Keys whose row
-    * count reaches zero leave the view. No-op (and no new view version)
-    * when the view is already current. Returns (fromVersion, toVersion).
+    * count reaches zero leave the view (an all-keys-zero refresh commits
+    * the EMPTY view, which serves as zero rows). No-op (and no new view
+    * version) when the view is already current. Returns
+    * (fromVersion, toVersion).
     *
     * `tableKeyCol` is the TABLE's merge key (what
     * [[SnapshotTable.changes]] diffs rows by); `keyCol` is the VIEW's
     * group key — they are usually different (a view groups by a
-    * dimension, the table merges by its primary key).
+    * dimension, the table merges by its primary key). `ignoreCols`
+    * forwards to [[SnapshotTable.changes]]: columns whose churn is not a
+    * content change (typically the upsert's versionCol) — without it a
+    * version-only rewrite emits cancelling update pre/post pairs, which
+    * net to zero but inflate the delta with spurious rows.
     */
   def refresh(spark: SparkSession, tableDir: String, mvDir: String,
-      tableKeyCol: String, keyCol: String, valueCol: String): (Long, Long) = {
-    val m = FilesetLog.current(spark, mvDir).getOrElse(
-      throw new IllegalArgumentException(s"no view under $mvDir — create() first"))
-    val es = FilesetLog.entries(spark, mvDir, m).filter(_.kind == AggKind)
-    val v0 = es.map(_.tag).distinct match {
-      case Seq(t) => t
-      case other => throw new IllegalStateException(
-        s"view manifest must carry one snapshot version, got $other")
-    }
+      tableKeyCol: String, keyCol: String, valueCol: String): (Long, Long) =
+    refresh(spark, tableDir, mvDir, tableKeyCol, keyCol, Seq(valueCol), Nil)
+
+  def refresh(spark: SparkSession, tableDir: String, mvDir: String,
+      tableKeyCol: String, keyCol: String, valueCols: Seq[String],
+      ignoreCols: Seq[String]): (Long, Long) = {
+    require(valueCols.nonEmpty, "need at least one value column")
+    require(!(ignoreCols.contains(keyCol) || valueCols.exists(ignoreCols.contains)),
+      "ignoreCols cannot cover the view key or a value column — their " +
+        "changes ARE the content the view maintains")
+    val (v0, es, schema) = currentState(spark, mvDir)
     val v1 = SnapshotTable.currentVersion(spark, tableDir).getOrElse(
       throw new IllegalArgumentException(s"no snapshot table under $tableDir"))
     require(v1 >= v0, s"table at v$v1 is OLDER than the view's v$v0 — " +
@@ -95,41 +132,91 @@ object MaterializedView {
         "above the refresh cadence")
     val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
-    val delta = SnapshotTable.changes(spark, tableDir, tableKeyCol, v0, v1)
-      .select(col(keyCol).as("key"), sign.as("sg"),
-        (sign * round(col(valueCol) * 100).cast("long")).as("sc"))
+    val deltaCols: Seq[Column] = sum(col("sg")).as("dn") +:
+      valueCols.flatMap(c => Seq(
+        sum(col(s"dnn_$c")).as(s"dnn_$c"),
+        sum(col(s"ds_$c")).as(s"ds_$c")))
+    val delta = SnapshotTable.changes(spark, tableDir, tableKeyCol, v0, v1,
+        ignoreCols)
+      .select(col(keyCol).as("key") +: sign.as("sg") +:
+        valueCols.flatMap(c => Seq(
+          (sign * when(col(c).isNotNull, 1L).otherwise(0L)).as(s"dnn_$c"),
+          (sign * coalesce(round(col(c) * 100).cast("long"), lit(0L)))
+            .as(s"ds_$c"))): _*)
       .groupBy("key")
-      .agg(sum(col("sg")).as("dn"), sum(col("sc")).as("ds"))
-    val old = spark.read.parquet(es.map(_.file): _*)
+      .agg(deltaCols.head, deltaCols.tail: _*)
+    val old = readAgg(spark, es, schema)
+    val mergedCols: Seq[Column] = col("key") +:
+      (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_rows") +:
+      valueCols.flatMap(c => Seq(
+        (coalesce(col(s"n_$c"), lit(0L)) + coalesce(col(s"dnn_$c"), lit(0L)))
+          .as(s"n_$c"),
+        (coalesce(col(s"s_$c"), lit(0L)) + coalesce(col(s"ds_$c"), lit(0L)))
+          .as(s"s_$c")))
     val merged = old.join(delta, Seq("key"), "full_outer")
-      .select(col("key"),
-        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_rows"),
-        (coalesce(col("sum_cents"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("sum_cents"))
+      .select(mergedCols: _*)
       .filter(col("n_rows") > 0)
     commitView(spark, mvDir, merged, v1)
     (v0, v1)
   }
 
   /** The view's aggregate, served from its CURRENT committed version:
-    * (key, n_rows, sum_value) — sum_value = cents / 100, one double
-    * division per key.
+    * (key, n_rows, then per value column `sum_<c>` and `avg_<c>`) —
+    * sum = cents / 100; avg = sum / non-null count, NULL for a key with
+    * no non-null values (`sum_<c>` too — SQL sum semantics). One double
+    * division chain per cell, the same fixed order every engine replays.
+    * An empty view serves zero rows under the full schema (the sentinel
+    * carries it).
     */
   def serve(spark: SparkSession, mvDir: String): DataFrame = {
-    val m = FilesetLog.current(spark, mvDir).getOrElse(
-      throw new IllegalArgumentException(s"no view under $mvDir"))
-    val es = FilesetLog.entries(spark, mvDir, m).filter(_.kind == AggKind)
-    spark.read.parquet(es.map(_.file): _*)
-      .select(col("key"), col("n_rows"),
-        (col("sum_cents").cast("double") / 100.0).as("sum_value"))
+    val (_, es, schema) = currentState(spark, mvDir)
+    val raw = readAgg(spark, es, schema)
+    val valueCols = schema.fieldNames.toSeq
+      .filter(_.startsWith("s_")).map(_.drop(2))
+    raw.select(col("key") +: col("n_rows") +:
+      valueCols.flatMap(c => Seq(
+        when(col(s"n_$c") > 0, col(s"s_$c").cast("double") / 100.0)
+          .as(s"sum_$c"),
+        when(col(s"n_$c") > 0,
+          col(s"s_$c").cast("double") / 100.0 / col(s"n_$c")).as(s"avg_$c"))): _*)
   }
 
   /** The snapshot version the current view reflects (freshness probe). */
-  def reflectedVersion(spark: SparkSession, mvDir: String): Long = {
+  def reflectedVersion(spark: SparkSession, mvDir: String): Long =
+    currentState(spark, mvDir)._1
+
+  /** (reflected snapshot version, agg entries, agg schema) of the
+    * CURRENT view version. The version sentinel is authoritative;
+    * pre-sentinel manifests (agg entries only) fall back to the agg
+    * tag + on-read schema.
+    */
+  private def currentState(spark: SparkSession,
+      mvDir: String): (Long, Seq[FilesetLog.Entry], org.apache.spark.sql.types.StructType) = {
     val m = FilesetLog.current(spark, mvDir).getOrElse(
-      throw new IllegalArgumentException(s"no view under $mvDir"))
-    FilesetLog.entries(spark, mvDir, m).filter(_.kind == AggKind)
-      .map(_.tag).distinct.head
+      throw new IllegalArgumentException(s"no view under $mvDir — create() first"))
+    val all = FilesetLog.entries(spark, mvDir, m)
+    val aggs = all.filter(_.kind == AggKind)
+    all.find(_.kind == VersionKind) match {
+      case Some(s) =>
+        (s.tag, aggs, org.apache.spark.sql.types.DataType.fromJson(s.file)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      case None =>
+        // legacy manifest: version rides the agg tags; schema from the files
+        val v0 = aggs.map(_.tag).distinct match {
+          case Seq(t) => t
+          case other => throw new IllegalStateException(
+            s"view manifest must carry one snapshot version, got $other")
+        }
+        (v0, aggs, spark.read.parquet(aggs.map(_.file): _*).schema)
+    }
   }
+
+  private def readAgg(spark: SparkSession, es: Seq[FilesetLog.Entry],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (es.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(es.map(_.file): _*)
 
   /** Streaming maintenance: tail a change-row feed (the
     * [[SnapshotTable.maintainStream]] shape — post-images plus
@@ -139,7 +226,9 @@ object MaterializedView {
     * commit, never a rescan. Arrival batching is invisible: per-key
     * latest-wins makes the table content slicing-independent, and the
     * view's integer-cents algebra makes k incremental refreshes equal
-    * one (or a from-scratch rebuild) exactly.
+    * one (or a from-scratch rebuild) exactly. The refresh delta ignores
+    * `versionCol` churn (the upsert's own bookkeeping column, never view
+    * content), so carry-over rewrites don't inflate it.
     */
   def maintainStream(spark: SparkSession, changesDir: String,
       schema: org.apache.spark.sql.types.StructType,
@@ -158,7 +247,7 @@ object MaterializedView {
           SnapshotTable.upsert(batch.sparkSession, tableDir, batch,
             tableKeyCol, versionCol, tieCol)
           refresh(batch.sparkSession, tableDir, mvDir,
-            tableKeyCol, keyCol, valueCol)
+            tableKeyCol, keyCol, Seq(valueCol), Seq(versionCol))
           ()
         }
       }
@@ -169,7 +258,11 @@ object MaterializedView {
     val m = FilesetLog.current(spark, mvDir).getOrElse(0L)
     val files = FilesetLog.writeFileset(agg,
       s"$mvDir/agg/" + f"v${m + 1}%05d" + s"_${FilesetLog.nonce()}")
+    // the sentinel makes the commit self-describing even with ZERO agg
+    // files (schema JSON is space-free; Entry parsing splits on at most
+    // 3 fields anyway)
     FilesetLog.commit(spark, mvDir, m + 1,
-      files.map(FilesetLog.Entry(AggKind, snapshotV, _)))
+      FilesetLog.Entry(VersionKind, snapshotV, agg.schema.json) +:
+        files.map(FilesetLog.Entry(AggKind, snapshotV, _)))
   }
 }

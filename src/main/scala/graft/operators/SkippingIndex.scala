@@ -104,10 +104,17 @@ object SkippingIndex {
           val minMax: Seq[(Any, Any, Any)] = colsB.toSeq.map { c =>
             val chunks = blocks.flatMap(_.getColumns.asScala)
               .filter(_.getPath.toDotString == c)
-            require(chunks.nonEmpty, s"column $c not found in $p")
+            // a ZERO-ROW file has no row groups at all: no stats to
+            // read, and no evidence the column name is wrong either —
+            // serve the honest null-stat row (a "blind" file, which
+            // every pruning layer already handles) instead of failing
+            // the job into the caller's all-files-affected fallback
+            require(chunks.nonEmpty || blocks.isEmpty,
+              s"column $c not found in $p")
             val stats = chunks.map(_.getStatistics)
             val nulls = nullCount(stats)
-            if (stats.exists(s => s == null || !s.hasNonNullValue)) (null, null, nulls)
+            if (stats.isEmpty ||
+                stats.exists(s => s == null || !s.hasNonNullValue)) (null, null, nulls)
             else {
               val mins = stats.map(s => (s.genericGetMin: Any) match {
                 case i: java.lang.Integer => i.longValue
@@ -156,10 +163,17 @@ object SkippingIndex {
           val minMax: Seq[(Any, Any, Any)] = colsB.toSeq.map { c =>
             val chunks = blocks.flatMap(_.getColumns.asScala)
               .filter(_.getPath.toDotString == c)
-            require(chunks.nonEmpty, s"column $c not found in $p")
+            // a ZERO-ROW file has no row groups at all: no stats to
+            // read, and no evidence the column name is wrong either —
+            // serve the honest null-stat row (a "blind" file, which
+            // every pruning layer already handles) instead of failing
+            // the job into the caller's all-files-affected fallback
+            require(chunks.nonEmpty || blocks.isEmpty,
+              s"column $c not found in $p")
             val stats = chunks.map(_.getStatistics)
             val nulls = nullCount(stats)
-            if (stats.exists(s => s == null || !s.hasNonNullValue)) (null, null, nulls)
+            if (stats.isEmpty ||
+                stats.exists(s => s == null || !s.hasNonNullValue)) (null, null, nulls)
             else {
               def bin(v: Any): Array[Byte] = v match {
                 case b: org.apache.parquet.io.api.Binary => b.getBytes
@@ -228,8 +242,16 @@ object SkippingIndex {
           val minMax: Seq[(Any, Any, Any)] = colsB.toSeq.map { c =>
             val chunks = blocks.flatMap(_.getColumns.asScala)
               .filter(_.getPath.toDotString == c)
-            require(chunks.nonEmpty, s"column $c not found in $p")
-            val unit = chunks.head.getPrimitiveType.getLogicalTypeAnnotation match {
+            // a ZERO-ROW file has no row groups at all: no stats to
+            // read, and no evidence the column name is wrong either —
+            // serve the honest null-stat row (a "blind" file, which
+            // every pruning layer already handles) instead of failing
+            // the job into the caller's all-files-affected fallback
+            require(chunks.nonEmpty || blocks.isEmpty,
+              s"column $c not found in $p")
+            // lazy: a zero-row file has no chunks to read the unit from
+            // (and takes the null-stat branch below, never touching it)
+            lazy val unit = chunks.head.getPrimitiveType.getLogicalTypeAnnotation match {
               case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
                 t.getUnit
               case other => throw new IllegalArgumentException(
@@ -251,7 +273,8 @@ object SkippingIndex {
             }
             val stats = chunks.map(_.getStatistics)
             val nulls = nullCount(stats)
-            if (stats.exists(s => s == null || !s.hasNonNullValue)) (null, null, nulls)
+            if (stats.isEmpty ||
+                stats.exists(s => s == null || !s.hasNonNullValue)) (null, null, nulls)
             else {
               def asLong(v: Any): Long = v match {
                 case l: java.lang.Long => l.longValue
@@ -552,18 +575,33 @@ object SkippingIndex {
     /** Stats rows materialized on the driver (residency evidence). */
     val pulled = new java.util.concurrent.atomic.AtomicLong(0L)
 
-    // eager path: one bounded-size probe, then one collect — the page
-    // loop never touches Spark again
-    private val eagerRows: Option[Array[FileStatOf[K]]] = {
-      val fits = eagerMax > 0 &&
-        normalized.limit(eagerMax + 1).count() <= eagerMax
-      if (!fits) None
+    // eager path: ONE bounded job — collect limit(eagerMax+1) and decide
+    // from the array itself (probe and payload in the same job; the old
+    // shape ran a count THEN a full collect, evaluating the stats frame
+    // twice — expensive when it is a COMPUTED footer-scan frame, not a
+    // parquet read)
+    private val eagerRows: Option[Array[FileStatOf[K]]] =
+      if (eagerMax <= 0) None
       else {
-        val arr = normalized.collect().map(toStat)
-        pulled.addAndGet(arr.length.toLong)
-        Some(arr)
+        val probe = normalized.limit(eagerMax + 1).collect()
+        if (probe.length > eagerMax) None
+        else {
+          val arr = probe.map(toStat)
+          pulled.addAndGet(arr.length.toLong)
+          Some(arr)
+        }
       }
-    }
+
+    // lazy path: persist the normalized frame ONCE, up front — the blind
+    // collect, the total count and the per-direction sorts all hit this
+    // cache instead of re-evaluating the (possibly computed) stats frame
+    // three times before any sorted cache exists. Unpersisted in close().
+    private val lazyNormalized: Option[DataFrame] =
+      if (eagerRows.isDefined) None
+      else {
+        normalized.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Some(normalized)
+      }
 
     /** Files with no usable bounds (all-NULL or stats-less): they join
       * every page unconditionally — the degenerate few, never the table.
@@ -571,14 +609,15 @@ object SkippingIndex {
     val blind: Array[FileStatOf[K]] = eagerRows match {
       case Some(arr) => arr.filter(s => s.min.isEmpty || s.max.isEmpty)
       case None =>
-        val arr = normalized.where(col("mn").isNull || col("mx").isNull)
+        val arr = lazyNormalized.get
+          .where(col("mn").isNull || col("mx").isNull)
           .collect().map(toStat)
         pulled.addAndGet(arr.length.toLong)
         arr
     }
 
     val totalFiles: Int = eagerRows.map(_.length)
-      .getOrElse(normalized.count().toInt)
+      .getOrElse(lazyNormalized.get.count().toInt)
     require(totalFiles > 0, "keyset walk needs at least one file")
 
     /** Any one file of the stats frame — schema donor for the provably-
@@ -588,13 +627,13 @@ object SkippingIndex {
     lazy val anyFile: String =
       if (blind.nonEmpty) blind.head.file
       else eagerRows.map(_.head.file)
-        .getOrElse(normalized.select("file").head().getString(0))
+        .getOrElse(lazyNormalized.get.select("file").head().getString(0))
 
     private lazy val eagerKnown: Array[FileStatOf[K]] =
       eagerRows.get.filter(s => s.min.isDefined && s.max.isDefined)
 
-    private val known =
-      normalized.where(col("mn").isNotNull && col("mx").isNotNull)
+    private lazy val known =
+      lazyNormalized.get.where(col("mn").isNotNull && col("mx").isNotNull)
     // lazy path: sorted once per direction, cached distributed
     private lazy val ascFrame = {
       val d = known.orderBy(col("mn").asc)
@@ -646,6 +685,7 @@ object SkippingIndex {
     def close(): Unit = synchronized {
       if (builtAsc) ascFrame.unpersist()
       if (builtDesc) descFrame.unpersist()
+      lazyNormalized.foreach(_.unpersist())
     }
   }
 

@@ -42,4 +42,17 @@ object ColumnBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(name, info, builder)
+
+  /** Register a TABLE-VALUED function (FROM-clause callable) into an
+    * existing session — the companion of [[registerFunction]] for the
+    * TableFunctionRegistry (what `injectTableFunction` feeds on the
+    * withExtensions path).
+    */
+  def registerTableFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry.registerFunction(name, info, builder)
 }

@@ -232,6 +232,53 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL table-valued faces equal the Dataset API on real events") {
+    // the reference's own interface is SQL — every event operator must
+    // be reachable as a FROM-clause table function, and the SQL path
+    // must be the SAME plan the Scala path builds (one code path, two
+    // faces)
+    GraftExtensions.register(spark)
+    val ev = graft.sources.Tables.load(spark, TestSpark.sf, "events")
+    ev.createOrReplaceTempView("events_sqlface")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(spark.sql(
+      """SELECT * FROM graft_funnel('events_sqlface', 'user_id', 'ts',
+        |'event_type', 'event_id', 'view,click,purchase')""".stripMargin))
+      == rows(EventAnalytics.funnel(ev, "user_id", "ts", "event_type",
+        "event_id", Seq("view", "click", "purchase"))))
+    assert(rows(spark.sql(
+      """SELECT * FROM graft_funnel('events_sqlface', 'user_id', 'ts',
+        |'event_type', 'event_id', 'view,click,view,purchase', 14)""".stripMargin))
+      == rows(EventAnalytics.funnel(ev, "user_id", "ts", "event_type",
+        "event_id", Seq("view", "click", "view", "purchase"), Some(14))))
+    assert(rows(spark.sql(
+      """SELECT * FROM graft_sessionize('events_sqlface', 'user_id', 'ts',
+        |'event_id', 1800)""".stripMargin))
+      == rows(EventAnalytics.sessionize(ev, "user_id", "ts", "event_id", 1800L)))
+    assert(rows(spark.sql(
+      """SELECT * FROM graft_attribution('events_sqlface', 'user_id', 'ts',
+        |'event_id', 'event_type', 'view,click', 'purchase', 7)""".stripMargin))
+      == rows(EventAnalytics.attributeLastTouch(ev, "user_id", "ts",
+        "event_id", "event_type", Seq("view", "click"), "purchase", 7)))
+    assert(rows(spark.sql(
+      """SELECT * FROM graft_path_transitions('events_sqlface', 'user_id',
+        |'ts', 'event_id', 'event_type')""".stripMargin))
+      == rows(EventAnalytics.pathTransitions(ev, "user_id", "ts",
+        "event_id", "event_type")))
+    // TVFs compose with ordinary SQL around them
+    val filtered = spark.sql(
+      """SELECT from_type, n FROM graft_path_transitions('events_sqlface',
+        |'user_id', 'ts', 'event_id', 'event_type')
+        |WHERE to_type = 'purchase' ORDER BY n DESC""".stripMargin)
+    assert(filtered.count() > 0)
+    // non-literal argument: the designed error, not a ClassCastException
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_sessionize('events_sqlface', 'user_id', 'ts', 'event_id', 1800 + 1)").collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
   test("pathTransitions: consecutive pairs only, per-user timelines never cross") {
     val rows = Seq(
       (1L, ts(1), "a", 1L), (1L, ts(2), "b", 2L), (1L, ts(3), "a", 3L),

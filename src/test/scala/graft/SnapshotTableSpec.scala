@@ -1196,7 +1196,7 @@ class SnapshotTableSpec extends AnyFunSuite {
     val (f, t) = MaterializedView.refresh(spark, tdir, mdir, "k", "grp", "price")
     assert((f, t) == (1L, 2L))
     def rows(d: String) = MaterializedView.serve(spark, d)
-      .orderBy("key").as[(Long, Long, Double)].collect().toSeq
+      .orderBy("key").as[(Long, Long, Double, Double)].collect().toSeq
     // the incrementally-refreshed view equals a from-scratch rebuild
     MaterializedView.create(spark, tdir, mdir2, "grp", "price")
     assert(rows(mdir) == rows(mdir2),
@@ -1233,5 +1233,78 @@ class SnapshotTableSpec extends AnyFunSuite {
       MaterializedView.refresh(spark, tdir, mdir, "k", "grp", "price")
     }
     assert(ev.getMessage.contains("vacuumed"), ev.getMessage)
+  }
+
+  test("materialized view: multi-column algebra with NULLs equals a rebuild; avg/sum NULL when no values") {
+    import graft.operators.MaterializedView
+    val tdir = freshDir("snap-mvm-table")
+    val mdir = freshDir("snap-mvm-view")
+    val mdir2 = freshDir("snap-mvm-rebuild")
+    // fee is NULL on every key in group 5 (and every 4th elsewhere):
+    // exercises the per-column non-null count the avg divides by, and
+    // the all-NULL group serving NULL sum/avg
+    val base = (0 until 2000).map { i =>
+      val fee: Option[Double] =
+        if (i % 9 == 5 || i % 4 == 0) None else Some((i % 100) + 0.75)
+      (i.toLong, (i % 9).toLong, (i % 300) + 0.50, fee, 0L)
+    }.toDF("k", "grp", "price", "fee", "commit_v")
+    SnapshotTable.create(spark, base.repartitionByRange(6, col("k")), tdir)
+    MaterializedView.create(spark, tdir, mdir, "grp", Seq("price", "fee"))
+    val upd = base.filter(col("k") % 10 === 2)
+      .withColumn("fee", lit(3.25))
+      .withColumn("commit_v", lit(1L)).withColumn("_deleted", lit(false))
+    val del = base.filter(col("k") % 10 === 6)
+      .withColumn("commit_v", lit(1L)).withColumn("_deleted", lit(true))
+    SnapshotTable.upsert(spark, tdir, upd.unionByName(del),
+      "k", "commit_v", "price")
+    // ignoreCols drops the version bookkeeping churn from the delta
+    MaterializedView.refresh(spark, tdir, mdir, "k", "grp",
+      Seq("price", "fee"), ignoreCols = Seq("commit_v"))
+    MaterializedView.create(spark, tdir, mdir2, "grp", Seq("price", "fee"))
+    def rows(d: String) = MaterializedView.serve(spark, d).orderBy("key")
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(rows(mdir) == rows(mdir2),
+      "multi-column refresh must be algebraically identical to recomputation")
+    // group 5's fee column: all NULL at creation; after the update every
+    // k%10==2 member got a fee — sanity that avgs follow non-null counts
+    val served = MaterializedView.serve(spark, mdir)
+    assert(served.columns.toSeq ==
+      Seq("key", "n_rows", "sum_price", "avg_price", "sum_fee", "avg_fee"))
+    // guard: ignoreCols over the view's own inputs is refused
+    intercept[IllegalArgumentException] {
+      MaterializedView.refresh(spark, tdir, mdir, "k", "grp",
+        Seq("price", "fee"), ignoreCols = Seq("fee"))
+    }
+  }
+
+  test("materialized view: an emptying refresh commits a servable EMPTY view; repopulation works") {
+    import graft.operators.MaterializedView
+    val tdir = freshDir("snap-mve-table")
+    val mdir = freshDir("snap-mve-view")
+    val base = (0 until 200).map(i => (i.toLong, (i % 3).toLong, 1.25, 0L))
+      .toDF("k", "grp", "price", "commit_v")
+    SnapshotTable.create(spark, base.repartitionByRange(2, col("k")), tdir)
+    MaterializedView.create(spark, tdir, mdir, "grp", "price")
+    // delete EVERY row: the refreshed view has zero keys — it must
+    // commit and serve as the empty aggregate, not break the store
+    val delAll = base.withColumn("commit_v", lit(1L))
+      .withColumn("_deleted", lit(true))
+    SnapshotTable.upsert(spark, tdir, delAll, "k", "commit_v", "price")
+    MaterializedView.refresh(spark, tdir, mdir, "k", "grp", "price")
+    assert(MaterializedView.serve(spark, mdir).count() == 0L,
+      "an emptied view must serve zero rows, not throw")
+    assert(MaterializedView.serve(spark, mdir).columns.toSeq ==
+      Seq("key", "n_rows", "sum_price", "avg_price"),
+      "the empty view keeps its full schema (sentinel-carried)")
+    assert(MaterializedView.reflectedVersion(spark, mdir) == 2L)
+    // the store stays maintainable: reinsert and refresh repopulates
+    val reins = base.filter(col("k") < 50)
+      .withColumn("commit_v", lit(2L)).withColumn("_deleted", lit(false))
+    SnapshotTable.upsert(spark, tdir, reins, "k", "commit_v", "price")
+    MaterializedView.refresh(spark, tdir, mdir, "k", "grp", "price")
+    val got = MaterializedView.serve(spark, mdir)
+      .orderBy("key").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._2).sum == 50L, s"repopulated view wrong: $got")
   }
 }
