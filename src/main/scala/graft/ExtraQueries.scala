@@ -916,6 +916,41 @@ object ExtraQueries {
         .orderBy("snap", "o_orderkey")
     }),
 
+    "q87_snapshot_sql" -> ((s, dir) => {
+      // the lakehouse time-travel SQL FACE: graft_snapshot pins a
+      // version from a plain FROM clause and graft_snapshot_asof
+      // resolves an instant via the bisecting versionAsOf — one
+      // spark.sql statement serves v1's pre-upsert truth (AS OF its
+      // commit instant) unioned with the current merged truth; a
+      // mis-resolved instant or a leaked version hash-mismatches.
+      graft.GraftExtensions.register(s)
+      import graft.operators.SnapshotTable
+      val tdir = s"${Scratch.dir}/q87_table"
+      val p = new org.apache.hadoop.fs.Path(tdir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotTable.create(s,
+        base.withColumn("commit_v", lit(0L))
+          .repartitionByRange(8, col("o_orderkey")), tdir)
+      val i1 = SnapshotTable.commitInstantOf(s, tdir, 1L)
+      val changes = base.filter(col("o_orderkey").between(500L, 700L))
+        .withColumn("o_custkey", col("o_custkey") + lit(1000000L))
+        .withColumn("commit_v", lit(1L))
+        .withColumn("_deleted", lit(false))
+      SnapshotTable.upsert(s, tdir, changes, "o_orderkey", "commit_v",
+        "o_custkey")
+      s.sql(
+        s"""SELECT CAST(1 AS BIGINT) AS snap, o_orderkey, o_custkey,
+           |  o_totalprice
+           |FROM graft_snapshot_asof('$tdir', ${i1}L)
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT) AS snap, o_orderkey, o_custkey,
+           |  o_totalprice
+           |FROM graft_snapshot('$tdir')""".stripMargin)
+        .orderBy("snap", "o_orderkey")
+    }),
+
     "q84_snapshot_mv" -> ((s, dir) => {
       // incrementally-maintained aggregate MATERIALIZED VIEW: create the
       // view at v1 (one full scan, paid once), upsert a mixed delta
@@ -1887,6 +1922,19 @@ object ExtraQueries {
         |       FROM orders
         |       WHERE NOT (o_orderkey BETWEEN 1000 AND 3000
         |                  AND o_orderstatus = 'F'))
+        |SELECT CAST(1 AS BIGINT) AS snap, * FROM v1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS snap, * FROM v2
+        |ORDER BY snap, o_orderkey""".stripMargin,
+
+    // the SQL-face time travel serves the same two truths as q79 —
+    // same replay
+    "q87_snapshot_sql" ->
+      """WITH v1 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |v2 AS (SELECT o_orderkey,
+        |         CASE WHEN o_orderkey BETWEEN 500 AND 700
+        |              THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+        |         o_totalprice FROM orders)
         |SELECT CAST(1 AS BIGINT) AS snap, * FROM v1
         |UNION ALL
         |SELECT CAST(2 AS BIGINT) AS snap, * FROM v2

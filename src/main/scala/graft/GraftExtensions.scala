@@ -172,6 +172,41 @@ object GraftExtensions {
           s(1), s(2), s(3), s(4))
           .queryExecution.analyzed
     },
+    // the lakehouse time-travel SQL faces: `SELECT ... FROM
+    // graft_snapshot('<dir>')` pins the current committed version,
+    // ('<dir>', v) pins version v, and graft_snapshot_asof('<dir>',
+    // epoch_ms) resolves AS OF TIMESTAMP via the bisecting
+    // versionAsOf — the plan scans the pinned manifest's file list, so
+    // concurrent commits/compactions are invisible to it exactly like
+    // the Scala read()
+    tvf("graft_snapshot",
+      "pinned snapshot-table read: (table_dir[, version])") {
+      args =>
+        require(args.length == 1 || args.length == 2,
+          s"graft_snapshot takes 1 or 2 arguments, got ${args.length}")
+        val dir = strArg(args(0), "graft_snapshot")
+        val v = if (args.length == 2)
+          Some(intArg(args(1), "graft_snapshot").toLong) else None
+        graft.operators.SnapshotTable.read(
+          org.apache.spark.sql.SparkSession.active, dir, v)
+          .queryExecution.analyzed
+    },
+    tvf("graft_snapshot_asof",
+      "snapshot-table AS OF read: (table_dir, epoch_ms)") {
+      args =>
+        require(args.length == 2,
+          s"graft_snapshot_asof takes 2 arguments, got ${args.length}")
+        val dir = strArg(args(0), "graft_snapshot_asof")
+        val ts = args(1) match {
+          case Literal(v: Long, _) => v
+          case Literal(v: Int, _) => v.toLong
+          case other => throw new IllegalArgumentException(
+            s"graft_snapshot_asof expects a literal epoch-ms long, got $other")
+        }
+        graft.operators.SnapshotTable.readAsOf(
+          org.apache.spark.sql.SparkSession.active, dir, ts)
+          .queryExecution.analyzed
+    },
   )
 
   /** Register the graft SQL functions into an already-built session. */

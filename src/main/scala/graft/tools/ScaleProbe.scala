@@ -25,7 +25,9 @@ object ScaleProbe {
   private val Reps = 10
   private val Queries = Seq(
     "ann_ivfpq_persisted", "ann_ivfpq", "ann_ivf",
-    "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash", "dedup_substring",
+    // (dedup_ngram_jaccard runs as a DEDICATED probe below so its row
+    // carries candidate-pair counts — the adjudication evidence)
+    "dedup_minhash", "dedup_simhash", "dedup_substring",
     "dedup_embedding", "dedup_semantic",
     "dedup_cluster", "dedup_cluster_survivors",
     // bounded-face control: the gate fixes its corpus with doc_id < 2000,
@@ -116,10 +118,13 @@ object ScaleProbe {
     val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val fullSweep = only.isEmpty
+    // dedicated probe blocks (not plain gate reruns) subset-selectable too
+    val dedicated = Set("dedup_ngram_jaccard", "mv_refresh")
     only.foreach { f =>
-      val unknown = f -- Queries.toSet
+      val unknown = f -- Queries.toSet -- dedicated
       require(unknown.isEmpty, s"unknown probe names: $unknown")
     }
+    def wants(name: String): Boolean = fullSweep || only.exists(_.contains(name))
     Queries.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn = qs(name)
       force(fn(spark, src)) // warmup: codegen/JIT on the sf0.1 shape
@@ -132,6 +137,93 @@ object ScaleProbe {
       results += f"""  "$name": {"sf01_sec": $tSmall%.3f, "sf1_sec": $tBig%.3f, """ +
         f""""sf01_rows": $rowsSmall, "sf1_rows": $rowsBig, "ratio": ${tBig / tSmall}%.2f}"""
     }
+    // ngram-Jaccard probe WITH candidate accounting: the PPJoin claim is
+    // that prefix + length + positional filters keep the candidate set
+    // tracking the true-pair set, not the quadratic bucket blowup. The
+    // row carries the candidate-pair count at both scales so a wall-time
+    // outlier is adjudicable: candidates ~ output (the replicas are
+    // shingle-disjoint, so true pairs scale ~10x) means the filter holds
+    // and the wall ratio is host noise; candidates >> output means
+    // prefix-filter degradation and the width/threshold needs tuning.
+    if (wants("dedup_ngram_jaccard")) locally {
+      def probe(dir: String): (Double, Long, Long) = {
+        var cand = 0L
+        var best = Double.MaxValue; var rows = 0L
+        (0 until 2).foreach { _ =>
+          graft.operators.Dedup.releaseCaches()
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          rows = force(graft.operators.Dedup.ngramJaccard(
+            graft.sources.Tables.load(spark, dir, "documents"),
+            "doc_id", "text", shingleSize = 3, threshold = 0.5,
+            onJoinStats = Some(s => cand = s.candidatePairs)))
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        graft.operators.Dedup.releaseCaches()
+        spark.catalog.clearCache()
+        (best, rows, cand)
+      }
+      probe(src) // warmup shapes
+      val (tS, rowsS, candS) = probe(src)
+      val (tB, rowsB, candB) = probe(out)
+      val candRatio = if (candS == 0) 0.0 else candB.toDouble / candS
+      println(f"[scale] dedup_ngram_jaccard sf0.1=$tS%6.2fs ($rowsS rows, $candS cand)  " +
+        f"sf1=$tB%7.2fs ($rowsB rows, $candB cand)  ratio=${tB / tS}%5.1fx " +
+        f"(candidates ${candRatio}%4.2fx)")
+      results += f"""  "dedup_ngram_jaccard": {"sf01_sec": $tS%.3f, "sf1_sec": $tB%.3f, """ +
+        f""""sf01_rows": $rowsS, "sf1_rows": $rowsB, "ratio": ${tB / tS}%.2f, """ +
+        f""""candidates_sf01": $candS, "candidates_sf1": $candB, """ +
+        f""""candidate_ratio": $candRatio%.2f, """ +
+        f""""note": "candidate_ratio ~ rows ratio = prefix filter holds; wall outliers beyond it are host noise"}"""
+    }
+
+    // MV-refresh probe: MaterializedView.refresh's claim is O(delta +
+    // view) per refresh, independent of TABLE size — a fixed 500-key
+    // delta against a fixed 997-group view must cost ~FLAT from sf0.1 to
+    // sf1 (files scale 10x, the touched band and the view do not).
+    if (wants("mv_refresh")) locally {
+      import graft.operators.{MaterializedView, SnapshotTable}
+      def probe(dir: String, nFiles: Int, tag: String): (Double, Long) = {
+        val tdir = s"${out}_mvtab_$tag"
+        val mdir = s"${out}_mvview_$tag"
+        for (d <- Seq(tdir, mdir)) {
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        }
+        // value = len(text)/100 keeps the <=2-decimal cents contract
+        SnapshotTable.create(spark, spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            (length(col("text")).cast("double") / 100.0).as("v"),
+            pmod(col("doc_id"), lit(997L)).as("grp"))
+          .withColumn("commit_v", lit(0L))
+          .repartitionByRange(nFiles, col("doc_id")), tdir)
+        MaterializedView.create(spark, tdir, mdir, "grp", "v")
+        // two fixed-width deltas -> min-of-2 refresh timings
+        var best = Double.MaxValue
+        Seq((1000L, 1499L, 1L), (5000L, 5499L, 2L)).foreach {
+          case (lo, hi, cv) =>
+            val ch = SnapshotTable.read(spark, tdir)
+              .filter(col("doc_id").between(lo, hi))
+              .withColumn("v", col("v") + lit(1.0))
+              .withColumn("commit_v", lit(cv)).withColumn("_deleted", lit(false))
+            SnapshotTable.upsert(spark, tdir, ch, "doc_id", "commit_v", "v")
+            val t0 = System.nanoTime()
+            MaterializedView.refresh(spark, tdir, mdir, "doc_id", "grp",
+              Seq("v"), Seq("commit_v"))
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        (best, MaterializedView.serve(spark, mdir).count())
+      }
+      val (tS, viewS) = probe(src, 32, "01")
+      val (tB, viewB) = probe(out, 320, "1")
+      println(f"[scale] mv_refresh sf0.1=$tS%6.2fs ($viewS view keys)  " +
+        f"sf1=$tB%6.2fs ($viewB view keys)  ratio=${tB / tS}%5.2fx")
+      results += f"""  "mv_refresh": {"sf01_sec": $tS%.3f, "sf1_sec": $tB%.3f, """ +
+        f""""ratio": ${tB / tS}%.2f, "view_keys_sf01": $viewS, """ +
+        f""""view_keys_sf1": $viewB, "delta_keys": 500, """ +
+        f""""note": "fixed delta + fixed view domain - flat-or-view-tracking is the O(delta + view) claim"}"""
+    }
+
     // keyset-paging probe: SkippingIndex.KeysetWalk's claim is that a
     // page over a key-clustered table costs O(page / rows-per-file)
     // FILES whatever the table size — so per-page wall time must be

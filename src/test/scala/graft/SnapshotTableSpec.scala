@@ -905,6 +905,35 @@ class SnapshotTableSpec extends AnyFunSuite {
       "a repeat resolution must be served from the instant cache")
   }
 
+  test("graft_snapshot / graft_snapshot_asof SQL faces equal the Scala reads") {
+    GraftExtensions.register(spark)
+    val dir = freshDir("snap-sqlface")
+    SnapshotTable.create(spark, mkBase(40), dir) // v1
+    val i1 = SnapshotTable.commitInstantOf(spark, dir, 1L)
+    val ch = Seq((999L, "new", 1L, false)).toDF("k", "payload", "commit_v", "_deleted")
+    SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload") // v2
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // current, pinned, and as-of — each equal to its Scala twin
+    assert(rows(spark.sql(s"SELECT * FROM graft_snapshot('$dir')"))
+      == rows(SnapshotTable.read(spark, dir)))
+    assert(rows(spark.sql(s"SELECT * FROM graft_snapshot('$dir', 1)"))
+      == rows(SnapshotTable.read(spark, dir, Some(1L))))
+    assert(rows(spark.sql(
+      s"SELECT * FROM graft_snapshot_asof('$dir', ${i1}L)"))
+      == rows(SnapshotTable.read(spark, dir, Some(1L))))
+    // composes with ordinary SQL (filter + aggregate over the TVF)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_snapshot('$dir') WHERE k < 10")
+      .head().getLong(0) == 10L)
+    // a pre-create instant surfaces the designed readAsOf error
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_snapshot_asof('$dir', ${i1 - 100000}L)")
+        .collect()
+    }
+    assert(e.getMessage.contains("existed yet"), e.getMessage)
+  }
+
   test("readAsOf distinguishes 'not created yet' from 'vacuumed away'") {
     val dir = freshDir("snap-asof-vacmsg")
     val before = System.currentTimeMillis() - 5
