@@ -530,18 +530,15 @@ object TextAnalysis {
     * Distributed shape: two vocabulary-sized aggregates (map-side
     * partial) + a bigram-domain aggregate, two broadcast scalar totals,
     * one TakeOrdered(k) — no corpus-sized shuffle beyond the count
-    * tables, no second scan. The unigram MARGINALS are first semi-joined
-    * down to the words that appear in a minCount-surviving bigram
-    * (≤ 2·|surviving bigrams| rows — the only marginals the PMI join can
-    * use), and the marginal joins carry NO broadcast hint: AQE sees the
-    * shrunk side's runtime size and broadcasts when it fits,
-    * shuffle-joins when it doesn't. At a web-scale corpus the full
-    * unigram table is 10⁸-10⁹ rows — an unconditional `broadcast(uni)`
-    * is a multi-GB executor OOM, so the plan must degrade gracefully
-    * rather than force it (PlanSpec asserts the only forced broadcasts
-    * are the two one-row totals). The identical bigram-aggregate
-    * subplans (survivors, totals, word sets) share one exchange via
-    * Catalyst's ReusedExchange.
+    * tables, no second scan. The unigram-marginal joins carry NO
+    * broadcast hint: AQE sees the marginal side's RUNTIME size and
+    * broadcasts when it fits (every tested scale — the map-side plan),
+    * shuffle-joins when it doesn't. At a web-scale corpus the unigram
+    * table is 10⁸-10⁹ rows — an unconditional `broadcast(uni)` is a
+    * multi-GB executor OOM, so the plan must degrade to a (vocab-sized,
+    * bigram-table-dominated) shuffle join rather than force it
+    * (PlanSpec asserts the only forced broadcasts are the two one-row
+    * totals).
     */
   def collocations(docs: DataFrame, textCol: String, minCount: Long = 5L,
       k: Int = 50): DataFrame = {
@@ -559,13 +556,9 @@ object TextAnalysis {
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("n"))
     val btot = big.agg(sum("n").cast("double").as("b_total"))
-    val survivors = big.filter(col("n") >= minCount)
-    def marginal(side: String) = uni
-      .join(survivors.select(col(side).as("w")).distinct(), Seq("w"), "left_semi")
-      .select(col("w").as(side), col("c").as(if (side == "w1") "c1" else "c2"))
-    survivors
-      .join(marginal("w1"), "w1")
-      .join(marginal("w2"), "w2")
+    big.filter(col("n") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
       .crossJoin(broadcast(btot)).crossJoin(broadcast(tot))
       .select(col("w1"), col("w2"), col("n"),
         round(log((col("n").cast("double") / col("b_total")) /
