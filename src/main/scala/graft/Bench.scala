@@ -175,7 +175,8 @@ object Bench {
       "q70_snapshot_stats_inc", "text_bm25_indexed", "q77_point_bloom_inc",
       "q76_cohort_sketch", "text_bm25_append", "q78_snapshot_vacuum",
       "q79_snapshot_asof", "q83_snapshot_clone", "q84_snapshot_mv",
-      "stream_mv", "q86_mv_multi", "q87_snapshot_sql")
+      "stream_mv", "q86_mv_multi", "q87_snapshot_sql",
+      "text_collocations_inc")
       .filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =

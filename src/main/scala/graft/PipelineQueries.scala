@@ -583,6 +583,28 @@ object PipelineQueries {
       TextAnalysis.collocations(t(s, dir, "documents"), "text",
         minCount = 5L, k = 50)),
 
+    "text_collocations_inc" -> ((s, dir) => {
+      // the INCREMENTAL face of corpus statistics: unigram/bigram/total
+      // counts committed per ingest batch (hash-bucketed filesets,
+      // atomic manifest publish — the BM25/dedup store pattern), PMI
+      // served by a plain additive merge. Two arrival batches (doc_id
+      // parity) must equal the one-shot corpus scan EXACTLY — counts
+      // are integers and the PMI arithmetic is the identical fixed
+      // order, so the one-shot oracle replays with no tolerance. An
+      // append is O(batch), never a corpus rescan.
+      val store = s"${Scratch.dir}/colloc_store"
+      val p = new org.apache.hadoop.fs.Path(store)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val docs = t(s, dir, "documents")
+      TextAnalysis.buildCountStore(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0L), "text", store,
+        nBuckets = 16)
+      TextAnalysis.appendToCountStore(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1L), "text", store,
+        tag = 1L)
+      TextAnalysis.collocationsFromStore(s, store, minCount = 5L, k = 50)
+    }),
+
     "text_quality" -> ((s, dir) =>
       TextAnalysis.analyze(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -1814,6 +1836,29 @@ object PipelineQueries {
     // identical integer counts; the log argument is fixed-order double
     // arithmetic, round(4) pins the cross-engine rank (bm25 contract)
     "text_collocations" ->
+      s"""WITH t AS (SELECT $ToksSql AS ts FROM documents),
+         |uni AS (SELECT unnest(ts) AS w FROM t),
+         |u AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+         |tt AS (SELECT CAST(sum(c) AS DOUBLE) AS t_total FROM u),
+         |bp AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+         |       FROM t, unnest(range(1, len(ts))) AS r(i)
+         |       WHERE len(ts) >= 2),
+         |b AS (SELECT w1, w2, count(*) AS n FROM bp GROUP BY w1, w2),
+         |bt AS (SELECT CAST(sum(n) AS DOUBLE) AS b_total FROM b)
+         |SELECT b.w1, b.w2, b.n,
+         |  round(ln((CAST(b.n AS DOUBLE) / bt.b_total) /
+         |    ((CAST(u1.c AS DOUBLE) / tt.t_total) *
+         |     (CAST(u2.c AS DOUBLE) / tt.t_total))), 4) AS pmi
+         |FROM b
+         |JOIN u u1 ON u1.w = b.w1
+         |JOIN u u2 ON u2.w = b.w2
+         |CROSS JOIN bt CROSS JOIN tt
+         |WHERE b.n >= 5
+         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // the incrementally-built count store serves the IDENTICAL PMI —
+    // counts are additive integers, so the one-shot scan replays it
+    "text_collocations_inc" ->
       s"""WITH t AS (SELECT $ToksSql AS ts FROM documents),
          |uni AS (SELECT unnest(ts) AS w FROM t),
          |u AS (SELECT w, count(*) AS c FROM uni GROUP BY w),

@@ -471,6 +471,204 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("rk").cast("long").as("rk"), col("score"))
   }
 
+  // ---- incremental corpus count-statistics store ----------------------
+
+  private val UniKind = "U" // unigram count fileset (bucket-partitioned root)
+  private val BigKind = "B" // bigram count fileset (bucket-partitioned root)
+  private val TotKind = "T" // one-row additive totals fileset
+
+  /** Manifest-versioned CORPUS COUNT STORE — the incremental face of the
+    * corpus statistics behind [[collocations]] / vocabulary reports:
+    * each ingest batch commits its own unigram counts, adjacent-bigram
+    * counts (both hash-bucket-partitioned directories, like the BM25
+    * postings) and a one-row additive totals fileset, all in ONE atomic
+    * [[FilesetLog]] publish. Counts are ADDITIVE integers, so serving
+    * merges filesets with a plain sum — k batches ≡ one full-corpus
+    * scan EXACTLY (no tolerance; the gate's oracle is the one-shot SQL),
+    * and an append is O(batch), never a corpus rescan: the property that
+    * matters at 100 TB where the corpus arrives continuously and
+    * "recompute the phrase table nightly" rescans everything. Replayed
+    * tags supersede their earlier commit (crash-recovery at-least-once,
+    * exactly-once content — the [[FilesetLog]] contract shared with the
+    * BM25/dedup stores); bucket partitioning lets point probes
+    * ([[wordCountIndexed]]) directory-prune to one bucket per word.
+    */
+  def buildCountStore(docs: DataFrame, textCol: String, path: String,
+      nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, "nBuckets >= 1")
+    require(FilesetLog.current(docs.sparkSession, path).isEmpty,
+      s"a count store already exists under $path — appendToCountStore")
+    commitCountBatch(docs, textCol, path, nBuckets, tag = 0L)
+  }
+
+  def appendToCountStore(docs: DataFrame, textCol: String, path: String,
+      tag: Long): Unit = {
+    require(tag >= 1, s"append tags are >= 1 (got $tag); 0 is the build")
+    val spark = docs.sparkSession
+    val es = FilesetLog.currentEntries(spark, path)
+    require(es.nonEmpty, s"no count store under $path — buildCountStore first")
+    val nBuckets = spark.read
+      .parquet(es.filter(_.kind == TotKind).map(_.file): _*)
+      .select("n_buckets").head.getInt(0)
+    commitCountBatch(docs, textCol, path, nBuckets, tag)
+  }
+
+  private def commitCountBatch(docs: DataFrame, textCol: String,
+      path: String, nBuckets: Int, tag: Long): Unit = {
+    val spark = docs.sparkSession
+    val cur = FilesetLog.current(spark, path)
+    val hist = cur.map(FilesetLog.entries(spark, path, _))
+      .getOrElse(Seq.empty).filterNot(_.tag == tag)
+    val toks = docs.select(T.tokens(col(textCol)).as("ts"))
+    val v = cur.getOrElse(0L)
+    val f = FilesetLog.fs(spark, path)
+    def writeBucketed(counts: DataFrame, sub: String,
+        bucketOf: org.apache.spark.sql.Column): Option[String] = {
+      val dir = s"$path/$sub/" + f"v${v + 1}%05d" + s"_${FilesetLog.nonce()}"
+      counts.withColumn("bucket", pmod(bucketOf, lit(nBuckets.toLong)))
+        .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      // an empty batch writes no bucket=* subdirs — such a fileset is
+      // unreadable (no schema); contribute nothing (BM25's contract)
+      val has = f.listStatus(new Path(dir))
+        .exists(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      if (has) Some(f.makeQualified(new Path(dir)).toString) else None
+    }
+    val uni = toks.select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val big = toks.filter(size(col("ts")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("ts")) - 1),
+        i => struct(element_at(col("ts"), i).as("w1"),
+          element_at(col("ts"), i + 1).as("w2")))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+    val uniRoot = writeBucketed(uni, "uni", xxhash64(col("w")))
+    val bigRoot = writeBucketed(big, "big", xxhash64(col("w1"), col("w2")))
+    val totFiles = FilesetLog.writeFileset(
+      toks.agg(
+        coalesce(sum(size(col("ts"))), lit(0)).cast("long").as("t_total"),
+        coalesce(sum(greatest(size(col("ts")) - 1, lit(0))), lit(0))
+          .cast("long").as("b_total"))
+        .withColumn("n_buckets", lit(nBuckets)).coalesce(1),
+      s"$path/tot/" + f"v${v + 1}%05d" + s"_${FilesetLog.nonce()}")
+    FilesetLog.commit(spark, path, v + 1,
+      hist ++
+        uniRoot.map(FilesetLog.Entry(UniKind, tag, _)).toSeq ++
+        bigRoot.map(FilesetLog.Entry(BigKind, tag, _)).toSeq ++
+        totFiles.map(FilesetLog.Entry(TotKind, tag, _)))
+  }
+
+  /** Merged counts of `kind` across the CURRENT version's filesets —
+    * one read per root (partition discovery wants each bucket=* tree
+    * under its own base), unioned, then a plain additive sum.
+    */
+  private def mergedCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String, kind: String): Option[DataFrame] = {
+    val roots = FilesetLog.currentEntries(spark, path)
+      .filter(_.kind == kind).map(_.file)
+    if (roots.isEmpty) None
+    else Some(roots.map(spark.read.parquet(_)).reduce(_ unionByName _))
+  }
+
+  /** [[collocations]] SERVED from a count store's current version:
+    * fileset counts sum (additive — batching is invisible), then the
+    * identical PMI/rounding/tiebreak contract, so the result
+    * hash-equals the one-shot corpus scan and replays on the same
+    * oracle. Cost is O(stored counts), never a corpus rescan.
+    */
+  def collocationsFromStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, minCount: Long = 5L, k: Int = 50): DataFrame = {
+    require(minCount >= 1, "minCount >= 1")
+    require(k >= 1, "k >= 1")
+    val es = FilesetLog.currentEntries(spark, path)
+    require(es.nonEmpty, s"no count store under $path — buildCountStore first")
+    val tots = spark.read.parquet(es.filter(_.kind == TotKind).map(_.file): _*)
+      .agg(sum("t_total").cast("double").as("t_total"),
+        sum("b_total").cast("double").as("b_total"))
+    val uni = mergedCounts(spark, path, UniKind).getOrElse(
+      throw new IllegalArgumentException(
+        s"count store under $path holds no tokens (empty corpus)"))
+      .groupBy("w").agg(sum("c").as("c"))
+    val big = mergedCounts(spark, path, BigKind).getOrElse(
+      throw new IllegalArgumentException(
+        s"count store under $path holds no bigrams (all docs single-token)"))
+      .groupBy("w1", "w2").agg(sum("n").as("n"))
+    big.filter(col("n") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(tots))
+      .select(col("w1"), col("w2"), col("n"),
+        round(log((col("n").cast("double") / col("b_total")) /
+          ((col("c1").cast("double") / col("t_total")) *
+            (col("c2").cast("double") / col("t_total")))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(k)
+  }
+
+  /** Point probe: a word's corpus count, served by directory-pruning
+    * every unigram fileset to the word's ONE hash bucket (the same
+    * driver-side XxHash64 bridge the BM25 probe uses) — O(buckets
+    * touched), not a store scan. 0 for an unseen word.
+    */
+  def wordCountIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, word: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val es = FilesetLog.currentEntries(spark, path)
+    require(es.nonEmpty, s"no count store under $path — buildCountStore first")
+    val nBuckets = spark.read
+      .parquet(es.filter(_.kind == TotKind).map(_.file): _*)
+      .select("n_buckets").head.getInt(0).toLong
+    val b = java.lang.Math.floorMod(
+      new XxHash64(Seq(Literal.create(word,
+        org.apache.spark.sql.types.StringType))).eval(null).asInstanceOf[Long],
+      nBuckets)
+    mergedCounts(spark, path, UniKind) match {
+      case None => 0L
+      case Some(u) =>
+        val r = u.filter(col("bucket") === b && col("w") === word)
+          .agg(coalesce(sum("c"), lit(0L))).head.getLong(0)
+        r
+    }
+  }
+
+  /** [[FilesetLog.vacuum]]-style reclamation: drop old store versions
+    * and unreferenced uni/big roots + totals files (crashed or
+    * superseded ingests). Returns deleted paths.
+    */
+  def vacuumCountStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, keepLast: Int = 1,
+      graceMs: Long = SnapshotTable.DefaultVacuumGraceMs): Seq[String] = {
+    require(keepLast >= 1, "keepLast >= 1")
+    val f = FilesetLog.fs(spark, path)
+    val vs = FilesetLog.versions(spark, path)
+    val keep = vs.takeRight(keepLast)
+    val referenced = keep.flatMap(FilesetLog.entries(spark, path, _))
+      .map(_.file).toSet
+    val horizon = System.currentTimeMillis() - graceMs
+    def roots(sub: String): Seq[String] = {
+      val root = new Path(s"$path/$sub")
+      if (!f.exists(root)) Seq.empty[String]
+      else f.listStatus(root).toSeq.filter(_.isDirectory)
+        .filter(_.getModificationTime <= horizon)
+        .map(_.getPath.toString)
+    }
+    def leaves(sub: String): Seq[String] = {
+      val root = new Path(s"$path/$sub")
+      if (!f.exists(root)) Seq.empty[String]
+      else f.listStatus(root).toSeq.filter(_.isDirectory)
+        .flatMap(d => f.listStatus(d.getPath).toSeq)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")
+          && s.getModificationTime <= horizon)
+        .map(_.getPath.toString)
+    }
+    val doomed = (roots("uni") ++ roots("big") ++ leaves("tot"))
+      .filterNot(referenced.contains).sorted
+    doomed.foreach(p => f.delete(new Path(p), true))
+    vs.dropRight(keepLast).foreach { v =>
+      f.delete(new Path(s"$path/manifest/" + f"v$v%05d.manifest"), false)
+    }
+    doomed
+  }
+
   /** Within-document repetition signals (the Gopher/MassiveText rule
     * inputs, Rae et al. 2021): duplicate word-n-gram fractions and the
     * top word's frequency share. `dup_ngram_frac` = 1 - distinct/total

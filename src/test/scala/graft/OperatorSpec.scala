@@ -628,6 +628,51 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(res(inc) == after, "a refused batch must leave the store untouched")
   }
 
+  test("count store: batched ingest ≡ one-shot; replayed tag exactly-once; point probe; vacuum") {
+    val docs = Seq(
+      (1L, "new york is a big city"),
+      (2L, "new york never sleeps and new york is loud"),
+      (3L, "the city that never sleeps"),
+      (4L, "big apple big city new york"),
+      (5L, "a city is a city")).toDF("doc_id", "text")
+    def fresh(name: String): String = {
+      val d = TestSpark.scratch(name)
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      d
+    }
+    val store = fresh("countstore")
+    TextAnalysis.buildCountStore(docs.filter($"doc_id" <= 2), "text", store,
+      nBuckets = 8)
+    TextAnalysis.appendToCountStore(docs.filter($"doc_id" > 2), "text", store,
+      tag = 1L)
+    def served = TextAnalysis.collocationsFromStore(spark, store,
+      minCount = 2L, k = 20).as[(String, String, Long, Double)].collect().toSeq
+    val oneShot = TextAnalysis.collocations(docs, "text", minCount = 2L, k = 20)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val before = served
+    assert(before == oneShot,
+      "batched count-store PMI must equal the one-shot corpus scan exactly")
+    assert(before.exists(p => p._1 == "new" && p._2 == "york"),
+      s"'new york' must surface as a collocation: $before")
+    // replayed tag (crash-recovery at-least-once): content exactly-once
+    TextAnalysis.appendToCountStore(docs.filter($"doc_id" > 2), "text", store,
+      tag = 1L)
+    assert(served == before, "replayed tag must not double-count")
+    // point probe: one bucket per word, exact counts, 0 for unseen
+    assert(TextAnalysis.wordCountIndexed(spark, store, "york") == 4L)
+    assert(TextAnalysis.wordCountIndexed(spark, store, "city") == 5L)
+    assert(TextAnalysis.wordCountIndexed(spark, store, "zebra") == 0L)
+    // vacuum reclaims the superseded fileset; serving is unchanged
+    val deleted = TextAnalysis.vacuumCountStore(spark, store, keepLast = 1,
+      graceMs = 0L)
+    assert(deleted.nonEmpty, "the superseded tag-1 filesets must be reclaimed")
+    assert(served == before)
+    // a second build refuses (append is the API)
+    intercept[IllegalArgumentException](
+      TextAnalysis.buildCountStore(docs, "text", store))
+  }
+
   test("collocations: hand-computed PMI, minCount floor, deterministic tie order") {
     // corpus: [a b a b], [a c] -> T=6 (a:3 b:2 c:1); bigram positions:
     // (a,b)x2 (b,a)x1 (a,c)x1, B=4

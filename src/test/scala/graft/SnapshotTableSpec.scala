@@ -1307,6 +1307,40 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
   }
 
+  test("materialized view model check: random upsert/delete sequences — refresh equals a rebuild at every step") {
+    import graft.operators.MaterializedView
+    val rnd = new scala.util.Random(20816)
+    val tdir = freshDir("snap-mv-model")
+    val mdir = freshDir("snap-mv-model-view")
+    val init = (0 until 400)
+      .map(i => (i.toLong, (i % 11).toLong, rnd.nextInt(10000) / 100.0, 0L))
+      .toDF("k", "grp", "price", "commit_v")
+    SnapshotTable.create(spark, init.repartitionByRange(4, col("k")), tdir)
+    MaterializedView.create(spark, tdir, mdir, "grp", "price")
+    def servedOf(d: String) = MaterializedView.serve(spark, d)
+      .orderBy("key").as[(Long, Long, Double, Double)].collect().toSeq
+    (1 to 6).foreach { step =>
+      // random batch: updates that may REASSIGN a key's group (the
+      // pre-image must leave the old group, the post-image land in the
+      // new — the subtle IVM case), inserts past the key range, deletes
+      // (including of absent keys — must be a no-op)
+      val ups = rnd.shuffle((0 until 500).toList).take(40).map { ki =>
+        val k = ki.toLong
+        (k, ((k + rnd.nextInt(5)) % 11), rnd.nextInt(10000) / 100.0,
+          step.toLong, rnd.nextDouble() < 0.3)
+      }
+      SnapshotTable.upsert(spark, tdir,
+        ups.toDF("k", "grp", "price", "commit_v", "_deleted"),
+        "k", "commit_v", "price")
+      MaterializedView.refresh(spark, tdir, mdir, "k", "grp", "price")
+      val rebuilt = freshDir(s"snap-mv-model-rebuild$step")
+      MaterializedView.create(spark, tdir, rebuilt, "grp", "price")
+      assert(servedOf(mdir) == servedOf(rebuilt),
+        s"step $step: incrementally-refreshed view diverged from a rebuild")
+      assert(MaterializedView.reflectedVersion(spark, mdir) == step + 1L)
+    }
+  }
+
   test("materialized view: an emptying refresh commits a servable EMPTY view; repopulation works") {
     import graft.operators.MaterializedView
     val tdir = freshDir("snap-mve-table")
