@@ -365,7 +365,8 @@ object Dedup {
   def ngramContainment(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.8,
-      numPartitions: Option[Int] = None): DataFrame = {
+      numPartitions: Option[Int] = None,
+      onJoinStats: Option[NgramJoinStats => Unit] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold in (0,1], got $threshold")
     val session = df.sparkSession.sessionState.conf.numShufflePartitions
@@ -415,7 +416,15 @@ object Dedup {
       .filter(lit(1) + (col("a_sz") - col("a_pos") - 1) >=
         ceil(col("a_sz") * threshold - lit(1e-9)))
       .select("a", "b").distinct()
-    candidates
+    val counted = onJoinStats match {
+      case None => candidates
+      case Some(cb) =>
+        val c = tracked(candidates
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        cb(NgramJoinStats(c.count()))
+        c
+    }
+    counted
       .join(docs.select(col("id").as("a"), col("sh").as("a_sh"),
         col("sz").as("a_sz")), "a")
       .join(docs.select(col("id").as("b"), col("sh").as("b_sh")), "b")

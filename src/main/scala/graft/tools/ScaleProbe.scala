@@ -46,10 +46,8 @@ object ScaleProbe {
     // BPE training: corpus tokenize scan is 10x, the 8 merge rounds run
     // on the cached vocabulary (~10x entries from the digit suffixes)
     "pipeline_bpe",
-    // directed containment join: replica shingle sets are pairwise
-    // disjoint, so candidates track the 10x corpus (not 100x pairs) —
-    // prefix-filter boundedness is the claim under measure
-    "dedup_containment",
+    // (dedup_containment runs as a DEDICATED probe below so its row
+    // carries candidate-pair counts — same adjudication as ngram)
     // event analytics at 10x events (10x users, same time range): each
     // is ONE scan + one shuffle — funnel/cohort fold or window per user,
     // resample's grid is time-range-sized (constant) so its cost is the
@@ -119,7 +117,7 @@ object ScaleProbe {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val fullSweep = only.isEmpty
     // dedicated probe blocks (not plain gate reruns) subset-selectable too
-    val dedicated = Set("dedup_ngram_jaccard", "mv_refresh")
+    val dedicated = Set("dedup_ngram_jaccard", "dedup_containment", "mv_refresh")
     only.foreach { f =>
       val unknown = f -- Queries.toSet -- dedicated
       require(unknown.isEmpty, s"unknown probe names: $unknown")
@@ -175,6 +173,42 @@ object ScaleProbe {
         f""""candidates_sf01": $candS, "candidates_sf1": $candB, """ +
         f""""candidate_ratio": $candRatio%.2f, """ +
         f""""note": "candidate_ratio ~ rows ratio = prefix filter holds; wall outliers beyond it are host noise"}"""
+    }
+
+    // directed-containment probe with the same candidate accounting:
+    // replica shingle sets are pairwise disjoint, so candidates should
+    // track the 10x corpus (not 100x pairs) — the probe-side prefix
+    // filter's boundedness, now measurable per run
+    if (wants("dedup_containment")) locally {
+      def probe(dir: String): (Double, Long, Long) = {
+        var cand = 0L
+        var best = Double.MaxValue; var rows = 0L
+        (0 until 2).foreach { _ =>
+          graft.operators.Dedup.releaseCaches()
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          rows = force(graft.operators.Dedup.ngramContainment(
+            graft.sources.Tables.load(spark, dir, "documents"),
+            "doc_id", "text", shingleSize = 3, threshold = 0.8,
+            onJoinStats = Some(s => cand = s.candidatePairs)))
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        graft.operators.Dedup.releaseCaches()
+        spark.catalog.clearCache()
+        (best, rows, cand)
+      }
+      probe(src) // warmup
+      val (tS, rowsS, candS) = probe(src)
+      val (tB, rowsB, candB) = probe(out)
+      val candRatio = if (candS == 0) 0.0 else candB.toDouble / candS
+      println(f"[scale] dedup_containment sf0.1=$tS%6.2fs ($rowsS rows, $candS cand)  " +
+        f"sf1=$tB%7.2fs ($rowsB rows, $candB cand)  ratio=${tB / tS}%5.1fx " +
+        f"(candidates ${candRatio}%4.2fx)")
+      results += f"""  "dedup_containment": {"sf01_sec": $tS%.3f, "sf1_sec": $tB%.3f, """ +
+        f""""sf01_rows": $rowsS, "sf1_rows": $rowsB, "ratio": ${tB / tS}%.2f, """ +
+        f""""candidates_sf01": $candS, "candidates_sf1": $candB, """ +
+        f""""candidate_ratio": $candRatio%.2f, """ +
+        f""""note": "candidate_ratio ~ rows ratio = probe prefix filter holds"}"""
     }
 
     // MV-refresh probe: MaterializedView.refresh's claim is O(delta +
