@@ -1033,6 +1033,49 @@ object ExtraQueries {
         .orderBy("o_custkey")
     }),
 
+    "q88_mv_multikey" -> ((s, dir) => {
+      // MULTI-COLUMN group key: the view groups by the (cust bucket,
+      // priority class) TUPLE, each key stored under its own name. The
+      // update MOVES rows between groups (prio rewritten to '9'), so the
+      // refresh must subtract the pre-image from the old key tuple and
+      // add the post-image to the new one — the group-migration path a
+      // single-key view never exercises; the delete mix and commit_v
+      // ignoreCols ride along from q86. Must equal DuckDB's full
+      // recompute of the merged truth exactly.
+      import graft.operators.{MaterializedView, SnapshotTable}
+      val tdir = s"${Scratch.dir}/q88_table"
+      val mdir = s"${Scratch.dir}/q88_mv"
+      for (d <- Seq(tdir, mdir)) {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      }
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          pmod(col("o_custkey"), lit(100L)).as("cust_b"),
+          substring(col("o_orderpriority"), 1, 1).as("prio"),
+          col("o_totalprice"))
+        .withColumn("commit_v", lit(0L))
+      SnapshotTable.create(s,
+        base.repartitionByRange(8, col("o_orderkey")), tdir)
+      MaterializedView.create(s, tdir, mdir, Seq("cust_b", "prio"),
+        Seq("o_totalprice"))
+      val upd = base.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(250.0))
+        .withColumn("prio", lit("9"))
+        .withColumn("commit_v", lit(1L)).withColumn("_deleted", lit(false))
+      val del = base.filter(col("o_orderkey") % 10 === 8)
+        .withColumn("commit_v", lit(1L)).withColumn("_deleted", lit(true))
+      SnapshotTable.upsert(s, tdir, upd.unionByName(del),
+        "o_orderkey", "commit_v", "o_totalprice")
+      MaterializedView.refresh(s, tdir, mdir, "o_orderkey",
+        Seq("cust_b", "prio"), Seq("o_totalprice"),
+        ignoreCols = Seq("commit_v"))
+      MaterializedView.serve(s, mdir)
+        .select(col("cust_b"), col("prio"), col("n_rows"),
+          col("sum_o_totalprice"), col("avg_o_totalprice"))
+        .orderBy("cust_b", "prio")
+    }),
+
     "q83_snapshot_clone" -> ((s, dir) => {
       // metadata-only SHALLOW CLONE end-to-end: clone = src's v1 file
       // list verbatim (zero data copied), then an upsert on the CLONE —
@@ -1730,6 +1773,29 @@ object ExtraQueries {
         |    / 100.0 / count(o_fee) AS avg_o_fee
         |FROM m GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
+
+    // full recompute of the multi-key view: group by the (cust bucket,
+    // priority class) tuple after replaying the group-moving update and
+    // the deletes — the incrementally-refreshed view must equal it
+    // exactly (a missed pre-image subtraction on the old group or a
+    // lost post-image on the new one mismatches)
+    "q88_mv_multikey" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey % 100 AS cust_b,
+        |    substring(o_orderpriority, 1, 1) AS prio, o_totalprice
+        |  FROM orders),
+        |m AS (
+        |  SELECT o_orderkey, cust_b,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN '9' ELSE prio END AS prio,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 250.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM b WHERE o_orderkey % 10 != 8)
+        |SELECT cust_b, prio, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS sum_o_totalprice,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 / count(o_totalprice) AS avg_o_totalprice
+        |FROM m GROUP BY cust_b, prio
+        |ORDER BY cust_b, prio""".stripMargin,
 
     // source = pre-upsert truth (write independence), clone = merged
     "q83_snapshot_clone" ->

@@ -119,6 +119,15 @@ object GraftExtensions {
     * analyzed plan the Dataset API builds — one code path, two faces
     * (spec-asserted equal). Arguments must be literals (they are plan
     * parameters, not row expressions).
+    *
+    * SESSION ASSUMPTION: builders resolve the named table via
+    * `SparkSession.active` — the session executing the query — not the
+    * session the function was registered into. In the single-session
+    * applications this library targets the two coincide; an application
+    * juggling MULTIPLE SparkSessions must register the functions into
+    * EACH session ([[register]]) and keep temp-view names meaningful in
+    * the session that runs the SQL, or a builder can resolve a view
+    * from (or fail against) the wrong session's catalog.
     */
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(

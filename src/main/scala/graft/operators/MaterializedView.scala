@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Incrementally-maintained aggregate MATERIALIZED VIEW over a
   * [[SnapshotTable]] — the lakehouse "incremental view maintenance"
   * primitive (Delta/Materialize-style): the view holds
-  * `groupBy(key) → (n_rows, per-value-column (non-null count, Σcents))`
+  * `groupBy(keys) → (n_rows, per-value-column (non-null count, Σcents))`
   * for one snapshot version, and a refresh advances it to the current
   * version by applying only the CDC DELTA between the two versions
   * ([[SnapshotTable.changes]] — O(files touched), never a table rescan),
@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   * changed. At larger key domains the view fileset would be hash-bucketed
   * by key so the merge co-partitions; the merge is already a plain
   * shuffle join that AQE sizes.
+  *
+  * GROUP KEYS: one column or several (`keyCols: Seq[String]` — real
+  * views group by dimension TUPLES). Multi-key views store the key
+  * columns under their ORIGINAL names; the single-`keyCol` overloads
+  * keep the legacy stored name `key` (existing views and their readers
+  * are untouched). The merge join is NULL-SAFE (`<=>` per key column),
+  * so a NULL group — which `groupBy` creates and an equality join would
+  * silently duplicate — merges correctly.
   *
   * AGGREGATE ALGEBRA (the supported shape, enforced by the API): the
   * maintained state is the INVERTIBLE family — row count, per-column
@@ -57,6 +65,36 @@ object MaterializedView {
   // fileset's schema JSON (what makes a ZERO-file view servable)
   private val VersionKind = "V"
 
+  /** The aggregate-state column names generated for the value columns
+    * (n_rows plus n_/s_ per column) must stay collision-free, and
+    * serve()'s schema-driven derivation (s_ prefix → value column,
+    * everything unprefixed → key column) must stay unambiguous — both
+    * enforced HERE, at create/refresh time, not discovered as an
+    * ambiguous-column error mid-merge. `keys` maps source column →
+    * stored name.
+    */
+  private def validateCols(keys: Seq[(String, String)],
+      valueCols: Seq[String]): Unit = {
+    require(valueCols.nonEmpty, "need at least one value column")
+    require(valueCols.distinct.size == valueCols.size,
+      s"duplicate value columns: ${valueCols.diff(valueCols.distinct).distinct
+        .mkString(", ")} — each would generate the same n_/s_ state columns")
+    require(!valueCols.contains("rows"),
+      "a value column named 'rows' would generate n_rows, colliding with " +
+        "the view's row counter — rename it upstream")
+    val stored = keys.map(_._2)
+    require(stored.distinct.size == stored.size,
+      s"duplicate key columns: ${stored.diff(stored.distinct).distinct.mkString(", ")}")
+    stored.foreach { k =>
+      require(k != "n_rows" && !k.startsWith("n_") && !k.startsWith("s_"),
+        s"view key column '$k' collides with the aggregate-state namespace " +
+          "(n_rows / n_* / s_*) — alias it upstream")
+    }
+    val keySrcs = keys.map(_._1).toSet
+    require(!valueCols.exists(keySrcs.contains),
+      "a view key cannot also be a value column")
+  }
+
   /** Create the view at `mvDir` reflecting `tableDir`'s CURRENT version:
     * one full aggregation scan (paid once — every later refresh is
     * delta-sized). Returns the snapshot version the view reflects.
@@ -66,9 +104,20 @@ object MaterializedView {
     create(spark, tableDir, mvDir, keyCol, Seq(valueCol))
 
   def create(spark: SparkSession, tableDir: String, mvDir: String,
-      keyCol: String, valueCols: Seq[String]): Long = {
-    require(valueCols.nonEmpty, "need at least one value column")
-    require(!valueCols.contains(keyCol), "the view key cannot also be a value")
+      keyCol: String, valueCols: Seq[String]): Long =
+    createImpl(spark, tableDir, mvDir, Seq(keyCol -> "key"), valueCols)
+
+  /** Multi-column group key: the view groups by the tuple and stores
+    * each key column under its own name — `serve` returns them as-is.
+    */
+  def create(spark: SparkSession, tableDir: String, mvDir: String,
+      keyCols: Seq[String], valueCols: Seq[String]): Long =
+    createImpl(spark, tableDir, mvDir, keyCols.map(c => c -> c), valueCols)
+
+  private def createImpl(spark: SparkSession, tableDir: String, mvDir: String,
+      keys: Seq[(String, String)], valueCols: Seq[String]): Long = {
+    require(keys.nonEmpty, "need at least one key column")
+    validateCols(keys, valueCols)
     require(FilesetLog.current(spark, mvDir).isEmpty,
       s"a materialized view already exists under $mvDir — refresh() it")
     val v = SnapshotTable.currentVersion(spark, tableDir).getOrElse(
@@ -81,7 +130,7 @@ object MaterializedView {
         count(col(c)).as(s"n_$c"),
         coalesce(sum(round(col(c) * 100).cast("long")), lit(0L)).as(s"s_$c")))
     val agg = SnapshotTable.read(spark, tableDir, Some(v))
-      .groupBy(col(keyCol).as("key"))
+      .groupBy(keys.map { case (src, st) => col(src).as(st) }: _*)
       .agg(aggs.head, aggs.tail: _*)
     commitView(spark, mvDir, agg, v)
     v
@@ -97,8 +146,8 @@ object MaterializedView {
     * (fromVersion, toVersion).
     *
     * `tableKeyCol` is the TABLE's merge key (what
-    * [[SnapshotTable.changes]] diffs rows by); `keyCol` is the VIEW's
-    * group key — they are usually different (a view groups by a
+    * [[SnapshotTable.changes]] diffs rows by); `keyCol`/`keyCols` is the
+    * VIEW's group key — they are usually different (a view groups by a
     * dimension, the table merges by its primary key). `ignoreCols`
     * forwards to [[SnapshotTable.changes]]: columns whose churn is not a
     * content change (typically the upsert's versionCol) — without it a
@@ -111,10 +160,26 @@ object MaterializedView {
 
   def refresh(spark: SparkSession, tableDir: String, mvDir: String,
       tableKeyCol: String, keyCol: String, valueCols: Seq[String],
+      ignoreCols: Seq[String]): (Long, Long) =
+    refreshImpl(spark, tableDir, mvDir, tableKeyCol, Seq(keyCol -> "key"),
+      valueCols, ignoreCols)
+
+  /** Multi-column group-key refresh — pair of the Seq `create`. */
+  def refresh(spark: SparkSession, tableDir: String, mvDir: String,
+      tableKeyCol: String, keyCols: Seq[String], valueCols: Seq[String],
+      ignoreCols: Seq[String]): (Long, Long) =
+    refreshImpl(spark, tableDir, mvDir, tableKeyCol, keyCols.map(c => c -> c),
+      valueCols, ignoreCols)
+
+  private def refreshImpl(spark: SparkSession, tableDir: String, mvDir: String,
+      tableKeyCol: String, keys: Seq[(String, String)], valueCols: Seq[String],
       ignoreCols: Seq[String]): (Long, Long) = {
-    require(valueCols.nonEmpty, "need at least one value column")
-    require(!(ignoreCols.contains(keyCol) || valueCols.exists(ignoreCols.contains)),
-      "ignoreCols cannot cover the view key or a value column — their " +
+    require(keys.nonEmpty, "need at least one key column")
+    validateCols(keys, valueCols)
+    val keySrcs = keys.map(_._1)
+    require(!(keySrcs.exists(ignoreCols.contains) ||
+        valueCols.exists(ignoreCols.contains)),
+      "ignoreCols cannot cover a view key or a value column — their " +
         "changes ARE the content the view maintains")
     val (v0, es, schema) = currentState(spark, mvDir)
     val v1 = SnapshotTable.currentVersion(spark, tableDir).getOrElse(
@@ -130,6 +195,7 @@ object MaterializedView {
         s"$tableDir — the CDC delta can no longer be computed; rebuild " +
         "the view (delete it and create()), or keep vacuum retention " +
         "above the refresh cadence")
+    val storedKeys = keys.map(_._2)
     val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
     val deltaCols: Seq[Column] = sum(col("sg")).as("dn") +:
@@ -138,22 +204,33 @@ object MaterializedView {
         sum(col(s"ds_$c")).as(s"ds_$c")))
     val delta = SnapshotTable.changes(spark, tableDir, tableKeyCol, v0, v1,
         ignoreCols)
-      .select(col(keyCol).as("key") +: sign.as("sg") +:
-        valueCols.flatMap(c => Seq(
-          (sign * when(col(c).isNotNull, 1L).otherwise(0L)).as(s"dnn_$c"),
-          (sign * coalesce(round(col(c) * 100).cast("long"), lit(0L)))
-            .as(s"ds_$c"))): _*)
-      .groupBy("key")
+      .select(keys.map { case (src, st) => col(src).as(st) } ++
+        (sign.as("sg") +:
+          valueCols.flatMap(c => Seq(
+            (sign * when(col(c).isNotNull, 1L).otherwise(0L)).as(s"dnn_$c"),
+            (sign * coalesce(round(col(c) * 100).cast("long"), lit(0L)))
+              .as(s"ds_$c")))): _*)
+      .groupBy(storedKeys.map(col): _*)
       .agg(deltaCols.head, deltaCols.tail: _*)
-    val old = readAgg(spark, es, schema)
-    val mergedCols: Seq[Column] = col("key") +:
-      (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_rows") +:
-      valueCols.flatMap(c => Seq(
-        (coalesce(col(s"n_$c"), lit(0L)) + coalesce(col(s"dnn_$c"), lit(0L)))
-          .as(s"n_$c"),
-        (coalesce(col(s"s_$c"), lit(0L)) + coalesce(col(s"ds_$c"), lit(0L)))
-          .as(s"s_$c")))
-    val merged = old.join(delta, Seq("key"), "full_outer")
+    val old = readAgg(spark, es, schema).alias("o")
+    val dl = delta.alias("d")
+    // NULL-SAFE key equality: groupBy puts NULL groups in both sides;
+    // a plain equality join would fail to merge them (two rows, one of
+    // them stale). `<=>` per key column merges NULL with NULL.
+    val joinCond = storedKeys.map(k => col(s"o.$k") <=> col(s"d.$k"))
+      .reduce(_ && _)
+    val mergedCols: Seq[Column] =
+      storedKeys.map(k => coalesce(col(s"o.$k"), col(s"d.$k")).as(k)) ++
+        ((coalesce(col("o.n_rows"), lit(0L)) + coalesce(col("d.dn"), lit(0L)))
+          .as("n_rows") +:
+          valueCols.flatMap(c => Seq(
+            (coalesce(col(s"o.n_$c"), lit(0L)) + coalesce(col(s"d.dnn_$c"), lit(0L)))
+              .as(s"n_$c"),
+            (coalesce(col(s"o.s_$c"), lit(0L)) + coalesce(col(s"d.ds_$c"), lit(0L)))
+              .as(s"s_$c"))))
+    // coalesce picks the NON-NULL side's key for the output row; a
+    // genuinely-NULL merged key coalesces NULL + NULL = NULL — correct
+    val merged = old.join(dl, joinCond, "full_outer")
       .select(mergedCols: _*)
       .filter(col("n_rows") > 0)
     commitView(spark, mvDir, merged, v1)
@@ -161,24 +238,29 @@ object MaterializedView {
   }
 
   /** The view's aggregate, served from its CURRENT committed version:
-    * (key, n_rows, then per value column `sum_<c>` and `avg_<c>`) —
-    * sum = cents / 100; avg = sum / non-null count, NULL for a key with
+    * (key columns, n_rows, then per value column `sum_<c>` and `avg_<c>`)
+    * — sum = cents / 100; avg = sum / non-null count, NULL for a key with
     * no non-null values (`sum_<c>` too — SQL sum semantics). One double
     * division chain per cell, the same fixed order every engine replays.
     * An empty view serves zero rows under the full schema (the sentinel
-    * carries it).
+    * carries it). Key and value columns are derived from the committed
+    * schema: `s_`-prefixed fields name the value columns, unprefixed
+    * non-`n_rows` fields are the keys (single-`keyCol` views store one
+    * key field literally named `key`).
     */
   def serve(spark: SparkSession, mvDir: String): DataFrame = {
     val (_, es, schema) = currentState(spark, mvDir)
     val raw = readAgg(spark, es, schema)
     val valueCols = schema.fieldNames.toSeq
       .filter(_.startsWith("s_")).map(_.drop(2))
-    raw.select(col("key") +: col("n_rows") +:
+    val keyCols = schema.fieldNames.toSeq.filter(n =>
+      n != "n_rows" && !n.startsWith("n_") && !n.startsWith("s_"))
+    raw.select(keyCols.map(col) ++ (col("n_rows") +:
       valueCols.flatMap(c => Seq(
         when(col(s"n_$c") > 0, col(s"s_$c").cast("double") / 100.0)
           .as(s"sum_$c"),
         when(col(s"n_$c") > 0,
-          col(s"s_$c").cast("double") / 100.0 / col(s"n_$c")).as(s"avg_$c"))): _*)
+          col(s"s_$c").cast("double") / 100.0 / col(s"n_$c")).as(s"avg_$c")))): _*)
   }
 
   /** The snapshot version the current view reflects (freshness probe). */
@@ -188,7 +270,11 @@ object MaterializedView {
   /** (reflected snapshot version, agg entries, agg schema) of the
     * CURRENT view version. The version sentinel is authoritative;
     * pre-sentinel manifests (agg entries only) fall back to the agg
-    * tag + on-read schema.
+    * tag + on-read schema — EXCEPT the pre-multi-aggregate `sum_cents`
+    * layout, which is REJECTED loudly: serve() would silently drop its
+    * aggregate column and refresh() would throw unresolved-column
+    * errors mid-merge, so the honest answer is "rebuild", stated up
+    * front.
     */
   private def currentState(spark: SparkSession,
       mvDir: String): (Long, Seq[FilesetLog.Entry], org.apache.spark.sql.types.StructType) = {
@@ -207,7 +293,14 @@ object MaterializedView {
           case other => throw new IllegalStateException(
             s"view manifest must carry one snapshot version, got $other")
         }
-        (v0, aggs, spark.read.parquet(aggs.map(_.file): _*).schema)
+        val schema = spark.read.parquet(aggs.map(_.file): _*).schema
+        if (schema.fieldNames.contains("sum_cents"))
+          throw new IllegalStateException(
+            s"the view under $mvDir was written by a pre-multi-aggregate " +
+              "version (sum_cents layout) — this version cannot serve or " +
+              "refresh it faithfully; rebuild the view (delete the " +
+              "directory and create() it against the current table)")
+        (v0, aggs, schema)
     }
   }
 

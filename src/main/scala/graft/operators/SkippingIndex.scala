@@ -584,12 +584,12 @@ object SkippingIndex {
       if (eagerMax <= 0) None
       else {
         val probe = normalized.limit(eagerMax + 1).collect()
+        // counted on BOTH branches: even when the probe overflows into
+        // the lazy path, its eagerMax+1 rows were materialized on the
+        // driver — the residency evidence this counter exists to carry
+        pulled.addAndGet(probe.length.toLong)
         if (probe.length > eagerMax) None
-        else {
-          val arr = probe.map(toStat)
-          pulled.addAndGet(arr.length.toLong)
-          Some(arr)
-        }
+        else Some(probe.map(toStat))
       }
 
     // lazy path: persist the normalized frame ONCE, up front — the blind

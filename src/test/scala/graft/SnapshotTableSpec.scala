@@ -1341,6 +1341,88 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
   }
 
+  test("materialized view: multi-column group key — migration + NULL keys equal a rebuild; guards; legacy layout refused") {
+    import graft.operators.MaterializedView
+    val tdir = freshDir("snap-mvk-table")
+    val mdir = freshDir("snap-mvk-view")
+    // two-column key (region, tier); tier is NULL on every 6th key — a
+    // NULL group the groupBy creates and the merge join must re-find
+    // null-safely (an equality join would duplicate it on refresh)
+    val base = (0 until 2400).map { i =>
+      val tier: Option[String] =
+        if (i % 6 == 0) None else Some(s"t${i % 3}")
+      (i.toLong, (i % 5).toLong, tier, (i % 400) + 0.25, 0L)
+    }.toDF("k", "region", "tier", "price", "commit_v")
+    SnapshotTable.create(spark, base.repartitionByRange(6, col("k")), tdir)
+    MaterializedView.create(spark, tdir, mdir, Seq("region", "tier"),
+      Seq("price"))
+    // the update MOVES rows between key tuples (tier rewritten, some to
+    // NULL): pre-image leaves the old tuple, post-image lands in the new
+    val upd = base.filter(col("k") % 10 === 3)
+      .withColumn("tier",
+        when(col("k") % 20 === 3, lit(null).cast("string")).otherwise(lit("t9")))
+      .withColumn("price", col("price") + lit(5.50))
+      .withColumn("commit_v", lit(1L)).withColumn("_deleted", lit(false))
+    val del = base.filter(col("k") % 10 === 7)
+      .withColumn("commit_v", lit(1L)).withColumn("_deleted", lit(true))
+    SnapshotTable.upsert(spark, tdir, upd.unionByName(del),
+      "k", "commit_v", "price")
+    MaterializedView.refresh(spark, tdir, mdir, "k", Seq("region", "tier"),
+      Seq("price"), ignoreCols = Seq("commit_v"))
+    val rebuilt = freshDir("snap-mvk-rebuild")
+    MaterializedView.create(spark, tdir, rebuilt, Seq("region", "tier"),
+      Seq("price"))
+    def rows(d: String) = MaterializedView.serve(spark, d)
+      .orderBy("region", "tier")
+      .as[(Long, Option[String], Long, Double, Double)].collect().toSeq
+    assert(rows(mdir) == rows(rebuilt),
+      "multi-key refresh (with group migration + NULL keys) must equal a rebuild")
+    // key columns serve under their OWN names, before n_rows
+    assert(MaterializedView.serve(spark, mdir).columns.toSeq ==
+      Seq("region", "tier", "n_rows", "sum_price", "avg_price"))
+    // exactly ONE NULL-tier row per region (the null-safe merge): an
+    // equality join would have left a stale duplicate
+    val nullTiers = MaterializedView.serve(spark, mdir)
+      .filter(col("tier").isNull).groupBy("region").count()
+      .as[(Long, Long)].collect().toMap
+    assert(nullTiers.values.forall(_ == 1L),
+      s"NULL key tuples must merge, not duplicate: $nullTiers")
+    // GUARDS: duplicate value columns, a column named 'rows', a key in
+    // the aggregate-state namespace — each refused at create time
+    intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, tdir, freshDir("snap-mvk-g1"),
+        Seq("region"), Seq("price", "price"))
+    }
+    intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, tdir, freshDir("snap-mvk-g2"),
+        Seq("region"), Seq("rows"))
+    }
+    intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, tdir, freshDir("snap-mvk-g3"),
+        Seq("n_rows"), Seq("price"))
+    }
+    // LEGACY (pre-multi-aggregate) sum_cents layout: refused with the
+    // rebuild remedy — serve() would silently drop the aggregate and
+    // refresh() would die mid-merge otherwise
+    val legacy = freshDir("snap-mvk-legacy")
+    val aggFile = s"$legacy/agg/v00001_x"
+    Seq((1L, 2L, 250L)).toDF("key", "n_rows", "sum_cents")
+      .coalesce(1).write.parquet(aggFile)
+    val fsys = new org.apache.hadoop.fs.Path(legacy)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val pq = fsys.listStatus(new org.apache.hadoop.fs.Path(aggFile))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$legacy/manifest"))
+    val out = fsys.create(
+      new org.apache.hadoop.fs.Path(s"$legacy/manifest/v00001.manifest"))
+    out.write(s"A 1 $pq\n".getBytes("UTF-8")); out.close()
+    val le = intercept[IllegalStateException] {
+      MaterializedView.serve(spark, legacy)
+    }
+    assert(le.getMessage.contains("sum_cents") &&
+      le.getMessage.contains("rebuild"), le.getMessage)
+  }
+
   test("materialized view: an emptying refresh commits a servable EMPTY view; repopulation works") {
     import graft.operators.MaterializedView
     val tdir = freshDir("snap-mve-table")
