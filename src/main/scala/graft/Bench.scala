@@ -176,7 +176,8 @@ object Bench {
       "q76_cohort_sketch", "text_bm25_append", "q78_snapshot_vacuum",
       "q79_snapshot_asof", "q83_snapshot_clone", "q84_snapshot_mv",
       "stream_mv", "q86_mv_multi", "q87_snapshot_sql",
-      "text_collocations_inc")
+      "text_collocations_inc", "q88_mv_multikey", "text_bm25_delete",
+      "text_bm25_compact", "text_colloc_compact")
       .filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =

@@ -389,6 +389,72 @@ object PipelineQueries {
         terms = Seq("dup", "vector", "batch"), k = 20)
     }),
 
+    "text_bm25_delete" -> ((s, dir) => {
+      // tombstone DELETE on the persisted index (PqIndex's
+      // ann_ivfpq_delete pattern for text): build over the full corpus,
+      // delete the odd-id half — ONE doc-id tombstone fileset + ONE
+      // NEGATIVE additive stats row (nd/Σdl are exact integer-valued
+      // sums, subtraction is exact), atomic manifest publish, O(batch +
+      // store ids) via the dl-bearing ids filesets (never a postings
+      // rescan). Serving anti-joins the tombstones BEFORE df, so the
+      // search must equal the replay over the survivors — a leaked
+      // deleted doc, stale df, or unsubtracted stat hash-mismatches.
+      val idx = s"${Scratch.dir}/bm25_delete_index"
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val docs = t(s, dir, "documents")
+      TextAnalysis.buildBm25Index(docs, "doc_id", "text", idx, nBuckets = 64)
+      TextAnalysis.deleteFromBm25Index(s, idx,
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1L).select("doc_id"),
+        tag = 1L)
+      TextAnalysis.bm25SearchIndexed(s, idx, "doc_id",
+        terms = Seq("dup", "vector", "batch"), k = 20)
+    }),
+
+    "text_bm25_compact" -> ((s, dir) => {
+      // index COMPACTION (DedupStore.compactStore's contract for text):
+      // two ingest batches' per-batch postings/ids/stats filesets
+      // collapse to ONE each (bucket partitioning kept — queries still
+      // directory-prune), committed as a new version, superseded
+      // filesets left for vacuum. Content-invisible: the same
+      // full-corpus oracle as text_bm25/_indexed/_append gates the
+      // round trip — this is the steady-state face that stops serve
+      // cost growing with ingest batch count.
+      val idx = s"${Scratch.dir}/bm25_compact_index"
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val docs = t(s, dir, "documents")
+      TextAnalysis.buildBm25Index(docs.filter(col("doc_id") < 250),
+        "doc_id", "text", idx, nBuckets = 64)
+      TextAnalysis.appendToBm25Index(docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", idx, tag = 1L)
+      TextAnalysis.compactBm25Index(s, idx)
+      TextAnalysis.bm25SearchIndexed(s, idx, "doc_id",
+        terms = Seq("dup", "vector", "batch"), k = 20)
+    }),
+
+    "text_colloc_compact" -> ((s, dir) => {
+      // count-store COMPACTION: two arrival batches' uni/big/tot
+      // filesets merge to ONE each (counts summed — the additive
+      // algebra makes the rewrite content-invisible by construction),
+      // then vacuum reclaims the superseded filesets and the store
+      // still serves — the same one-shot PMI oracle gates the whole
+      // compact-then-reclaim round trip.
+      val store = s"${Scratch.dir}/colloc_compact_store"
+      val p = new org.apache.hadoop.fs.Path(store)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val docs = t(s, dir, "documents")
+      TextAnalysis.buildCountStore(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0L), "text", store,
+        nBuckets = 16)
+      TextAnalysis.appendToCountStore(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1L), "text", store,
+        tag = 1L)
+      TextAnalysis.compactCountStore(s, store)
+      TextAnalysis.vacuumCountStore(s, store, keepLast = 1, graceMs = 0L)
+      TextAnalysis.collocationsFromStore(s, store, minCount = 5L, k = 50)
+    }),
+
     "pipeline_quality_filter" -> ((s, dir) =>
       graft.operators.Curation.qualityFilter(t(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "lang", "source")
@@ -974,8 +1040,43 @@ object PipelineQueries {
   // tf/df counts, 4-decimal-rounded score with id tiebreak. Shared by
   // text_bm25 (in-query stats) and text_bm25_indexed (persisted
   // postings) — the round trip must be result-invisible.
-  private lazy val bm25ReplaySql: String =
-    s"""WITH d AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+  // PMI collocation replay (Church & Hanks counts, ln of exact integer
+  // ratios rounded to 4, (w1, w2) tiebreak) — shared by the one-shot
+  // scan (text_collocations), the incremental count store
+  // (text_collocations_inc) and its compaction (text_colloc_compact):
+  // counts are additive integers, so all three serve identical rows.
+  private lazy val collocReplaySql: String =
+    s"""WITH t AS (SELECT $ToksSql AS ts FROM documents),
+       |uni AS (SELECT unnest(ts) AS w FROM t),
+       |u AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+       |tt AS (SELECT CAST(sum(c) AS DOUBLE) AS t_total FROM u),
+       |bp AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+       |       FROM t, unnest(range(1, len(ts))) AS r(i)
+       |       WHERE len(ts) >= 2),
+       |b AS (SELECT w1, w2, count(*) AS n FROM bp GROUP BY w1, w2),
+       |bt AS (SELECT CAST(sum(n) AS DOUBLE) AS b_total FROM b)
+       |SELECT b.w1, b.w2, b.n,
+       |  round(ln((CAST(b.n AS DOUBLE) / bt.b_total) /
+       |    ((CAST(u1.c AS DOUBLE) / tt.t_total) *
+       |     (CAST(u2.c AS DOUBLE) / tt.t_total))), 4) AS pmi
+       |FROM b
+       |JOIN u u1 ON u1.w = b.w1
+       |JOIN u u2 ON u2.w = b.w2
+       |CROSS JOIN bt CROSS JOIN tt
+       |WHERE b.n >= 5
+       |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin
+
+  private lazy val bm25ReplaySql: String = bm25ReplaySqlFor("true")
+
+  /** `docPred` (over documents) restricts the replay's corpus — the
+    * oracle face of a tombstone delete: a served search over a
+    * tombstone-masked index must equal this replay with the deleted
+    * docs simply absent (df, nd and avgdl all recomputed over the
+    * survivors).
+    */
+  private def bm25ReplaySqlFor(docPred: String): String =
+    s"""WITH d AS (SELECT doc_id, $ToksSql AS ts FROM documents
+       |           WHERE $docPred),
        |st AS (SELECT count(*)::DOUBLE AS nd, avg(len(ts))::DOUBLE AS avgdl FROM d),
        |tf AS (SELECT doc_id, w, count(*)::DOUBLE AS tf, max(dl)::DOUBLE AS dl
        |       FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS w FROM d)
@@ -1835,49 +1936,15 @@ object PipelineQueries {
 
     // identical integer counts; the log argument is fixed-order double
     // arithmetic, round(4) pins the cross-engine rank (bm25 contract)
-    "text_collocations" ->
-      s"""WITH t AS (SELECT $ToksSql AS ts FROM documents),
-         |uni AS (SELECT unnest(ts) AS w FROM t),
-         |u AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
-         |tt AS (SELECT CAST(sum(c) AS DOUBLE) AS t_total FROM u),
-         |bp AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
-         |       FROM t, unnest(range(1, len(ts))) AS r(i)
-         |       WHERE len(ts) >= 2),
-         |b AS (SELECT w1, w2, count(*) AS n FROM bp GROUP BY w1, w2),
-         |bt AS (SELECT CAST(sum(n) AS DOUBLE) AS b_total FROM b)
-         |SELECT b.w1, b.w2, b.n,
-         |  round(ln((CAST(b.n AS DOUBLE) / bt.b_total) /
-         |    ((CAST(u1.c AS DOUBLE) / tt.t_total) *
-         |     (CAST(u2.c AS DOUBLE) / tt.t_total))), 4) AS pmi
-         |FROM b
-         |JOIN u u1 ON u1.w = b.w1
-         |JOIN u u2 ON u2.w = b.w2
-         |CROSS JOIN bt CROSS JOIN tt
-         |WHERE b.n >= 5
-         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+    "text_collocations" -> collocReplaySql,
 
     // the incrementally-built count store serves the IDENTICAL PMI —
     // counts are additive integers, so the one-shot scan replays it
-    "text_collocations_inc" ->
-      s"""WITH t AS (SELECT $ToksSql AS ts FROM documents),
-         |uni AS (SELECT unnest(ts) AS w FROM t),
-         |u AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
-         |tt AS (SELECT CAST(sum(c) AS DOUBLE) AS t_total FROM u),
-         |bp AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
-         |       FROM t, unnest(range(1, len(ts))) AS r(i)
-         |       WHERE len(ts) >= 2),
-         |b AS (SELECT w1, w2, count(*) AS n FROM bp GROUP BY w1, w2),
-         |bt AS (SELECT CAST(sum(n) AS DOUBLE) AS b_total FROM b)
-         |SELECT b.w1, b.w2, b.n,
-         |  round(ln((CAST(b.n AS DOUBLE) / bt.b_total) /
-         |    ((CAST(u1.c AS DOUBLE) / tt.t_total) *
-         |     (CAST(u2.c AS DOUBLE) / tt.t_total))), 4) AS pmi
-         |FROM b
-         |JOIN u u1 ON u1.w = b.w1
-         |JOIN u u2 ON u2.w = b.w2
-         |CROSS JOIN bt CROSS JOIN tt
-         |WHERE b.n >= 5
-         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+    "text_collocations_inc" -> collocReplaySql,
+
+    // compaction is content-invisible BY the additive algebra: the
+    // merged-fileset store serves the same one-shot PMI
+    "text_colloc_compact" -> collocReplaySql,
 
     // same md5-over-window arithmetic as Dedup.substringDupSpans: the
     // tokenizer parity is proven by text_tokens, md5 and the space-join
@@ -2273,6 +2340,14 @@ object PipelineQueries {
     // from the union — so the appended store is replay-identical to a
     // one-shot build
     "text_bm25_append" -> bm25ReplaySql,
+
+    // tombstone delete: the served search must equal the replay over
+    // the SURVIVING corpus — df, nd and avgdl all post-delete
+    "text_bm25_delete" -> bm25ReplaySqlFor("doc_id % 2 = 0"),
+
+    // compaction is content-invisible: the collapsed-fileset store
+    // serves the identical full-corpus ranking
+    "text_bm25_compact" -> bm25ReplaySql,
 
     // duplicate-n-gram fractions + top-word share; short docs (<= n words)
     // are 0 by definition on both sides

@@ -291,6 +291,7 @@ object TextAnalysis {
   private val PostingsKind = "P"
   private val StatsKind = "S"
   private val IdsKind = "I"
+  private val TombKind = "X" // deleted-doc-id fileset (anti-joined at serve)
 
   /** Shared build/append body: write the batch's postings fileset
     * (bucket-partitioned directory — the manifest references its ROOT),
@@ -327,10 +328,23 @@ object TextAnalysis {
       val dup = docs.select(col(idCol).as("id"))
         .join(spark.read.parquet(priorIdFiles: _*).select("id"), "id")
         .take(1)
-      require(dup.isEmpty,
-        s"append batch re-ingests document id ${dup.headOption.map(_.get(0))
-          .getOrElse("?")} already in the BM25 store under $path — " +
-          "batches must be doc-disjoint (dedup upstream, e.g. DedupStore)")
+      if (dup.nonEmpty) {
+        // a TOMBSTONED id is still in the id space (its postings/ids
+        // rows survive until compaction physically removes them) — name
+        // the actual remedy, not a generic disjointness complaint
+        val tombFiles = hist.filter(_.kind == TombKind).map(_.file)
+        val tombed = tombFiles.nonEmpty && spark.read.parquet(tombFiles: _*)
+          .filter(col("id") === lit(dup.head.get(0))).take(1).nonEmpty
+        throw new IllegalArgumentException(
+          if (tombed)
+            s"document id ${dup.head.get(0)} was DELETED from the BM25 " +
+              s"store under $path but its rows are not yet reclaimed — " +
+              "compactBm25Index first, then re-ingest"
+          else
+            s"append batch re-ingests document id ${dup.head.get(0)} " +
+              s"already in the BM25 store under $path — batches must be " +
+              "doc-disjoint (dedup upstream, e.g. DedupStore)")
+      }
     }
     val v = cur.getOrElse(0L)
     val withDl = docs.select(col(idCol).as("id"), T.tokens(col(textCol)).as("ts"))
@@ -351,8 +365,11 @@ object TextAnalysis {
       withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
         .withColumn("n_buckets", lit(nBuckets)).coalesce(1),
       s"$path/stats/" + f"v${v + 1}%05d" + s"_${FilesetLog.nonce()}")
+    // ids carry the doc's token count too: a later delete subtracts the
+    // doc's dl from the corpus stats by joining THIS doc-count-sized
+    // table, never rescanning the postings
     val idFiles = FilesetLog.writeFileset(
-      docs.select(col(idCol).as("id")),
+      withDl.select(col("id"), col("dl")),
       s"$path/ids/" + f"v${v + 1}%05d" + s"_${FilesetLog.nonce()}")
     // manifest lines carry the FILESYSTEM-QUALIFIED form (file:/…, like
     // writeFileset's listing) so vacuum's on-disk walk matches them
@@ -400,14 +417,196 @@ object TextAnalysis {
           && s.getModificationTime <= horizon)
         .map(_.getPath.toString)
     }
-    val doomed = (postingRoots ++ leafFiles("stats") ++ leafFiles("ids"))
-      .filterNot(referenced.contains).sorted
+    val doomed =
+      (postingRoots ++ leafFiles("stats") ++ leafFiles("ids") ++
+        leafFiles("tomb"))
+        .filterNot(referenced.contains).sorted
     doomed.foreach(p => f.delete(new org.apache.hadoop.fs.Path(p), true))
     vs.dropRight(keepLast).foreach { v =>
       f.delete(new org.apache.hadoop.fs.Path(
         s"$path/manifest/" + f"v$v%05d.manifest"), false)
     }
     doomed
+  }
+
+  /** DELETE documents from a [[buildBm25Index]] store — the tombstone
+    * sidecar face ([[PqIndex]]'s ann_ivfpq_delete pattern for text):
+    * one doc-id tombstone fileset plus one NEGATIVE additive stats row
+    * (nd and Σdl are exact integer-valued sums, so subtraction is
+    * exact), published in ONE atomic manifest commit. Serving
+    * anti-joins the tombstones before scoring, and df recomputes from
+    * the SURVIVING postings — search after a delete ≡ a rebuild from
+    * the survivors (gated on exactly that oracle). Cost is O(delete
+    * batch + store doc ids): the per-doc token counts ride in the ids
+    * filesets since this version, so the stats adjustment never
+    * rescans postings (a legacy store whose ids lack `dl` pays one
+    * postings-side lookup for the deleted ids, documented below).
+    *
+    * `docIds` is a one-column frame of the ids to delete; every id
+    * must exist in the store and not already be deleted (a typo'd
+    * delete should fail loudly, and a double delete would
+    * double-subtract the stats). `tag` shares the store's single
+    * mutation tag space with appends (one maintainer, one monotone
+    * sequence); a replayed tag supersedes its own earlier commit —
+    * exactly-once content under at-least-once recovery, like every
+    * store here. Deleted ids stay in the id space until
+    * [[compactBm25Index]] physically reclaims their rows, so
+    * re-ingesting one is refused until then (the append guard names
+    * the remedy). Returns the number of documents deleted.
+    */
+  def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, docIds: DataFrame, tag: Long): Long = {
+    require(tag >= 1, s"mutation tags are >= 1 (got $tag); 0 is the build")
+    require(docIds.columns.length == 1,
+      s"docIds must be a one-column id frame, got ${docIds.columns.toSeq}")
+    val cur = FilesetLog.current(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no BM25 store under $path — buildBm25Index first"))
+    val all = FilesetLog.entries(spark, path, cur)
+    val hist = all.filterNot(_.tag == tag) // replay: supersede own commit
+    val ids = docIds.select(col(docIds.columns.head).as("id")).distinct()
+    val idFiles = hist.filter(_.kind == IdsKind).map(_.file)
+    require(idFiles.nonEmpty,
+      s"BM25 store under $path has no ingested documents to delete from")
+    // explicit schema so a LEGACY ids fileset (id only, pre-dl) serves
+    // dl = NULL under by-name resolution instead of dropping the column
+    // for every fileset in the read
+    val rawSchema = spark.read.parquet(idFiles: _*).schema
+    val idsSchema =
+      if (rawSchema.fieldNames.contains("dl")) rawSchema
+      else rawSchema.add("dl", org.apache.spark.sql.types.DoubleType)
+    val idsStore = spark.read.schema(idsSchema).parquet(idFiles: _*)
+    // already-deleted guard BEFORE anything commits: a second delete of
+    // the same id would subtract its dl twice
+    val tombFiles = hist.filter(_.kind == TombKind).map(_.file)
+    if (tombFiles.nonEmpty) {
+      val dup = ids.join(spark.read.parquet(tombFiles: _*).select("id"), "id")
+        .take(1)
+      require(dup.isEmpty,
+        s"document id ${dup.headOption.map(_.get(0)).getOrElse("?")} is " +
+          s"already deleted from the BM25 store under $path — a repeat " +
+          "delete would double-subtract the corpus stats")
+    }
+    val matched = ids.join(
+      idsStore.select(col("id"), col("dl"), lit(true).as("hit")),
+      Seq("id"), "left")
+    val miss = matched.filter(col("hit").isNull).take(1)
+    require(miss.isEmpty,
+      s"document id ${miss.headOption.map(_.get(0)).getOrElse("?")} is not " +
+        s"in the BM25 store under $path — deletes must name existing docs")
+    // legacy fallback: ids filesets that predate the dl column force ONE
+    // postings-side lookup for exactly the null-dl deleted ids
+    val withDl =
+      if (matched.filter(col("dl").isNull).take(1).isEmpty)
+        matched.select(col("id"), col("dl"))
+      else {
+        val roots = hist.filter(_.kind == PostingsKind).map(_.file)
+        val fromPostings =
+          if (roots.isEmpty) matched.limit(0).select(col("id"),
+            lit(0.0).as("pdl"))
+          else roots.map(spark.read.parquet(_)).reduce(_ unionByName _)
+            .groupBy("id").agg(any_value(col("dl")).as("pdl"))
+        matched.join(fromPostings, Seq("id"), "left")
+          // a doc with NO postings rows is a zero-token doc: dl = 0
+          .select(col("id"),
+            coalesce(col("dl"), col("pdl"), lit(0.0)).as("dl"))
+      }
+    val agg = withDl.agg(count(lit(1)).as("n"),
+      coalesce(sum("dl"), lit(0.0)).as("sdl")).head
+    val nDel = agg.getLong(0)
+    if (nDel == 0 && hist.length == all.length) return 0L
+    val sdl = agg.getDouble(1)
+    val nBuckets = spark.read
+      .parquet(hist.filter(_.kind == StatsKind).map(_.file): _*)
+      .select("n_buckets").head.getInt(0)
+    val tombOut = FilesetLog.writeFileset(withDl.select("id"),
+      s"$path/tomb/" + f"v${cur + 1}%05d" + s"_${FilesetLog.nonce()}")
+    val statsOut = FilesetLog.writeFileset(
+      spark.range(1).select(lit(-nDel).cast("long").as("n_docs"),
+        lit(-sdl).cast("double").as("sum_dl"),
+        lit(nBuckets).as("n_buckets")).coalesce(1),
+      s"$path/stats/" + f"v${cur + 1}%05d" + s"_${FilesetLog.nonce()}")
+    FilesetLog.commit(spark, path, cur + 1,
+      hist ++ tombOut.map(FilesetLog.Entry(TombKind, tag, _)) ++
+        statsOut.map(FilesetLog.Entry(StatsKind, tag, _)))
+    nDel
+  }
+
+  /** COMPACT a BM25 store: rewrite the CURRENT version's per-batch
+    * postings/ids filesets into ONE fileset each (bucket partitioning
+    * kept — each bucket lands in exactly one task and one file), fold
+    * every tombstone in (deleted docs' rows physically dropped, their
+    * ids released for re-ingest), and collapse the additive stats rows
+    * to one — committed as a new version ([[DedupStore.compactStore]]'s
+    * contract). Serving is CONTENT-INVISIBLE across the compaction
+    * (spec'd hash-identical), but its fileset count stops growing with
+    * ingest batch count: a store fed hourly for a year reads ONE
+    * postings fileset per query after compaction, not ~9k. Readers
+    * pinned to older versions are undisturbed; superseded filesets
+    * reclaim via [[vacuumBm25Index]]. Single maintainer, like every
+    * mutation here. Returns the new version.
+    */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetIdRecords: Long = 1L << 22): Long = {
+    require(targetIdRecords >= 1, "targetIdRecords >= 1")
+    val v = FilesetLog.current(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no BM25 store under $path — buildBm25Index first"))
+    val es = FilesetLog.entries(spark, path, v)
+    val statsFiles = es.filter(_.kind == StatsKind).map(_.file)
+    require(statsFiles.nonEmpty, s"BM25 store under $path has no stats rows")
+    val st = spark.read.parquet(statsFiles: _*)
+      .agg(sum("n_docs").cast("long").as("nd"),
+        coalesce(sum("sum_dl"), lit(0.0)).as("sdl"),
+        min("n_buckets").as("bmin"), max("n_buckets").as("bmax")).head
+    require(st.getInt(2) == st.getInt(3),
+      s"inconsistent n_buckets across filesets under $path")
+    val nBuckets = st.getInt(2)
+    val f = FilesetLog.fs(spark, path)
+    val tombFiles = es.filter(_.kind == TombKind).map(_.file)
+    def antiTomb(df: DataFrame): DataFrame =
+      if (tombFiles.isEmpty) df
+      else df.join(spark.read.parquet(tombFiles: _*).select("id"),
+        Seq("id"), "left_anti")
+    val out = scala.collection.mutable.ArrayBuffer.empty[FilesetLog.Entry]
+    val postingRoots = es.filter(_.kind == PostingsKind).map(_.file)
+    if (postingRoots.nonEmpty) {
+      val dir = s"$path/postings/" + f"v${v + 1}%05d" + s"_${FilesetLog.nonce()}"
+      antiTomb(postingRoots.map(spark.read.parquet(_)).reduce(_ unionByName _))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      val has = f.listStatus(new Path(dir))
+        .exists(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      if (has) out += FilesetLog.Entry(PostingsKind, FilesetLog.CompactedTag,
+        f.makeQualified(new Path(dir)).toString)
+    }
+    val idFiles = es.filter(_.kind == IdsKind).map(_.file)
+    if (idFiles.nonEmpty) {
+      val rawSchema = spark.read.parquet(idFiles: _*).schema
+      val idsSchema =
+        if (rawSchema.fieldNames.contains("dl")) rawSchema
+        else rawSchema.add("dl", org.apache.spark.sql.types.DoubleType)
+      val merged = antiTomb(spark.read.schema(idsSchema).parquet(idFiles: _*))
+      // ids entries are per-FILE manifest lines: bound the compacted
+      // fileset to ceil(n/target) files (DedupStore.compactStore's
+      // arithmetic) so the manifest stays small whatever the partition
+      // count of the read
+      val n = merged.count()
+      val nf = math.max(1L, (n + targetIdRecords - 1) / targetIdRecords).toInt
+      out ++= FilesetLog.writeFileset(merged.repartition(nf),
+        s"$path/ids/" + f"v${v + 1}%05d" + s"_${FilesetLog.nonce()}")
+        .map(FilesetLog.Entry(IdsKind, FilesetLog.CompactedTag, _))
+    }
+    // the summed stats already net the deletes out (negative rows): one
+    // row describes the surviving corpus exactly
+    out ++= FilesetLog.writeFileset(
+      spark.range(1).select(lit(st.getLong(0)).as("n_docs"),
+        lit(st.getDouble(1)).as("sum_dl"),
+        lit(nBuckets).as("n_buckets")).coalesce(1),
+      s"$path/stats/" + f"v${v + 1}%05d" + s"_${FilesetLog.nonce()}")
+      .map(FilesetLog.Entry(StatsKind, FilesetLog.CompactedTag, _))
+    FilesetLog.commit(spark, path, v + 1, out.toSeq)
+    v + 1
   }
 
   /** BM25 top-k served FROM a [[buildBm25Index]] store's CURRENT
@@ -454,9 +653,18 @@ object TextAnalysis {
     val postingRoots = es.filter(_.kind == PostingsKind).map(_.file)
     require(postingRoots.nonEmpty,
       s"BM25 store under $path has no postings filesets (empty corpus)")
-    val postings = postingRoots.map(spark.read.parquet(_))
+    val loaded = postingRoots.map(spark.read.parquet(_))
       .reduce(_ unionByName _)
       .filter(col("bucket").isin(buckets: _*) && col("w").isin(terms: _*))
+    // tombstones ([[deleteFromBm25Index]]) mask deleted docs BEFORE df is
+    // computed, so idf reflects the surviving corpus exactly; the
+    // anti-join is id-keyed on the already-bucket-pruned postings (AQE
+    // broadcasts a small tombstone side)
+    val tombFiles = es.filter(_.kind == TombKind).map(_.file)
+    val postings =
+      if (tombFiles.isEmpty) loaded
+      else loaded.join(spark.read.parquet(tombFiles: _*).select("id"),
+        Seq("id"), "left_anti")
     val dfr = postings.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
     val scored = postings.join(broadcast(dfr), "w")
       .withColumn("contrib",
@@ -667,6 +875,61 @@ object TextAnalysis {
       f.delete(new Path(s"$path/manifest/" + f"v$v%05d.manifest"), false)
     }
     doomed
+  }
+
+  /** COMPACT a count store: merge the CURRENT version's per-batch
+    * unigram/bigram/totals filesets into ONE each — counts summed (the
+    * additive algebra makes the rewrite content-invisible by
+    * construction, spec'd hash-identical), bucket partitioning kept so
+    * [[wordCountIndexed]] still directory-prunes — committed as a new
+    * version ([[DedupStore.compactStore]]'s contract). Serving cost
+    * stops growing with ingest batch count: a store fed hourly reads
+    * ONE fileset per kind after compaction, whatever its history.
+    * Superseded filesets reclaim via [[vacuumCountStore]]; pinned
+    * readers undisturbed. Single maintainer. Returns the new version.
+    */
+  def compactCountStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val v = FilesetLog.current(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no count store under $path — buildCountStore first"))
+    val es = FilesetLog.entries(spark, path, v)
+    val totFiles = es.filter(_.kind == TotKind).map(_.file)
+    require(totFiles.nonEmpty, s"count store under $path has no totals rows")
+    val tot = spark.read.parquet(totFiles: _*)
+      .agg(coalesce(sum("t_total"), lit(0L)).cast("long").as("t"),
+        coalesce(sum("b_total"), lit(0L)).cast("long").as("b"),
+        min("n_buckets").as("nb")).head
+    val nBuckets = tot.getInt(2)
+    val f = FilesetLog.fs(spark, path)
+    val out = scala.collection.mutable.ArrayBuffer.empty[FilesetLog.Entry]
+    def mergeBucketed(kind: String, sub: String, keyCols: Seq[String],
+        cntCol: String, bucketOf: org.apache.spark.sql.Column): Unit = {
+      val roots = es.filter(_.kind == kind).map(_.file)
+      if (roots.nonEmpty) {
+        val merged = roots.map(spark.read.parquet(_)).reduce(_ unionByName _)
+          .groupBy(keyCols.map(col): _*).agg(sum(cntCol).as(cntCol))
+          .withColumn("bucket", pmod(bucketOf, lit(nBuckets.toLong)))
+        val dir = s"$path/$sub/" + f"v${v + 1}%05d" + s"_${FilesetLog.nonce()}"
+        merged.repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+        val has = f.listStatus(new Path(dir))
+          .exists(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        if (has) out += FilesetLog.Entry(kind, FilesetLog.CompactedTag,
+          f.makeQualified(new Path(dir)).toString)
+      }
+    }
+    mergeBucketed(UniKind, "uni", Seq("w"), "c", xxhash64(col("w")))
+    mergeBucketed(BigKind, "big", Seq("w1", "w2"), "n",
+      xxhash64(col("w1"), col("w2")))
+    out ++= FilesetLog.writeFileset(
+      spark.range(1).select(lit(tot.getLong(0)).as("t_total"),
+        lit(tot.getLong(1)).as("b_total"),
+        lit(nBuckets).as("n_buckets")).coalesce(1),
+      s"$path/tot/" + f"v${v + 1}%05d" + s"_${FilesetLog.nonce()}")
+      .map(FilesetLog.Entry(TotKind, FilesetLog.CompactedTag, _))
+    FilesetLog.commit(spark, path, v + 1, out.toSeq)
+    v + 1
   }
 
   /** Within-document repetition signals (the Gopher/MassiveText rule

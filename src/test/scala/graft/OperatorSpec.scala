@@ -628,6 +628,158 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(res(inc) == after, "a refused batch must leave the store untouched")
   }
 
+  test("bm25 store: delete ≡ rebuild from survivors; guards; compaction folds tombstones and shrinks filesets") {
+    val docs = Seq(
+      (1L, "rare alpha beta gamma"),
+      (2L, "common common common common"),
+      (3L, "common delta epsilon zeta"),
+      (4L, "common eta theta iota"),
+      (5L, "rare common alpha"),
+      (6L, "zeta eta common rare")).toDF("doc_id", "text")
+    val terms = Seq("rare", "common")
+    def fresh(name: String): String = {
+      val d = TestSpark.scratch(name)
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      d
+    }
+    def res(path: String) = TextAnalysis.bm25SearchIndexed(
+      spark, path, "doc_id", terms, k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    val store = fresh("bm25_del")
+    TextAnalysis.buildBm25Index(docs.filter($"doc_id" <= 3), "doc_id", "text",
+      store, nBuckets = 8)
+    TextAnalysis.appendToBm25Index(docs.filter($"doc_id" > 3), "doc_id", "text",
+      store, tag = 1L)
+    // DELETE two docs (one from each ingest batch): the served search
+    // must equal a from-scratch build over the survivors — df, nd and
+    // avgdl all reflecting the post-delete corpus exactly
+    assert(TextAnalysis.deleteFromBm25Index(spark, store,
+      Seq(2L, 6L).toDF("doc_id"), tag = 2L) == 2L)
+    val survivors = fresh("bm25_del_ref")
+    TextAnalysis.buildBm25Index(docs.filter(!$"doc_id".isin(2L, 6L)),
+      "doc_id", "text", survivors, nBuckets = 8)
+    val afterDelete = res(store)
+    assert(afterDelete == res(survivors),
+      "post-delete search must equal a rebuild from the survivors")
+    // GUARDS: double delete (would double-subtract stats), delete of an
+    // id the store never held, re-ingest of a deleted id (names the
+    // compaction remedy) — each refused before anything commits
+    val dd = intercept[IllegalArgumentException] {
+      TextAnalysis.deleteFromBm25Index(spark, store, Seq(2L).toDF("doc_id"),
+        tag = 3L)
+    }
+    assert(dd.getMessage.contains("already deleted"), dd.getMessage)
+    val dm = intercept[IllegalArgumentException] {
+      TextAnalysis.deleteFromBm25Index(spark, store, Seq(99L).toDF("doc_id"),
+        tag = 3L)
+    }
+    assert(dm.getMessage.contains("not in the BM25 store") &&
+      dm.getMessage.contains("99"), dm.getMessage)
+    val ri = intercept[IllegalArgumentException] {
+      TextAnalysis.appendToBm25Index(
+        Seq((2L, "back again")).toDF("doc_id", "text"), "doc_id", "text",
+        store, tag = 3L)
+    }
+    assert(ri.getMessage.contains("DELETED") &&
+      ri.getMessage.contains("compactBm25Index"), ri.getMessage)
+    assert(res(store) == afterDelete, "refused mutations must not change the store")
+    // REPLAYED delete tag: supersedes its own earlier commit — stats
+    // subtracted exactly once, search unchanged
+    TextAnalysis.deleteFromBm25Index(spark, store, Seq(2L, 6L).toDF("doc_id"),
+      tag = 2L)
+    assert(res(store) == afterDelete, "replayed delete must be exactly-once")
+    // COMPACTION: one postings/ids/stats fileset, tombstones folded in
+    // (deleted rows physically gone), serving hash-identical
+    def entryCount(path: String): Int = {
+      // manifests are 'kind tag file' lines — count data entries
+      val fsys = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val md = fsys.listStatus(new org.apache.hadoop.fs.Path(s"$path/manifest"))
+        .map(_.getPath).sortBy(_.getName).last
+      val in = fsys.open(md)
+      val len = fsys.getFileStatus(md).getLen.toInt
+      val buf = new Array[Byte](len)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, "UTF-8").split("\n").count(_.trim.nonEmpty)
+    }
+    val before = entryCount(store)
+    TextAnalysis.compactBm25Index(spark, store)
+    assert(res(store) == afterDelete,
+      "compaction must be content-invisible to the served search")
+    val after = entryCount(store)
+    assert(after < before && after == 3,
+      s"compaction must collapse to one postings + one ids + one stats " +
+        s"entry, got $after (was $before)")
+    // deleted ids are RELEASED by compaction: re-ingest now succeeds and
+    // the search sees the re-ingested doc
+    TextAnalysis.appendToBm25Index(
+      Seq((2L, "rare common encore")).toDF("doc_id", "text"),
+      "doc_id", "text", store, tag = 3L)
+    assert(res(store) != afterDelete &&
+      res(store).exists(_._1 == 2L),
+      "a compaction-released id must be re-ingestable")
+    // vacuum reclaims every superseded pre-compaction fileset; the
+    // compacted + re-appended store still serves identically
+    val reapped = res(store)
+    val deleted = TextAnalysis.vacuumBm25Index(spark, store, keepLast = 1,
+      graceMs = 0L)
+    assert(deleted.nonEmpty, "superseded pre-compaction filesets must reclaim")
+    assert(res(store) == reapped)
+  }
+
+  test("count store: compaction merges filesets, serving hash-identical, probes and appends keep working") {
+    val docs = Seq(
+      (1L, "new york is a big city"),
+      (2L, "new york never sleeps and new york is loud"),
+      (3L, "the city that never sleeps"),
+      (4L, "big apple big city new york"),
+      (5L, "a city is a city")).toDF("doc_id", "text")
+    val store = {
+      val d = TestSpark.scratch("countstore_compact")
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      d
+    }
+    TextAnalysis.buildCountStore(docs.filter($"doc_id" <= 2), "text", store,
+      nBuckets = 8)
+    TextAnalysis.appendToCountStore(docs.filter($"doc_id".between(3, 4)),
+      "text", store, tag = 1L)
+    TextAnalysis.appendToCountStore(docs.filter($"doc_id" === 5), "text",
+      store, tag = 2L)
+    def served = TextAnalysis.collocationsFromStore(spark, store,
+      minCount = 2L, k = 20).as[(String, String, Long, Double)].collect().toSeq
+    val before = served
+    TextAnalysis.compactCountStore(spark, store)
+    assert(served == before,
+      "compaction must be content-invisible to the served PMI")
+    // one uni + one big + one tot entry after compaction
+    val fsys = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val md = fsys.listStatus(new org.apache.hadoop.fs.Path(s"$store/manifest"))
+      .map(_.getPath).sortBy(_.getName).last
+    val len = fsys.getFileStatus(md).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fsys.open(md)
+    try in.readFully(0, buf) finally in.close()
+    val kinds = new String(buf, "UTF-8").split("\n").filter(_.trim.nonEmpty)
+      .map(_.split(" ", 3)(0)).toSeq
+    assert(kinds.sorted == Seq("B", "T", "U"),
+      s"compaction must collapse to one fileset per kind, got $kinds")
+    // point probe still directory-prunes and answers exactly
+    assert(TextAnalysis.wordCountIndexed(spark, store, "york") == 4L)
+    assert(TextAnalysis.wordCountIndexed(spark, store, "zebra") == 0L)
+    // the store stays appendable after compaction, counts additive
+    TextAnalysis.appendToCountStore(
+      Seq((6L, "york city york")).toDF("doc_id", "text"), "text", store,
+      tag = 3L)
+    assert(TextAnalysis.wordCountIndexed(spark, store, "york") == 6L)
+    // vacuum reclaims the superseded pre-compaction filesets
+    assert(TextAnalysis.vacuumCountStore(spark, store, keepLast = 1,
+      graceMs = 0L).nonEmpty)
+    assert(TextAnalysis.wordCountIndexed(spark, store, "york") == 6L)
+  }
+
   test("count store: batched ingest ≡ one-shot; replayed tag exactly-once; point probe; vacuum") {
     val docs = Seq(
       (1L, "new york is a big city"),
