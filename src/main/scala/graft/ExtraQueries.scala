@@ -1033,6 +1033,35 @@ object ExtraQueries {
         .orderBy("o_custkey")
     }),
 
+    "q89_cohort_sql" -> ((s, dir) => {
+      // the cohort triangle through its SQL FACE (graft_cohort TVF —
+      // the q85 pattern): the builder resolves the view and returns the
+      // SAME analyzed plan the q72 Dataset path builds; one code path,
+      // two faces, one oracle. The outer SELECT re-imposes the order
+      // (a projection over a sorted subquery carries no guarantee).
+      graft.GraftExtensions.register(s)
+      t(s, dir, "events").createOrReplaceTempView("events_q89")
+      s.sql(
+        """SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+          |  n_users
+          |FROM graft_cohort('events_q89', 'user_id', 'ts')
+          |ORDER BY cohort_day, day_offset""".stripMargin)
+    }),
+
+    "q90_resample_sql" -> ((s, dir) => {
+      // the resample/forward-fill through its SQL FACE (graft_resample
+      // TVF): identical plan to q74's Dataset path; the outer SELECT
+      // applies the q74 gate's formatting (string bucket, rounded
+      // doubles) so the same oracle replays it.
+      graft.GraftExtensions.register(s)
+      t(s, dir, "events").createOrReplaceTempView("events_q90")
+      s.sql(
+        """SELECT series, date_format(bucket, 'yyyy-MM-dd HH:mm:ss') AS bucket,
+          |  n, round(avg_v, 4) AS avg_v, round(avg_v_ff, 4) AS avg_v_ff
+          |FROM graft_resample('events_q90', 'event_type', 'ts', 'value')
+          |ORDER BY series, bucket""".stripMargin)
+    }),
+
     "q88_mv_multikey" -> ((s, dir) => {
       // MULTI-COLUMN group key: the view groups by the (cust bucket,
       // priority class) TUPLE, each key stored under its own name. The
@@ -1958,6 +1987,42 @@ object ExtraQueries {
         |    / count(DISTINCT e.user_id) <= 0.05 AS est_ok
         |FROM events e JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the SQL face serves q72's triangle — same replay
+    "q89_cohort_sql" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |           FROM events GROUP BY user_id)
+        |SELECT f.cohort_day,
+        |  date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the SQL face serves q74's dense grid — same replay
+    "q90_resample_sql" ->
+      """WITH e AS (SELECT event_type AS series, date_trunc('hour', ts) AS bucket,
+        |             "value"::DOUBLE AS v FROM events),
+        |a AS (SELECT series, bucket,
+        |        CASE WHEN count(v) > 0 THEN
+        |          list_reduce(list_prepend(0.0,
+        |              list_sort(list(v) FILTER (WHERE v IS NOT NULL))),
+        |            (x, y) -> x + y) / count(v)
+        |        END AS avg_v,
+        |        count(*) AS n
+        |      FROM e GROUP BY series, bucket),
+        |b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM a),
+        |sp AS (SELECT s.series, g.bucket
+        |       FROM (SELECT DISTINCT series FROM a) s
+        |       CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM b),
+        |                     (SELECT hi FROM b), INTERVAL 1 HOUR)) AS bucket) g),
+        |j AS (SELECT sp.series, sp.bucket, coalesce(a.n, 0) AS n, a.avg_v
+        |      FROM sp LEFT JOIN a USING (series, bucket))
+        |SELECT series, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  CAST(n AS BIGINT) AS n, round(avg_v, 4) AS avg_v,
+        |  round(last_value(avg_v IGNORE NULLS) OVER (
+        |    PARTITION BY series ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS avg_v_ff
+        |FROM j ORDER BY series, bucket""".stripMargin,
 
     // first-touch day per user, then distinct actives per (cohort, offset)
     "q72_cohort" ->

@@ -181,6 +181,27 @@ object GraftExtensions {
           s(1), s(2), s(3), s(4))
           .queryExecution.analyzed
     },
+    tvf("graft_cohort",
+      "cohort retention triangle: (table, user_col, ts_col)") {
+      args =>
+        require(args.length == 3,
+          s"graft_cohort takes 3 arguments, got ${args.length}")
+        val s = args.map(strArg(_, "graft_cohort"))
+        graft.operators.EventAnalytics.cohortRetention(
+          org.apache.spark.sql.SparkSession.active.table(s(0)), s(1), s(2))
+          .queryExecution.analyzed
+    },
+    tvf("graft_resample",
+      "hourly resample + forward fill: (table, series_col, ts_col, value_col)") {
+      args =>
+        require(args.length == 4,
+          s"graft_resample takes 4 arguments, got ${args.length}")
+        val s = args.map(strArg(_, "graft_resample"))
+        graft.operators.EventAnalytics.resampleHourly(
+          org.apache.spark.sql.SparkSession.active.table(s(0)),
+          s(1), s(2), s(3))
+          .queryExecution.analyzed
+    },
     // the lakehouse time-travel SQL faces: `SELECT ... FROM
     // graft_snapshot('<dir>')` pins the current committed version,
     // ('<dir>', v) pins version v, and graft_snapshot_asof('<dir>',

@@ -266,6 +266,13 @@ class EventAnalyticsSpec extends AnyFunSuite {
         |'ts', 'event_id', 'event_type')""".stripMargin))
       == rows(EventAnalytics.pathTransitions(ev, "user_id", "ts",
         "event_id", "event_type")))
+    assert(rows(spark.sql(
+      "SELECT * FROM graft_cohort('events_sqlface', 'user_id', 'ts')"))
+      == rows(EventAnalytics.cohortRetention(ev, "user_id", "ts")))
+    assert(rows(spark.sql(
+      """SELECT * FROM graft_resample('events_sqlface', 'event_type',
+        |'ts', 'value')""".stripMargin))
+      == rows(EventAnalytics.resampleHourly(ev, "event_type", "ts", "value")))
     // TVFs compose with ordinary SQL around them
     val filtered = spark.sql(
       """SELECT from_type, n FROM graft_path_transitions('events_sqlface',
