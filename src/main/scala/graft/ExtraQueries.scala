@@ -1033,6 +1033,53 @@ object ExtraQueries {
         .orderBy("o_custkey")
     }),
 
+    "q91_snapshot_drop" -> ((s, dir) => {
+      // DROP COLUMN end-to-end (the pair of q62's ADD COLUMN): a
+      // metadata-only commit removes o_orderstatus from the schema —
+      // zero files rewritten, the pinned v2 read keeps the column WITH
+      // its values, the post-drop read serves without it, and the table
+      // stays writable (a further upsert lands on the narrowed schema).
+      // The resurrection guard (re-adding a dropped name serves stale
+      // values until compact) is spec-asserted in SnapshotTableSpec.
+      import graft.operators.SnapshotTable
+      val tdir = s"${Scratch.dir}/q91_table"
+      val p = new org.apache.hadoop.fs.Path(tdir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      SnapshotTable.create(s,
+        base.withColumn("commit_v", lit(0L))
+          .repartitionByRange(8, col("o_orderkey")), tdir)
+      val m = pmod(col("o_orderkey"), lit(10))
+      val changes = base.filter(m === 3)
+        .withColumn("o_custkey", col("o_custkey") + lit(1000000L))
+        .withColumn("_deleted", lit(false))
+        .unionByName(base.filter(m === 7).withColumn("_deleted", lit(true)))
+        .unionByName(base.filter(m === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+          .withColumn("_deleted", lit(false)))
+        .withColumn("commit_v", lit(1L))
+      SnapshotTable.upsert(s, tdir, changes, "o_orderkey", "commit_v",
+        "o_custkey")
+      SnapshotTable.dropColumn(s, tdir, "o_orderstatus")
+      // the table stays WRITABLE after the drop: a further upsert on
+      // the narrowed schema commits v4
+      val upd2 = base.filter(m === 5)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+        .withColumn("commit_v", lit(2L)).withColumn("_deleted", lit(false))
+      SnapshotTable.upsert(s, tdir, upd2, "o_orderkey", "commit_v",
+        "o_custkey")
+      val v2 = SnapshotTable.read(s, tdir, Some(2L)).withColumn("snap", lit(2L))
+      val v4 = SnapshotTable.read(s, tdir, Some(4L)).withColumn("snap", lit(4L))
+        .withColumn("o_orderstatus", lit(null).cast("string"))
+      v2.select("snap", "o_orderkey", "o_custkey", "o_totalprice",
+          "o_orderstatus")
+        .unionByName(v4.select("snap", "o_orderkey", "o_custkey",
+          "o_totalprice", "o_orderstatus"))
+        .orderBy("snap", "o_orderkey")
+    }),
+
     "q89_cohort_sql" -> ((s, dir) => {
       // the cohort triangle through its SQL FACE (graft_cohort TVF —
       // the q85 pattern): the builder resolves the view and returns the
@@ -1987,6 +2034,33 @@ object ExtraQueries {
         |    / count(DISTINCT e.user_id) <= 0.05 AS est_ok
         |FROM events e JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // v2 = merged truth WITH the status column; v4 = the post-drop,
+    // post-second-upsert truth, status gone (NULL through the union)
+    "q91_snapshot_drop" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |             o_totalprice FROM orders),
+        |v2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN o_custkey + 1000000
+        |         ELSE o_custkey END AS o_custkey,
+        |    o_orderstatus, o_totalprice
+        |  FROM b WHERE o_orderkey % 10 != 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |    o_totalprice
+        |  FROM b WHERE o_orderkey % 10 = 1),
+        |v4 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice + 100.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM v2)
+        |SELECT CAST(2 AS BIGINT) AS snap, o_orderkey, o_custkey,
+        |  o_totalprice, o_orderstatus FROM v2
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT) AS snap, o_orderkey, o_custkey,
+        |  o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus FROM v4
+        |ORDER BY snap, o_orderkey""".stripMargin,
 
     // the SQL face serves q72's triangle — same replay
     "q89_cohort_sql" ->

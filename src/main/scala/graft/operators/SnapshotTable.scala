@@ -131,6 +131,24 @@ object SnapshotTable {
   }
 
   private val SchemaHeader = "#schema:"
+  private val DroppedHeader = "#dropped:"
+
+  /** Column names DROPPED from the table whose physical data may still
+    * live in this version's (un-rewritten) files — the resurrection
+    * guard's state: re-adding such a name via upsert would serve STALE
+    * values from old files instead of NULLs, so [[upsert]] refuses it
+    * until a [[compact]] (full rewrite) clears the set. Carried as a
+    * manifest header, propagated by every non-rewriting commit.
+    */
+  def droppedOf(spark: SparkSession, dir: String,
+      version: Option[Long] = None): Seq[String] = {
+    val v = version.orElse(currentVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version under $dir"))
+    manifestLines(spark, dir, v).find(_.startsWith(DroppedHeader))
+      .map(_.drop(DroppedHeader.length).split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+  }
 
   /** Read a PINNED snapshot (default: current). The plan scans a fixed
     * file list, so later commits/compactions are invisible to it; the
@@ -244,13 +262,17 @@ object SnapshotTable {
     * older, smaller instants, so the bound survives vacuum).
     */
   private def commitManifest(spark: SparkSession, dir: String, v: Long,
-      fileList: Seq[String], schema: Option[StructType]): Unit = {
+      fileList: Seq[String], schema: Option[StructType],
+      dropped: Seq[String] = Seq.empty): Unit = {
     val prevInstant = versions(spark, dir).filter(_ < v).lastOption
       .map(pv => commitInstantOf(spark, dir, pv)).getOrElse(0L)
     val stamp = math.max(System.currentTimeMillis(), prevInstant + 1L)
     ManifestCommit.publish(fs(spark, dir), manifestPath(dir, v),
       (Seq(CommittedHeader + stamp) ++
-        schema.map(s => SchemaHeader + s.json).toSeq ++ fileList)
+        schema.map(s => SchemaHeader + s.json).toSeq ++
+        (if (dropped.nonEmpty) Seq(DroppedHeader + dropped.sorted.mkString(","))
+         else Seq.empty) ++
+        fileList)
         .mkString("\n") + "\n")
   }
 
@@ -334,6 +356,19 @@ object SnapshotTable {
             s"${baseByName(f.name).dataType.simpleString}, changes " +
             s"${f.dataType.simpleString})").mkString(", "))
       val newFields = changeFields.filterNot(f => baseByName.contains(f.name))
+      // RESURRECTION GUARD (the DROP COLUMN hazard): a "new" column whose
+      // name was dropped earlier still has physical data in every
+      // un-rewritten file — committing it back into the schema would
+      // serve those STALE values (not NULLs) on old rows. Refuse until a
+      // compact() (full rewrite) clears the dropped set.
+      val dropped = droppedOf(spark, dir, Some(v))
+      val resurrected = newFields.map(_.name).filter(dropped.contains)
+      require(resurrected.isEmpty,
+        s"column(s) ${resurrected.mkString(", ")} were DROPPED from this " +
+          "table and their physical data still lives in old files — " +
+          "re-adding the name would resurrect stale values on " +
+          "un-rewritten rows; compact() the table first (a full rewrite " +
+          "clears the dropped set) or use a new name")
       // the STATS side is the small one (a row per file) — broadcast it
       // and stream the change keys through, so the file selection scales
       // with changes, not files × keys; distinct file paths are the
@@ -390,7 +425,7 @@ object SnapshotTable {
       val fl = writeData(spark, merged, dir, v + 1)
       val all = (untouched ++ fl).sorted
       try {
-        commitManifest(spark, dir, v + 1, all, Some(merged.schema))
+        commitManifest(spark, dir, v + 1, all, Some(merged.schema), dropped)
         return Commit(v + 1, all, untouched.length)
       } catch {
         case e: CommitConflict =>
@@ -518,7 +553,10 @@ object SnapshotTable {
       val fl = writeData(spark, survivors, dir, v + 1)
       val all = (untouched ++ fl).sorted
       try {
-        commitManifest(spark, dir, v + 1, all, Some(tableSchema))
+        // delete rewrites only the affected files: the dropped set's
+        // physical data survives in the reused files — propagate it
+        commitManifest(spark, dir, v + 1, all, Some(tableSchema),
+          droppedOf(spark, dir, Some(v)))
         return (Commit(v + 1, all, untouched.length), deleted)
       } catch {
         case e: CommitConflict =>
@@ -554,7 +592,11 @@ object SnapshotTable {
         s"cannot restore to v$toVersion — ${missing.length} of its data " +
           s"files were vacuumed (first: ${missing.headOption.getOrElse("")})")
       try {
-        commitManifest(spark, dir, v + 1, fl, schema)
+        // the restored manifest is toVersion's verbatim — including its
+        // dropped set (restoring PAST a drop legitimately undrops: the
+        // old schema serves the still-present physical data again)
+        commitManifest(spark, dir, v + 1, fl, schema,
+          droppedOf(spark, dir, Some(toVersion)))
         return Commit(v + 1, fl, fl.length)
       } catch {
         case e: CommitConflict =>
@@ -699,8 +741,60 @@ object SnapshotTable {
     val v = version.orElse(currentVersion(spark, srcDir)).getOrElse(
       throw new IllegalArgumentException(s"no table under $srcDir"))
     val fl = files(spark, srcDir, Some(v))
-    commitManifest(spark, dstDir, 1L, fl, schemaOf(spark, srcDir, Some(v)))
+    commitManifest(spark, dstDir, 1L, fl, schemaOf(spark, srcDir, Some(v)),
+      droppedOf(spark, srcDir, Some(v)))
     Commit(1L, fl, fl.length)
+  }
+
+  /** DROP COLUMN — metadata-only schema evolution, the pair of upsert's
+    * ADD COLUMN: commit version n+1 with the SAME file list and the
+    * schema minus `colName`. No data is read or rewritten (O(manifest)
+    * at any table size — the Delta column-mapping idea without the
+    * indirection); [[read]]'s explicit-schema scan simply stops
+    * projecting the column, and pinned reads of older versions keep it
+    * with its values. RENAME = dropColumn + an upsert adding the new
+    * name.
+    *
+    * The dropped NAME joins the manifest's `#dropped:` set: its
+    * physical data still lives in every un-rewritten file, so
+    * re-adding the same name would serve those STALE values on old
+    * rows — [[upsert]] refuses exactly that until a [[compact]] (full
+    * rewrite, which clears the set) releases the name. [[restore]] to a
+    * pre-drop version undrops (old schema + still-present data — a pure
+    * manifest operation both ways), and [[changes]] across a drop
+    * commit is EMPTY: no file changed, and CDC diffs content under the
+    * TO-version's columns.
+    *
+    * Concurrency: optimistic like every commit here — a lost race
+    * rebases on the winner's schema and retries.
+    */
+  def dropColumn(spark: SparkSession, dir: String, colName: String,
+      maxRetries: Int = 5): Commit = {
+    require(!colName.contains(","),
+      "column names containing ',' are unsupported (dropped-set header)")
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no table under $dir"))
+      val schema = schemaOf(spark, dir, Some(v))
+        .getOrElse(read(spark, dir, Some(v)).schema)
+      require(schema.fieldNames.contains(colName),
+        s"column $colName is not in the table schema " +
+          s"(${schema.fieldNames.mkString(", ")})")
+      require(schema.fields.length > 1, "cannot drop the table's only column")
+      val fl = files(spark, dir, Some(v))
+      val evolved = StructType(schema.fields.filterNot(_.name == colName))
+      val dropped = (droppedOf(spark, dir, Some(v)) :+ colName).distinct
+      try {
+        commitManifest(spark, dir, v + 1, fl, Some(evolved), dropped)
+        return Commit(v + 1, fl, fl.length)
+      } catch {
+        case e: CommitConflict =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1 // rebase onto the winner's schema
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Resolve the newest version committed at or before `tsMillis` — the

@@ -1200,6 +1200,72 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(cloneV1.exists(p => !f.exists(new org.apache.hadoop.fs.Path(p))),
       "source vacuum reaps files the clone references — deep-copy when needed")
   }
+  test("drop column: metadata-only; resurrection guarded until compact; restore undrops; CDC across the drop is empty") {
+    val tdir = freshDir("snap-dropcol")
+    val base = (0 until 2000)
+      .map(i => (i.toLong, s"s$i", (i % 100) + 0.25, 0L))
+      .toDF("k", "tag", "price", "commit_v")
+    SnapshotTable.create(spark, base.repartitionByRange(4, col("k")), tdir)
+    val c = SnapshotTable.dropColumn(spark, tdir, "tag")
+    // METADATA-ONLY: v2 carries v1's file list verbatim, zero rewrites
+    assert(c.version == 2L && c.filesReused == c.files.length)
+    assert(SnapshotTable.files(spark, tdir, Some(2L)) ==
+      SnapshotTable.files(spark, tdir, Some(1L)))
+    assert(!SnapshotTable.read(spark, tdir).columns.contains("tag"))
+    // the pinned pre-drop read keeps the column WITH its values
+    assert(SnapshotTable.read(spark, tdir, Some(1L))
+      .filter(col("k") === 5L).select("tag").head.getString(0) == "s5")
+    // CDC across a drop commit: no file changed, no content changed
+    assert(SnapshotTable.changes(spark, tdir, "k", 1L, 2L).count() == 0L)
+    // RESURRECTION GUARD: re-adding the dropped name would serve the
+    // stale physical values on the 1990 un-rewritten rows — refused
+    // with the compact remedy
+    val boom = intercept[IllegalArgumentException] {
+      SnapshotTable.upsert(spark, tdir,
+        (0 until 10).map(i => (i.toLong, "resurrected", 1L, false))
+          .toDF("k", "tag", "commit_v", "_deleted")
+          .join(base.select("k", "price"), "k"),
+        "k", "commit_v", "price")
+    }
+    assert(boom.getMessage.contains("DROPPED") &&
+      boom.getMessage.contains("compact"), boom.getMessage)
+    // the table stays writable on the narrowed schema
+    SnapshotTable.upsert(spark, tdir,
+      Seq((0L, 999.25, 1L, false)).toDF("k", "price", "commit_v", "_deleted"),
+      "k", "commit_v", "price")
+    assert(SnapshotTable.read(spark, tdir)
+      .filter(col("k") === 0L).select("price").head.getDouble(0) == 999.25)
+    // COMPACT (full rewrite) physically removes the dropped data and
+    // releases the name: the re-add now serves NULL on untouched rows
+    // (k=100 would read "s100" if the old bytes leaked back)
+    SnapshotTable.compact(spark, tdir, targetRecords = 4096L)
+    SnapshotTable.upsert(spark, tdir,
+      Seq((5L, "fresh", 500.0, 2L, false))
+        .toDF("k", "tag", "price", "commit_v", "_deleted"),
+      "k", "commit_v", "price")
+    val cur = SnapshotTable.read(spark, tdir)
+    assert(cur.filter(col("k") === 5L).select("tag").head.getString(0)
+      == "fresh")
+    assert(cur.filter(col("k") === 100L).select("tag").head.isNullAt(0),
+      "an untouched row must serve NULL for the re-added column — a " +
+        "non-NULL here is the resurrection bug the dropped set exists " +
+        "to prevent")
+    // RESTORE to the pre-drop version: column back with original values
+    // (pure manifest operation — the v1 files were never deleted)
+    SnapshotTable.restore(spark, tdir, 1L)
+    assert(SnapshotTable.read(spark, tdir)
+      .filter(col("k") === 100L).select("tag").head.getString(0) == "s100")
+    // error paths
+    intercept[IllegalArgumentException] {
+      SnapshotTable.dropColumn(spark, tdir, "no_such_col")
+    }
+    val one = freshDir("snap-dropcol-one")
+    SnapshotTable.create(spark, (0 until 5).map(_.toLong).toDF("k"), one)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.dropColumn(spark, one, "k")
+    }
+  }
+
   test("materialized view: refresh ≡ rebuild; zero-count keys leave; no-op freshness; restore guard") {
     import graft.operators.MaterializedView
     val tdir = freshDir("snap-mv-table")
