@@ -177,7 +177,8 @@ object Bench {
       "q79_snapshot_asof", "q83_snapshot_clone", "q84_snapshot_mv",
       "stream_mv", "q86_mv_multi", "q87_snapshot_sql",
       "text_collocations_inc", "q88_mv_multikey", "text_bm25_delete",
-      "text_bm25_compact", "text_colloc_compact", "q91_snapshot_drop")
+      "text_bm25_compact", "text_colloc_compact", "q91_snapshot_drop",
+      "q92_snapshot_rename")
       .filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =

@@ -1080,6 +1080,42 @@ object ExtraQueries {
         .orderBy("snap", "o_orderkey")
     }),
 
+    "q92_snapshot_rename" -> ((s, dir) => {
+      // RENAME COLUMN — value-preserving (drop+add would NULL every old
+      // row; a metadata-only rename is impossible under by-name file
+      // resolution, so this is an honest full rewrite, the compact
+      // cost). Every un-updated row must carry its ORIGINAL status
+      // under the new name — a NULLed value or a leaked old column
+      // hash-mismatches; the pinned v1 read keeps the old name, and the
+      // table stays writable on the renamed schema.
+      import graft.operators.SnapshotTable
+      val tdir = s"${Scratch.dir}/q92_table"
+      val p = new org.apache.hadoop.fs.Path(tdir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      SnapshotTable.create(s,
+        base.withColumn("commit_v", lit(0L))
+          .repartitionByRange(8, col("o_orderkey")), tdir)
+      SnapshotTable.renameColumn(s, tdir, "o_orderstatus", "status")
+      val m = pmod(col("o_orderkey"), lit(10))
+      val upd = base.filter(m === 3)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("X").as("status"), col("o_totalprice"))
+        .withColumn("commit_v", lit(1L)).withColumn("_deleted", lit(false))
+      SnapshotTable.upsert(s, tdir, upd, "o_orderkey", "commit_v",
+        "o_custkey")
+      val v1 = SnapshotTable.read(s, tdir, Some(1L)).withColumn("snap", lit(1L))
+        .withColumn("status_out", col("o_orderstatus"))
+      val v3 = SnapshotTable.read(s, tdir, Some(3L)).withColumn("snap", lit(3L))
+        .withColumn("status_out", col("status"))
+      v1.select("snap", "o_orderkey", "o_custkey", "o_totalprice",
+          "status_out")
+        .unionByName(v3.select("snap", "o_orderkey", "o_custkey",
+          "o_totalprice", "status_out"))
+        .orderBy("snap", "o_orderkey")
+    }),
+
     "q89_cohort_sql" -> ((s, dir) => {
       // the cohort triangle through its SQL FACE (graft_cohort TVF —
       // the q85 pattern): the builder resolves the view and returns the
@@ -2034,6 +2070,22 @@ object ExtraQueries {
         |    / count(DISTINCT e.user_id) <= 0.05 AS est_ok
         |FROM events e JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // v1 = original truth under the OLD name; v3 = post-rename,
+    // post-upsert truth — un-updated rows must carry their ORIGINAL
+    // values under the new name (a value-losing rename NULLs them)
+    "q92_snapshot_rename" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |             o_totalprice FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS snap, o_orderkey, o_custkey,
+        |  o_totalprice, o_orderstatus AS status_out FROM b
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT) AS snap, o_orderkey, o_custkey,
+        |  o_totalprice,
+        |  CASE WHEN o_orderkey % 10 = 3 THEN 'X'
+        |       ELSE o_orderstatus END AS status_out
+        |FROM b
+        |ORDER BY snap, o_orderkey""".stripMargin,
 
     // v2 = merged truth WITH the status column; v4 = the post-drop,
     // post-second-upsert truth, status gone (NULL through the union)

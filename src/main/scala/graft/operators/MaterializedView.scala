@@ -267,6 +267,16 @@ object MaterializedView {
   def reflectedVersion(spark: SparkSession, mvDir: String): Long =
     currentState(spark, mvDir)._1
 
+  /** Reclaim old view versions and their unreferenced agg filesets
+    * (crashed refreshes included) — [[FilesetLog.vacuum]]'s grace
+    * contract, run by the single maintainer between refreshes. Returns
+    * deleted paths. A long-lived view refreshed hourly otherwise
+    * accumulates one superseded agg fileset per refresh.
+    */
+  def vacuumView(spark: SparkSession, mvDir: String, keepLast: Int = 1,
+      graceMs: Long = SnapshotTable.DefaultVacuumGraceMs): Seq[String] =
+    FilesetLog.vacuum(spark, mvDir, Seq("agg"), keepLast, graceMs)
+
   /** (reflected snapshot version, agg entries, agg schema) of the
     * CURRENT view version. The version sentinel is authoritative;
     * pre-sentinel manifests (agg entries only) fall back to the agg

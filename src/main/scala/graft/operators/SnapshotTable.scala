@@ -73,6 +73,18 @@ object SnapshotTable {
 
   /** All committed versions, ascending. A data/v* dir without a manifest
     * (crashed commit) is NOT a version.
+    *
+    * COST BOUND: one directory listing of `<dir>/manifest`. The listing
+    * is the read path's only history-sized cost, and VACUUM RETENTION is
+    * its designed bound — [[vacuum]] deletes the manifests below
+    * `keepLast`, so the directory holds `keepLast` (+ in-flight) entries
+    * in steady state, never the table's lifetime commit count. A table
+    * that must retain ~10⁶ manifests for deep time travel would want a
+    * `_latest` pointer + listing fallback; this library's contract is
+    * retention-bounded history (the same bound every vacuum-era
+    * lakehouse documents), so the listing stays O(retained versions) by
+    * policy, and AS OF resolution within it is O(log retained) header
+    * reads ([[versionAsOf]]).
     */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
     val f = fs(spark, dir)
@@ -744,6 +756,57 @@ object SnapshotTable {
     commitManifest(spark, dstDir, 1L, fl, schemaOf(spark, srcDir, Some(v)),
       droppedOf(spark, srcDir, Some(v)))
     Commit(1L, fl, fl.length)
+  }
+
+  /** RENAME COLUMN — value-preserving schema evolution. A metadata-only
+    * rename is impossible in this format (files resolve columns BY
+    * NAME; renaming the schema field would NULL every old row, and
+    * [[dropColumn]] + ADD loses the values), so rename is an honest
+    * FULL REWRITE: every current row re-written under the new name,
+    * committed as version n+1 — the [[compact]] cost, stated in the
+    * API rather than hidden. The rewrite clears the `#dropped:` set
+    * (no old physical bytes survive), so both the old name and any
+    * previously-dropped name are immediately re-addable; pinned reads
+    * of older versions keep the old name with its values. Optimistic
+    * concurrency like every commit here.
+    */
+  def renameColumn(spark: SparkSession, dir: String, from: String, to: String,
+      targetRecords: Long = 1L << 22, maxRetries: Int = 5): Commit = {
+    require(!to.contains(","),
+      "column names containing ',' are unsupported (dropped-set header)")
+    require(from != to, "rename needs two different names")
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no table under $dir"))
+      val schema = schemaOf(spark, dir, Some(v))
+        .getOrElse(read(spark, dir, Some(v)).schema)
+      require(schema.fieldNames.contains(from),
+        s"column $from is not in the table schema " +
+          s"(${schema.fieldNames.mkString(", ")})")
+      require(!schema.fieldNames.contains(to),
+        s"column $to already exists in the table schema")
+      val df = read(spark, dir, Some(v)).withColumnRenamed(from, to)
+      val n = df.count()
+      val nf = math.max(1L, (n + targetRecords - 1) / targetRecords).toInt
+      val out = s"$dir/data/" + f"v${v + 1}%05d" + s"_${nonce()}"
+      df.repartition(nf).write.mode("overwrite")
+        .option("maxRecordsPerFile", targetRecords).parquet(out)
+      val f = fs(spark, dir)
+      val fl = f.listStatus(new Path(out))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).sorted.toSeq
+      try {
+        // full rewrite: dropped set cleared (no stale bytes survive)
+        commitManifest(spark, dir, v + 1, fl, Some(df.schema))
+        return Commit(v + 1, fl, 0)
+      } catch {
+        case e: CommitConflict =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** DROP COLUMN — metadata-only schema evolution, the pair of upsert's

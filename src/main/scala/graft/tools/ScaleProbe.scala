@@ -117,7 +117,8 @@ object ScaleProbe {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val fullSweep = only.isEmpty
     // dedicated probe blocks (not plain gate reruns) subset-selectable too
-    val dedicated = Set("dedup_ngram_jaccard", "dedup_containment", "mv_refresh")
+    val dedicated = Set("dedup_ngram_jaccard", "dedup_containment",
+      "mv_refresh", "colloc_inc")
     only.foreach { f =>
       val unknown = f -- Queries.toSet -- dedicated
       require(unknown.isEmpty, s"unknown probe names: $unknown")
@@ -256,6 +257,58 @@ object ScaleProbe {
         f""""ratio": ${tB / tS}%.2f, "view_keys_sf01": $viewS, """ +
         f""""view_keys_sf1": $viewB, "delta_keys": 500, """ +
         f""""note": "fixed delta + fixed view domain - flat-or-view-tracking is the O(delta + view) claim"}"""
+    }
+
+    // count-store incremental probe: appendToCountStore's claim is that
+    // an append is O(batch) — the SAME fixed 500-doc batch appended to a
+    // store built over the 10x corpus must cost ~FLAT (the batch
+    // tokenize + its count tables + a bounded bucket write, never a
+    // store rescan); collocationsFromStore's serve cost tracks the
+    // STORED COUNT TABLES (vocab-sized — ~3x on the decorrelated
+    // replica corpus, the text_collocations precedent), never the raw
+    // corpus.
+    if (wants("colloc_inc")) locally {
+      import graft.operators.TextAnalysis
+      def probe(dir: String, tag: String): (Double, Double, Long) = {
+        val store = s"${out}_colloc_$tag"
+        val p = new org.apache.hadoop.fs.Path(store)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        TextAnalysis.buildCountStore(
+          spark.read.parquet(s"$dir/documents.parquet"), "text", store,
+          nBuckets = 64)
+        // the FIXED batch: the same 500 src docs at both scales, so the
+        // append's work is scale-independent by construction
+        val batch = spark.read.parquet(s"$src/documents.parquet")
+          .filter(col("doc_id").between(1000, 1499))
+        var bestApp = Double.MaxValue
+        Seq(1L, 2L).foreach { t =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          TextAnalysis.appendToCountStore(batch, "text", store, tag = t)
+          bestApp = math.min(bestApp, (System.nanoTime() - t0) / 1e9)
+        }
+        var bestServe = Double.MaxValue
+        var rows = 0L
+        (0 until 2).foreach { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          rows = force(TextAnalysis.collocationsFromStore(spark, store,
+            minCount = 5L, k = 50))
+          bestServe = math.min(bestServe, (System.nanoTime() - t0) / 1e9)
+        }
+        (bestApp, bestServe, rows)
+      }
+      probe(src, "warm") // warmup shapes
+      val (aS, sS, _) = probe(src, "01")
+      val (aB, sB, _) = probe(out, "1")
+      println(f"[scale] colloc_inc append sf0.1=$aS%6.2fs sf1=$aB%6.2fs " +
+        f"ratio=${aB / aS}%5.2fx; serve sf0.1=$sS%6.2fs sf1=$sB%6.2fs " +
+        f"ratio=${sB / sS}%5.2fx")
+      results += f"""  "colloc_inc": {"append_sf01_sec": $aS%.3f, """ +
+        f""""append_sf1_sec": $aB%.3f, "append_ratio": ${aB / aS}%.2f, """ +
+        f""""serve_sf01_sec": $sS%.3f, "serve_sf1_sec": $sB%.3f, """ +
+        f""""serve_ratio": ${sB / sS}%.2f, "batch_docs": 500, """ +
+        f""""note": "fixed 500-doc batch - flat-or-batch-tracking append is the O(batch) claim; serve tracks stored vocab (~3x on the replica corpus), not raw corpus"}"""
     }
 
     // keyset-paging probe: SkippingIndex.KeysetWalk's claim is that a

@@ -1266,6 +1266,47 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
   }
 
+  test("rename column: values preserved, old name released, pinned history keeps it; guards") {
+    val tdir = freshDir("snap-rename")
+    val base = (0 until 1200)
+      .map(i => (i.toLong, s"v$i", (i % 50) + 0.75, 0L))
+      .toDF("k", "label", "price", "commit_v")
+    SnapshotTable.create(spark, base.repartitionByRange(3, col("k")), tdir)
+    val c = SnapshotTable.renameColumn(spark, tdir, "label", "tag2")
+    assert(c.version == 2L && c.filesReused == 0,
+      "rename is an honest full rewrite, never a metadata trick")
+    val cur = SnapshotTable.read(spark, tdir)
+    assert(cur.columns.toSeq.contains("tag2") &&
+      !cur.columns.toSeq.contains("label"))
+    // VALUE-PRESERVING: every row carries its original value under the
+    // new name (the drop+add formulation would NULL all of them)
+    assert(cur.filter(col("k") === 7L).select("tag2").head.getString(0)
+      == "v7")
+    // pinned pre-rename read keeps the old name with its values
+    assert(SnapshotTable.read(spark, tdir, Some(1L))
+      .filter(col("k") === 7L).select("label").head.getString(0) == "v7")
+    // the OLD name is immediately re-addable (full rewrite — no stale
+    // bytes): new rows get it, untouched rows serve NULL
+    SnapshotTable.upsert(spark, tdir,
+      Seq((7L, "relabel", "v7", 1.0, 1L, false))
+        .toDF("k", "label", "tag2", "price", "commit_v", "_deleted"),
+      "k", "commit_v", "price")
+    val after = SnapshotTable.read(spark, tdir)
+    assert(after.filter(col("k") === 7L).select("label").head.getString(0)
+      == "relabel")
+    assert(after.filter(col("k") === 8L).select("label").head.isNullAt(0))
+    // guards: unknown source, existing target, identity
+    intercept[IllegalArgumentException] {
+      SnapshotTable.renameColumn(spark, tdir, "nope", "x")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.renameColumn(spark, tdir, "tag2", "price")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.renameColumn(spark, tdir, "tag2", "tag2")
+    }
+  }
+
   test("materialized view: refresh ≡ rebuild; zero-count keys leave; no-op freshness; restore guard") {
     import graft.operators.MaterializedView
     val tdir = freshDir("snap-mv-table")
@@ -1443,6 +1484,13 @@ class SnapshotTableSpec extends AnyFunSuite {
       .as[(Long, Option[String], Long, Double, Double)].collect().toSeq
     assert(rows(mdir) == rows(rebuilt),
       "multi-key refresh (with group migration + NULL keys) must equal a rebuild")
+    // view-store hygiene: vacuumView reclaims the superseded agg
+    // fileset (one accumulates per refresh); serving is unchanged
+    val before = rows(mdir)
+    assert(MaterializedView.vacuumView(spark, mdir, keepLast = 1,
+      graceMs = 0L).nonEmpty,
+      "the pre-refresh agg fileset must be reclaimed")
+    assert(rows(mdir) == before)
     // key columns serve under their OWN names, before n_rows
     assert(MaterializedView.serve(spark, mdir).columns.toSeq ==
       Seq("region", "tier", "n_rows", "sum_price", "avg_price"))
