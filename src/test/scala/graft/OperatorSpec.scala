@@ -728,6 +728,70 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(res(store) == reapped)
   }
 
+  test("bm25 delete on a LEGACY store (ids without dl): postings fallback subtracts exact stats") {
+    // stores written before this version recorded only (id) in the ids
+    // filesets — deleteFromBm25Index must fall back to ONE postings
+    // lookup for the deleted ids' dl and still equal the
+    // rebuild-from-survivors truth
+    val docs = Seq(
+      (1L, "rare alpha beta gamma"),
+      (2L, "common common common common"),
+      (3L, "common delta epsilon zeta"),
+      (4L, "rare common alpha")).toDF("doc_id", "text")
+    val store = {
+      val d = TestSpark.scratch("bm25_legacy")
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      d
+    }
+    TextAnalysis.buildBm25Index(docs, "doc_id", "text", store, nBuckets = 8)
+    // DEGRADE the ids fileset to the legacy (id-only) layout in place:
+    // rewrite each referenced parquet file without the dl column under
+    // its exact manifest path
+    val fsys = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val md = fsys.listStatus(new org.apache.hadoop.fs.Path(s"$store/manifest"))
+      .map(_.getPath).sortBy(_.getName).last
+    val len = fsys.getFileStatus(md).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fsys.open(md)
+    try in.readFully(0, buf) finally in.close()
+    val idFiles = new String(buf, "UTF-8").split("\n").filter(_.trim.nonEmpty)
+      .map(_.split(" ", 3)).filter(_(0) == "I").map(_(2))
+    assert(idFiles.nonEmpty)
+    idFiles.foreach { f =>
+      val legacy = spark.read.parquet(f).select("id")
+      val tmp = s"${TestSpark.scratch("bm25_legacy_tmp")}/rewrite"
+      val tp = new org.apache.hadoop.fs.Path(tmp)
+      fsys.delete(tp, true)
+      legacy.coalesce(1).write.parquet(tmp)
+      val part = fsys.listStatus(tp)
+        .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+      val dest = new org.apache.hadoop.fs.Path(f)
+      fsys.delete(dest, false)
+      assert(fsys.rename(part, dest))
+    }
+    assert(!spark.read.parquet(idFiles.head).columns.contains("dl"),
+      "the fixture must actually be legacy-shaped")
+    // delete one doc through the fallback path
+    assert(TextAnalysis.deleteFromBm25Index(spark, store,
+      Seq(2L).toDF("doc_id"), tag = 1L) == 1L)
+    val survivors = {
+      val d = TestSpark.scratch("bm25_legacy_ref")
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      d
+    }
+    TextAnalysis.buildBm25Index(docs.filter($"doc_id" =!= 2L),
+      "doc_id", "text", survivors, nBuckets = 8)
+    def res(path: String) = TextAnalysis.bm25SearchIndexed(
+      spark, path, "doc_id", Seq("rare", "common"), k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(res(store) == res(survivors),
+      "legacy-fallback delete must equal a rebuild from the survivors " +
+        "(a wrong dl subtraction skews avgdl and every score)")
+  }
+
   test("count store: compaction merges filesets, serving hash-identical, probes and appends keep working") {
     val docs = Seq(
       (1L, "new york is a big city"),

@@ -106,6 +106,20 @@ class PlanSpec extends AnyFunSuite {
     val parts = scan.head.selectedPartitions.partitionCount
     assert(parts <= 3 && parts >= 1,
       s"3 terms hash into <=3 of 64 buckets; scan read $parts partitions")
+    // COMPACTION keeps the pruning: the merged single-fileset store must
+    // still read only the probed bucket directories (a compaction that
+    // lost the partitionBy layout would silently serve full scans)
+    TextAnalysis.compactBm25Index(spark, idx)
+    val cPlan = executedNoAqe(TextAnalysis.bm25SearchIndexed(spark, idx,
+      "doc_id", Seq("dup", "vector", "batch"), k = 20))
+    val cScan = cPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.toString.contains("postings") => f
+    }
+    assert(cScan.nonEmpty, cPlan.toString)
+    val cParts = cScan.head.selectedPartitions.partitionCount
+    assert(cParts <= 3 && cParts >= 1,
+      s"post-compaction scan must stay bucket-pruned; read $cParts partitions")
   }
 
   test("funnel and cohort scan the events table ONCE (window/fold formulations, no self-join)") {
