@@ -178,7 +178,8 @@ object Bench {
       "stream_mv", "q86_mv_multi", "q87_snapshot_sql",
       "text_collocations_inc", "q88_mv_multikey", "text_bm25_delete",
       "text_bm25_compact", "text_colloc_compact", "q91_snapshot_drop",
-      "q92_snapshot_rename")
+      "q92_snapshot_rename", "q93_mv_sql", "q94_changes_sql",
+      "dedup_takedown")
       .filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =

@@ -1080,6 +1080,81 @@ object ExtraQueries {
         .orderBy("snap", "o_orderkey")
     }),
 
+    "q93_mv_sql" -> ((s, dir) => {
+      // the materialized view's SQL FACE: build + refresh the q84 view
+      // through the Scala API, then SERVE it from a plain FROM clause —
+      // `SELECT ... FROM graft_mv('<dir>')` returns the SAME analyzed
+      // plan serve() builds (one code path, two faces), pinned to the
+      // current committed view version. Same oracle as q84: the
+      // SQL-served view must equal DuckDB's full recompute.
+      import graft.operators.{MaterializedView, SnapshotTable}
+      graft.GraftExtensions.register(s)
+      val tdir = s"${Scratch.dir}/q93_table"
+      val mdir = s"${Scratch.dir}/q93_mv"
+      for (d <- Seq(tdir, mdir)) {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      }
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("commit_v", lit(0L))
+      SnapshotTable.create(s,
+        base.repartitionByRange(8, col("o_orderkey")), tdir)
+      MaterializedView.create(s, tdir, mdir, "o_custkey", "o_totalprice")
+      val upd = base.filter(col("o_orderkey") % 10 === 2)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(500.0))
+        .withColumn("commit_v", lit(1L)).withColumn("_deleted", lit(false))
+      val ins = base.filter(col("o_orderkey") % 10 === 6)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+        .withColumn("commit_v", lit(1L)).withColumn("_deleted", lit(false))
+      val del = base.filter(col("o_orderkey") % 10 === 8)
+        .withColumn("commit_v", lit(1L)).withColumn("_deleted", lit(true))
+      SnapshotTable.upsert(s, tdir, upd.unionByName(ins).unionByName(del),
+        "o_orderkey", "commit_v", "o_totalprice")
+      MaterializedView.refresh(s, tdir, mdir, "o_orderkey", "o_custkey",
+        "o_totalprice")
+      s.sql(
+        s"""SELECT key AS o_custkey, n_rows,
+           |  sum_o_totalprice AS sum_value
+           |FROM graft_mv('$mdir')
+           |ORDER BY o_custkey""".stripMargin)
+    }),
+
+    "q94_changes_sql" -> ((s, dir) => {
+      // the CDC read's SQL FACE (`table_changes` from a FROM clause):
+      // the q65 change mix committed as v2, then
+      // graft_snapshot_changes('<dir>', key, 1, 2, 'commit_v') — the
+      // same manifest-symmetric-difference plan the Scala changes()
+      // builds, same oracle (only the TRUE changes; every carry-over
+      // row the rewrite moved must stay silent).
+      import graft.operators.SnapshotTable
+      graft.GraftExtensions.register(s)
+      val tdir = s"${Scratch.dir}/q94_table"
+      val p = new org.apache.hadoop.fs.Path(tdir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotTable.create(s,
+        base.withColumn("commit_v", lit(0L))
+          .repartitionByRange(8, col("o_orderkey")), tdir)
+      val m = pmod(col("o_orderkey"), lit(10))
+      val changes = base.filter(m === 3)
+        .withColumn("o_custkey", col("o_custkey") + lit(1000000L))
+        .withColumn("_deleted", lit(false))
+        .unionByName(base.filter(m === 7).withColumn("_deleted", lit(true)))
+        .unionByName(base.filter(m === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+          .withColumn("_deleted", lit(false)))
+        .withColumn("commit_v", lit(1L))
+      SnapshotTable.upsert(s, tdir, changes, "o_orderkey", "commit_v",
+        "o_custkey")
+      s.sql(
+        s"""SELECT _change_type, o_orderkey, o_custkey, o_totalprice
+           |FROM graft_snapshot_changes('$tdir', 'o_orderkey', 1, 2,
+           |  'commit_v')
+           |ORDER BY o_orderkey, _change_type""".stripMargin)
+    }),
+
     "q92_snapshot_rename" -> ((s, dir) => {
       // RENAME COLUMN — value-preserving (drop+add would NULL every old
       // row; a metadata-only rename is impossible under by-name file
@@ -2070,6 +2145,42 @@ object ExtraQueries {
         |    / count(DISTINCT e.user_id) <= 0.05 AS est_ok
         |FROM events e JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the SQL-served view equals q84's full recompute — same replay
+    "q93_mv_sql" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |m AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 2 THEN o_totalprice + 500.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM b WHERE o_orderkey % 10 != 8
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+        |  FROM b WHERE o_orderkey % 10 = 6)
+        |SELECT o_custkey, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS sum_value
+        |FROM m GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+
+    // the SQL-face CDC feed equals q65's true-changes replay
+    "q94_changes_sql" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
+        |SELECT 'insert' AS _change_type, o_orderkey + 10000000 AS o_orderkey,
+        |  o_custkey, o_totalprice
+        |FROM b WHERE o_orderkey % 10 = 1
+        |UNION ALL
+        |SELECT 'delete' AS _change_type, o_orderkey, o_custkey, o_totalprice
+        |FROM b WHERE o_orderkey % 10 = 7
+        |UNION ALL
+        |SELECT 'update_preimage' AS _change_type, o_orderkey, o_custkey,
+        |  o_totalprice
+        |FROM b WHERE o_orderkey % 10 = 3
+        |UNION ALL
+        |SELECT 'update_postimage' AS _change_type, o_orderkey,
+        |  o_custkey + 1000000 AS o_custkey, o_totalprice
+        |FROM b WHERE o_orderkey % 10 = 3
+        |ORDER BY o_orderkey, _change_type""".stripMargin,
 
     // v1 = original truth under the OLD name; v3 = post-rename,
     // post-upsert truth — un-updated rows must carry their ORIGINAL

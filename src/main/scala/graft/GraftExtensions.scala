@@ -237,6 +237,40 @@ object GraftExtensions {
           org.apache.spark.sql.SparkSession.active, dir, ts)
           .queryExecution.analyzed
     },
+    // CDC as SQL: `SELECT * FROM graft_snapshot_changes('<dir>', 'key',
+    // fromV, toV)` — the `table_changes` face; the plan reads only the
+    // manifests' file symmetric difference, exactly the Scala changes()
+    tvf("graft_snapshot_changes",
+      "snapshot-table CDC read: (table_dir, key_col, from_version, to_version[, ignore_cols_csv])") {
+      args =>
+        require(args.length == 4 || args.length == 5,
+          s"graft_snapshot_changes takes 4 or 5 arguments, got ${args.length}")
+        val dir = strArg(args(0), "graft_snapshot_changes")
+        val key = strArg(args(1), "graft_snapshot_changes")
+        val ignore =
+          if (args.length == 5)
+            strArg(args(4), "graft_snapshot_changes").split(",").toSeq
+              .map(_.trim).filter(_.nonEmpty)
+          else Seq.empty[String]
+        graft.operators.SnapshotTable.changes(
+          org.apache.spark.sql.SparkSession.active, dir, key,
+          intArg(args(2), "graft_snapshot_changes").toLong,
+          intArg(args(3), "graft_snapshot_changes").toLong, ignore)
+          .queryExecution.analyzed
+    },
+    // the materialized view's SQL face: `SELECT * FROM graft_mv('<dir>')`
+    // serves the CURRENT committed view version (snapshot isolation —
+    // a concurrent refresh is invisible to the pinned plan)
+    tvf("graft_mv",
+      "serve a materialized view's current version: (mv_dir)") {
+      args =>
+        require(args.length == 1,
+          s"graft_mv takes 1 argument, got ${args.length}")
+        graft.operators.MaterializedView.serve(
+          org.apache.spark.sql.SparkSession.active,
+          strArg(args(0), "graft_mv"))
+          .queryExecution.analyzed
+    },
   )
 
   /** Register the graft SQL functions into an already-built session. */

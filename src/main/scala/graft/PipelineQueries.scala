@@ -389,6 +389,33 @@ object PipelineQueries {
         terms = Seq("dup", "vector", "batch"), k = 20)
     }),
 
+    "dedup_takedown" -> ((s, dir) => {
+      // TAKEDOWN on the persisted dedup store (copyright/PII removal —
+      // the forget face every long-lived training pipeline needs): the
+      // corpus ingests in two batches, then every doc with id ≡3 mod 10
+      // has its CONTENT HASH tombstoned in one atomic commit — the
+      // hash's keeper (and every duplicate it suppressed) leaves the
+      // served store immediately, while untouched hashes keep their
+      // first-arrival keeper and batch. The oracle recomputes the store
+      // minus the banned hash set from scratch: a leaked tombstoned
+      // hash, a lost untouched row, or a drifted keeper mismatches.
+      val store = s"${Scratch.dir}/dedup_takedown_store"
+      val p = new org.apache.hadoop.fs.Path(store)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val docs = t(s, dir, "documents")
+      graft.operators.DedupStore.ingest(
+        s, docs.filter(col("doc_id") < 2000), "doc_id", "text", store, 0L)
+      graft.operators.DedupStore.ingest(
+        s, docs.filter(col("doc_id") >= 2000), "doc_id", "text", store, 1L)
+      graft.operators.DedupStore.takedown(
+        s, docs.filter(pmod(col("doc_id"), lit(10L)) === 3L), "text",
+        store, tag = 2L)
+      graft.operators.DedupStore.read(s, store)
+        .select(col("content_hash"), col("keep_id"),
+          col("arrival_batch").cast("long").as("arrival_batch"))
+        .orderBy("content_hash")
+    }),
+
     "text_bm25_delete" -> ((s, dir) => {
       // tombstone DELETE on the persisted index (PqIndex's
       // ann_ivfpq_delete pattern for text): build over the full corpus,
@@ -2340,6 +2367,18 @@ object PipelineQueries {
     // from the union — so the appended store is replay-identical to a
     // one-shot build
     "text_bm25_append" -> bm25ReplaySql,
+
+    // the post-takedown store recomputed from scratch: surviving hashes
+    // are those NO banned doc carries (the hash's duplicates vanish with
+    // it), keepers/batches unchanged for everything untouched
+    "dedup_takedown" ->
+      """WITH h AS (SELECT doc_id, sha256("text") AS ch FROM documents),
+        |banned AS (SELECT DISTINCT ch FROM h WHERE doc_id % 10 = 3)
+        |SELECT ch AS content_hash, min(doc_id) AS keep_id,
+        |  CAST(CASE WHEN min(doc_id) < 2000 THEN 0 ELSE 1 END AS BIGINT)
+        |    AS arrival_batch
+        |FROM h WHERE ch NOT IN (SELECT ch FROM banned)
+        |GROUP BY ch ORDER BY content_hash""".stripMargin,
 
     // tombstone delete: the served search must equal the replay over
     // the SURVIVING corpus — df, nd and avgdl all post-delete

@@ -36,6 +36,7 @@ import org.apache.spark.sql.functions._
 object DedupStore {
 
   private val Kind = "D"
+  private val TombKind = "X" // takedown tombstones: content hashes FORGOTTEN
 
   /** Ingest one arrival batch: survivors are the rows whose content hash
     * has never been seen (first-arrival-wins; within the batch the
@@ -61,11 +62,24 @@ object DedupStore {
     val cur = FilesetLog.current(spark, storePath)
     val all = cur.map(FilesetLog.entries(spark, storePath, _)).getOrElse(Seq.empty)
     val hist = all.filterNot(_.tag == tag) // replay: own earlier commit superseded
+    val histData = hist.filter(_.kind == Kind)
+    val histTomb = hist.filter(_.kind == TombKind)
+    // history = recorded hashes MINUS takedowns ([[takedown]]): a
+    // forgotten hash is unseen again, so re-ingested content re-records
+    // as a fresh first arrival — the "forget" contract
     val fresh =
-      (if (hist.nonEmpty)
-         intra.join(FilesetLog.read(spark, hist.map(_.file)).select("content_hash"),
-           Seq("content_hash"), "left_anti")
-       else intra)
+      (if (histData.nonEmpty) {
+         val seen0 = FilesetLog.read(spark, histData.map(_.file))
+           .select("content_hash", "arrival_batch")
+         val seen =
+           (if (histTomb.isEmpty) seen0
+            else seen0.join(
+              FilesetLog.read(spark, histTomb.map(_.file))
+                .select("content_hash", "arrival_batch"),
+              Seq("content_hash", "arrival_batch"), "left_anti"))
+             .select("content_hash")
+         intra.join(seen, Seq("content_hash"), "left_anti")
+       } else intra)
         .withColumn("arrival_batch", lit(tag))
         .localCheckpoint(true)
     // hash-partitioned fileset: at scale this is the bucketed-by-hash
@@ -81,13 +95,75 @@ object DedupStore {
   }
 
   /** The store as a frame: one (content_hash, keep_id, arrival_batch)
-    * row per distinct content ever ingested — the CURRENT committed
-    * version's fixed file list (later commits invisible to this frame).
+    * row per distinct content currently REMEMBERED — the CURRENT
+    * committed version's fixed file list, minus any [[takedown]]
+    * tombstones (later commits invisible to this frame).
     */
   def read(spark: SparkSession, storePath: String): DataFrame = {
     val es = FilesetLog.currentEntries(spark, storePath)
     require(es.nonEmpty, s"no committed store under $storePath — ingest first")
-    FilesetLog.read(spark, es.map(_.file))
+    val data = FilesetLog.read(spark, es.filter(_.kind == Kind).map(_.file))
+    val tomb = es.filter(_.kind == TombKind).map(_.file)
+    // the mask is the ROW identity (content_hash, arrival_batch), not
+    // the bare hash: a post-takedown RE-INGEST of the same content
+    // writes a new row under a new batch tag, which must serve
+    if (tomb.isEmpty) data
+    else data.join(
+      FilesetLog.read(spark, tomb).select("content_hash", "arrival_batch"),
+      Seq("content_hash", "arrival_batch"), "left_anti")
+  }
+
+  /** TAKEDOWN — make the store FORGET content (copyright/PII removal,
+    * the training-pipeline face every persisted dedup state needs): the
+    * batch's content hashes are tombstoned in one atomic commit, so
+    * their keepers leave [[read]]/[[survivors]] immediately (the doc AND
+    * every duplicate it suppressed disappear from the survivor view),
+    * and a LATER ingest of the same content re-records it as a fresh
+    * first arrival — "forget", not "ban" (a standing ban is a content
+    * filter, [[Curation]]'s job, not dedup state). Hashes the store
+    * never saw (or already forgot) are a no-op — takedown lists replay.
+    * Cost: one hash semi-join against the store, O(batch + store).
+    * Tombstoned rows are physically reclaimed (and their hashes freed)
+    * by [[compactStore]]; `tag` shares the single mutation tag space
+    * with ingests (one maintainer), replayed tags supersede their own
+    * commit — exactly-once. Returns the number of hashes tombstoned.
+    */
+  def takedown(spark: SparkSession, batch: DataFrame, textCol: String,
+      storePath: String, tag: Long): Long = {
+    require(tag >= 0, s"mutation tags are >= 0 (got $tag)")
+    val cur = FilesetLog.current(spark, storePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed store under $storePath — ingest first"))
+    val all = FilesetLog.entries(spark, storePath, cur)
+    val hist = all.filterNot(_.tag == tag) // replay: supersede own commit
+    val dataFiles = hist.filter(_.kind == Kind).map(_.file)
+    val tombFiles = hist.filter(_.kind == TombKind).map(_.file)
+    val hashes = batch.select(sha2(col(textCol), 256).as("content_hash"))
+      .distinct()
+    // the tombstone is the ROW identity (content_hash, arrival_batch)
+    // of the rows present NOW — so a later re-ingest of the same
+    // content (a fresh row under a new batch tag) is not masked
+    val present0 =
+      if (dataFiles.isEmpty) hashes.limit(0)
+        .withColumn("arrival_batch", lit(0L))
+      else FilesetLog.read(spark, dataFiles)
+        .select("content_hash", "arrival_batch")
+        .join(hashes, Seq("content_hash"), "left_semi")
+    val present =
+      (if (tombFiles.isEmpty) present0
+       else present0.join(
+         FilesetLog.read(spark, tombFiles)
+           .select("content_hash", "arrival_batch"),
+         Seq("content_hash", "arrival_batch"), "left_anti"))
+        .localCheckpoint(true)
+    val n = present.count()
+    if (n == 0 && hist.length == all.length) return 0L
+    val files = FilesetLog.writeFileset(
+      present.repartition(col("content_hash")),
+      s"$storePath/tomb/" + f"v${cur + 1}%05d" + s"_${FilesetLog.nonce()}")
+    FilesetLog.commit(spark, storePath, cur + 1,
+      hist ++ files.map(FilesetLog.Entry(TombKind, tag, _)))
+    n
   }
 
   /** Survivor view of a full corpus against the store: rows whose id is
@@ -110,8 +186,11 @@ object DedupStore {
       targetRecords: Long): Long = {
     val v = FilesetLog.current(spark, storePath).getOrElse(
       throw new IllegalArgumentException(s"no store under $storePath"))
-    val df = FilesetLog.read(spark,
-      FilesetLog.entries(spark, storePath, v).map(_.file))
+    // read() serves the current version MINUS takedown tombstones, so
+    // compaction folds them in: tombstoned rows physically dropped, the
+    // new version carries no X entries, and the forgotten hashes are
+    // fully released
+    val df = read(spark, storePath)
     val n = df.count()
     val nf = math.max(1L, (n + targetRecords - 1) / targetRecords).toInt
     val files = FilesetLog.writeFileset(
@@ -128,7 +207,7 @@ object DedupStore {
     */
   def vacuumStore(spark: SparkSession, storePath: String, keepLast: Int = 1,
       graceMs: Long = SnapshotTable.DefaultVacuumGraceMs): Seq[String] =
-    FilesetLog.vacuum(spark, storePath, Seq("data"), keepLast, graceMs)
+    FilesetLog.vacuum(spark, storePath, Seq("data", "tomb"), keepLast, graceMs)
 
   /** Keep the store current from a file-arrival document stream: every
     * micro-batch dedups against the store and commits its genuinely-new

@@ -157,6 +157,59 @@ class DedupStoreSpec extends AnyFunSuite {
     assert(DedupStore.read(spark, store).count() == 905)
   }
 
+  test("takedown forgets content: duplicates vanish, re-ingest re-records fresh, compact folds, replay exactly-once") {
+    val store = freshStore("dedupstore-takedown")
+    DedupStore.ingest(spark, docs.filter($"doc_id" < 6), "doc_id", "text",
+      store, 0L)
+    DedupStore.ingest(spark, docs.filter($"doc_id" >= 6), "doc_id", "text",
+      store, 1L)
+    assert(DedupStore.read(spark, store).count() == 4L) // 4 families
+    // takedown of doc 1's content (family t1): the HASH leaves the
+    // store, so doc 1 AND its duplicates (5, 9) all leave survivors
+    assert(DedupStore.takedown(spark,
+      docs.filter($"doc_id" === 1L), "text", store, tag = 2L) == 1L)
+    val after = DedupStore.read(spark, store)
+    assert(after.count() == 3L)
+    val surv = DedupStore.survivors(spark, docs, "doc_id", store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!surv.exists(id => id % 4 == 1),
+      s"the whole duplicate family must leave the survivor view: $surv")
+    // idempotent: absent (already-forgotten or never-seen) hashes no-op
+    assert(DedupStore.takedown(spark,
+      docs.filter($"doc_id" === 1L), "text", store, tag = 3L) == 0L)
+    assert(DedupStore.takedown(spark,
+      Seq((99L, "never ingested")).toDF("doc_id", "text"), "text",
+      store, tag = 4L) == 0L)
+    // REPLAYED takedown tag: supersedes its own commit, content stable
+    assert(DedupStore.takedown(spark,
+      docs.filter($"doc_id" === 1L), "text", store, tag = 2L) == 1L)
+    assert(DedupStore.read(spark, store).count() == 3L)
+    // FORGET, not ban: re-ingesting the content records a fresh first
+    // arrival (new keeper = the re-ingest batch's lowest id)
+    DedupStore.ingest(spark, docs.filter($"doc_id" % 4 === 1L),
+      "doc_id", "text", store, 5L)
+    val re = DedupStore.read(spark, store)
+      .filter(col("keep_id") % 4 === 1L)
+      .select("keep_id", "arrival_batch").as[(Long, Long)].collect().toSeq
+    assert(re == Seq((1L, 5L)),
+      s"re-ingested content must re-record fresh (got $re)")
+    // compaction folds tombstones: rows identical, no X entries left,
+    // vacuum reclaims the superseded filesets
+    val before = DedupStore.read(spark, store)
+      .select("content_hash", "keep_id", "arrival_batch")
+      .sort("content_hash").collect().toSeq
+    DedupStore.compactStore(spark, store, targetRecords = 1L << 20)
+    assert(DedupStore.read(spark, store)
+      .select("content_hash", "keep_id", "arrival_batch")
+      .sort("content_hash").collect().toSeq == before,
+      "compaction must be content-invisible")
+    assert(DedupStore.vacuumStore(spark, store, keepLast = 1,
+      graceMs = 0L).nonEmpty)
+    assert(DedupStore.read(spark, store)
+      .select("content_hash", "keep_id", "arrival_batch")
+      .sort("content_hash").collect().toSeq == before)
+  }
+
   test("survivors view joins keepers back to the corpus") {
     val store = freshStore("dedupstore-surv")
     DedupStore.ingest(spark, docs, "doc_id", "text", store, 0)

@@ -932,6 +932,18 @@ class SnapshotTableSpec extends AnyFunSuite {
         .collect()
     }
     assert(e.getMessage.contains("existed yet"), e.getMessage)
+    // the CDC SQL face equals the Scala changes() (ignoreCols forwarded)
+    assert(rows(spark.sql(
+      s"""SELECT * FROM graft_snapshot_changes('$dir', 'k', 1, 2,
+         |'commit_v')""".stripMargin))
+      == rows(SnapshotTable.changes(spark, dir, "k", 1L, 2L,
+        Seq("commit_v"))))
+    // the MV SQL face equals serve()
+    import graft.operators.MaterializedView
+    val mdir = freshDir("snap-sqlface-mv")
+    MaterializedView.create(spark, dir, mdir, "commit_v", "k")
+    assert(rows(spark.sql(s"SELECT * FROM graft_mv('$mdir')"))
+      == rows(MaterializedView.serve(spark, mdir)))
   }
 
   test("readAsOf distinguishes 'not created yet' from 'vacuumed away'") {
