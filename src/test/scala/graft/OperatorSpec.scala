@@ -792,6 +792,37 @@ class TextFunctionsSpec extends AnyFunSuite {
         "(a wrong dl subtraction skews avgdl and every score)")
   }
 
+  test("bm25 store emptied by deletes: designed error, compaction survives, store stays appendable") {
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    val store = {
+      val d = TestSpark.scratch("bm25_delall")
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      d
+    }
+    TextAnalysis.buildBm25Index(docs, "doc_id", "text", store, nBuckets = 4)
+    assert(TextAnalysis.deleteFromBm25Index(spark, store,
+      Seq(1L, 2L).toDF("doc_id"), tag = 1L) == 2L)
+    // every doc tombstoned: the designed empty-corpus error, not an NPE
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25SearchIndexed(spark, store, "doc_id", Seq("beta"))
+    }
+    assert(e.getMessage.contains("empty corpus"), e.getMessage)
+    // compaction of the emptied store commits cleanly (no postings
+    // fileset, a zero stats row) and RELEASES the ids
+    TextAnalysis.compactBm25Index(spark, store)
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25SearchIndexed(spark, store, "doc_id", Seq("beta"))
+    }
+    assert(e2.getMessage.contains("empty corpus"), e2.getMessage)
+    // the store stays APPENDABLE after emptying: re-ingest the docs and
+    // search serves them again
+    TextAnalysis.appendToBm25Index(docs, "doc_id", "text", store, tag = 2L)
+    assert(TextAnalysis.bm25SearchIndexed(spark, store, "doc_id",
+      Seq("beta"), k = 10).count() == 2L)
+  }
+
   test("count store: compaction merges filesets, serving hash-identical, probes and appends keep working") {
     val docs = Seq(
       (1L, "new york is a big city"),
