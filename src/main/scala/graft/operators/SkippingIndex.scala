@@ -93,7 +93,12 @@ object SkippingIndex {
       spark.sessionState.newHadoopConf())
     val colsB = cols.toArray
     val rows = spark.sparkContext
-      .parallelize(files, math.max(1, math.min(files.length, 64)))
+      .parallelize(files,
+        // ~8 footers per task: one task per file paid a per-task Hadoop
+        // Configuration deserialization that outweighed the 5-15 ms
+        // footer read (r17 job profile: 74 files = 1.05 s); batching
+        // amortizes it, and large file counts still fan out to 64 tasks
+        math.max(1, math.min((files.length + 7) / 8, 64)))
       .map { p =>
         val in = HadoopInputFile.fromPath(new Path(p), conf.value)
         val reader = ParquetFileReader.open(in)
@@ -152,7 +157,12 @@ object SkippingIndex {
       spark.sessionState.newHadoopConf())
     val colsB = cols.toArray
     val rows = spark.sparkContext
-      .parallelize(files, math.max(1, math.min(files.length, 64)))
+      .parallelize(files,
+        // ~8 footers per task: one task per file paid a per-task Hadoop
+        // Configuration deserialization that outweighed the 5-15 ms
+        // footer read (r17 job profile: 74 files = 1.05 s); batching
+        // amortizes it, and large file counts still fan out to 64 tasks
+        math.max(1, math.min((files.length + 7) / 8, 64)))
       .map { p =>
         val in = HadoopInputFile.fromPath(new Path(p), conf.value)
         val reader = ParquetFileReader.open(in)
@@ -231,7 +241,12 @@ object SkippingIndex {
       spark.sessionState.newHadoopConf())
     val colsB = cols.toArray
     val rows = spark.sparkContext
-      .parallelize(files, math.max(1, math.min(files.length, 64)))
+      .parallelize(files,
+        // ~8 footers per task: one task per file paid a per-task Hadoop
+        // Configuration deserialization that outweighed the 5-15 ms
+        // footer read (r17 job profile: 74 files = 1.05 s); batching
+        // amortizes it, and large file counts still fan out to 64 tasks
+        math.max(1, math.min((files.length + 7) / 8, 64)))
       .map { p =>
         val in = HadoopInputFile.fromPath(new Path(p), conf.value)
         val reader = ParquetFileReader.open(in)
@@ -455,6 +470,14 @@ object SkippingIndex {
       column: String, source: StatsSource[K], ord: Ordering[K],
       cursorPred: (K, Boolean) => org.apache.spark.sql.Column) {
 
+    // per-walk cached schema: a walk serves MANY pages over the same
+    // immutable file set, and each page's spark.read.parquet(...) would
+    // otherwise re-infer the schema from a footer on the driver (tens of
+    // ms per page — the r17 job profile put q63's per-page planning gap
+    // above its page-job time). One inference per walk, same result:
+    // every page reads files of the same pinned file set.
+    private lazy val pageSchema = spark.read.parquet(source.anyFile).schema
+
     /** The `size` smallest keys strictly above `after` (ascending) or
       * largest strictly below it (descending); `None` = unbounded start.
       */
@@ -497,8 +520,8 @@ object SkippingIndex {
           // provably nothing beyond the cursor: the empty page served
           // from the stats alone — a false predicate on one file's
           // schema folds to an empty LocalRelation (zero scan jobs)
-          spark.read.parquet(source.anyFile).where(lit(false))
-        else spark.read.parquet(kept: _*)
+          spark.read.schema(pageSchema).parquet(source.anyFile).where(lit(false))
+        else spark.read.schema(pageSchema).parquet(kept: _*)
       // NULL keys are never served: the strict cursor predicate drops
       // them; an unbounded start needs the explicit IsNotNull
       val pred = after.map(cursorPred(_, ascending)).getOrElse(col(column).isNotNull)

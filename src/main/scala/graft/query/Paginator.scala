@@ -227,52 +227,18 @@ final class Paginator(df: DataFrame) {
 
   /** Cursor at the last row of the page `req` describes — or, with
     * `after` set, of the page following that cursor (so a deep walk
-    * never pays an offset). Two single-page jobs (last row + its
-    * duplicate count within the page); None on an empty page.
+    * never pays an offset). None on an empty page.
+    *
+    * ONE bounded top-k job per step (r17): this is [[pageWithCursor]]
+    * minus the served rows — the cursor arithmetic runs driver-side on
+    * the page's own (pageSize-bounded) collected rows, where the
+    * previous shape paid two extra jobs per step (an inverted-order
+    * last-row probe plus an in-page duplicate count). Cursor-identical
+    * by construction; the pageWithCursor↔cursorOfPage parity spec pins
+    * it page-for-page.
     */
-  def cursorOfPage(req: PageRequest, after: Option[PageCursor] = None): Option[PageCursor] = {
-    val size = req.pageSize.getOrElse(
-      throw new IllegalArgumentException("cursorOfPage requires a bounded pageSize"))
-    val sorts = req.sortVector
-    // with a cursor the page starts right at it; without one, the offset
-    // is the (paid-once) entry point into the walk
-    val pageFrame = after match {
-      case Some(c) =>
-        ordered(atOrAfterCursor(req.search, sorts, c), sorts)
-          .offset(c.dupSeen).limit(size)
-      case None =>
-        ordered(searched(req.search), sorts)
-          .offset((req.pageNumber - 1) * size).limit(size)
-    }
-    val inverted = sorts.map(s =>
-      if (s.ascending) col(s.field).desc else col(s.field).asc) :+ col(Paginator.RID).desc
-    val lastRow = pageFrame.orderBy(inverted: _*).limit(1)
-      .select(sorts.map(s => col(s.field)) :+ col(Paginator.RID): _*)
-      .collect().headOption
-    lastRow.map { r =>
-      val values = sorts.indices.map(r.get)
-      val rid = r.getLong(sorts.length)
-      // copies of the cursor row emitted within THIS page...
-      val eq = sorts.zip(values).map { case (s, v) => col(s.field) === lit(v) }
-        .foldLeft(col(Paginator.RID) === lit(rid))(_ && _)
-      val inPage = pageFrame.filter(eq).count().toInt
-      // ...plus those the walk had already skipped before this page: the
-      // incoming cursor sitting inside the same duplicate group, or — on
-      // an offset entry past page 1 — group copies consumed by the offset
-      // (equal rows are contiguous in the total order, so counting them in
-      // the pre-page prefix is exact; the prefix scan is part of the
-      // entry's paid-once offset cost)
-      val carried = after match {
-        case Some(c) if c.rid == rid && valsEq(c.sortValues, values) => c.dupSeen
-        case Some(_) => 0
-        case None if req.pageNumber > 1 =>
-          ordered(searched(req.search), sorts)
-            .limit((req.pageNumber - 1) * size).filter(eq).count().toInt
-        case None => 0
-      }
-      PageCursor(values, rid, inPage + carried)
-    }
-  }
+  def cursorOfPage(req: PageRequest, after: Option[PageCursor] = None): Option[PageCursor] =
+    pageWithCursor(req, after)._2
 
   /** The SERVING path for a cursor walk: one bounded top-k job returns
     * the page's rows (tiebreaker stripped) AND the cursor for the next
