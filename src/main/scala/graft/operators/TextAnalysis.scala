@@ -361,16 +361,24 @@ object TextAnalysis {
     val f = FilesetLog.fs(spark, path)
     val hasPostings = f.listStatus(new Path(postingsDir))
       .exists(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-    val statsFiles = FilesetLog.writeFileset(
-      withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-        .withColumn("n_buckets", lit(nBuckets)).coalesce(1),
-      s"$path/stats/" + f"v${v + 1}%05d" + s"_${FilesetLog.nonce()}")
     // ids carry the doc's token count too: a later delete subtracts the
     // doc's dl from the corpus stats by joining THIS doc-count-sized
     // table, never rescanning the postings
     val idFiles = FilesetLog.writeFileset(
       withDl.select(col("id"), col("dl")),
       s"$path/ids/" + f"v${v + 1}%05d" + s"_${FilesetLog.nonce()}")
+    // the stats row aggregates the just-WRITTEN doc-count-sized ids
+    // fileset instead of re-running the corpus tokenize scan a third
+    // time (r17: a commit paid 3 full batch scans — postings, stats,
+    // ids; now 2). Identical values: n_docs counts the same rows, and
+    // sum_dl sums the same integer-valued doubles (< 2^53, exact in any
+    // order — the scaladoc's additivity argument); an empty batch reads
+    // an empty fileset, so n_docs = 0 and sum_dl = NULL, as before.
+    val statsFiles = FilesetLog.writeFileset(
+      spark.read.parquet(idFiles: _*)
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .withColumn("n_buckets", lit(nBuckets)).coalesce(1),
+      s"$path/stats/" + f"v${v + 1}%05d" + s"_${FilesetLog.nonce()}")
     // manifest lines carry the FILESYSTEM-QUALIFIED form (file:/…, like
     // writeFileset's listing) so vacuum's on-disk walk matches them
     val qualified = f.makeQualified(new Path(postingsDir)).toString
@@ -752,12 +760,23 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
     val uniRoot = writeBucketed(uni, "uni", xxhash64(col("w")))
     val bigRoot = writeBucketed(big, "big", xxhash64(col("w1"), col("w2")))
+    // totals aggregate the just-WRITTEN batch-vocabulary-sized count
+    // filesets instead of re-running the corpus tokenize scan a third
+    // time (r17: a commit paid 3 full batch scans — uni, big, tot; now
+    // 2). Identical integers by construction: Σ_d len_d = Σ uni.c
+    // (every token is counted in exactly one unigram row) and
+    // Σ_d max(len_d − 1, 0) = Σ big.n (a doc of len ≥ 1 contributes
+    // exactly len − 1 bigram positions, a zero-token doc none); an
+    // empty batch has no uni/big fileset and keeps the explicit 0s.
+    def sumOf(root: Option[String], c: String): Long = root
+      .map(r => spark.read.parquet(r)
+        .agg(coalesce(sum(col(c)), lit(0L)).cast("long")).head.getLong(0))
+      .getOrElse(0L)
     val totFiles = FilesetLog.writeFileset(
-      toks.agg(
-        coalesce(sum(size(col("ts"))), lit(0)).cast("long").as("t_total"),
-        coalesce(sum(greatest(size(col("ts")) - 1, lit(0))), lit(0))
-          .cast("long").as("b_total"))
-        .withColumn("n_buckets", lit(nBuckets)).coalesce(1),
+      spark.range(1).select(
+        lit(sumOf(uniRoot, "c")).as("t_total"),
+        lit(sumOf(bigRoot, "n")).as("b_total"),
+        lit(nBuckets).as("n_buckets")).coalesce(1),
       s"$path/tot/" + f"v${v + 1}%05d" + s"_${FilesetLog.nonce()}")
     FilesetLog.commit(spark, path, v + 1,
       hist ++

@@ -38,7 +38,10 @@ object PlanDump {
           // execution only shows the initial plan (guide §7.2)
           val plan =
             if (sys.env.get("GRAFT_EXECUTED_PLAN").contains("1")) {
-              df.count()
+              // collect() executes THIS Dataset's queryExecution (count()
+              // would plan a separate aggregate), so AdaptiveSparkPlan
+              // prints its FINAL, runtime-rewritten tree afterwards
+              df.collect()
               df.queryExecution.executedPlan.toString
             } else df.queryExecution.explainString(
               org.apache.spark.sql.execution.FormattedMode)
