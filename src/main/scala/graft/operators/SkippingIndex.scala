@@ -77,8 +77,11 @@ object SkippingIndex {
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).sorted.toSeq
     require(files.nonEmpty, s"no parquet files under $dir")
+    // repartition(1), not coalesce(1): coalesce is a narrow dependency
+    // and would collapse the distributed footer-parse to ONE task; the
+    // exchange keeps the parse parallel, only the tiny result single-files
     statsRows(spark, files, cols)
-      .coalesce(1).write.mode("overwrite").parquet(statsOut)
+      .repartition(1).write.mode("overwrite").parquet(statsOut)
   }
 
   /** The stats table for an EXPLICIT file list (no directory listing) —
@@ -874,7 +877,7 @@ object SkippingIndex {
     */
   def attachStatsString(spark: SparkSession, dir: String, cols: Seq[String]): Unit =
     statsRowsString(spark, listParquet(spark, dir), cols)
-      .coalesce(1).write.mode("overwrite").parquet(statsPathFor(dir))
+      .repartition(1).write.mode("overwrite").parquet(statsPathFor(dir))
 
   /** Scan `dir` for `column BETWEEN lo AND hi`, consulting an attached
     * stats index AUTOMATICALLY when one exists and covers `column`:
@@ -976,8 +979,11 @@ object SkippingIndex {
   def buildBloomIndex(spark: SparkSession, files: Seq[String], column: String,
       indexOut: String, expectedItemsPerFile: Long = 100000L,
       fpp: Double = 0.01, schema: Option[StructType] = None): Unit =
+    // repartition(1), not coalesce(1): each file's bloom build scans
+    // that file's column data — coalesce would serialize every build
+    // into the single writer task
     bloomRows(spark, files, column, expectedItemsPerFile, fpp, schema)
-      .coalesce(1).write.mode("overwrite").parquet(indexOut)
+      .repartition(1).write.mode("overwrite").parquet(indexOut)
 
   /** The DISTRIBUTED probe plan behind [[pruneBloom]]: (file, keep)
     * booleans — the bitmaps are tested WHERE THEY SIT (the row-valued

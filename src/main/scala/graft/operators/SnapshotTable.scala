@@ -728,8 +728,12 @@ object SnapshotTable {
       version: Option[Long] = None): Unit = {
     val v = version.orElse(currentVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"no table under $dir"))
+    // repartition(1), not coalesce(1): coalesce is a NARROW dependency,
+    // so it would collapse the distributed footer-parse stage itself to
+    // one task (every footer read serialized); the exchange keeps the
+    // parse parallel and only the KB-sized result lands in one writer
     SkippingIndex.statsRows(spark, files(spark, dir, Some(v)), cols)
-      .coalesce(1).write.mode("overwrite").parquet(statsDir(dir, v))
+      .repartition(1).write.mode("overwrite").parquet(statsDir(dir, v))
   }
 
   /** Metadata-only SHALLOW CLONE: commit a NEW table at `dstDir` whose
@@ -996,7 +1000,9 @@ object SnapshotTable {
         // may BE the target dir when re-attaching the same version
         val out = statsDir(dir, v)
         val tmp = out + s".tmp_${nonce()}"
-        reused.unionByName(fresh).coalesce(1)
+        // repartition(1), not coalesce(1): keep the NEW files' footer
+        // parses parallel (coalesce would pull them into the one writer)
+        reused.unionByName(fresh).repartition(1)
           .write.mode("overwrite").parquet(tmp)
         f.delete(new Path(out), true)
         require(f.rename(new Path(tmp), new Path(out)),
@@ -1107,7 +1113,10 @@ object SnapshotTable {
         // may BE the target dir when re-attaching the same version
         val out = bloomDir(dir, v, column)
         val tmp = out + s".tmp_${nonce()}"
-        reused.unionByName(fresh).coalesce(1)
+        // repartition(1), not coalesce(1): the new files' bloom builds
+        // SCAN their column data — coalesce would serialize them all
+        // into the single writer task
+        reused.unionByName(fresh).repartition(1)
           .write.mode("overwrite").parquet(tmp)
         f.delete(new Path(out), true)
         require(f.rename(new Path(tmp), new Path(out)),
@@ -1222,8 +1231,10 @@ object SnapshotTable {
       version: Option[Long] = None): Unit = {
     val v = version.orElse(currentVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"no table under $dir"))
+    // repartition(1), not coalesce(1) — same parallel-parse rationale
+    // as attachStats above
     SkippingIndex.statsRowsString(spark, files(spark, dir, Some(v)), cols)
-      .coalesce(1).write.mode("overwrite").parquet(statsDir(dir, v))
+      .repartition(1).write.mode("overwrite").parquet(statsDir(dir, v))
   }
 
   /** [[keysetWalk]] for a STRING-keyed clustered snapshot (string

@@ -354,6 +354,15 @@ object TextAnalysis {
       .groupBy("id", "w").agg(count(lit(1)).cast("double").as("tf"),
         any_value(col("dl")).as("dl"))
       .withColumn("bucket", pmod(xxhash64(col("w")), lit(nBuckets.toLong)))
+      // cluster by bucket before the dynamic-partition write (guide: hash
+      // distribution on the partition key): each bucket lands wholly in
+      // one task, so the fileset is ONE file per bucket instead of
+      // tasks x buckets small files, and the write runs nBuckets-wide
+      // instead of inside however few partitions AQE coalesced the
+      // aggregate to (locally that was ONE task sorting+writing all 64
+      // bucket files serially). nBuckets is the store's own layout
+      // parameter, so the fan-out scales with the store, not the host.
+      .repartition(nBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(postingsDir)
     // an empty batch writes no bucket=* subdirs — such a fileset is
     // unreadable (no schema to infer) and contributes nothing: commit
@@ -581,7 +590,10 @@ object TextAnalysis {
     if (postingRoots.nonEmpty) {
       val dir = s"$path/postings/" + f"v${v + 1}%05d" + s"_${FilesetLog.nonce()}"
       antiTomb(postingRoots.map(spark.read.parquet(_)).reduce(_ unionByName _))
-        .repartition(col("bucket"))
+        // pinned width: repartition(col) alone is AQE-coalesced to 1-2
+        // tasks at modest sizes; one task per bucket keeps the rewrite
+        // parallel and the fileset one-file-per-bucket
+        .repartition(nBuckets, col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(dir)
       val has = f.listStatus(new Path(dir))
         .exists(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
@@ -742,6 +754,9 @@ object TextAnalysis {
         bucketOf: org.apache.spark.sql.Column): Option[String] = {
       val dir = s"$path/$sub/" + f"v${v + 1}%05d" + s"_${FilesetLog.nonce()}"
       counts.withColumn("bucket", pmod(bucketOf, lit(nBuckets.toLong)))
+        // one task per bucket: parallel write, one file per bucket
+        // (see commitBm25Batch's postings write)
+        .repartition(nBuckets, col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(dir)
       // an empty batch writes no bucket=* subdirs — such a fileset is
       // unreadable (no schema); contribute nothing (BM25's contract)
@@ -930,7 +945,7 @@ object TextAnalysis {
           .groupBy(keyCols.map(col): _*).agg(sum(cntCol).as(cntCol))
           .withColumn("bucket", pmod(bucketOf, lit(nBuckets.toLong)))
         val dir = s"$path/$sub/" + f"v${v + 1}%05d" + s"_${FilesetLog.nonce()}"
-        merged.repartition(col("bucket"))
+        merged.repartition(nBuckets, col("bucket"))
           .write.mode("overwrite").partitionBy("bucket").parquet(dir)
         val has = f.listStatus(new Path(dir))
           .exists(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
