@@ -346,13 +346,19 @@ object MaterializedView {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          SnapshotTable.upsert(batch.sparkSession, tableDir, batch,
-            tableKeyCol, versionCol, tieCol)
-          refresh(batch.sparkSession, tableDir, mvDir,
-            tableKeyCol, keyCol, Seq(valueCol), Seq(versionCol))
-          ()
-        }
+        // persist: the batch is consumed three times per trigger
+        // (emptiness probe, prune-key distinct, merge) — read the feed
+        // file once (the documented foreachBatch-reuse pattern)
+        val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (!b.isEmpty) {
+            SnapshotTable.upsert(b.sparkSession, tableDir, b,
+              tableKeyCol, versionCol, tieCol)
+            refresh(b.sparkSession, tableDir, mvDir,
+              tableKeyCol, keyCol, Seq(valueCol), Seq(versionCol))
+            ()
+          }
+        } finally { b.unpersist(); () }
       }
       .start()
 

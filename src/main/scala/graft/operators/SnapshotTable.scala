@@ -1324,16 +1324,23 @@ object SnapshotTable {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val c = upsert(batch.sparkSession, tableDir, batch,
-            keyCol, versionCol, tieCol)
-          if (statsCols.nonEmpty)
-            attachStatsIncremental(batch.sparkSession, tableDir, statsCols,
-              Some(c.version))
-          bloomCol.foreach(bc =>
-            attachBloomIncremental(batch.sparkSession, tableDir, bc,
-              Some(c.version), bloomExpectedItemsPerFile, bloomFpp))
-        }
+        // the batch frame is consumed three times per trigger (emptiness
+        // probe, the upsert's prune-key distinct, the merge) — persist it
+        // so the feed file is read once, not three times (the documented
+        // foreachBatch-reuse pattern)
+        val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (!b.isEmpty) {
+            val c = upsert(b.sparkSession, tableDir, b,
+              keyCol, versionCol, tieCol)
+            if (statsCols.nonEmpty)
+              attachStatsIncremental(b.sparkSession, tableDir, statsCols,
+                Some(c.version))
+            bloomCol.foreach(bc =>
+              attachBloomIncremental(b.sparkSession, tableDir, bc,
+                Some(c.version), bloomExpectedItemsPerFile, bloomFpp))
+          }
+        } finally { b.unpersist(); () }
         ()
       }
       .start()
