@@ -34,7 +34,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val loadBefore = loadavg()
-    val spark = SparkSession.builder()
+    // library session defaults (the AQE SMJ→SHJ threshold, see
+    // GraftExtensions.sessionDefaults) applied FIRST so the bench
+    // measures exactly the plans a defaults-following user session gets
+    val spark = GraftExtensions.withSessionDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -48,16 +51,6 @@ object Bench {
       // time query EXECUTION (what a cluster repeats), not driver-side
       // codegen latency (paid once, which is the warmup's job).
       .config("spark.sql.codegen.cache.maxEntries", "10000")
-      // AQE's runtime SMJ→shuffled-hash rewrite (guide §3.1) is OFF until
-      // this threshold is set: with it, a sort-merge join whose measured
-      // post-shuffle partitions ALL fit a 64 MB build map skips both
-      // sorts. Decision is per-join from runtime sizes, so at scale an
-      // oversized build side keeps sort-merge — not a local-only tune
-      // (64 MB/task build maps are modest on any executor). Measured
-      // r17: −0.1..−0.5 s on each of the 10 SMJ-carrying queries
-      // (dedup_cluster/_survivors, dedup_semantic*, embed_dedup,
-      // decontaminate_fuzzy, changes()), no regressions.
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -581,10 +581,23 @@ object CoreQueries {
 
 /** Scratch space for round-trip sources/exports — kept inside the repo
   * target dir (nothing outside /root/repo is written).
+  *
+  * The root is overridable (`-Dgraft.scratch.dir=…` or
+  * `$SPARK_GRAFT_SCRATCH`) so CONCURRENT processes that both run the
+  * query surface — the test suite's forked JVMs, `graft.Verify`, ad-hoc
+  * tools — each get their OWN round-trip scratch: two processes sharing
+  * one scratch rewrite each other's per-query dirs between a write and
+  * its read-back (the r17 q58_codecs verify flake). Appending
+  * `@pid` to the override substitutes the JVM's pid, which isolates
+  * parallel forked test groups without per-group wiring.
   */
 object Scratch {
   val dir: String = {
-    val d = "/root/repo/target/scratch"
+    val configured = sys.props.get("graft.scratch.dir")
+      .orElse(sys.env.get("SPARK_GRAFT_SCRATCH"))
+      .getOrElse("/root/repo/target/scratch")
+    val d = configured.replace("@pid",
+      ProcessHandle.current().pid().toString)
     new java.io.File(d).mkdirs()
     d
   }

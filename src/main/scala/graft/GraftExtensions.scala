@@ -27,6 +27,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Library-recommended SESSION DEFAULTS — the performance confs the
+    * operators are designed to run under, exposed so every entry point
+    * (user sessions included) gets the same physical plans the bench
+    * measures; r17 shipped the AQE threshold in the bench session only,
+    * which made the optimization harness-scoped.
+    *
+    *  - `spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold=64m`:
+    *    AQE's runtime sort-merge→shuffled-hash rewrite is OFF until this
+    *    is set. With it, a sort-merge join whose MEASURED post-shuffle
+    *    partitions all fit a 64 MB build map skips both sorts. The
+    *    decision is per-join from runtime sizes, so at scale an
+    *    oversized build side keeps sort-merge — scale-honest, not a
+    *    local tune (a 64 MB/task build map is modest on any executor).
+    *    Measured r17: −0.1..−0.5 s on each of the 10 SMJ-carrying
+    *    queries, no regressions, results join-strategy-invariant.
+    */
+  val sessionDefaults: Map[String, String] = Map(
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" -> "64m")
+
+  /** Apply [[sessionDefaults]] to a session builder:
+    * `GraftExtensions.withSessionDefaults(SparkSession.builder)...`.
+    */
+  def withSessionDefaults(
+      b: org.apache.spark.sql.SparkSession.Builder): org.apache.spark.sql.SparkSession.Builder =
+    sessionDefaults.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
+  /** Apply [[sessionDefaults]] to an ALREADY-BUILT session (they are all
+    * runtime SQL confs). Returns the session for chaining.
+    */
+  def applySessionDefaults(
+      spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
+    sessionDefaults.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark
+  }
+
   private def intArg(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, _) => v
     case Literal(v: Long, _) => v.toInt

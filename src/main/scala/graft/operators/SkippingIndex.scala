@@ -39,13 +39,23 @@ object SkippingIndex {
   final case class Prune(filesTotal: Int, filesKept: Int, kept: Seq[String])
 
   private def statsSchema(cols: Seq[String]): StructType =
+    statsSchemaOf(cols, "long")
+
+  /** The stats-table schema per kind token (long | string | micros —
+    * micros stats are longs). Shared with [[SnapshotTable]]'s
+    * manifest-carried stats so locally-reconstructed rows are
+    * shape-identical to a footer build's.
+    */
+  private[operators] def statsSchemaOf(cols: Seq[String], kind: String): StructType = {
+    val vt: DataType = if (kind == "string") StringType else LongType
     StructType(
       StructField("file", StringType, nullable = false) +:
       StructField("n_rows", LongType, nullable = false) +:
       cols.flatMap(c => Seq(
-        StructField(s"${c}_min", LongType, nullable = true),
-        StructField(s"${c}_max", LongType, nullable = true),
+        StructField(s"${c}_min", vt, nullable = true),
+        StructField(s"${c}_max", vt, nullable = true),
         StructField(s"${c}_nulls", LongType, nullable = true))))
+  }
 
   /** Per-column null count folded across a file's row groups: parquet
     * min/max stats IGNORE nulls while n_rows counts them, so any bound
@@ -217,14 +227,7 @@ object SkippingIndex {
           Row.fromSeq(p +: nRows +: minMax.flatMap { case (a, b, n) => Seq(a, b, n) })
         } finally reader.close()
       }
-    val schema = StructType(
-      StructField("file", StringType, nullable = false) +:
-      StructField("n_rows", LongType, nullable = false) +:
-      cols.flatMap(c => Seq(
-        StructField(s"${c}_min", StringType, nullable = true),
-        StructField(s"${c}_max", StringType, nullable = true),
-        StructField(s"${c}_nulls", LongType, nullable = true))))
-    spark.createDataFrame(rows, schema)
+    spark.createDataFrame(rows, statsSchemaOf(cols, "string"))
   }
 
   /** [[statsRows]] for TIMESTAMP (parquet INT64 with a Timestamp logical

@@ -111,12 +111,38 @@ object SnapshotTable {
     val p = manifestPath(dir, v)
     val f = fs(spark, dir)
     require(f.exists(p), s"version $v does not exist under $dir")
-    val len = f.getFileStatus(p).getLen.toInt
-    val buf = new Array[Byte](len)
-    val in = f.open(p)
-    try in.readFully(0, buf) finally in.close()
-    new String(buf, "UTF-8").split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    // memoized per (qualified path, mtime, length), like the instant
+    // cache: manifests are immutable once published, and one upsert
+    // otherwise reads the SAME manifest several times (files, schemaOf,
+    // droppedOf, carried stats) — sub-ms on a local FS but a real
+    // round trip each on an object store. Keying on (mtime, len) means a
+    // table recreated at the same path can never serve stale lines.
+    val st = f.getFileStatus(p)
+    val key = s"${f.makeQualified(p)}#${st.getModificationTime}#${st.getLen}"
+    val cached = manifestLinesCache.get(key)
+    if (cached != null) cached
+    else {
+      manifestReads.incrementAndGet()
+      val len = st.getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = f.open(p)
+      try in.readFully(0, buf) finally in.close()
+      val lines = new String(buf, "UTF-8").split("\n")
+        .map(_.trim).filter(_.nonEmpty).toSeq
+      if (manifestLinesCache.size > 4096) manifestLinesCache.clear()
+      manifestLinesCache.put(key, lines)
+      lines
+    }
   }
+
+  private val manifestLinesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  /** Test-visible cost evidence: full manifest reads performed (cache
+    * misses) — the upsert-reads-the-manifest-once assertion's counter.
+    */
+  private[graft] val manifestReads = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def clearManifestLinesCache(): Unit = manifestLinesCache.clear()
 
   /** The live files of `version` (default: current). `#`-prefixed
     * manifest header lines (the version's schema) are not files.
@@ -161,6 +187,122 @@ object SnapshotTable {
         .filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
   }
+
+  // ---- per-file key stats carried IN the manifest (#stats: headers) ----
+  //
+  // The Delta/Iceberg stats-in-manifest design, made LAZY so no commit
+  // ever adds a footer job just to record stats: the per-file key
+  // [min,max] an upsert computes for its prune (from parquet footers) is
+  // carried forward in the NEW manifest for every file the commit keeps,
+  // so the next upsert footer-scans only the files whose stats no commit
+  // has needed yet — in steady state the PREVIOUS commit's new files.
+  // Per-upsert prune cost becomes O(recent batch files), never O(table
+  // files) — at a million files that is the difference between a prune
+  // that reads 10^6 footers per commit and one that reads ~the batch.
+  //
+  // Format: one `#stats:<kind>:<urlencoded col>:` header per tracked
+  // column, holding per-file `min,max,nulls,nrows` entries ALIGNED with
+  // the manifest's file lines, `;`-separated; `?` = unknown field; string
+  // values are URL-encoded (so `,;:` and newlines cannot corrupt the
+  // line). kind ∈ long|string|micros — the three footer-stats surfaces
+  // (DATE keys ride `long` day-encoded, like the prune itself).
+  //
+  // Trust model: entries are verbatim copies of what SkippingIndex's
+  // footer folds returned for these IMMUTABLE files — re-reading the
+  // footer yields the same values, so carrying them is equivalence, not
+  // estimation. A malformed or misaligned header is IGNORED per column
+  // (falls back to footer scans): stats can only cost pruning, never
+  // correctness.
+
+  private val StatsHeader = "#stats:"
+
+  /** One file's carried key stats. `nRows` defined == "this file was
+    * footer-scanned" ([[SkippingIndex.statsRows]] always reports n_rows);
+    * a scanned file with `min`/`max` None has no usable stats (all-null
+    * keys, statless chunks) — always affected, and never worth rescanning.
+    */
+  private[operators] final case class ManifestStat(min: Option[Any],
+      max: Option[Any], nulls: Option[Long], nRows: Option[Long]) {
+    def known: Boolean = nRows.isDefined
+  }
+
+  private def encField(kind: String, v: Option[Any]): String = v match {
+    case None => "?"
+    case Some(x) if kind == "string" =>
+      java.net.URLEncoder.encode(x.toString, "UTF-8")
+    case Some(x) => x.toString
+  }
+
+  private def decField(kind: String, s: String): Option[Any] =
+    if (s == "?") None
+    else if (kind == "string") Some(java.net.URLDecoder.decode(s, "UTF-8"))
+    else Some(s.toLong)
+
+  /** Render `#stats:` headers for `fileList`. Columns with no known entry
+    * among the listed files contribute nothing (header omitted).
+    */
+  private def statsHeaders(fileList: Seq[String],
+      stats: Map[(String, String), Map[String, ManifestStat]]): Seq[String] =
+    stats.toSeq.sortBy(_._1).flatMap { case ((colName, kind), byFile) =>
+      val entries = fileList.map(f => byFile.get(f).filter(_.known))
+      if (!entries.exists(_.isDefined)) None
+      else Some(StatsHeader + kind + ":" +
+        java.net.URLEncoder.encode(colName, "UTF-8") + ":" +
+        entries.map {
+          case Some(s) => Seq(encField(kind, s.min), encField(kind, s.max),
+            encField("long", s.nulls), encField("long", s.nRows)).mkString(",")
+          case None => "?,?,?,?"
+        }.mkString(";"))
+    }
+
+  /** The carried per-file stats of `version`: (column, kind) → file →
+    * stat, covering only files with KNOWN entries. Corrupt or misaligned
+    * headers drop their column (conservative — callers fall back to
+    * footer scans).
+    */
+  private[operators] def manifestStatsOf(spark: SparkSession, dir: String,
+      version: Option[Long] = None): Map[(String, String), Map[String, ManifestStat]] = {
+    val v = version.orElse(currentVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no table under $dir"))
+    val lines = manifestLines(spark, dir, v)
+    val fl = lines.filterNot(_.startsWith("#"))
+    lines.filter(_.startsWith(StatsHeader)).flatMap { l =>
+      try {
+        val Array(kind, encCol, payload) = l.drop(StatsHeader.length).split(":", 3)
+        val colName = java.net.URLDecoder.decode(encCol, "UTF-8")
+        val entries = payload.split(";", -1)
+        if (entries.length != fl.length) None
+        else {
+          val byFile = fl.zip(entries).flatMap { case (f, e) =>
+            val p = e.split(",", -1)
+            require(p.length == 4, s"bad stats entry: $e")
+            val nr = decField("long", p(3)).map(_.asInstanceOf[Long])
+            if (nr.isEmpty) None // unknown file — no entry
+            else Some(f -> ManifestStat(decField(kind, p(0)),
+              decField(kind, p(1)),
+              decField("long", p(2)).map(_.asInstanceOf[Long]), nr))
+          }.toMap
+          Some((colName, kind) -> byFile)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.toMap
+  }
+
+  /** Restrict carried stats to `keep`'s files and drop emptied columns —
+    * what every non-rewriting commit does to propagate stats forward.
+    */
+  private def carryStats(
+      stats: Map[(String, String), Map[String, ManifestStat]],
+      keep: Set[String]): Map[(String, String), Map[String, ManifestStat]] =
+    stats.map { case (ck, m) => ck -> m.filter(kv => keep.contains(kv._1)) }
+      .filter(_._2.nonEmpty)
+
+  /** Test-visible cost evidence: how many files upsert's prune submitted
+    * for a footer-stats scan (the carried-stats design's O(recent batch)
+    * claim — the spec asserts a second upsert scans only the first's new
+    * files, not the table).
+    */
+  private[graft] val pruneStatsScanned = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Read a PINNED snapshot (default: current). The plan scans a fixed
     * file list, so later commits/compactions are invisible to it; the
@@ -275,7 +417,8 @@ object SnapshotTable {
     */
   private def commitManifest(spark: SparkSession, dir: String, v: Long,
       fileList: Seq[String], schema: Option[StructType],
-      dropped: Seq[String] = Seq.empty): Unit = {
+      dropped: Seq[String] = Seq.empty,
+      stats: Map[(String, String), Map[String, ManifestStat]] = Map.empty): Unit = {
     val prevInstant = versions(spark, dir).filter(_ < v).lastOption
       .map(pv => commitInstantOf(spark, dir, pv)).getOrElse(0L)
     val stamp = math.max(System.currentTimeMillis(), prevInstant + 1L)
@@ -284,6 +427,7 @@ object SnapshotTable {
         schema.map(s => SchemaHeader + s.json).toSeq ++
         (if (dropped.nonEmpty) Seq(DroppedHeader + dropped.sorted.mkString(","))
          else Seq.empty) ++
+        statsHeaders(fileList, stats) ++
         fileList)
         .mkString("\n") + "\n")
   }
@@ -384,41 +528,97 @@ object SnapshotTable {
       // the STATS side is the small one (a row per file) — broadcast it
       // and stream the change keys through, so the file selection scales
       // with changes, not files × keys; distinct file paths are the
-      // collected FILE LIST (the standard driver-side index footprint)
+      // collected FILE LIST (the standard driver-side index footprint).
+      // Since the carried-stats redesign the stats side is a LOCAL
+      // relation (manifest-carried entries + the lazily footer-scanned
+      // remainder), so the broadcast costs no job of its own.
       def pruneWith(stats: DataFrame, keys: DataFrame): Set[String] =
         keys.join(broadcast(stats),
-            col(s"${keyCol}_min").isNull || col(s"${keyCol}_max").isNull ||
-              (col("__k") >= col(s"${keyCol}_min") && col("__k") <= col(s"${keyCol}_max")))
+            col("kmin").isNull || col("kmax").isNull ||
+              (col("__k") >= col("kmin") && col("__k") <= col("kmax")))
           .select("file").distinct().collect().map(_.getString(0)).toSet
-      val affected =
-        try keyType match {
-          case _: org.apache.spark.sql.types.IntegerType
-             | _: org.apache.spark.sql.types.LongType
-             | _: org.apache.spark.sql.types.ShortType
-             | _: org.apache.spark.sql.types.ByteType =>
-            pruneWith(SkippingIndex.statsRows(spark, live, Seq(keyCol)),
-              changes.select(col(keyCol).cast("long").as("__k")).distinct())
-          case _: org.apache.spark.sql.types.StringType =>
-            pruneWith(SkippingIndex.statsRowsString(spark, live, Seq(keyCol)),
-              changes.select(col(keyCol).cast("string").as("__k")).distinct())
-          case _: org.apache.spark.sql.types.DateType =>
-            // parquet stores DATE as INT32 days-since-epoch: the long
-            // footer-stats fold applies unchanged, the change keys just
-            // need the same day encoding
-            pruneWith(SkippingIndex.statsRows(spark, live, Seq(keyCol)),
-              changes.select(datediff(col(keyCol).cast("date"),
-                to_date(lit("1970-01-01"))).cast("long").as("__k")).distinct())
-          case _: org.apache.spark.sql.types.TimestampType =>
-            // INT64 MILLIS/MICROS/NANOS annotations normalize to epoch
-            // micros; legacy INT96 output (Spark's default — set
-            // spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS to
-            // prune) throws inside statsRowsMicros and lands in the
-            // all-files-affected catch below
-            pruneWith(SkippingIndex.statsRowsMicros(spark, live, Seq(keyCol)),
-              changes.select(unix_micros(col(keyCol)).as("__k")).distinct())
-          case _ => live.toSet // no stats surface for this type
+      // the key type's footer-stats surface (manifest kind token) — None
+      // degrades to all-files-affected, exactly the old behavior
+      val statKind: Option[String] = keyType match {
+        case _: org.apache.spark.sql.types.IntegerType
+           | _: org.apache.spark.sql.types.LongType
+           | _: org.apache.spark.sql.types.ShortType
+           | _: org.apache.spark.sql.types.ByteType
+           // parquet stores DATE as INT32 days-since-epoch: the long
+           // footer-stats fold applies unchanged (keys day-encoded below)
+           | _: org.apache.spark.sql.types.DateType => Some("long")
+        case _: org.apache.spark.sql.types.StringType => Some("string")
+        // INT64 MILLIS/MICROS/NANOS annotations normalize to epoch
+        // micros; legacy INT96 output (Spark's default — set
+        // spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS to
+        // prune) throws inside statsRowsMicros and lands in the
+        // all-files-affected catch below
+        case _: org.apache.spark.sql.types.TimestampType => Some("micros")
+        case _ => None
+      }
+      def keysFrame: DataFrame = keyType match {
+        case _: org.apache.spark.sql.types.DateType =>
+          changes.select(datediff(col(keyCol).cast("date"),
+            to_date(lit("1970-01-01"))).cast("long").as("__k")).distinct()
+        case _: org.apache.spark.sql.types.TimestampType =>
+          changes.select(unix_micros(col(keyCol)).as("__k")).distinct()
+        case _: org.apache.spark.sql.types.StringType =>
+          changes.select(col(keyCol).cast("string").as("__k")).distinct()
+        case _ =>
+          changes.select(col(keyCol).cast("long").as("__k")).distinct()
+      }
+      def footerStats(fl: Seq[String]): DataFrame = statKind.get match {
+        case "string" => SkippingIndex.statsRowsString(spark, fl, Seq(keyCol))
+        case "micros" => SkippingIndex.statsRowsMicros(spark, fl, Seq(keyCol))
+        case _ => SkippingIndex.statsRows(spark, fl, Seq(keyCol))
+      }
+      val priorStats = manifestStatsOf(spark, dir, Some(v))
+      // carried entries for THIS key column (kind must match — a column
+      // upserted as a long key cannot serve string-kind entries)
+      val carriedKey: Map[String, ManifestStat] = statKind
+        .flatMap(k => priorStats.get((keyCol, k))).getOrElse(Map.empty)
+      val (affected, keyStats) =
+        if (statKind.isEmpty) (live.toSet, Map.empty[String, ManifestStat])
+        else try {
+          // footer-scan ONLY the files no earlier commit scanned — in
+          // steady state the previous commit's new files, O(batch) not
+          // O(table); carried entries are verbatim prior footer folds of
+          // these immutable files, so the prune decision is identical
+          val unknown = live.filterNot(f => carriedKey.get(f).exists(_.known))
+          pruneStatsScanned.addAndGet(unknown.length.toLong)
+          val scanned: Map[String, ManifestStat] =
+            if (unknown.isEmpty) Map.empty
+            else footerStats(unknown).collect().map { r =>
+              // statsRows row shape: (file, n_rows, min, max, nulls)
+              r.getString(0) -> ManifestStat(
+                if (r.isNullAt(2)) None else Some(r.get(2)),
+                if (r.isNullAt(3)) None else Some(r.get(3)),
+                if (r.isNullAt(4)) None else Some(r.getLong(4)),
+                Some(r.getLong(1)))
+            }.toMap
+          val known = carriedKey ++ scanned
+          val vt: org.apache.spark.sql.types.DataType =
+            if (statKind.contains("string")) org.apache.spark.sql.types.StringType
+            else org.apache.spark.sql.types.LongType
+          // LocalRelation (not an RDD): the broadcast build collects it
+          // driver-side without launching a job
+          val statsDf = spark.createDataFrame(
+            scala.jdk.CollectionConverters.SeqHasAsJava(live.map { f =>
+              val s = known.get(f)
+              org.apache.spark.sql.Row(f,
+                s.flatMap(_.min).orNull, s.flatMap(_.max).orNull)
+            }).asJava,
+            StructType(Seq(
+              org.apache.spark.sql.types.StructField("file",
+                org.apache.spark.sql.types.StringType, nullable = false),
+              org.apache.spark.sql.types.StructField("kmin", vt, nullable = true),
+              org.apache.spark.sql.types.StructField("kmax", vt, nullable = true))))
+          (pruneWith(statsDf, keysFrame), known)
         } catch {
-          case scala.util.control.NonFatal(_) => live.toSet // degrade, stay correct
+          // degrade, stay correct (and carry nothing — the next upsert
+          // rescans from scratch, the pre-stats behavior)
+          case scala.util.control.NonFatal(_) =>
+            (live.toSet, Map.empty[String, ManifestStat])
         }
       val untouched = live.filterNot(affected.contains)
       val baseRaw =
@@ -436,8 +636,23 @@ object SnapshotTable {
         versionCol, tieCol, deleteCol, keepVersionCol = true)
       val fl = writeData(spark, merged, dir, v + 1)
       val all = (untouched ++ fl).sorted
+      // carry stats forward for the files this commit KEEPS: the key
+      // column's refreshed entries (carried ++ freshly scanned) plus
+      // every other tracked column's carried entries; the commit's own
+      // new files stay unknown — the next upsert that needs them scans
+      // exactly those (lazy, no extra job here). Columns no longer in
+      // the schema drop out.
+      val statsForward = carryStats(
+        (statKind match {
+          case Some(k) =>
+            val ck = (keyCol, k)
+            priorStats.updated(ck, priorStats.getOrElse(ck, Map.empty) ++ keyStats)
+          case None => priorStats
+        }).filter { case ((c, _), _) => merged.schema.fieldNames.contains(c) },
+        untouched.toSet)
       try {
-        commitManifest(spark, dir, v + 1, all, Some(merged.schema), dropped)
+        commitManifest(spark, dir, v + 1, all, Some(merged.schema), dropped,
+          statsForward)
         return Commit(v + 1, all, untouched.length)
       } catch {
         case e: CommitConflict =>
@@ -566,9 +781,12 @@ object SnapshotTable {
       val all = (untouched ++ fl).sorted
       try {
         // delete rewrites only the affected files: the dropped set's
-        // physical data survives in the reused files — propagate it
+        // physical data survives in the reused files — propagate it,
+        // and carry the kept files' stats (zero jobs; the rewritten
+        // survivors stay unknown until an upsert needs them)
         commitManifest(spark, dir, v + 1, all, Some(tableSchema),
-          droppedOf(spark, dir, Some(v)))
+          droppedOf(spark, dir, Some(v)),
+          carryStats(manifestStatsOf(spark, dir, Some(v)), untouched.toSet))
         return (Commit(v + 1, all, untouched.length), deleted)
       } catch {
         case e: CommitConflict =>
@@ -606,9 +824,11 @@ object SnapshotTable {
       try {
         // the restored manifest is toVersion's verbatim — including its
         // dropped set (restoring PAST a drop legitimately undrops: the
-        // old schema serves the still-present physical data again)
+        // old schema serves the still-present physical data again) and
+        // its carried stats (same files, same immutable footers)
         commitManifest(spark, dir, v + 1, fl, schema,
-          droppedOf(spark, dir, Some(toVersion)))
+          droppedOf(spark, dir, Some(toVersion)),
+          manifestStatsOf(spark, dir, Some(toVersion)))
         return Commit(v + 1, fl, fl.length)
       } catch {
         case e: CommitConflict =>
@@ -720,9 +940,55 @@ object SnapshotTable {
   private def statsDir(dir: String, v: Long): String =
     s"$dir/stats/" + f"v$v%05d"
 
+  /** Stats rows for `fl` over `cols` in [[SkippingIndex.statsRows]]'
+    * shape, serving MANIFEST-CARRIED entries for every file all requested
+    * columns know (verbatim prior footer folds of immutable files —
+    * value-identical to a rescan) and footer-scanning only the remainder.
+    * With full coverage the frame is a local relation: zero footer I/O.
+    */
+  private def statsRowsVia(spark: SparkSession, dir: String, v: Long,
+      fl: Seq[String], cols: Seq[String], kind: String): DataFrame = {
+    def footer(files: Seq[String]): DataFrame = kind match {
+      case "string" => SkippingIndex.statsRowsString(spark, files, cols)
+      case "micros" => SkippingIndex.statsRowsMicros(spark, files, cols)
+      case _ => SkippingIndex.statsRows(spark, files, cols)
+    }
+    val perCol = {
+      val ms =
+        try manifestStatsOf(spark, dir, Some(v))
+        catch { case scala.util.control.NonFatal(_) =>
+          Map.empty[(String, String), Map[String, ManifestStat]] }
+      cols.map(c => ms.getOrElse((c, kind), Map.empty[String, ManifestStat]))
+    }
+    val covered =
+      if (cols.isEmpty) Seq.empty
+      else fl.filter(f => perCol.forall(_.get(f).exists(_.known)))
+    if (covered.isEmpty) footer(fl)
+    else {
+      val coveredSet = covered.toSet
+      val uncovered = fl.filterNot(coveredSet.contains)
+      val localRows = covered.map { f =>
+        org.apache.spark.sql.Row.fromSeq(
+          f +: perCol.head(f).nRows.get +: perCol.flatMap { m =>
+            val s = m(f)
+            Seq(s.min.orNull, s.max.orNull, s.nulls.map(Long.box).orNull)
+          })
+      }
+      // LocalRelation: consumed either by a 1-file index write or a
+      // driver-side walk — no parallelize job needed
+      val local = spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(localRows).asJava,
+        SkippingIndex.statsSchemaOf(cols, kind))
+      if (uncovered.isEmpty) local else local.unionByName(footer(uncovered))
+    }
+  }
+
   /** Build the [[SkippingIndex]] stats table for a version's live files
-    * (footer-only) at the version-scoped stats location — each snapshot
-    * gets its own index, because each snapshot is a different file set.
+    * at the version-scoped stats location — each snapshot gets its own
+    * index, because each snapshot is a different file set. Files whose
+    * stats the manifest already carries (earlier upsert prunes over the
+    * same immutable files) are served from it; only the rest pay a
+    * footer read.
     */
   def attachStats(spark: SparkSession, dir: String, cols: Seq[String],
       version: Option[Long] = None): Unit = {
@@ -732,7 +998,7 @@ object SnapshotTable {
     // so it would collapse the distributed footer-parse stage itself to
     // one task (every footer read serialized); the exchange keeps the
     // parse parallel and only the KB-sized result lands in one writer
-    SkippingIndex.statsRows(spark, files(spark, dir, Some(v)), cols)
+    statsRowsVia(spark, dir, v, files(spark, dir, Some(v)), cols, "long")
       .repartition(1).write.mode("overwrite").parquet(statsDir(dir, v))
   }
 
@@ -758,7 +1024,10 @@ object SnapshotTable {
       throw new IllegalArgumentException(s"no table under $srcDir"))
     val fl = files(spark, srcDir, Some(v))
     commitManifest(spark, dstDir, 1L, fl, schemaOf(spark, srcDir, Some(v)),
-      droppedOf(spark, srcDir, Some(v)))
+      droppedOf(spark, srcDir, Some(v)),
+      // shared immutable files, shared footer stats — the clone's first
+      // upsert prunes without rescanning the source's files
+      manifestStatsOf(spark, srcDir, Some(v)))
     Commit(1L, fl, fl.length)
   }
 
@@ -853,7 +1122,11 @@ object SnapshotTable {
       val evolved = StructType(schema.fields.filterNot(_.name == colName))
       val dropped = (droppedOf(spark, dir, Some(v)) :+ colName).distinct
       try {
-        commitManifest(spark, dir, v + 1, fl, Some(evolved), dropped)
+        // same files, so carried stats survive — minus the dropped
+        // column's (its name leaves the schema)
+        commitManifest(spark, dir, v + 1, fl, Some(evolved), dropped,
+          manifestStatsOf(spark, dir, Some(v))
+            .filter { case ((c, _), _) => c != colName })
         return Commit(v + 1, fl, fl.length)
       } catch {
         case e: CommitConflict =>
@@ -995,7 +1268,9 @@ object SnapshotTable {
         val reused = prev.join(liveDf, "file")
         val fresh =
           if (newFiles.isEmpty) prev.limit(0)
-          else SkippingIndex.statsRows(spark, newFiles, cols)
+          // manifest-carried entries (earlier upsert prunes) cover part
+          // or all of the new files — footer-scan only the remainder
+          else statsRowsVia(spark, dir, v, newFiles, cols, "long")
         // write via a temp dir: the union READS the prior index, which
         // may BE the target dir when re-attaching the same version
         val out = statsDir(dir, v)
@@ -1218,7 +1493,8 @@ object SnapshotTable {
     }
     val df =
       if (covered) spark.read.parquet(sp.toString)
-      else SkippingIndex.statsRows(spark, files(spark, dir, Some(v)), Seq(column))
+      else statsRowsVia(spark, dir, v, files(spark, dir, Some(v)),
+        Seq(column), "long")
     SkippingIndex.keysetWalkFromStats(spark, df, column)
   }
 
@@ -1232,8 +1508,8 @@ object SnapshotTable {
     val v = version.orElse(currentVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"no table under $dir"))
     // repartition(1), not coalesce(1) — same parallel-parse rationale
-    // as attachStats above
-    SkippingIndex.statsRowsString(spark, files(spark, dir, Some(v)), cols)
+    // as attachStats above; manifest-carried string stats served first
+    statsRowsVia(spark, dir, v, files(spark, dir, Some(v)), cols, "string")
       .repartition(1).write.mode("overwrite").parquet(statsDir(dir, v))
   }
 
@@ -1258,7 +1534,8 @@ object SnapshotTable {
     }
     val df =
       if (covered) spark.read.parquet(sp.toString)
-      else SkippingIndex.statsRowsString(spark, files(spark, dir, Some(v)), Seq(column))
+      else statsRowsVia(spark, dir, v, files(spark, dir, Some(v)),
+        Seq(column), "string")
     SkippingIndex.keysetWalkStringFromStats(spark, df, column)
   }
 
@@ -1277,8 +1554,8 @@ object SnapshotTable {
     val v = version.orElse(currentVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"no table under $dir"))
     SkippingIndex.keysetWalkMicrosFromStats(spark,
-      SkippingIndex.statsRowsMicros(spark, files(spark, dir, Some(v)),
-        Seq(column)), column)
+      statsRowsVia(spark, dir, v, files(spark, dir, Some(v)),
+        Seq(column), "micros"), column)
   }
 
   /** Keep the table current from a CDC change stream: every micro-batch

@@ -308,40 +308,46 @@ object TextAnalysis {
     val cur = FilesetLog.current(spark, path)
     val all = cur.map(FilesetLog.entries(spark, path, _)).getOrElse(Seq.empty)
     val hist = all.filterNot(_.tag == tag)
-    // disjointness guard, part 1: the batch itself must not carry a doc
-    // id twice — a within-batch duplicate double-counts its postings
-    // just as silently as a cross-batch one (the scaladoc's hazard), and
-    // the anti-check below can't see it (a batch is trivially disjoint
-    // from itself). groupBy(id) on the batch + take(1): batch-sized.
-    val intraDup = docs.groupBy(col(idCol).as("id"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1).take(1)
-    require(intraDup.isEmpty,
-      s"batch carries document id ${intraDup.headOption.map(_.get(0))
-        .getOrElse("?")} more than once — BM25 postings would " +
-        "double-count; dedup the batch before ingest")
-    // disjointness guard, part 2: batch ids vs the RETAINED batches' id
+    // disjointness guards, FUSED into one job (r18; was two batch scans):
+    // (1) the batch itself must not carry a doc id twice — a
+    // within-batch duplicate double-counts its postings just as silently
+    // as a cross-batch one; (2) batch ids vs the RETAINED batches' id
     // space (same-tag filesets are being superseded — their ids don't
-    // count). Join on ids only; take(1) so a clean batch costs one short
-    // job.
+    // count). One groupBy(id) over the batch serves both: the per-id
+    // counts answer (1) and the left join against the prior ids answers
+    // (2), collected via ONE take(1) on the union of violations.
     val priorIdFiles = hist.filter(_.kind == IdsKind).map(_.file)
-    if (tag >= 1 && priorIdFiles.nonEmpty) {
-      val dup = docs.select(col(idCol).as("id"))
-        .join(spark.read.parquet(priorIdFiles: _*).select("id"), "id")
+    val idCounts = docs.groupBy(col(idCol).as("id")).agg(count(lit(1)).as("n"))
+    val offending =
+      if (tag >= 1 && priorIdFiles.nonEmpty)
+        idCounts.join(
+            spark.read.parquet(priorIdFiles: _*)
+              .select(col("id"), lit(true).as("seen")),
+            Seq("id"), "left")
+          .filter(col("n") > 1 || col("seen").isNotNull)
+          .select("id", "n", "seen").take(1)
+      else idCounts.filter(col("n") > 1)
+        .select(col("id"), col("n"), lit(null).cast("boolean").as("seen"))
         .take(1)
-      if (dup.nonEmpty) {
+    offending.headOption.foreach { r =>
+      if (r.getLong(1) > 1)
+        throw new IllegalArgumentException(
+          s"batch carries document id ${r.get(0)} more than once — BM25 " +
+            "postings would double-count; dedup the batch before ingest")
+      else {
         // a TOMBSTONED id is still in the id space (its postings/ids
         // rows survive until compaction physically removes them) — name
         // the actual remedy, not a generic disjointness complaint
         val tombFiles = hist.filter(_.kind == TombKind).map(_.file)
         val tombed = tombFiles.nonEmpty && spark.read.parquet(tombFiles: _*)
-          .filter(col("id") === lit(dup.head.get(0))).take(1).nonEmpty
+          .filter(col("id") === lit(r.get(0))).take(1).nonEmpty
         throw new IllegalArgumentException(
           if (tombed)
-            s"document id ${dup.head.get(0)} was DELETED from the BM25 " +
+            s"document id ${r.get(0)} was DELETED from the BM25 " +
               s"store under $path but its rows are not yet reclaimed — " +
               "compactBm25Index first, then re-ingest"
           else
-            s"append batch re-ingests document id ${dup.head.get(0)} " +
+            s"append batch re-ingests document id ${r.get(0)} " +
               s"already in the BM25 store under $path — batches must be " +
               "doc-disjoint (dedup upstream, e.g. DedupStore)")
       }
@@ -493,29 +499,48 @@ object TextAnalysis {
       if (rawSchema.fieldNames.contains("dl")) rawSchema
       else rawSchema.add("dl", org.apache.spark.sql.types.DoubleType)
     val idsStore = spark.read.schema(idsSchema).parquet(idFiles: _*)
-    // already-deleted guard BEFORE anything commits: a second delete of
-    // the same id would subtract its dl twice
     val tombFiles = hist.filter(_.kind == TombKind).map(_.file)
-    if (tombFiles.nonEmpty) {
-      val dup = ids.join(spark.read.parquet(tombFiles: _*).select("id"), "id")
-        .take(1)
-      require(dup.isEmpty,
-        s"document id ${dup.headOption.map(_.get(0)).getOrElse("?")} is " +
-          s"already deleted from the BM25 store under $path — a repeat " +
-          "delete would double-subtract the corpus stats")
-    }
-    val matched = ids.join(
+    // guards + stats, FUSED into one job (r18; was four: already-deleted
+    // take(1), miss take(1), legacy null-dl probe take(1), then the
+    // n/Σdl aggregate). One left join against the id space (and the
+    // tombstones, when any exist) answers everything: a tombed witness
+    // (double delete would double-subtract the stats), a missing
+    // witness (deletes must name existing docs), the legacy null-dl
+    // count, and the batch's n/Σdl — each previously its own pass over
+    // the delete batch.
+    val joined0 = ids.join(
       idsStore.select(col("id"), col("dl"), lit(true).as("hit")),
       Seq("id"), "left")
-    val miss = matched.filter(col("hit").isNull).take(1)
-    require(miss.isEmpty,
-      s"document id ${miss.headOption.map(_.get(0)).getOrElse("?")} is not " +
+    val matched =
+      if (tombFiles.isEmpty)
+        joined0.withColumn("tomb", lit(null).cast("boolean"))
+      else joined0.join(
+        spark.read.parquet(tombFiles: _*)
+          .select(col("id"), lit(true).as("tomb")).distinct(),
+        Seq("id"), "left")
+    val g = matched.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum("dl"), lit(0.0)).as("sdl"),
+      max(when(col("tomb").isNotNull, col("id"))).as("tombWitness"),
+      max(when(col("hit").isNull, col("id"))).as("missWitness"),
+      sum(when(col("hit").isNotNull && col("dl").isNull, 1L).otherwise(0L))
+        .as("nullDl")).head
+    // already-deleted guard BEFORE anything commits: a second delete of
+    // the same id would subtract its dl twice
+    require(g.isNullAt(2),
+      s"document id ${g.get(2)} is " +
+        s"already deleted from the BM25 store under $path — a repeat " +
+        "delete would double-subtract the corpus stats")
+    require(g.isNullAt(3),
+      s"document id ${g.get(3)} is not " +
         s"in the BM25 store under $path — deletes must name existing docs")
+    val nDel = g.getLong(0)
+    if (nDel == 0 && hist.length == all.length) return 0L
     // legacy fallback: ids filesets that predate the dl column force ONE
     // postings-side lookup for exactly the null-dl deleted ids
+    val legacyNullDl = !g.isNullAt(4) && g.getLong(4) > 0
     val withDl =
-      if (matched.filter(col("dl").isNull).take(1).isEmpty)
-        matched.select(col("id"), col("dl"))
+      if (!legacyNullDl) matched.select(col("id"), col("dl"))
       else {
         val roots = hist.filter(_.kind == PostingsKind).map(_.file)
         val fromPostings =
@@ -528,11 +553,9 @@ object TextAnalysis {
           .select(col("id"),
             coalesce(col("dl"), col("pdl"), lit(0.0)).as("dl"))
       }
-    val agg = withDl.agg(count(lit(1)).as("n"),
-      coalesce(sum("dl"), lit(0.0)).as("sdl")).head
-    val nDel = agg.getLong(0)
-    if (nDel == 0 && hist.length == all.length) return 0L
-    val sdl = agg.getDouble(1)
+    val sdl =
+      if (!legacyNullDl) g.getDouble(1)
+      else withDl.agg(coalesce(sum("dl"), lit(0.0))).head.getDouble(0)
     val nBuckets = spark.read
       .parquet(hist.filter(_.kind == StatsKind).map(_.file): _*)
       .select("n_buckets").head.getInt(0)
@@ -610,8 +633,13 @@ object TextAnalysis {
       // ids entries are per-FILE manifest lines: bound the compacted
       // fileset to ceil(n/target) files (DedupStore.compactStore's
       // arithmetic) so the manifest stays small whatever the partition
-      // count of the read
-      val n = merged.count()
+      // count of the read. n is the ADDITIVE stats' net doc count — by
+      // the store's guard invariants (disjoint ingests, deletes subtract
+      // exactly the matched ids) it EQUALS count(ids anti tombs), so the
+      // dedicated count() scan of every ids fileset (r17: a full job on
+      // each compact) is free; n only sizes files, content is unaffected
+      // either way.
+      val n = st.getLong(0)
       val nf = math.max(1L, (n + targetIdRecords - 1) / targetIdRecords).toInt
       out ++= FilesetLog.writeFileset(merged.repartition(nf),
         s"$path/ids/" + f"v${v + 1}%05d" + s"_${FilesetLog.nonce()}")

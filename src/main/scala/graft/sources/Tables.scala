@@ -105,7 +105,9 @@ object Tables {
   }
 
   private def scratchWarehouse: String = {
-    val d = "/root/repo/target/scratch/warehouse"
+    // rides graft.Scratch's override so concurrent processes (parallel
+    // test-group JVMs, Verify vs Bench) never write one warehouse dir
+    val d = s"${graft.Scratch.dir}/warehouse"
     new java.io.File(d).mkdirs()
     d
   }

@@ -16,13 +16,12 @@ object JobProfile {
     val sfDir = args(0)
     val name = args(1)
     val reps = if (args.length >= 3) args(2).toInt else 1
-    val spark = SparkSession.builder()
+    val spark = graft.GraftExtensions.withSessionDefaults(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -14,14 +14,13 @@ object PlanDump {
     val outDir = args(1)
     val only: Option[Set[String]] =
       if (args.length >= 3) Some(args(2).split(",").map(_.trim).toSet) else None
-    val spark = SparkSession.builder()
+    val spark = graft.GraftExtensions.withSessionDefaults(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // match graft.Bench's session so dumped plans are the bench's plans
       .config("spark.sql.codegen.cache.maxEntries", "10000")
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -86,4 +86,23 @@ class ComponentsSpec extends AnyFunSuite {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Components.connectedComponents(empty).count() == 0)
   }
+  test("GraftExtensions session defaults: plain sessions get the AQE SHJ rewrite conf") {
+    // the r17 optimization (AQE SMJ->SHJ runtime rewrite) must not be
+    // harness-scoped: a library-following session enables it through
+    // GraftExtensions.sessionDefaults, which Bench and the dev tools
+    // consume — this pins the conf name/value and the apply path
+    assert(GraftExtensions.sessionDefaults(
+      "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold") == "64m")
+    val s2 = spark.newSession() // fresh SQLConf, same context
+    assert(s2.conf.getOption(
+      "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold")
+      .forall(_ != "64m"), "newSession must start from Spark defaults")
+    GraftExtensions.applySessionDefaults(s2)
+    assert(s2.conf.get(
+      "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold") == "64m")
+    // the shared test session is untouched (no cross-suite pollution)
+    assert(spark.conf.getOption(
+      "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold")
+      .forall(_ != "64m"))
+  }
 }

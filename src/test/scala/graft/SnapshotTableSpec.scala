@@ -699,883 +699,102 @@ class SnapshotTableSpec extends AnyFunSuite {
         zOrderOn = Some(("k", "commit_v", 8)), sortOn = Some("k"))
     }
   }
-
-  test("attachBloom + lookupPoint: non-clustered point lookups skip files, equal the plain filter") {
-    val dir = freshDir("snap-bloom")
-    // clustered by k; tag = k mod 500 is spread across ALL 8 files by
-    // range stats' lights, but each (tag, file) pairing is sparse
-    val df = (0 until 8000)
-      .map(i => (i.toLong, i.toLong % 500L, s"v$i", 0L))
-      .toDF("k", "tag", "payload", "commit_v")
-    SnapshotTable.create(spark, df.repartitionByRange(8, col("k")), dir)
-    // without an index: plain scan, no prune evidence
-    val (plain, none) = SnapshotTable.lookupPoint(spark, dir, "tag", 123L)
-    assert(none.isEmpty && plain.count() == 16L)
-    SnapshotTable.attachBloom(spark, dir, "tag", expectedItemsPerFile = 2000L)
-    val (scan, pr) = SnapshotTable.lookupPoint(spark, dir, "tag", 123L)
-    assert(pr.isDefined && pr.get.filesTotal == 8)
-    // every file holds tag 123 (every k-range of 1000 spans all 500
-    // residues) -- bloom keeps all, result still exact
-    assert(scan.count() == 16L)
-    val got = scan.select("k").as[Long].collect().sorted.toSeq
-    assert(got == (0 until 8000).map(_.toLong).filter(_ % 500L == 123L))
-    // a SPARSE value: rebuild with tag2 present in exactly one file
-    val dir2 = freshDir("snap-bloom2")
-    val df2 = (0 until 8000)
-      .map(i => (i.toLong, if (i == 4321) 777L else i.toLong % 100L, 0L))
-      .toDF("k", "tag", "commit_v")
-    SnapshotTable.create(spark, df2.repartitionByRange(8, col("k")), dir2)
-    SnapshotTable.attachBloom(spark, dir2, "tag", expectedItemsPerFile = 2000L)
-    val (scan2, pr2) = SnapshotTable.lookupPoint(spark, dir2, "tag", 777L)
-    assert(pr2.exists(p => p.filesKept <= 2), s"sparse value must skip: $pr2")
-    assert(scan2.select("k").as[Long].collect().toSeq == Seq(4321L))
-    // absent value: exact empty result
-    val (scan3, _) = SnapshotTable.lookupPoint(spark, dir2, "tag", 999999L)
-    assert(scan3.count() == 0L)
-  }
-
-  test("attachBloomIncremental: reuses shared files' blooms, row-identical to a full build") {
-    val dir = freshDir("snap-bloom-inc")
-    val df = (0 until 8000)
-      .map(i => (i.toLong, i.toLong % 500L, s"v$i", 0L))
-      .toDF("k", "tag", "payload", "commit_v")
-    SnapshotTable.create(spark, df.repartitionByRange(8, col("k")), dir)
-    SnapshotTable.attachBloom(spark, dir, "tag", expectedItemsPerFile = 2000L)
-    // narrow upsert: a few files rewritten, most reused
-    val changes = (100 until 120)
-      .map(i => (i.toLong, 777777L, s"upd$i", 1L, false))
-      .toDF("k", "tag", "payload", "commit_v", "_deleted")
-    val c2 = SnapshotTable.upsert(spark, dir, changes, "k", "commit_v", "payload")
-    val (reused, scanned) = SnapshotTable.attachBloomIncremental(spark, dir, "tag",
-      expectedItemsPerFile = 2000L)
-    assert(reused.toInt == c2.filesReused,
-      s"every carried-over file's bloom must be reused: reused=$reused vs ${c2.filesReused}")
-    assert(scanned == (c2.files.length - c2.filesReused).toLong,
-      s"only new files may be scanned: scanned=$scanned")
-    assert(reused > scanned, s"narrow upsert must mostly reuse ($reused/$scanned)")
-    // the incrementally-built index is row-identical to a from-scratch
-    // build of the same version (files are immutable, params match)
-    def indexRows(v: Long) = spark.read.parquet(s"$dir/bloom/" + f"v$v%05d" + "_tag")
-      .collect().map(r => (r.getString(0),
-        Option(r.getAs[Array[Byte]]("bloom")).map(_.toSeq),
-        r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
-    val incremental = indexRows(2L)
-    SnapshotTable.attachBloom(spark, dir, "tag", expectedItemsPerFile = 2000L)
-    assert(indexRows(2L) == incremental,
-      "incremental index must equal the full rebuild row-for-row")
-    // and the lookup THROUGH the incremental path serves the upserted
-    // value from only the rewritten files
-    val (scan, pr) = SnapshotTable.lookupPoint(spark, dir, "tag", 777777L)
-    assert(pr.exists(p => p.filesKept < p.filesTotal),
-      s"the upsert-band value lives in the rewritten files only: $pr")
-    assert(scan.count() == 20L)
-    // CHANGED sizing parameters: prior rows are not reusable — the
-    // incremental call falls back to a full scan (never mixes sizings)
-    val (r2, s2) = SnapshotTable.attachBloomIncremental(spark, dir, "tag",
-      expectedItemsPerFile = 4000L)
-    assert(r2 == 0L && s2 == c2.files.length.toLong,
-      s"param drift must force the full build, got reused=$r2 scanned=$s2")
-  }
-
-  test("lookupPoint reads bloom-kept files under the COMMITTED schema on an evolved table") {
-    val dir = freshDir("snap-bloom-evolve")
-    SnapshotTable.create(spark, mkBase(8000).repartitionByRange(8, col("k")), dir)
-    // evolve: the change set carries `tag`; only the narrow band rewrites
-    val changes = (100 until 120)
-      .map(i => (i.toLong, s"upd$i", s"t$i", 1L, false))
-      .toDF("k", "payload", "tag", "commit_v", "_deleted")
-    SnapshotTable.upsert(spark, dir, changes, "k", "commit_v", "payload")
-    SnapshotTable.attachBloom(spark, dir, "payload", expectedItemsPerFile = 2000L)
-    // a value from a PRE-evolution (reused) file: the kept set holds only
-    // old files, where schema inference would drop `tag` — the committed
-    // schema must NULL-backfill it instead
-    val (scan, pr) = SnapshotTable.lookupPoint(spark, dir, "payload", "val5000")
-    assert(pr.exists(p => p.filesKept < p.filesTotal), s"$pr")
-    assert(scan.columns.contains("tag"),
-      s"pruned read must serve the COMMITTED schema: ${scan.columns.toSeq}")
-    val row = scan.select("k", "tag").collect()
-    assert(row.map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ==
-      Seq((5000L, None)))
-    // a value from a POST-evolution file serves its evolved column
-    val (scan2, _) = SnapshotTable.lookupPoint(spark, dir, "payload", "upd105")
-    assert(scan2.select("k", "tag").collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((105L, "t105")))
-  }
-
-  test("readAsOf resolves stamped commit instants; strictly increasing; pre-create throws") {
-    val dir = freshDir("snap-asof")
-    val before = System.currentTimeMillis() - 5
-    SnapshotTable.create(spark, mkBase(50), dir) // v1
-    val ch = Seq((1000L, "new", 1L, false)).toDF("k", "payload", "commit_v", "_deleted")
-    SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload") // v2
-    val i1 = SnapshotTable.commitInstantOf(spark, dir, 1L)
-    val i2 = SnapshotTable.commitInstantOf(spark, dir, 2L)
-    // strict ordering holds however fast the commits landed — no sleep
-    // needed (publish stamps max(wallclock, predecessor + 1))
-    assert(i2 > i1, s"commit instants must strictly increase: $i1 vs $i2")
-    assert(SnapshotTable.versionAsOf(spark, dir, before).isEmpty)
-    assert(SnapshotTable.versionAsOf(spark, dir, i1).contains(1L))
-    assert(SnapshotTable.versionAsOf(spark, dir, i2 - 1).contains(1L))
-    assert(SnapshotTable.versionAsOf(spark, dir, i2).contains(2L))
-    assert(SnapshotTable.readAsOf(spark, dir, i1).count() == 50L)
-    assert(SnapshotTable.readAsOf(spark, dir, i2 + 1000).count() == 51L)
-    intercept[IllegalArgumentException] {
-      SnapshotTable.readAsOf(spark, dir, before)
-    }
-  }
-
-  test("commit instants are durable: rewritten manifest mtimes don't move the timeline") {
-    val dir = freshDir("snap-asof-durable")
-    SnapshotTable.create(spark, mkBase(20), dir) // v1
-    val ch = Seq((999L, "new", 1L, false)).toDF("k", "payload", "commit_v", "_deleted")
-    SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload") // v2
-    val i1 = SnapshotTable.commitInstantOf(spark, dir, 1L)
-    val i2 = SnapshotTable.commitInstantOf(spark, dir, 2L)
-    // simulate a copy/rsync/restore: every manifest gets a fresh mtime
-    val f = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val bogus = System.currentTimeMillis() + 86400000L
-    Seq(1L, 2L).foreach { v =>
-      f.setTimes(new org.apache.hadoop.fs.Path(
-        s"$dir/manifest/" + f"v$v%05d.manifest"), bogus, -1)
-    }
-    // the stamped header, not mtime, is the timeline — unchanged
-    assert(SnapshotTable.commitInstantOf(spark, dir, 1L) == i1)
-    assert(SnapshotTable.commitInstantOf(spark, dir, 2L) == i2)
-    assert(SnapshotTable.versionAsOf(spark, dir, i1).contains(1L))
-    assert(SnapshotTable.versionAsOf(spark, dir, i2).contains(2L))
-  }
-
-  test("pre-header manifests fall back to mtime; mixed timelines stay monotone") {
-    val dir = freshDir("snap-asof-fallback")
-    SnapshotTable.create(spark, mkBase(20), dir) // v1
-    val mp = new org.apache.hadoop.fs.Path(s"$dir/manifest/v00001.manifest")
-    val f = mp.getFileSystem(spark.sessionState.newHadoopConf())
-    // strip the #committed: header — a manifest from before the header
-    val len = f.getFileStatus(mp).getLen.toInt
-    val buf = new Array[Byte](len)
-    val in = f.open(mp); try in.readFully(0, buf) finally in.close()
-    val stripped = new String(buf, "UTF-8").split("\n")
-      .filterNot(_.startsWith("#committed:")).mkString("\n") + "\n"
-    f.delete(mp, false)
-    val out = f.create(mp, true)
-    try out.write(stripped.getBytes("UTF-8")) finally out.close()
-    val mtime = f.getFileStatus(mp).getModificationTime
-    assert(SnapshotTable.commitInstantOf(spark, dir, 1L) == mtime)
-    // v2 commits WITH a header; its instant must still land strictly
-    // above the fallback instant, and versionAsOf must stay monotone
-    val ch = Seq((999L, "new", 1L, false)).toDF("k", "payload", "commit_v", "_deleted")
-    SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload") // v2
-    val i2 = SnapshotTable.commitInstantOf(spark, dir, 2L)
-    assert(i2 > SnapshotTable.commitInstantOf(spark, dir, 1L))
-    assert(SnapshotTable.versionAsOf(spark, dir, i2 - 1).contains(1L))
-    assert(SnapshotTable.versionAsOf(spark, dir, i2).contains(2L))
-  }
-
-  test("versionAsOf bisects an all-header timeline: O(log versions) header reads, cached on repeat") {
-    val dir = freshDir("snap-asof-bisect")
-    SnapshotTable.create(spark, mkBase(10), dir) // v1
-    (1 to 15).foreach { i =>
-      val ch = Seq((1000L + i, s"n$i", i.toLong, false))
-        .toDF("k", "payload", "commit_v", "_deleted")
-      SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload")
-    }
-    val vs = SnapshotTable.versions(spark, dir)
-    assert(vs.size == 16)
-    val instants = vs.map(v => v -> SnapshotTable.commitInstantOf(spark, dir, v)).toMap
-    // exactness at every commit boundary: at v's instant resolve v, one
-    // ms before it resolve v-1 (instants strictly increase)
-    vs.foreach(v =>
-      assert(SnapshotTable.versionAsOf(spark, dir, instants(v)).contains(v)))
-    vs.tail.foreach(v =>
-      assert(SnapshotTable.versionAsOf(spark, dir, instants(v) - 1).contains(v - 1)))
-    // cost: a COLD resolution bisects — ≤ 1 (oldest-retained header probe)
-    // + ceil(log2(16)) = 5 bounded header reads, never one per version
-    // (the old linear walk opened all 16 manifests in full)
-    SnapshotTable.clearInstantCache()
-    val r0 = SnapshotTable.headerReads.get()
-    assert(SnapshotTable.versionAsOf(spark, dir, instants(9L)).contains(9L))
-    val cold = SnapshotTable.headerReads.get() - r0
-    assert(cold <= 6, s"bisection over 16 versions must need ≤ 6 header reads, got $cold")
-    // WARM: repeating the resolution touches the same manifests — the
-    // instant cache answers every probe, zero reads
-    val r1 = SnapshotTable.headerReads.get()
-    assert(SnapshotTable.versionAsOf(spark, dir, instants(9L)).contains(9L))
-    assert(SnapshotTable.headerReads.get() == r1,
-      "a repeat resolution must be served from the instant cache")
-  }
-
-  test("graft_snapshot / graft_snapshot_asof SQL faces equal the Scala reads") {
-    GraftExtensions.register(spark)
-    val dir = freshDir("snap-sqlface")
-    SnapshotTable.create(spark, mkBase(40), dir) // v1
-    val i1 = SnapshotTable.commitInstantOf(spark, dir, 1L)
-    val ch = Seq((999L, "new", 1L, false)).toDF("k", "payload", "commit_v", "_deleted")
-    SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload") // v2
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(_.toSeq).toSet
-    // current, pinned, and as-of — each equal to its Scala twin
-    assert(rows(spark.sql(s"SELECT * FROM graft_snapshot('$dir')"))
-      == rows(SnapshotTable.read(spark, dir)))
-    assert(rows(spark.sql(s"SELECT * FROM graft_snapshot('$dir', 1)"))
-      == rows(SnapshotTable.read(spark, dir, Some(1L))))
-    assert(rows(spark.sql(
-      s"SELECT * FROM graft_snapshot_asof('$dir', ${i1}L)"))
-      == rows(SnapshotTable.read(spark, dir, Some(1L))))
-    // composes with ordinary SQL (filter + aggregate over the TVF)
-    assert(spark.sql(
-      s"SELECT count(*) AS n FROM graft_snapshot('$dir') WHERE k < 10")
-      .head().getLong(0) == 10L)
-    // a pre-create instant surfaces the designed readAsOf error
-    val e = intercept[Exception] {
-      spark.sql(s"SELECT * FROM graft_snapshot_asof('$dir', ${i1 - 100000}L)")
-        .collect()
-    }
-    assert(e.getMessage.contains("existed yet"), e.getMessage)
-    // the CDC SQL face equals the Scala changes() (ignoreCols forwarded)
-    assert(rows(spark.sql(
-      s"""SELECT * FROM graft_snapshot_changes('$dir', 'k', 1, 2,
-         |'commit_v')""".stripMargin))
-      == rows(SnapshotTable.changes(spark, dir, "k", 1L, 2L,
-        Seq("commit_v"))))
-    // the MV SQL face equals serve()
-    import graft.operators.MaterializedView
-    val mdir = freshDir("snap-sqlface-mv")
-    MaterializedView.create(spark, dir, mdir, "commit_v", "k")
-    assert(rows(spark.sql(s"SELECT * FROM graft_mv('$mdir')"))
-      == rows(MaterializedView.serve(spark, mdir)))
-  }
-
-  test("readAsOf distinguishes 'not created yet' from 'vacuumed away'") {
-    val dir = freshDir("snap-asof-vacmsg")
-    val before = System.currentTimeMillis() - 5
-    SnapshotTable.create(spark, mkBase(10), dir) // v1
-    val i1 = SnapshotTable.commitInstantOf(spark, dir, 1L)
-    val ch = Seq((999L, "new", 1L, false)).toDF("k", "payload", "commit_v", "_deleted")
-    SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload") // v2
-    // pre-create: the table genuinely did not exist — say so, no vacuum talk
-    val e1 = intercept[IllegalArgumentException] {
-      SnapshotTable.readAsOf(spark, dir, before)
-    }
-    assert(e1.getMessage.contains("existed yet"), e1.getMessage)
-    assert(!e1.getMessage.contains("VACUUM"), e1.getMessage)
-    // drop v1; asking for v1's instant now fails because history was
-    // vacuumed, NOT because the version never existed — the error must
-    // name the real cause and the remedy (retention)
-    SnapshotTable.vacuum(spark, dir, keepLast = 1, graceMs = 0L)
-    val e2 = intercept[IllegalArgumentException] {
-      SnapshotTable.readAsOf(spark, dir, i1)
-    }
-    assert(e2.getMessage.contains("VACUUMED"), e2.getMessage)
-    assert(e2.getMessage.contains("retention"), e2.getMessage)
-  }
-
-  test("attachStatsIncremental: scans only new files, index row-identical to the full build") {
-    import graft.operators.SkippingIndex
-    val dir = freshDir("snap-statsinc")
-    SnapshotTable.create(spark,
-      mkBase(12000).repartitionByRange(12, col("k")), dir) // v1: 12 files
-    SnapshotTable.attachStats(spark, dir, Seq("k"))
-    // narrow upsert: 1-2 files rewritten, 10+ reused
-    val ch = (100 until 140)
-      .map(i => (i.toLong, s"u$i", 1L, false)).toDF("k", "payload", "commit_v", "_deleted")
-    val c2 = SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload")
-    val (reused, scanned) = SnapshotTable.attachStatsIncremental(spark, dir, Seq("k"))
-    assert(reused == c2.filesReused.toLong && reused >= 10L,
-      s"must reuse the untouched files' stats rows: reused=$reused scanned=$scanned")
-    assert(scanned == (c2.files.length - c2.filesReused).toLong)
-    // the incremental index must equal a from-scratch footer build
-    def canon(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(_.toSeq.map(String.valueOf)).map(_.mkString("|")).sorted.toSeq
-    val inc = spark.read.parquet(s"$dir/stats/" + f"v${2}%05d")
-    val full = SkippingIndex.statsRows(spark, SnapshotTable.files(spark, dir, Some(2L)), Seq("k"))
-    assert(canon(inc) == canon(full), "incremental index must be row-identical")
-    // and it serves scans: pruned result == plain filter
-    val (scan, pr) = SnapshotTable.scanBetween(spark, dir, "k", 5000L, 5999L)
-    assert(pr.exists(p => p.filesKept < p.filesTotal), s"must skip files: $pr")
-    assert(scan.count() == 1000L)
-    // restore commits NO new data files: incremental scans zero footers
-    SnapshotTable.restore(spark, dir, 2L) // v3, same file list
-    val (r2, s2) = SnapshotTable.attachStatsIncremental(spark, dir, Seq("k"))
-    assert(s2 == 0L && r2 == c2.files.length.toLong,
-      s"restore must reuse everything: reused=$r2 scanned=$s2")
-    // no prior index over the requested columns -> full-build fallback
-    val (r3, s3) = SnapshotTable.attachStatsIncremental(spark, dir, Seq("k", "commit_v"))
-    assert(r3 == 0L && s3 == c2.files.length.toLong)
-  }
-
-  test("changes: upsert classifies insert/delete/update; carry-over rows silent") {
-    val dir = freshDir("snap-cdc")
-    // 8 key-clustered files over 0..7999
-    SnapshotTable.create(spark,
+  test("carried manifest stats: a second upsert footer-scans only the first's new files") {
+    val dir = freshDir("snap-carried-stats")
+    val c1 = SnapshotTable.create(spark,
       mkBase(8000).repartitionByRange(8, col("k")), dir)
-    // narrow band: update 100..104, delete 105..109, insert 9000..9001
-    val ch = ((100 until 105).map(i => (i.toLong, s"upd$i", 1L, false)) ++
-      (105 until 110).map(i => (i.toLong, s"x", 1L, true)) ++
-      Seq((9000L, "n0", 1L, false), (9001L, "n1", 1L, false)))
+    val ch1 = (100 until 120).map(i => (i.toLong, s"u$i", 1L, false))
       .toDF("k", "payload", "commit_v", "_deleted")
-    val c2 = SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload")
-    // the diff must read ONLY the touched files: removed = the rewritten
-    // band files, added = the new commit's files; untouched files in
-    // neither list
-    val cf = SnapshotTable.changedFiles(spark, dir, 1L, 2L)
-    assert(cf.removed.size == 8 - c2.filesReused && cf.removed.size <= 2,
-      s"narrow-band diff should touch <=2 of 8 files, removed=${cf.removed.size}")
-    assert(cf.added.nonEmpty &&
-      cf.added.forall(f => !SnapshotTable.files(spark, dir, Some(1L)).contains(f)))
-    val got = SnapshotTable.changes(spark, dir, "k", 1L, 2L,
-      ignoreCols = Seq("commit_v"))
-      .select("_change_type", "k", "payload")
-      .as[(String, Long, String)].collect().sortBy(r => (r._2, r._1))
-    // ~1000 carry-over rows were rewritten with the band — none emitted
-    assert(got.length == 5 * 2 + 5 + 2)
-    assert(got.filter(_._1 == "insert").map(_._2).toSeq == Seq(9000L, 9001L))
-    assert(got.filter(_._1 == "delete").map(_._2).toSeq ==
-      (105L until 110L).toSeq)
-    val pre = got.filter(_._1 == "update_preimage")
-    val post = got.filter(_._1 == "update_postimage")
-    assert(pre.map(_._2).toSeq == (100L until 105L).toSeq &&
-      pre.forall(r => r._3 == s"val${r._2}"))
-    assert(post.map(_._2).toSeq == (100L until 105L).toSeq &&
-      post.forall(r => r._3 == s"upd${r._2}"))
+    val s0 = SnapshotTable.pruneStatsScanned.get()
+    val c2 = SnapshotTable.upsert(spark, dir, ch1, "k", "commit_v", "payload")
+    val scanned1 = SnapshotTable.pruneStatsScanned.get() - s0
+    // the FIRST upsert has no carried stats: it scans every live file
+    assert(scanned1 == c1.files.length.toLong,
+      s"first upsert scanned $scanned1 of ${c1.files.length}")
+    // the SECOND upsert reuses the carried entries and scans only the
+    // previous commit's new files — O(batch), not O(table)
+    val newAtV2 = (c2.files.length - c2.filesReused).toLong
+    val ch2 = (4000 until 4020).map(i => (i.toLong, s"w$i", 2L, false))
+      .toDF("k", "payload", "commit_v", "_deleted")
+    val s1 = SnapshotTable.pruneStatsScanned.get()
+    val c3 = SnapshotTable.upsert(spark, dir, ch2, "k", "commit_v", "payload")
+    val scanned2 = SnapshotTable.pruneStatsScanned.get() - s1
+    assert(scanned2 == newAtV2,
+      s"second upsert scanned $scanned2 files, expected only the " +
+        s"$newAtV2 new files of v2 (carried stats must cover the rest)")
+    // pruning still engages off the carried entries (narrow band => most
+    // files reused), and the content is the sequential truth
+    assert(c3.filesReused >= 6, s"carried-stats prune must reuse files: $c3")
+    val got = SnapshotTable.read(spark, dir).select("k", "payload")
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 8000 && got(105L) == "u105" && got(4010L) == "w4010" &&
+      got(500L) == "val500")
   }
 
-  test("changes across a compaction-only commit is empty (content diff)") {
-    val dir = freshDir("snap-cdc-compact")
+  test("carried manifest stats survive STRING keys with ,;:% and non-ASCII (header encoding)") {
+    val dir = freshDir("snap-carried-str")
+    // keys deliberately contain every character the header format uses
+    // as a delimiter, plus a non-ASCII one — a mis-encoded entry would
+    // misalign the header and silently disable (or corrupt) pruning
+    def key(i: Int) = f"k,;:%%?$i%05d"
+    val base = (0 until 4000).map(i => (key(i), s"val$i", 0L))
+      .toDF("okey", "payload", "commit_v")
+    val c1 = SnapshotTable.create(spark,
+      base.repartitionByRange(8, col("okey")), dir)
+    val ch1 = (100 until 120).map(i => (key(i), s"u$i", 1L, false))
+      .toDF("okey", "payload", "commit_v", "_deleted")
+    val c2 = SnapshotTable.upsert(spark, dir, ch1, "okey", "commit_v", "payload")
+    val newAtV2 = (c2.files.length - c2.filesReused).toLong
+    val ch2 = (3000 until 3020).map(i => (key(i), s"w$i", 2L, false))
+      .toDF("okey", "payload", "commit_v", "_deleted")
+    val s1 = SnapshotTable.pruneStatsScanned.get()
+    val c3 = SnapshotTable.upsert(spark, dir, ch2, "okey", "commit_v", "payload")
+    val scanned2 = SnapshotTable.pruneStatsScanned.get() - s1
+    assert(scanned2 == newAtV2,
+      s"string-key second upsert scanned $scanned2, expected $newAtV2 — " +
+        "carried string stats must round-trip through the header encoding")
+    assert(c3.filesReused >= 6, s"string carried-stats prune: $c3")
+    val got = SnapshotTable.read(spark, dir).select("okey", "payload")
+      .as[(String, String)].collect().toMap
+    assert(got.size == 4000 && got(key(105)) == "u105" &&
+      got(key(3010)) == "w3010" && got(key(500)) == "val500")
+  }
+
+  test("attachStats served from carried manifest stats is row-identical to a footer build") {
+    val dir = freshDir("snap-stats-via-manifest")
     SnapshotTable.create(spark,
-      mkBase(2000).repartitionByRange(8, col("k")), dir)
-    SnapshotTable.compact(spark, dir, targetRecords = 1000L)
-    assert(SnapshotTable.versions(spark, dir) == Seq(1L, 2L))
-    // every file was rewritten, yet no CONTENT changed
-    val cf = SnapshotTable.changedFiles(spark, dir, 1L, 2L)
-    assert(cf.removed.size == 8 && cf.added.nonEmpty)
-    assert(SnapshotTable.changes(spark, dir, "k", 1L, 2L,
-      ignoreCols = Seq("commit_v")).isEmpty)
-  }
-
-  test("changes spanning an ADD COLUMN: post-images carry it, pre-images NULL") {
-    val dir = freshDir("snap-cdc-evolve")
-    SnapshotTable.create(spark, mkBase(100).repartitionByRange(2, col("k")), dir)
-    val ch = Seq((5L, "upd5", "F", 1L, false), (200L, "n", "G", 1L, false))
-      .toDF("k", "payload", "flag", "commit_v", "_deleted")
+      mkBase(6000).repartitionByRange(6, col("k")), dir)
+    val ch = (100 until 110).map(i => (i.toLong, s"u$i", 1L, false))
+      .toDF("k", "payload", "commit_v", "_deleted")
+    // the upsert scans every v1 file for its prune and carries the
+    // entries into v2's manifest
     SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload")
-    val got = SnapshotTable.changes(spark, dir, "k", 1L, 2L,
-      ignoreCols = Seq("commit_v"))
-      .select("_change_type", "k", "payload", "flag")
-      .as[(String, Long, String, Option[String])].collect()
-      .sortBy(r => (r._2, r._1)).toSeq
-    assert(got == Seq(
-      ("update_preimage", 5L, "val5", None),
-      ("update_postimage", 5L, "upd5", Some("F")),
-      ("insert", 200L, "n", Some("G"))).sortBy(r => (r._2, r._1)))
-  }
-
-  test("CDC round trip: the changes() feed applied by maintainStream reproduces the source") {
-    val srcDir = freshDir("snap-cdc-src")
-    val repDir = freshDir("snap-cdc-replica")
-    val feedDir = freshDir("snap-cdc-feed")
-    val ckpt = freshDir("snap-cdc-ckpt")
-    SnapshotTable.create(spark,
-      mkBase(2000).repartitionByRange(4, col("k")), srcDir)
-    // replica bootstraps from the v1 snapshot read — the standard
-    // initial-load + CDC-tail replication shape
-    SnapshotTable.create(spark,
-      SnapshotTable.read(spark, srcDir, Some(1L))
-        .repartitionByRange(4, col("k")), repDir)
-    val ch = ((100 until 110).map(i => (i.toLong, s"upd$i", 1L, false)) ++
-      (110 until 115).map(i => (i.toLong, "x", 1L, true)) ++
-      Seq((9000L, "n0", 1L, false)))
-      .toDF("k", "payload", "commit_v", "_deleted")
-    SnapshotTable.upsert(spark, srcDir, ch, "k", "commit_v", "payload")
-    // CDC feed → change rows maintainStream understands: post-images
-    // upsert, deletes become tombstones, pre-images drop
-    val feed = SnapshotTable.changes(spark, srcDir, "k", 1L, 2L)
-      .filter(col("_change_type") =!= "update_preimage")
-      .withColumn("_deleted", col("_change_type") === "delete")
-      .drop("_change_type")
-      .withColumn("commit_v", lit(2L))
-    feed.write.mode("overwrite").parquet(feedDir)
-    val q = SnapshotTable.maintainStream(spark, feedDir, feed.schema,
-      repDir, "k", "commit_v", "payload", ckpt)
-    q.awaitTermination()
-    val src = SnapshotTable.read(spark, srcDir).select("k", "payload")
-      .as[(Long, String)].collect().sortBy(_._1).toSeq
-    val rep = SnapshotTable.read(spark, repDir).select("k", "payload")
-      .as[(Long, String)].collect().sortBy(_._1).toSeq
-    assert(rep == src, s"replica diverged: src=${src.length} rep=${rep.length}")
-  }
-
-  test("multi-commit changes is the NET diff (flip-flops cancel)") {
-    val dir = freshDir("snap-cdc-net")
-    SnapshotTable.create(spark, mkBase(100).repartitionByRange(2, col("k")), dir)
-    // v2: delete 5; v3: resurrect 5 with its ORIGINAL payload + update 6
-    SnapshotTable.upsert(spark, dir,
-      Seq((5L, "x", 1L, true)).toDF("k", "payload", "commit_v", "_deleted"),
-      "k", "commit_v", "payload")
-    SnapshotTable.upsert(spark, dir,
-      Seq((5L, "val5", 2L, false), (6L, "upd6", 2L, false))
-        .toDF("k", "payload", "commit_v", "_deleted"),
-      "k", "commit_v", "payload")
-    val got = SnapshotTable.changes(spark, dir, "k", 1L, 3L,
-      ignoreCols = Seq("commit_v"))
-      .select("_change_type", "k", "payload")
-      .as[(String, Long, String)].collect().sortBy(r => (r._2, r._1)).toSeq
-    // key 5's delete+reinsert at identical content nets to NOTHING;
-    // only key 6's update survives the endpoint diff
-    assert(got == Seq(
-      ("update_postimage", 6L, "upd6"), ("update_preimage", 6L, "val6")))
-  }
-  test("vacuum deletes dropped versions' bloom index dirs alongside their stats dirs") {
-    val dir = freshDir("snap-vacuum-bloom")
-    val df = (0 until 4000).map(i => (i.toLong, i.toLong % 200L, s"v$i", 0L))
-      .toDF("k", "tag", "payload", "commit_v")
-    SnapshotTable.create(spark, df.repartitionByRange(8, col("k")), dir)
-    SnapshotTable.attachBloom(spark, dir, "tag", expectedItemsPerFile = 1000L)
-    val changes = (50 until 60).map(i => (i.toLong, 999999L, s"u$i", 1L, false))
-      .toDF("k", "tag", "payload", "commit_v", "_deleted")
-    SnapshotTable.upsert(spark, dir, changes, "k", "commit_v", "payload")
-    SnapshotTable.attachBloomIncremental(spark, dir, "tag",
-      expectedItemsPerFile = 1000L)
-    val f = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    assert(f.exists(new org.apache.hadoop.fs.Path(s"$dir/bloom/v00001_tag")))
-    SnapshotTable.vacuum(spark, dir, keepLast = 1, graceMs = 0L)
-    // v1's bloom dir goes with its manifest; v2's must survive and serve
-    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/bloom/v00001_tag")),
-      "vacuumed version's bloom index must be deleted (unbounded growth otherwise)")
-    assert(f.exists(new org.apache.hadoop.fs.Path(s"$dir/bloom/v00002_tag")))
-    val (scan, pr) = SnapshotTable.lookupPoint(spark, dir, "tag", 999999L)
-    assert(scan.count() == 10L)
+    SnapshotTable.attachStats(spark, dir, Seq("k"))
+    val idx = spark.read.parquet(s"$dir/stats/v00002")
+    val full = graft.operators.SkippingIndex.statsRows(
+      spark, SnapshotTable.files(spark, dir, Some(2L)), Seq("k"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("file").collect().map(_.toSeq).toSeq
+    assert(canon(idx) == canon(full),
+      "manifest-served index must equal the from-scratch footer build")
+    // and it serves pruned scans exactly like the footer-built index
+    val (scan, pr) = SnapshotTable.scanBetween(spark, dir, "k", 100L, 200L)
     assert(pr.exists(p => p.filesKept < p.filesTotal))
+    assert(scan.count() == 101L)
   }
 
-  test("attachBloomIncremental: reuse survives URI-encodable characters in the table path") {
-    // a space in the table dir makes input_file_name()-derived index
-    // keys (%20) diverge from manifest listStatus strings — without
-    // canonical comparison the reuse join silently matches NOTHING and
-    // every commit rescans the whole table (O(table), not O(new))
-    val dir = freshDir("snap bloom space")
-    val df = (0 until 4000).map(i => (i.toLong, i.toLong % 200L, s"v$i", 0L))
-      .toDF("k", "tag", "payload", "commit_v")
-    SnapshotTable.create(spark, df.repartitionByRange(8, col("k")), dir)
-    SnapshotTable.attachBloom(spark, dir, "tag", expectedItemsPerFile = 1000L)
-    val changes = (50 until 60).map(i => (i.toLong, 999999L, s"u$i", 1L, false))
-      .toDF("k", "tag", "payload", "commit_v", "_deleted")
-    val c2 = SnapshotTable.upsert(spark, dir, changes, "k", "commit_v", "payload")
-    val (reused, scanned) = SnapshotTable.attachBloomIncremental(spark, dir, "tag",
-      expectedItemsPerFile = 1000L)
-    assert(reused == c2.filesReused.toLong && reused > 0L,
-      s"reuse must survive the encoded-path form: reused=$reused scanned=$scanned " +
-        s"(expected ${c2.filesReused} reused)")
-    assert(scanned == (c2.files.length - c2.filesReused).toLong)
-  }
-  test("shallowClone: zero-copy manifest, write independence, source-vacuum storage hazard") {
-    val src = freshDir("snap-clone-src")
-    val dst = freshDir("snap-clone-dst")
-    SnapshotTable.create(spark, mkBase(2000).repartitionByRange(4, col("k")), src)
-    val c = SnapshotTable.shallowClone(spark, src, dst)
-    val f = new org.apache.hadoop.fs.Path(dst)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    // ZERO-COPY: the clone's v1 manifest is the source's file list
-    // verbatim and no data directory exists under the clone at all
-    assert(c.files == SnapshotTable.files(spark, src, Some(1L)))
-    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dst/data")),
-      "a shallow clone must not copy data")
-    assert(SnapshotTable.read(spark, dst).count() == 2000L)
-    // WRITE INDEPENDENCE: an upsert on the clone leaves the source
-    // byte-identical (same manifest, same rows) and lands new files
-    // under the CLONE's directory only
-    val ch = Seq((5L, "cloned", 1L, false)).toDF("k", "payload", "commit_v", "_deleted")
-    SnapshotTable.upsert(spark, dst, ch, "k", "commit_v", "payload")
-    assert(SnapshotTable.read(spark, src)
-      .filter(col("payload") === "cloned").count() == 0L)
-    assert(SnapshotTable.read(spark, dst)
-      .filter(col("payload") === "cloned").count() == 1L)
-    assert(SnapshotTable.files(spark, dst, Some(2L))
-      .exists(_.contains(s"$dst/data")), "clone writes go under the clone")
-    // re-clone onto an existing table refused; missing source throws
-    intercept[IllegalArgumentException] {
-      SnapshotTable.shallowClone(spark, src, dst)
-    }
-    intercept[IllegalArgumentException] {
-      SnapshotTable.shallowClone(spark, freshDir("snap-clone-none"),
-        freshDir("snap-clone-dst2"))
-    }
-    // STORAGE DEPENDENCE (the documented hazard): the clone references
-    // source files, so a source rewrite + zero-grace vacuum deletes
-    // files the clone's manifest still lists
-    val ch2 = (0 until 2000).map(i => (i.toLong, s"rw$i", 2L, false))
-      .toDF("k", "payload", "commit_v", "_deleted")
-    SnapshotTable.upsert(spark, src, ch2, "k", "commit_v", "payload")
-    SnapshotTable.vacuum(spark, src, keepLast = 1, graceMs = 0L)
-    val cloneV1 = SnapshotTable.files(spark, dst, Some(1L))
-    assert(cloneV1.exists(p => !f.exists(new org.apache.hadoop.fs.Path(p))),
-      "source vacuum reaps files the clone references — deep-copy when needed")
-  }
-  test("drop column: metadata-only; resurrection guarded until compact; restore undrops; CDC across the drop is empty") {
-    val tdir = freshDir("snap-dropcol")
-    val base = (0 until 2000)
-      .map(i => (i.toLong, s"s$i", (i % 100) + 0.25, 0L))
-      .toDF("k", "tag", "price", "commit_v")
-    SnapshotTable.create(spark, base.repartitionByRange(4, col("k")), tdir)
-    val c = SnapshotTable.dropColumn(spark, tdir, "tag")
-    // METADATA-ONLY: v2 carries v1's file list verbatim, zero rewrites
-    assert(c.version == 2L && c.filesReused == c.files.length)
-    assert(SnapshotTable.files(spark, tdir, Some(2L)) ==
-      SnapshotTable.files(spark, tdir, Some(1L)))
-    assert(!SnapshotTable.read(spark, tdir).columns.contains("tag"))
-    // the pinned pre-drop read keeps the column WITH its values
-    assert(SnapshotTable.read(spark, tdir, Some(1L))
-      .filter(col("k") === 5L).select("tag").head.getString(0) == "s5")
-    // CDC across a drop commit: no file changed, no content changed
-    assert(SnapshotTable.changes(spark, tdir, "k", 1L, 2L).count() == 0L)
-    // RESURRECTION GUARD: re-adding the dropped name would serve the
-    // stale physical values on the 1990 un-rewritten rows — refused
-    // with the compact remedy
-    val boom = intercept[IllegalArgumentException] {
-      SnapshotTable.upsert(spark, tdir,
-        (0 until 10).map(i => (i.toLong, "resurrected", 1L, false))
-          .toDF("k", "tag", "commit_v", "_deleted")
-          .join(base.select("k", "price"), "k"),
-        "k", "commit_v", "price")
-    }
-    assert(boom.getMessage.contains("DROPPED") &&
-      boom.getMessage.contains("compact"), boom.getMessage)
-    // the table stays writable on the narrowed schema
-    SnapshotTable.upsert(spark, tdir,
-      Seq((0L, 999.25, 1L, false)).toDF("k", "price", "commit_v", "_deleted"),
-      "k", "commit_v", "price")
-    assert(SnapshotTable.read(spark, tdir)
-      .filter(col("k") === 0L).select("price").head.getDouble(0) == 999.25)
-    // COMPACT (full rewrite) physically removes the dropped data and
-    // releases the name: the re-add now serves NULL on untouched rows
-    // (k=100 would read "s100" if the old bytes leaked back)
-    SnapshotTable.compact(spark, tdir, targetRecords = 4096L)
-    SnapshotTable.upsert(spark, tdir,
-      Seq((5L, "fresh", 500.0, 2L, false))
-        .toDF("k", "tag", "price", "commit_v", "_deleted"),
-      "k", "commit_v", "price")
-    val cur = SnapshotTable.read(spark, tdir)
-    assert(cur.filter(col("k") === 5L).select("tag").head.getString(0)
-      == "fresh")
-    assert(cur.filter(col("k") === 100L).select("tag").head.isNullAt(0),
-      "an untouched row must serve NULL for the re-added column — a " +
-        "non-NULL here is the resurrection bug the dropped set exists " +
-        "to prevent")
-    // RESTORE to the pre-drop version: column back with original values
-    // (pure manifest operation — the v1 files were never deleted)
-    SnapshotTable.restore(spark, tdir, 1L)
-    assert(SnapshotTable.read(spark, tdir)
-      .filter(col("k") === 100L).select("tag").head.getString(0) == "s100")
-    // error paths
-    intercept[IllegalArgumentException] {
-      SnapshotTable.dropColumn(spark, tdir, "no_such_col")
-    }
-    val one = freshDir("snap-dropcol-one")
-    SnapshotTable.create(spark, (0 until 5).map(_.toLong).toDF("k"), one)
-    intercept[IllegalArgumentException] {
-      SnapshotTable.dropColumn(spark, one, "k")
-    }
-  }
-
-  test("rename column: values preserved, old name released, pinned history keeps it; guards") {
-    val tdir = freshDir("snap-rename")
-    val base = (0 until 1200)
-      .map(i => (i.toLong, s"v$i", (i % 50) + 0.75, 0L))
-      .toDF("k", "label", "price", "commit_v")
-    SnapshotTable.create(spark, base.repartitionByRange(3, col("k")), tdir)
-    val c = SnapshotTable.renameColumn(spark, tdir, "label", "tag2")
-    assert(c.version == 2L && c.filesReused == 0,
-      "rename is an honest full rewrite, never a metadata trick")
-    val cur = SnapshotTable.read(spark, tdir)
-    assert(cur.columns.toSeq.contains("tag2") &&
-      !cur.columns.toSeq.contains("label"))
-    // VALUE-PRESERVING: every row carries its original value under the
-    // new name (the drop+add formulation would NULL all of them)
-    assert(cur.filter(col("k") === 7L).select("tag2").head.getString(0)
-      == "v7")
-    // pinned pre-rename read keeps the old name with its values
-    assert(SnapshotTable.read(spark, tdir, Some(1L))
-      .filter(col("k") === 7L).select("label").head.getString(0) == "v7")
-    // the OLD name is immediately re-addable (full rewrite — no stale
-    // bytes): new rows get it, untouched rows serve NULL
-    SnapshotTable.upsert(spark, tdir,
-      Seq((7L, "relabel", "v7", 1.0, 1L, false))
-        .toDF("k", "label", "tag2", "price", "commit_v", "_deleted"),
-      "k", "commit_v", "price")
-    val after = SnapshotTable.read(spark, tdir)
-    assert(after.filter(col("k") === 7L).select("label").head.getString(0)
-      == "relabel")
-    assert(after.filter(col("k") === 8L).select("label").head.isNullAt(0))
-    // guards: unknown source, existing target, identity
-    intercept[IllegalArgumentException] {
-      SnapshotTable.renameColumn(spark, tdir, "nope", "x")
-    }
-    intercept[IllegalArgumentException] {
-      SnapshotTable.renameColumn(spark, tdir, "tag2", "price")
-    }
-    intercept[IllegalArgumentException] {
-      SnapshotTable.renameColumn(spark, tdir, "tag2", "tag2")
-    }
-  }
-
-  test("materialized view: refresh ≡ rebuild; zero-count keys leave; no-op freshness; restore guard") {
-    import graft.operators.MaterializedView
-    val tdir = freshDir("snap-mv-table")
-    val mdir = freshDir("snap-mv-view")
-    val mdir2 = freshDir("snap-mv-rebuild")
-    // value has <= 2 decimals (the cents-exactness contract)
-    val base = (0 until 3000)
-      .map(i => (i.toLong, (i % 7).toLong, (i % 500) + 0.25, 0L))
-      .toDF("k", "grp", "price", "commit_v")
-    SnapshotTable.create(spark, base.repartitionByRange(6, col("k")), tdir)
-    assert(MaterializedView.create(spark, tdir, mdir, "grp", "price") == 1L)
-    // mixed delta: update band, insert band, DELETE one whole group (6)
-    val upd = base.filter(col("k") % 10 === 3 && col("grp") =!= 6L)
-      .withColumn("price", col("price") + lit(10.5))
-      .withColumn("commit_v", lit(1L)).withColumn("_deleted", lit(false))
-    val ins = base.filter(col("k") % 10 === 4 && col("grp") =!= 6L)
-      .withColumn("k", col("k") + lit(100000L))
-      .withColumn("commit_v", lit(1L)).withColumn("_deleted", lit(false))
-    val del = base.filter(col("grp") === 6L)
-      .withColumn("commit_v", lit(1L)).withColumn("_deleted", lit(true))
-    SnapshotTable.upsert(spark, tdir, upd.unionByName(ins).unionByName(del),
-      "k", "commit_v", "price")
-    val (f, t) = MaterializedView.refresh(spark, tdir, mdir, "k", "grp", "price")
-    assert((f, t) == (1L, 2L))
-    def rows(d: String) = MaterializedView.serve(spark, d)
-      .orderBy("key").as[(Long, Long, Double, Double)].collect().toSeq
-    // the incrementally-refreshed view equals a from-scratch rebuild
-    MaterializedView.create(spark, tdir, mdir2, "grp", "price")
-    assert(rows(mdir) == rows(mdir2),
-      "refresh must be algebraically identical to recomputation")
-    // group 6 was fully deleted: its key is GONE, not a zero row
-    assert(!rows(mdir).exists(_._1 == 6L), "zero-count keys must leave the view")
-    assert(MaterializedView.reflectedVersion(spark, mdir) == 2L)
-    // no-op refresh: already current, no new view version published
-    val mvFs = new org.apache.hadoop.fs.Path(mdir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    def mvManifests() = mvFs.listStatus(
-      new org.apache.hadoop.fs.Path(s"$mdir/manifest")).length
-    val mBefore = mvManifests()
-    assert(MaterializedView.refresh(spark, tdir, mdir, "k", "grp", "price") == (2L, 2L))
-    assert(mvManifests() == mBefore,
-      "a no-op refresh must not publish a new view version")
-    // RESTORE commits a NEW version (v3 = v1's content), so the view
-    // stays maintainable: the refresh applies the undo's net delta and
-    // the view equals a rebuild over the restored truth
-    SnapshotTable.restore(spark, tdir, 1L)
-    assert(MaterializedView.refresh(spark, tdir, mdir, "k", "grp", "price")
-      == (2L, 3L))
-    val mdir3 = freshDir("snap-mv-restored")
-    MaterializedView.create(spark, tdir, mdir3, "grp", "price")
-    assert(rows(mdir) == rows(mdir3),
-      "a refresh across a restore must equal the restored-truth rebuild")
-    // a vacuum that dropped the reflected version: loud error naming the
-    // remedy (the CDC base is gone), not a bare missing-manifest throw
-    val ch3 = Seq((7L, 3L, 9.75, 3L, false))
-      .toDF("k", "grp", "price", "commit_v", "_deleted")
-    SnapshotTable.upsert(spark, tdir, ch3, "k", "commit_v", "price")
-    SnapshotTable.vacuum(spark, tdir, keepLast = 1, graceMs = 0L)
-    val ev = intercept[IllegalArgumentException] {
-      MaterializedView.refresh(spark, tdir, mdir, "k", "grp", "price")
-    }
-    assert(ev.getMessage.contains("vacuumed"), ev.getMessage)
-  }
-
-  test("materialized view: multi-column algebra with NULLs equals a rebuild; avg/sum NULL when no values") {
-    import graft.operators.MaterializedView
-    val tdir = freshDir("snap-mvm-table")
-    val mdir = freshDir("snap-mvm-view")
-    val mdir2 = freshDir("snap-mvm-rebuild")
-    // fee is NULL on every key in group 5 (and every 4th elsewhere):
-    // exercises the per-column non-null count the avg divides by, and
-    // the all-NULL group serving NULL sum/avg
-    val base = (0 until 2000).map { i =>
-      val fee: Option[Double] =
-        if (i % 9 == 5 || i % 4 == 0) None else Some((i % 100) + 0.75)
-      (i.toLong, (i % 9).toLong, (i % 300) + 0.50, fee, 0L)
-    }.toDF("k", "grp", "price", "fee", "commit_v")
-    SnapshotTable.create(spark, base.repartitionByRange(6, col("k")), tdir)
-    MaterializedView.create(spark, tdir, mdir, "grp", Seq("price", "fee"))
-    val upd = base.filter(col("k") % 10 === 2)
-      .withColumn("fee", lit(3.25))
-      .withColumn("commit_v", lit(1L)).withColumn("_deleted", lit(false))
-    val del = base.filter(col("k") % 10 === 6)
-      .withColumn("commit_v", lit(1L)).withColumn("_deleted", lit(true))
-    SnapshotTable.upsert(spark, tdir, upd.unionByName(del),
-      "k", "commit_v", "price")
-    // ignoreCols drops the version bookkeeping churn from the delta
-    MaterializedView.refresh(spark, tdir, mdir, "k", "grp",
-      Seq("price", "fee"), ignoreCols = Seq("commit_v"))
-    MaterializedView.create(spark, tdir, mdir2, "grp", Seq("price", "fee"))
-    def rows(d: String) = MaterializedView.serve(spark, d).orderBy("key")
-      .as[(Long, Long, Double, Double, Option[Double], Option[Double])]
-      .collect().toSeq
-    assert(rows(mdir) == rows(mdir2),
-      "multi-column refresh must be algebraically identical to recomputation")
-    // group 5's fee column: all NULL at creation; after the update every
-    // k%10==2 member got a fee — sanity that avgs follow non-null counts
-    val served = MaterializedView.serve(spark, mdir)
-    assert(served.columns.toSeq ==
-      Seq("key", "n_rows", "sum_price", "avg_price", "sum_fee", "avg_fee"))
-    // guard: ignoreCols over the view's own inputs is refused
-    intercept[IllegalArgumentException] {
-      MaterializedView.refresh(spark, tdir, mdir, "k", "grp",
-        Seq("price", "fee"), ignoreCols = Seq("fee"))
-    }
-  }
-
-  test("materialized view model check: random upsert/delete sequences — refresh equals a rebuild at every step") {
-    import graft.operators.MaterializedView
-    val rnd = new scala.util.Random(20816)
-    val tdir = freshDir("snap-mv-model")
-    val mdir = freshDir("snap-mv-model-view")
-    val init = (0 until 400)
-      .map(i => (i.toLong, (i % 11).toLong, rnd.nextInt(10000) / 100.0, 0L))
-      .toDF("k", "grp", "price", "commit_v")
-    SnapshotTable.create(spark, init.repartitionByRange(4, col("k")), tdir)
-    MaterializedView.create(spark, tdir, mdir, "grp", "price")
-    def servedOf(d: String) = MaterializedView.serve(spark, d)
-      .orderBy("key").as[(Long, Long, Double, Double)].collect().toSeq
-    (1 to 6).foreach { step =>
-      // random batch: updates that may REASSIGN a key's group (the
-      // pre-image must leave the old group, the post-image land in the
-      // new — the subtle IVM case), inserts past the key range, deletes
-      // (including of absent keys — must be a no-op)
-      val ups = rnd.shuffle((0 until 500).toList).take(40).map { ki =>
-        val k = ki.toLong
-        (k, ((k + rnd.nextInt(5)) % 11), rnd.nextInt(10000) / 100.0,
-          step.toLong, rnd.nextDouble() < 0.3)
-      }
-      SnapshotTable.upsert(spark, tdir,
-        ups.toDF("k", "grp", "price", "commit_v", "_deleted"),
-        "k", "commit_v", "price")
-      MaterializedView.refresh(spark, tdir, mdir, "k", "grp", "price")
-      val rebuilt = freshDir(s"snap-mv-model-rebuild$step")
-      MaterializedView.create(spark, tdir, rebuilt, "grp", "price")
-      assert(servedOf(mdir) == servedOf(rebuilt),
-        s"step $step: incrementally-refreshed view diverged from a rebuild")
-      assert(MaterializedView.reflectedVersion(spark, mdir) == step + 1L)
-    }
-  }
-
-  test("materialized view: multi-column group key — migration + NULL keys equal a rebuild; guards; legacy layout refused") {
-    import graft.operators.MaterializedView
-    val tdir = freshDir("snap-mvk-table")
-    val mdir = freshDir("snap-mvk-view")
-    // two-column key (region, tier); tier is NULL on every 6th key — a
-    // NULL group the groupBy creates and the merge join must re-find
-    // null-safely (an equality join would duplicate it on refresh)
-    val base = (0 until 2400).map { i =>
-      val tier: Option[String] =
-        if (i % 6 == 0) None else Some(s"t${i % 3}")
-      (i.toLong, (i % 5).toLong, tier, (i % 400) + 0.25, 0L)
-    }.toDF("k", "region", "tier", "price", "commit_v")
-    SnapshotTable.create(spark, base.repartitionByRange(6, col("k")), tdir)
-    MaterializedView.create(spark, tdir, mdir, Seq("region", "tier"),
-      Seq("price"))
-    // the update MOVES rows between key tuples (tier rewritten, some to
-    // NULL): pre-image leaves the old tuple, post-image lands in the new
-    val upd = base.filter(col("k") % 10 === 3)
-      .withColumn("tier",
-        when(col("k") % 20 === 3, lit(null).cast("string")).otherwise(lit("t9")))
-      .withColumn("price", col("price") + lit(5.50))
-      .withColumn("commit_v", lit(1L)).withColumn("_deleted", lit(false))
-    val del = base.filter(col("k") % 10 === 7)
-      .withColumn("commit_v", lit(1L)).withColumn("_deleted", lit(true))
-    SnapshotTable.upsert(spark, tdir, upd.unionByName(del),
-      "k", "commit_v", "price")
-    MaterializedView.refresh(spark, tdir, mdir, "k", Seq("region", "tier"),
-      Seq("price"), ignoreCols = Seq("commit_v"))
-    val rebuilt = freshDir("snap-mvk-rebuild")
-    MaterializedView.create(spark, tdir, rebuilt, Seq("region", "tier"),
-      Seq("price"))
-    def rows(d: String) = MaterializedView.serve(spark, d)
-      .orderBy("region", "tier")
-      .as[(Long, Option[String], Long, Double, Double)].collect().toSeq
-    assert(rows(mdir) == rows(rebuilt),
-      "multi-key refresh (with group migration + NULL keys) must equal a rebuild")
-    // view-store hygiene: vacuumView reclaims the superseded agg
-    // fileset (one accumulates per refresh); serving is unchanged
-    val before = rows(mdir)
-    assert(MaterializedView.vacuumView(spark, mdir, keepLast = 1,
-      graceMs = 0L).nonEmpty,
-      "the pre-refresh agg fileset must be reclaimed")
-    assert(rows(mdir) == before)
-    // key columns serve under their OWN names, before n_rows
-    assert(MaterializedView.serve(spark, mdir).columns.toSeq ==
-      Seq("region", "tier", "n_rows", "sum_price", "avg_price"))
-    // exactly ONE NULL-tier row per region (the null-safe merge): an
-    // equality join would have left a stale duplicate
-    val nullTiers = MaterializedView.serve(spark, mdir)
-      .filter(col("tier").isNull).groupBy("region").count()
-      .as[(Long, Long)].collect().toMap
-    assert(nullTiers.values.forall(_ == 1L),
-      s"NULL key tuples must merge, not duplicate: $nullTiers")
-    // GUARDS: duplicate value columns, a column named 'rows', a key in
-    // the aggregate-state namespace — each refused at create time
-    intercept[IllegalArgumentException] {
-      MaterializedView.create(spark, tdir, freshDir("snap-mvk-g1"),
-        Seq("region"), Seq("price", "price"))
-    }
-    intercept[IllegalArgumentException] {
-      MaterializedView.create(spark, tdir, freshDir("snap-mvk-g2"),
-        Seq("region"), Seq("rows"))
-    }
-    intercept[IllegalArgumentException] {
-      MaterializedView.create(spark, tdir, freshDir("snap-mvk-g3"),
-        Seq("n_rows"), Seq("price"))
-    }
-    // LEGACY (pre-multi-aggregate) sum_cents layout: refused with the
-    // rebuild remedy — serve() would silently drop the aggregate and
-    // refresh() would die mid-merge otherwise
-    val legacy = freshDir("snap-mvk-legacy")
-    val aggFile = s"$legacy/agg/v00001_x"
-    Seq((1L, 2L, 250L)).toDF("key", "n_rows", "sum_cents")
-      .coalesce(1).write.parquet(aggFile)
-    val fsys = new org.apache.hadoop.fs.Path(legacy)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val pq = fsys.listStatus(new org.apache.hadoop.fs.Path(aggFile))
-      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
-    fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$legacy/manifest"))
-    val out = fsys.create(
-      new org.apache.hadoop.fs.Path(s"$legacy/manifest/v00001.manifest"))
-    out.write(s"A 1 $pq\n".getBytes("UTF-8")); out.close()
-    val le = intercept[IllegalStateException] {
-      MaterializedView.serve(spark, legacy)
-    }
-    assert(le.getMessage.contains("sum_cents") &&
-      le.getMessage.contains("rebuild"), le.getMessage)
-  }
-
-  test("materialized view: an emptying refresh commits a servable EMPTY view; repopulation works") {
-    import graft.operators.MaterializedView
-    val tdir = freshDir("snap-mve-table")
-    val mdir = freshDir("snap-mve-view")
-    val base = (0 until 200).map(i => (i.toLong, (i % 3).toLong, 1.25, 0L))
-      .toDF("k", "grp", "price", "commit_v")
-    SnapshotTable.create(spark, base.repartitionByRange(2, col("k")), tdir)
-    MaterializedView.create(spark, tdir, mdir, "grp", "price")
-    // delete EVERY row: the refreshed view has zero keys — it must
-    // commit and serve as the empty aggregate, not break the store
-    val delAll = base.withColumn("commit_v", lit(1L))
-      .withColumn("_deleted", lit(true))
-    SnapshotTable.upsert(spark, tdir, delAll, "k", "commit_v", "price")
-    MaterializedView.refresh(spark, tdir, mdir, "k", "grp", "price")
-    assert(MaterializedView.serve(spark, mdir).count() == 0L,
-      "an emptied view must serve zero rows, not throw")
-    assert(MaterializedView.serve(spark, mdir).columns.toSeq ==
-      Seq("key", "n_rows", "sum_price", "avg_price"),
-      "the empty view keeps its full schema (sentinel-carried)")
-    assert(MaterializedView.reflectedVersion(spark, mdir) == 2L)
-    // the store stays maintainable: reinsert and refresh repopulates
-    val reins = base.filter(col("k") < 50)
-      .withColumn("commit_v", lit(2L)).withColumn("_deleted", lit(false))
-    SnapshotTable.upsert(spark, tdir, reins, "k", "commit_v", "price")
-    MaterializedView.refresh(spark, tdir, mdir, "k", "grp", "price")
-    val got = MaterializedView.serve(spark, mdir)
-      .orderBy("key").as[(Long, Long, Double, Double)].collect().toSeq
-    assert(got.map(_._2).sum == 50L, s"repopulated view wrong: $got")
+  test("upsert reads its manifest ONCE per attempt (memoized lines)") {
+    val dir = freshDir("snap-manifest-reads")
+    SnapshotTable.create(spark,
+      mkBase(1000).repartitionByRange(4, col("k")), dir)
+    SnapshotTable.clearManifestLinesCache()
+    val ch = Seq((5L, "x", 1L, false)).toDF("k", "payload", "commit_v", "_deleted")
+    val r0 = SnapshotTable.manifestReads.get()
+    SnapshotTable.upsert(spark, dir, ch, "k", "commit_v", "payload")
+    val reads = SnapshotTable.manifestReads.get() - r0
+    // one read of v1's manifest (files + schema + dropped + stats all
+    // come from the memoized lines) — the commit itself reads nothing
+    assert(reads <= 1L,
+      s"upsert performed $reads full manifest reads; the memo allows 1")
   }
 }
